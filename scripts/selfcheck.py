@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Reads the parquet dumps produced by `graft.Verify <sfDir> <outDir>` plus
+outDir/oracle_sql.json, runs each oracle statement in DuckDB over the same
+test tables, and compares: row count, column names (sorted), and values
+(rows sorted column-name-major, exact compare; doubles compared to 1e-9
+relative as a near-miss diagnostic).
+
+Usage: python3 scripts/selfcheck.py <sfDir> <outDir>
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return ("f", round(v, 9))
+    return (type(v).__name__, v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        pdir = Path(out_dir) / name
+        if not pdir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = pq.read_table(str(pdir))
+        try:
+            exp = con.execute(sql).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
+        if gcols != ecols:
+            print(f"FAIL {name}: cols {gcols} vs {ecols}")
+            n_fail += 1
+            continue
+        if got.num_rows != exp.num_rows:
+            print(f"FAIL {name}: rows {got.num_rows} vs {exp.num_rows}")
+            n_fail += 1
+            continue
+        grows = sorted([tuple(norm(r[c]) for c in gcols) for r in got.to_pylist()])
+        erows = sorted([tuple(norm(r[c]) for c in ecols) for r in exp.to_pylist()])
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(grows, erows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(grows)} rows differ; first @{i}:")
+            print(f"  spark:  {a}")
+            print(f"  duckdb: {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({got.num_rows} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,83 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Queries over the `events` stream table that re-express the reference's
+  * ETL operators as declarative Spark plans:
+  *
+  *   - q11: T2 tumbling time-bucket partitioner (`ts - ts % 900`,
+  *     reference s3logs/src/utils.rs:229-235) as a bucket-key groupBy.
+  *   - q12: D1 windowed first-row dedup (reference s3logs/src/utils.rs:
+  *     1034-1045) made deterministic via row_number over (key ORDER BY ts).
+  *   - q13: scalar JSON extraction (§2.2 scalar fns).
+  *   - q16: K3 hive partition-key derivation (year/month/day/hour,
+  *     reference s3logs/src/utils.rs:65) as a grouping.
+  */
+object EventQueries {
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q11_event_time_buckets" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .withColumn("bucket_ts", (floor(unix_timestamp($"ts") / 900) * 900).cast("long"))
+        .groupBy($"bucket_ts", $"event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"bucket_ts", $"event_type")
+    },
+    "q12_dedup_first_event" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id")
+        .orderBy($"user_id", $"event_type")
+    },
+    "q13_json_props" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy(($"k" % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(avg($"value"), 2).as("avg_value"))
+        .orderBy($"k_mod")
+    },
+    "q16_hourly_partition_counts" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy(
+          year($"ts").cast("long").as("year"),
+          month($"ts").cast("long").as("month"),
+          dayofmonth($"ts").cast("long").as("day"),
+          hour($"ts").cast("long").as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy($"year", $"month", $"day", $"hour")
+    })
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "q11_event_time_buckets" ->
+      """SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket_ts, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q12_dedup_first_event" ->
+      """SELECT user_id, event_type, event_id FROM (
+           SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id, event_type""",
+    "q13_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+         count(*) AS n, round(avg(value), 2) AS avg_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q16_hourly_partition_counts" ->
+      """SELECT CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month,
+         CAST(day(ts) AS BIGINT) AS day, CAST(hour(ts) AS BIGINT) AS hour,
+         count(*) AS n_events
+         FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""")
+}
