@@ -4,8 +4,9 @@
 Reads the parquet dumps produced by `graft.Verify <sfDir> <outDir>` plus
 outDir/oracle_sql.json, runs each oracle statement in DuckDB over the same
 test tables, and compares: row count, column names (sorted), and values
-(rows sorted column-name-major, exact compare; doubles compared to 1e-9
-relative as a near-miss diagnostic).
+(rows sorted column-name-major; doubles are rounded to 9 absolute decimal
+places before the exact compare, so queries must round any double that
+passes through arithmetic — see RelationalQueries scaladoc).
 
 Usage: python3 scripts/selfcheck.py <sfDir> <outDir>
 """

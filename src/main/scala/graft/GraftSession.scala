@@ -10,8 +10,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rely on at cluster scale.
   */
 object GraftSession {
+  /** Default core count: env override, else the machine's actual cores
+    * (capped at 32) — local[32] on a smaller box oversubscribes the CPU
+    * and skews bench numbers (ADVICE r01). */
+  def defaultCores: String = sys.env.getOrElse(
+    "SPARK_GRAFT_CPUS",
+    math.min(32, Runtime.getRuntime.availableProcessors).toString)
+
   def local(
-      cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      cores: String = defaultCores,
       appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -40,8 +47,11 @@ object Tables {
     // With nanosAsLong the events.ts column arrives as nano-epoch long;
     // convert to Spark's native microsecond TimestampType (truncating,
     // which matches DuckDB's epoch()-based bucketing at second grain).
+    // Keyed on the table NAME so a future table with a genuine long `ts`
+    // column is not silently mis-converted (ADVICE r01).
     df.schema.find(_.name == "ts") match {
-      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+      case Some(f) if name == "events" &&
+          f.dataType == org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -64,11 +64,15 @@ object EventQueries {
       """SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket_ts, event_type,
          count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // NOTE: ORDER BY date_trunc('microseconds', ts) — Spark compares at
+    // microsecond grain (nanos truncated on load), so the oracle must
+    // tie-break at the same grain or a same-microsecond collision would
+    // pick a different 'first' row (ADVICE r01, medium).
     "q12_dedup_first_event" ->
       """SELECT user_id, event_type, event_id FROM (
            SELECT user_id, event_type, event_id,
              row_number() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY date_trunc('microseconds', ts), event_id) AS rn
            FROM events) WHERE rn = 1
          ORDER BY user_id, event_type""",
     "q13_json_props" ->

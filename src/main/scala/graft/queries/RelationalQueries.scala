@@ -36,7 +36,7 @@ object RelationalQueries {
         .filter($"l_shipdate" <= lit("1999-01-01").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"l_quantity").as("sum_qty"),
+          round(sum($"l_quantity"), 2).as("sum_qty"),
           round(sum($"l_extendedprice"), 2).as("sum_base_price"),
           round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
           round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
@@ -100,7 +100,7 @@ object RelationalQueries {
       import s.implicits._
       t(s, dir, "lineitem")
         .cube($"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n_rows"), sum($"l_quantity").as("sum_qty"))
+        .agg(count(lit(1)).as("n_rows"), round(sum($"l_quantity"), 2).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
@@ -161,15 +161,19 @@ object RelationalQueries {
     },
 
     // ---- q15: global top-k (sort + limit) --------------------------------
+    // Join BEFORE the limit so the plan is structurally equivalent to the
+    // oracle (no FK-integrity assumption, ADVICE r01). orderBy+limit
+    // compiles to TakeOrderedAndProject — a distributed top-k, so the
+    // global window only ever sees the 10 surviving rows.
     "q15_top_orders" -> { (s, dir) =>
       import s.implicits._
+      val c = t(s, dir, "customer")
       val top = t(s, dir, "orders")
+        .join(c, $"o_custkey" === $"c_custkey")
         .orderBy($"o_totalprice".desc, $"o_orderkey")
         .limit(10)
-      val c = t(s, dir, "customer")
       val w = Window.orderBy($"o_totalprice".desc, $"o_orderkey")
       top
-        .join(c, $"o_custkey" === $"c_custkey")
         .withColumn("rnk", row_number().over(w).cast("long"))
         .select($"rnk", $"o_orderkey", $"o_custkey", $"c_name", $"o_totalprice")
         .orderBy($"rnk")
@@ -178,7 +182,7 @@ object RelationalQueries {
   val oracleSql: ListMap[String, String] = ListMap(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(l_quantity) AS sum_qty,
+         round(sum(l_quantity), 2) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_base_price,
          round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
          round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
@@ -218,7 +222,7 @@ object RelationalQueries {
          GROUP BY ROLLUP(order_year, o_orderpriority)
          ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q05_lineitem_cube" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem
          GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
