@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DocumentQueries, EventQueries, RelationalQueries}
+import graft.queries.{DocumentQueries, EtlQueries, EventQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +20,10 @@ object SparkEntry {
     RelationalQueries.queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ EventQueries.queries ++ DocumentQueries.queries
+    RelationalQueries.queries ++ EventQueries.queries ++
+      DocumentQueries.queries ++ EtlQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ EventQueries.oracleSql ++ DocumentQueries.oracleSql
+    RelationalQueries.oracleSql ++ EventQueries.oracleSql ++
+      DocumentQueries.oracleSql ++ EtlQueries.oracleSql
 }

@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming mode (SURVEY §3.3): the reference's s3logd-stream process —
+  * SQS poll loop, per-partition writer tasks, rotation/idle Reason
+  * machine, receipts (ST1–ST6) — as ONE Structured Streaming query.
+  *
+  *   - ST1 notification source        → file source (`readStream.text`),
+  *     `maxFilesPerTrigger` ≈ max_sqs_messages batch size.
+  *   - ST2 event-time partition router → the shuffle implied by the sink's
+  *     partitionBy (no hand-rolled channel-per-partition BTreeMap).
+  *   - ST4 rotation/idle-close        → trigger interval + maxRecordsPerFile;
+  *     idle partitions simply produce no files.
+  *   - ST5 late data                  → watermark + append mode; late rows
+  *     become extra files in the same partition dir — the reference's own
+  *     behavior (output.rs:724-735).
+  *   - ST6 receipts/exactly-once      → checkpoint + the parquet sink's
+  *     commit log; crash ⇒ source replay ⇒ dropDuplicatesWithinWatermark
+  *     restores exactly-once effect (the reference gets at-least-once +
+  *     D1 dedup; we get the same contract with no custom code).
+  *   - ST7 graceful drain             → `query.stop()` + checkpoint resume.
+  */
+object StreamingTransform {
+
+  /** Build the streaming pipeline over a landing directory of raw log
+    * files. `watermarkDelay` bounds dedup/lateness state exactly where the
+    * reference's idle-close threshold bounded open channels (ST4/ST5). */
+  def stream(
+      spark: SparkSession, landingDir: String, cfg: EtlConfig = EtlConfig(),
+      maxFilesPerTrigger: Int = 10, watermarkDelay: String = "10 minutes")
+      : DataFrame = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(landingDir)
+    val parsed = AccessLogParser.parse(lines, dropMalformed = true)
+      .withColumn("OrigBucket",
+        if (cfg.mergeOrigBuckets) lit("ALLBUCKETS") else col("Bucket"))
+      .withColumn("agg_ts", Transform.bucketTs(cfg, cfg.aggregateSeconds))
+      .withWatermark("ts", watermarkDelay)
+    // D1 under redelivery: state is evicted once the watermark passes —
+    // the streaming analog of the reference's seen-set reset (ST6 + D1).
+    if (cfg.dedup) parsed.dropDuplicatesWithinWatermark("RequestID", "agg_ts")
+    else parsed
+  }
+
+  /** Wire the pipeline to a partitioned parquet sink with a checkpoint —
+    * call `.start()` on the result. Partition layout matches the stream
+    * default `dt=YYYYMMDD` (s3logd-stream/src/output.rs:37). */
+  def writer(
+      df: DataFrame, outDir: String, checkpointDir: String,
+      cfg: EtlConfig = EtlConfig(hourlyPartitions = false),
+      triggerMs: Long = 60000L): DataStreamWriter[Row] = {
+    val local = timestamp_seconds(unix_timestamp(col("ts")) + cfg.tzOffsetSeconds)
+    df.withColumn("dt", date_format(local, "yyyyMMdd"))
+      .drop("ts", "agg_ts")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .option("compression", cfg.compression)
+      .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+      .partitionBy("dt")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+  }
+}

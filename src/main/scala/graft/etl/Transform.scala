@@ -1,0 +1,125 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine configuration (SURVEY §2.1 C1) — the reference's ~25 env vars /
+  * INI knobs collapsed to one case class. Every field maps to a documented
+  * reference default (README.md:49-79, example.ini).
+  */
+final case class EtlConfig(
+    staggingSeconds: Long = 900,          // S3LOGS_STAGGING_PARTITION_SECOND
+    aggregateSeconds: Long = 900,         // S3LOGS_TRANSFORM_AGGREGATE_SECOND (≥ stagging)
+    tzOffsetSeconds: Long = 0,            // T3: fixed-offset POSIX tz (e.g. UTC+8 = 28800)
+    mergeOrigBuckets: Boolean = false,    // A3: collapse bucket key to ALLBUCKETS
+    dedup: Boolean = true,                // D1: windowed RequestID dedup
+    hourlyPartitions: Boolean = true,     // K3: year/.../hour (batch) vs dt=YYYYMMDD (stream)
+    compression: String = "snappy",       // parquet writer props (C1)
+    maxRecordsPerFile: Long = 10000000L,  // ST4 rotation threshold analog
+    archiveDir: Option[String] = None) {  // S4: gzip raw-line archive
+  require(aggregateSeconds >= staggingSeconds,
+    "aggregate window must be >= stagging window")
+}
+
+/** Result of one batch transform run — the count-conservation facts the
+  * reference asserts inline (M2, s3logs/src/utils.rs:642-643). */
+final case class TransformStats(
+    inputLines: Long, malformedLines: Long, dedupedLines: Long,
+    outputRows: Long)
+
+/** The batch ETL pipeline (SURVEY §3.1 + §3.2 fused into ONE Spark job).
+  *
+  * The reference runs two stages with a shared-filesystem staging layer in
+  * between (append-only files + flocks, s3logs/src/utils.rs:455-1520)
+  * because it has no shuffle. Under Spark the staging layer IS the
+  * shuffle: parse → bucket → dedup (one hash-agg shuffle keyed by the
+  * partition tuple) → partitioned parquet write. Locks, `.processing`
+  * renames, orphan merge-back and upload retry (R1–R3, K4) all collapse
+  * into Spark's task retry + output-committer protocol.
+  *
+  * Scale design: the only wide dependency is the dedup exchange, keyed by
+  * (RequestID, agg window) — effectively uniform. The write is
+  * repartitioned by the output partition columns so each Hive partition is
+  * produced by its own tasks (no 1000-way small-file fan-out per task),
+  * while `maxRecordsPerFile` bounds file size the way ST4's rotation does.
+  */
+object Transform {
+
+  /** K3 partition-column derivation: event time shifted into the fixed
+    * tz offset (T3 — the reference computes boundaries in a DST-less
+    * POSIX tz, so this is pure offset arithmetic, never zone rules). */
+  private def tzShifted(cfg: EtlConfig) =
+    timestamp_seconds(unix_timestamp(col("ts")) + cfg.tzOffsetSeconds)
+
+  /** T2: align-left tumbling bucket (`ts - ts % N`) on the tz-shifted
+    * clock, returned as epoch seconds (UTC). */
+  def bucketTs(cfg: EtlConfig, seconds: Long) = {
+    val shifted = unix_timestamp(col("ts")) + cfg.tzOffsetSeconds
+    (floor(shifted / seconds) * seconds) - cfg.tzOffsetSeconds
+  }
+
+  /** Parse + bucket + dedup: the logical core, reusable by batch and
+    * streaming. Input: one string column `value`. */
+  def pipeline(lines: DataFrame, cfg: EtlConfig): DataFrame = {
+    val parsed = AccessLogParser.parse(lines, dropMalformed = true)
+    val bucketed = parsed
+      .withColumn("OrigBucket",
+        if (cfg.mergeOrigBuckets) lit("ALLBUCKETS") else col("Bucket"))
+      .withColumn("agg_ts", bucketTs(cfg, cfg.aggregateSeconds))
+    // D1: dedup key is (RequestID, window), NOT global RequestID — the
+    // reference resets its seen-set at aggregate_second bounds
+    // (s3logs/src/utils.rs:1034-1045).
+    if (cfg.dedup) bucketed.dropDuplicates("RequestID", "agg_ts") else bucketed
+  }
+
+  /** Full batch run: read text logs, transform, write partitioned parquet.
+    * Returns conservation stats (M2). */
+  def run(spark: SparkSession, in: Seq[String], out: String,
+      cfg: EtlConfig = EtlConfig()): TransformStats = {
+    val lines = spark.read.textFile(in: _*).toDF("value")
+    val inputLines = lines.count()
+
+    // S4: optional gzip archive of the raw lines (transform_cleanup,
+    // s3logs/src/utils.rs:1273-1294).
+    cfg.archiveDir.foreach { dir =>
+      lines.write.mode(SaveMode.Append).option("compression", "gzip").text(dir)
+    }
+
+    val parsedAll = AccessLogParser.parse(lines, dropMalformed = false)
+    val malformed = parsedAll.filter(col("ts").isNull).count()
+
+    val deduped = pipeline(lines, cfg)
+    val partCols =
+      if (cfg.hourlyPartitions) Seq("year", "month", "day", "hour")
+      else Seq("dt")
+    val local = tzShifted(cfg)
+    val withParts =
+      if (cfg.hourlyPartitions)
+        deduped
+          .withColumn("year", date_format(local, "yyyy"))
+          .withColumn("month", date_format(local, "MM"))
+          .withColumn("day", date_format(local, "dd"))
+          .withColumn("hour", date_format(local, "HH"))
+      else deduped.withColumn("dt", date_format(local, "yyyyMMdd"))
+
+    // T1's sort exists in the reference to enable its streaming split +
+    // first-wins dedup; post-shuffle we sort within partitions only (no
+    // global exchange) so parquet row groups are time-clustered for
+    // downstream range pruning.
+    withParts
+      .repartition(partCols.map(col): _*)
+      .sortWithinPartitions(col("ts"))
+      .drop("ts", "agg_ts")
+      .write.mode(SaveMode.Append)
+      .option("compression", cfg.compression)
+      .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(out)
+
+    val outputRows = spark.read.parquet(out).count()
+    TransformStats(
+      inputLines = inputLines, malformedLines = malformed,
+      dedupedLines = inputLines - malformed - deduped.count(),
+      outputRows = outputRows)
+  }
+}

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl._
+
+/** Unit + end-to-end coverage of the ETL surface (SURVEY §2.1). */
+class EtlSpec extends SparkSpec {
+
+  // ---- P1 tokenizer unit semantics --------------------------------------
+
+  test("tokenize: bare, quoted, bracketed fields") {
+    val line = """owner bucket [06/Feb/2019:00:00:38 +0000] 1.2.3.4 "GET /k HTTP/1.1" -"""
+    val f = AccessLogParser.tokenize(line)
+    assert(f.toSeq == Seq("owner", "bucket", "06/Feb/2019:00:00:38 +0000",
+      "1.2.3.4", "GET /k HTTP/1.1", "-"))
+  }
+
+  test("tokenize: quotes with inner spaces and empty quoted field") {
+    val f = AccessLogParser.tokenize("""a "b c d" "" e""")
+    assert(f.toSeq == Seq("a", "b c d", "", "e"))
+  }
+
+  test("tokenize: unterminated quote consumes to EOL") {
+    val f = AccessLogParser.tokenize("""a "broken tail""")
+    assert(f.toSeq == Seq("a", "broken tail"))
+  }
+
+  test("tokenize: round-trips every generated entry at full width") {
+    LogGen.entries(200, seed = 7).foreach { e =>
+      val f = AccessLogParser.tokenize(e.line)
+      assert(f.length == AccessLogSchema.width, s"width for: ${e.line}")
+      assert(f(1) == e.bucket && f(5) == e.requestId && f(6) == e.operation)
+      assert(f(16) == e.agent) // UserAgent with spaces survives quoting
+    }
+  }
+
+  test("tokenize: overflow fields appear after the 26 base fields (W1)") {
+    val e = LogGen.entries(50, seed = 8, extraFrac = 1.0).head
+    val f = AccessLogParser.tokenize(e.line)
+    assert(f.length == AccessLogSchema.width + 2)
+    assert(f.takeRight(2).toSeq == Seq("extraA", "extraB"))
+  }
+
+  // ---- parse() DataFrame semantics (F1, W1, W2, P2) ---------------------
+
+  test("parse: malformed lines dropped, ts parsed, overflow captured") {
+    import spark.implicits._
+    val good = LogGen.lines(100, seed = 9, extraFrac = 0.3)
+    val bad = Seq("not a log line at all", "a b [not-a-time] c")
+    val df = AccessLogParser.parse((good ++ bad).toDF("value")).cache()
+    assert(df.count() == 100)
+    assert(df.filter($"ts".isNull).count() == 0)
+    val extras = df.filter(size($"ExtraFields") > 0).count()
+    assert(extras > 0 && extras < 100)
+    // W2: a short row null-fills trailing columns
+    val short = AccessLogParser.parse(Seq("o b [06/Feb/2019:00:00:38 +0000]").toDF("value"))
+    val row = short.select($"BucketOwner", $"RemoteIP", $"AclRequired").head
+    assert(row.getString(0) == "o" && row.isNullAt(1) && row.isNullAt(2))
+    df.unpersist()
+  }
+
+  test("widened projection exposes ExtraFieldN logical columns (W1 parity)") {
+    import spark.implicits._
+    val df = AccessLogParser.parse(
+      LogGen.lines(20, seed = 10, extraFrac = 1.0).toDF("value"))
+    val wide = AccessLogSchema.widened(df, 2)
+    assert(wide.columns.contains("ExtraField27") && wide.columns.contains("ExtraField28"))
+    assert(wide.filter($"ExtraField27" === "extraA").count() == 20)
+  }
+
+  test("typedView casts numerics and '-' to null") {
+    import spark.implicits._
+    val typed = AccessLogSchema.typedView(
+      AccessLogParser.parse(LogGen.lines(50, seed = 11).toDF("value")))
+    assert(typed.schema("BytesSent").dataType.typeName == "long")
+    assert(typed.schema("HTTPStatus").dataType.typeName == "integer")
+    assert(typed.filter($"ts".isNull).count() == 0)
+  }
+
+  // ---- T2/T3 bucketing --------------------------------------------------
+
+  test("bucket alignment: every ts lands in exactly one 900s bucket") {
+    import spark.implicits._
+    val df = Transform.pipeline(
+      LogGen.lines(500, seed = 12).toDF("value"), EtlConfig(dedup = false))
+    val bad = df.filter($"agg_ts" % 900 =!= 0 ||
+      unix_timestamp($"ts") < $"agg_ts" ||
+      unix_timestamp($"ts") >= $"agg_ts" + 900).count()
+    assert(bad == 0)
+    assert(df.count() == 500) // M2 conservation
+  }
+
+  test("tz-aware bucketing shifts daily boundaries by the fixed offset (T3)") {
+    import spark.implicits._
+    val cfg = EtlConfig(tzOffsetSeconds = 28800, // UTC+8, DST-less POSIX tz
+      staggingSeconds = 86400, aggregateSeconds = 86400)
+    val df = Transform.pipeline(
+      LogGen.lines(200, seed = 16).toDF("value"), cfg.copy(dedup = false))
+    // A UTC+8 day starts at 16:00 UTC: every bucket ≡ -28800 (mod 86400).
+    val bad = df.filter(
+      pmod($"agg_ts" + 28800, lit(86400)) =!= 0).count()
+    assert(bad == 0)
+    val inWindow = df.filter(
+      unix_timestamp($"ts") < $"agg_ts" ||
+        unix_timestamp($"ts") >= $"agg_ts" + 86400).count()
+    assert(inWindow == 0)
+  }
+
+  // ---- D1 dedup ---------------------------------------------------------
+
+  test("dedup drops redelivered RequestIDs within a window (D1)") {
+    import spark.implicits._
+    val lines = LogGen.lines(300, seed = 13, dupFrac = 0.2)
+    val n = lines.size
+    assert(n > 300)
+    val kept = Transform.pipeline(lines.toDF("value"), EtlConfig()).count()
+    assert(kept == 300)
+    val keptNoDedup =
+      Transform.pipeline(lines.toDF("value"), EtlConfig(dedup = false)).count()
+    assert(keptNoDedup == n)
+  }
+
+  // ---- end-to-end batch run (K1/K3/S4/M2) -------------------------------
+
+  test("batch transform writes hive-partitioned parquet with conservation") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-etl").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val arch = s"$tmp/archive"
+    LogGen.lines(1000, seed = 14, dupFrac = 0.1)
+      .toDF("value").coalesce(2).write.text(in)
+    val stats = Transform.run(spark, Seq(in), out,
+      EtlConfig(archiveDir = Some(arch)))
+    assert(stats.malformedLines == 0)
+    assert(stats.outputRows == 1000)
+    assert(stats.inputLines == 1000 + stats.dedupedLines)
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSet.intersect(Set("year", "month", "day", "hour")).size == 4)
+    assert(back.count() == 1000)
+    // S4 archive preserves raw lines byte-for-byte
+    assert(spark.read.text(arch).count() == stats.inputLines)
+    // partition dirs follow the hive layout
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("year=")))
+  }
+
+  test("merge-orig-buckets collapses the bucket key (A3)") {
+    import spark.implicits._
+    val df = Transform.pipeline(
+      LogGen.lines(50, seed = 15).toDF("value"),
+      EtlConfig(mergeOrigBuckets = true))
+    assert(df.select("OrigBucket").distinct.collect.map(_.getString(0)).toSeq
+      == Seq("ALLBUCKETS"))
+  }
+}
