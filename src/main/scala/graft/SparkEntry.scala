@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DocumentQueries, EtlQueries, EventQueries, RelationalQueries}
+import graft.queries.{DedupQueries, DocumentQueries, EmbeddingQueries,
+  EtlQueries, EventQueries, MultimodalQueries, RelationalQueries,
+  RelationalQueries2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +22,16 @@ object SparkEntry {
     RelationalQueries.queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ EventQueries.queries ++
-      DocumentQueries.queries ++ EtlQueries.queries
+    RelationalQueries.queries ++ RelationalQueries2.queries ++
+      EventQueries.queries ++
+      DocumentQueries.queries ++ EtlQueries.queries ++
+      DedupQueries.queries ++ EmbeddingQueries.queries ++
+      MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ EventQueries.oracleSql ++
-      DocumentQueries.oracleSql ++ EtlQueries.oracleSql
+    RelationalQueries.oracleSql ++ RelationalQueries2.oracleSql ++
+      EventQueries.oracleSql ++
+      DocumentQueries.oracleSql ++ EtlQueries.oracleSql ++
+      DedupQueries.oracleSql ++ EmbeddingQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 }

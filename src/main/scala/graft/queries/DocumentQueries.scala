@@ -46,6 +46,67 @@ object DocumentQueries {
       Tables(s, dir, "documents")
         .select($"doc_id", md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fp"))
         .orderBy($"doc_id")
+    },
+
+    // Language-ID by stopword-marker scoring (n-gram heuristic family):
+    // per-language marker-token hit counts → argmax with deterministic
+    // tie order, 'und' when nothing matches. Emitted as a label-vs-
+    // prediction confusion matrix.
+    "d07_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      val toks = split($"text", " ")
+      def hits(markers: Seq[String]) =
+        size(filter(toks, t => t.isInCollection(markers))).cast("long")
+      Tables(s, dir, "documents")
+        .withColumn("en_n", hits(Seq("the", "a", "of")))
+        .withColumn("de_n", hits(Seq("der", "die", "und")))
+        .withColumn("fr_n", hits(Seq("le", "la", "et")))
+        .withColumn("pred_lang",
+          when($"en_n" >= greatest($"de_n", $"fr_n") && $"en_n" > 0, "en")
+            .when($"de_n" >= $"fr_n" && $"de_n" > 0, "de")
+            .when($"fr_n" > 0, "fr")
+            .otherwise("und"))
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"en_n").as("en_hits"))
+        .orderBy($"lang", $"pred_lang")
+    },
+
+    // Quality scoring: token count, mean token length, stopword ratio →
+    // bounded composite score. Pure arithmetic, replicated in the oracle.
+    "d09_quality_score" -> { (s, dir) =>
+      import s.implicits._
+      val toks = split($"text", " ")
+      Tables(s, dir, "documents")
+        .withColumn("n_tok", size(toks).cast("long"))
+        .withColumn("avg_tok_len",
+          round((length($"text") - $"n_tok" + 1) / $"n_tok", 4))
+        .withColumn("stop_ratio",
+          round(size(filter(toks, t => t.isInCollection(Seq("the", "a"))))
+            / $"n_tok", 4))
+        .withColumn("quality",
+          round(lit(0.4) * least($"n_tok" / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - abs($"avg_tok_len" - 4.5) / 4.5) +
+            lit(0.3) * least($"stop_ratio" * 10.0, lit(1.0)), 4))
+        .select($"doc_id", $"n_tok", $"avg_tok_len", $"stop_ratio", $"quality")
+        .orderBy($"doc_id")
+    },
+
+    // Token counting: whitespace tokens, BPE-ish regex token count
+    // (letter-runs / digit-runs / single symbols), and a ceil(len/4)
+    // subword-chunk estimate.
+    "d10_token_count" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .withColumn("n_ws", size(split($"text", " ")).cast("long"))
+        .withColumn("n_bpe",
+          size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("long"))
+        .withColumn("n_chunks", expr(
+          """aggregate(split(text, ' '),
+             CAST(0 AS BIGINT),
+             (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS BIGINT))"""))
+        .select($"doc_id", $"n_ws", $"n_bpe", $"n_chunks")
+        .orderBy($"doc_id")
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -61,5 +122,40 @@ object DocumentQueries {
          FROM documents GROUP BY lang ORDER BY lang""",
     "d08_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "d07_lang_id" ->
+      """WITH scored AS (
+           SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of'))) AS BIGINT) AS en_n,
+             CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'und'))) AS BIGINT) AS de_n,
+             CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et'))) AS BIGINT) AS fr_n
+           FROM documents)
+         SELECT lang,
+           CASE WHEN en_n >= greatest(de_n, fr_n) AND en_n > 0 THEN 'en'
+                WHEN de_n >= fr_n AND de_n > 0 THEN 'de'
+                WHEN fr_n > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang,
+           count(*) AS n_docs, CAST(sum(en_n) AS BIGINT) AS en_hits
+         FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""",
+    "d09_quality_score" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             round((len(text) - len(string_split(text, ' ')) + 1)
+                   / len(string_split(text, ' ')), 4) AS avg_tok_len,
+             round(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+                   / len(string_split(text, ' ')), 4) AS stop_ratio
+           FROM documents)
+         SELECT doc_id, n_tok, avg_tok_len, stop_ratio,
+           round(0.4 * least(n_tok / 100.0, 1.0) +
+                 0.3 * (1.0 - abs(avg_tok_len - 4.5) / 4.5) +
+                 0.3 * least(stop_ratio * 10.0, 1.0), 4) AS quality
+         FROM base ORDER BY doc_id""",
+    "d10_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_chunks
          FROM documents ORDER BY doc_id""")
 }

@@ -1,0 +1,115 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *   - s01: brute-force cosine top-k — the exact baseline. All arithmetic
+  *     in DOUBLE with left-to-right folds so the DuckDB oracle matches;
+  *     ranking uses the ROUNDED similarity + id tie-break so order is
+  *     engine-independent.
+  *   - s02: LSH-bucketed ANN (random-hyperplane signs, multi-probe) — the
+  *     scale path: at 100 TB the candidate set comes from a bucket
+  *     equi-join (shuffle on an int key) instead of a cross join. No SQL
+  *     oracle (declared rows-only); AnnSpec checks recall against s01.
+  *
+  * The query side is always the broadcast side: top-k for Q queries never
+  * materializes a Q×N matrix, only a streamed nested-loop over the
+  * broadcast queries with a partial top-k per partition (Window + filter
+  * under AQE).
+  */
+object EmbeddingQueries {
+
+  private val lshBits = 6   // 64 buckets
+  /** deterministic ±1 hyperplane weights: w(j)(i) */
+  private def w(j: Int, i: Int): Double =
+    if (((i * 31 + j * 17) % 7) % 2 == 0) 1.0 else -1.0
+
+  /** embeddings with double vector + L2 norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  /** LSH bucket id from the sign pattern of `lshBits` hyperplane
+    * projections (generated as fixed literals — same plan every run). */
+  private def bucketCol: org.apache.spark.sql.Column = {
+    val bits = (0 until lshBits).map { j =>
+      val terms = (0 until 64).map(i => s"element_at(v, ${i + 1}) * ${w(j, i)}")
+      s"CASE WHEN ${terms.mkString(" + ")} > 0 THEN ${1 << j} ELSE 0 END"
+    }
+    expr(bits.mkString(" + ")).cast("int")
+  }
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    // ---- s01: exact brute-force cosine top-5 for queries vec_id < 20 -----
+    "s01_knn_bruteforce" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir)
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+      val c = e.select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"))
+      val rnkW = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"c_id")
+      c.join(broadcast(q), $"q_id" =!= $"c_id")
+        .withColumn("cos_sim", round(dot("qv", "cv") / ($"qn" * $"cn"), 4))
+        .withColumn("rnk", row_number().over(rnkW).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"q_id", $"rnk", $"c_id", $"cos_sim")
+        .orderBy($"q_id", $"rnk")
+    },
+
+    // ---- s02: LSH-bucketed ANN with multi-probe (rows-only check) --------
+    "s02_ann_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir).withColumn("bucket", bucketCol)
+      val c = e.select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"),
+        $"bucket".as("c_bucket"))
+      // multi-probe: each query probes its own bucket plus all buckets at
+      // hamming distance 1 (flip each of the lshBits bits)
+      val probes = array((lit(0) +: (0 until lshBits).map(j => lit(1 << j))): _*)
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
+        .withColumn("probe", explode(probes))
+        .withColumn("q_bucket", expr("int(bucket ^ probe)"))
+      val rnkW = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"c_id")
+      c.join(broadcast(q), $"q_bucket" === $"c_bucket" && $"q_id" =!= $"c_id")
+        .select($"q_id", $"c_id", $"qv", $"cv", $"qn", $"cn")
+        .dropDuplicates("q_id", "c_id") // probes can hit the same candidate twice
+        .withColumn("cos_sim", round(dot("qv", "cv") / ($"qn" * $"cn"), 4))
+        .withColumn("rnk", row_number().over(rnkW).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"q_id", $"rnk", $"c_id", $"cos_sim")
+        .orderBy($"q_id", $"rnk")
+    })
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "s01_knn_bruteforce" ->
+      """WITH n AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+         p AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_sim
+           FROM m q JOIN m c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         r AS (
+           SELECT q_id, c_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+           FROM p)
+         SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5
+         ORDER BY q_id, rnk""")
+    // s02_ann_lsh: intentionally no oracle (approximate operator) —
+    // driver records the weaker rows-only check; AnnSpec asserts recall
+    // against the exact s01 baseline.
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second relational batch: grouping sets, as-of join, range join,
+  * exact percentiles, pivot, correlated subquery (decorrelated by
+  * Catalyst), and HLL approximate distinct (rows-only).
+  */
+object RelationalQueries2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    // ---- q14: GROUPING SETS ----------------------------------------------
+    "q14_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .withColumn("order_year", year($"o_orderdate").cast("long"))
+        .groupingSets(
+          Seq(Seq($"order_year", $"o_orderstatus"), Seq($"order_year"), Seq()),
+          $"order_year", $"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg($"o_totalprice"), 2).as("avg_price"))
+        .orderBy(asc_nulls_first("order_year"), asc_nulls_first("o_orderstatus"))
+    },
+
+    // ---- q17: as-of join (latest click ≤ each purchase, per user) --------
+    // The classic time-series operator Spark lacks natively: expressed as
+    // an equi-join on the entity key + window argmax — the shuffle is on
+    // user_id, state bounded per key. At cluster scale the same plan
+    // holds with range-bucketed input (no extra exchange).
+    "q17_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      val w = Window.partitionBy($"purchase_id")
+        .orderBy($"c_ts".desc, $"click_id".desc)
+      p.join(c, $"user_id" === $"c_user" && $"c_ts" <= $"p_ts")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"purchase_id", $"user_id", $"click_id",
+          (unix_timestamp($"p_ts") - unix_timestamp($"c_ts")).as("gap_s"))
+        .orderBy($"purchase_id")
+    },
+
+    // ---- q18: range join against a small bands relation ------------------
+    // Non-equi join: the bands side is 3 rows → broadcast nested-loop,
+    // the right plan at any scale for a tiny ranges dimension.
+    "q18_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val bands = s.createDataFrame(Seq(
+        ("small", 0.0, 15.0), ("mid", 15.0, 35.0), ("large", 35.0, 51.0)))
+        .toDF("band", "lo", "hi")
+      t(s, dir, "lineitem")
+        .join(broadcast(bands), $"l_quantity" >= $"lo" && $"l_quantity" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"))
+        .orderBy($"band")
+    },
+
+    // ---- q19: exact interpolated percentiles -----------------------------
+    "q19_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- q20: pivot ------------------------------------------------------
+    "q20_pivot_priority" -> { (s, dir) =>
+      import s.implicits._
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val named = Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+      val piv = t(s, dir, "orders")
+        .withColumn("order_year", year($"o_orderdate").cast("long"))
+        .groupBy($"order_year")
+        .pivot("o_orderpriority", prios)
+        .agg(round(avg($"o_totalprice"), 2))
+      prios.zip(named).foldLeft(piv) { case (df, (old, nw)) =>
+        df.withColumnRenamed(old, nw)
+      }.orderBy($"order_year")
+    },
+
+    // ---- q21: correlated scalar subquery (Catalyst decorrelates) ---------
+    "q21_above_nation_avg" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+           FROM v_customer outer_c
+           WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer i
+                              WHERE i.c_nationkey = outer_c.c_nationkey)
+           ORDER BY c_custkey""")
+    },
+
+    // ---- q22: HLL approximate distinct (no oracle — approximate) ---------
+    "q22_approx_distinct" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"))
+        .orderBy($"l_returnflag")
+    })
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "q14_grouping_sets" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+         count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+         FROM orders
+         GROUP BY GROUPING SETS ((order_year, o_orderstatus), (order_year), ())
+         ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST""",
+    "q17_asof_join" ->
+      """WITH p AS (
+           SELECT event_id AS purchase_id, user_id,
+             date_trunc('microseconds', ts) AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT event_id AS click_id, user_id,
+             date_trunc('microseconds', ts) AS c_ts
+           FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT purchase_id, p.user_id, click_id, p_ts, c_ts,
+             row_number() OVER (PARTITION BY purchase_id
+               ORDER BY c_ts DESC, click_id DESC) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c_ts <= p_ts)
+         SELECT purchase_id, user_id, click_id,
+           CAST(epoch(date_trunc('second', p_ts))
+                - epoch(date_trunc('second', c_ts)) AS BIGINT) AS gap_s
+         FROM j WHERE rn = 1 ORDER BY purchase_id""",
+    "q18_range_join" ->
+      """SELECT band, count(*) AS n_items,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem
+         JOIN (VALUES ('small', 0.0, 15.0), ('mid', 15.0, 35.0),
+               ('large', 35.0, 51.0)) AS bands(band, lo, hi)
+           ON l_quantity >= lo AND l_quantity < hi
+         GROUP BY band ORDER BY band""",
+    "q19_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+         round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+         round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q20_pivot_priority" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         round(avg(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2) AS p_urgent,
+         round(avg(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 2) AS p_high,
+         round(avg(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 2) AS p_medium,
+         round(avg(o_totalprice) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 2) AS p_notspec,
+         round(avg(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2) AS p_low
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q21_above_nation_avg" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+         FROM customer outer_c
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                            WHERE i.c_nationkey = outer_c.c_nationkey)
+         ORDER BY c_custkey""")
+    // q22_approx_distinct: no oracle — HLL estimates are engine-specific.
+}
