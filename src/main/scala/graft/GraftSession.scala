@@ -24,6 +24,8 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // Engine extensions: native codegen functions (graft_tokenize).
+      .withExtensions(graft.functions.ParseS3LogExpr.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -52,10 +52,20 @@ object AccessLogParser {
     out.toArray
   }
 
-  /** UDF wrapper (P1). Promoting to a codegen Expression is the §7.3
-    * reserve move; the scanner itself is already allocation-lean. */
+  /** UDF wrapper (P1) — fallback for sessions without the graft
+    * extensions; GraftSession-built sessions use the native codegen
+    * expression graft.functions.ParseS3LogExpr instead. */
   val tokenizeUdf: UserDefinedFunction = udf((line: String) =>
     if (line == null) Array.empty[String] else tokenize(line))
+
+  /** Tokenize column: native `graft_tokenize` expression when the session
+    * has the engine extensions (whole-stage codegen fusion), UDF
+    * otherwise. */
+  private def tokenizeCol(df: DataFrame): Column =
+    if (df.sparkSession.catalog.functionExists(
+        graft.functions.ParseS3LogExpr.functionName))
+      call_function(graft.functions.ParseS3LogExpr.functionName, col("value"))
+    else tokenizeUdf(col("value"))
 
   /** Parse a one-column DataFrame of raw lines (column `value`, as
     * produced by `spark.read.text`) into the 26-column string table plus
@@ -68,7 +78,7 @@ object AccessLogParser {
   def parse(lines: DataFrame, dropMalformed: Boolean = true): DataFrame = {
     val w = AccessLogSchema.width
     val withFields = lines
-      .withColumn("_f", tokenizeUdf(col("value")))
+      .withColumn("_f", tokenizeCol(lines))
     // try_element_at is 1-based and yields null past the end → W2
     // null-fill happens for free (ANSI-safe, unlike element_at which
     // throws under Spark 4's default ANSI mode); fields beyond 26 slice
