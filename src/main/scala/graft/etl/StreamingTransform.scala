@@ -47,6 +47,24 @@ object StreamingTransform {
     else parsed
   }
 
+  /** ST3 passthrough mode: when log objects are themselves named by event
+    * date (the reference's event-time key format), the output partition
+    * comes from the OBJECT KEY, not from per-line timestamp parsing —
+    * partition columns derived from `input_file_name()` never touch row
+    * data, mirroring the reference's passthrough gate. Lines are still
+    * parsed for the 26 columns; only the partition routing skips the
+    * per-line clock. Expects `...YYYYMMDD...` somewhere in the file name. */
+  def streamPassthrough(
+      spark: SparkSession, landingDir: String, cfg: EtlConfig = EtlConfig(),
+      maxFilesPerTrigger: Int = 10): DataFrame = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(landingDir)
+    AccessLogParser.parse(lines, dropMalformed = true)
+      // anchor to the last path segment — parent dirs may contain digits
+      .withColumn("dt", regexp_extract(input_file_name(), "(\\d{8})[^/]*$", 1))
+  }
+
   /** Wire the pipeline to a partitioned parquet sink with a checkpoint —
     * call `.start()` on the result. Partition layout matches the stream
     * default `dt=YYYYMMDD` (s3logd-stream/src/output.rs:37). */
@@ -55,7 +73,10 @@ object StreamingTransform {
       cfg: EtlConfig = EtlConfig(hourlyPartitions = false),
       triggerMs: Long = 60000L): DataStreamWriter[Row] = {
     val local = timestamp_seconds(unix_timestamp(col("ts")) + cfg.tzOffsetSeconds)
-    df.withColumn("dt", date_format(local, "yyyyMMdd"))
+    val withDt =
+      if (df.columns.contains("dt")) df // passthrough already routed it (ST3)
+      else df.withColumn("dt", date_format(local, "yyyyMMdd"))
+    withDt
       .drop("ts", "agg_ts")
       .writeStream
       .format("parquet")

@@ -15,6 +15,7 @@ final case class EtlConfig(
     dedup: Boolean = true,                // D1: windowed RequestID dedup
     hourlyPartitions: Boolean = true,     // K3: year/.../hour (batch) vs dt=YYYYMMDD (stream)
     compression: String = "snappy",       // parquet writer props (C1)
+    parquetBlockSize: Long = 128L << 20,  // row-group size (writer props INI)
     maxRecordsPerFile: Long = 10000000L,  // ST4 rotation threshold analog
     archiveDir: Option[String] = None) {  // S4: gzip raw-line archive
   require(aggregateSeconds >= staggingSeconds,
@@ -112,6 +113,7 @@ object Transform {
       .drop("ts", "agg_ts")
       .write.mode(SaveMode.Append)
       .option("compression", cfg.compression)
+      .option("parquet.block.size", cfg.parquetBlockSize)
       .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
       .partitionBy(partCols: _*)
       .parquet(out)

@@ -54,6 +54,45 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.nonEmpty && dirs.forall(_.matches("dt=\\d{8}")))
   }
 
+  test("passthrough mode routes partitions from the object key (ST3)") {
+    val tmp = Files.createTempDirectory("graft-pass").toString
+    val landing = s"$tmp/landing"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(landing))
+    // file names carry the event date; line timestamps deliberately do NOT
+    // match it — passthrough must trust the key, not the rows
+    writeBatch(landing, "logs-20240105-a.log", LogGen.lines(40, seed = 25))
+    writeBatch(landing, "logs-20240106-b.log", LogGen.lines(40, seed = 26))
+    val q = StreamingTransform.writer(
+      StreamingTransform.streamPassthrough(spark, landing), out, ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).sorted
+    assert(dirs.toSeq == Seq("dt=20240105", "dt=20240106"))
+    assert(spark.read.parquet(out).count() == 80)
+  }
+
+  test("windowed streaming aggregation with watermark (tumbling counts)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-agg").toString
+    val landing = s"$tmp/landing"
+    Files.createDirectories(Paths.get(landing))
+    writeBatch(landing, "b1.log", LogGen.lines(300, seed = 27))
+    val counts = StreamingTransform.stream(spark, landing, watermarkDelay = "1 hour")
+      .groupBy(window($"ts", "900 seconds"), $"Operation")
+      .count()
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_counts")
+    assert(got.agg(sum($"count")).head.getLong(0) == 300)
+    // every window is 900s-aligned
+    val misaligned = got
+      .select(unix_timestamp($"window.start").as("ws"))
+      .filter($"ws" % 900 =!= 0).count()
+    assert(misaligned == 0)
+  }
+
   test("late rows land as extra files in the same partition (ST5)") {
     val tmp = Files.createTempDirectory("graft-late").toString
     val landing = s"$tmp/landing"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
