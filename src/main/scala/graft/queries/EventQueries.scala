@@ -57,6 +57,38 @@ object EventQueries {
           hour($"ts").cast("long").as("hour"))
         .agg(count(lit(1)).as("n_events"))
         .orderBy($"year", $"month", $"day", $"hour")
+    },
+
+    // ---- q23: session windows (gap-based) --------------------------------
+    // The batch analog of the streaming idle-close semantics (ST4/ST5):
+    // a session ends after 30 min of user inactivity. Built with Spark's
+    // native session_window (streaming-capable, state-store-backed there);
+    // the oracle replicates with the gaps-and-islands formulation.
+    "q23_session_windows" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .select($"user_id",
+          unix_timestamp($"session_window.start").as("session_start"),
+          $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    },
+
+    // ---- q24: salted two-stage aggregation (skew pattern) ----------------
+    // The hot-key mitigation used at 100 TB: shard each group key with a
+    // salt, pre-aggregate per (key, salt), then merge the partials. The
+    // result is provably identical to the plain groupBy — which is
+    // exactly what the oracle checks.
+    "q24_salted_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .withColumn("salt", pmod($"event_id", lit(16)))
+        .groupBy($"event_type", $"salt")
+        .agg(count(lit(1)).as("pc"), sum($"value").as("ps"))
+        .groupBy($"event_type")
+        .agg(sum($"pc").as("n_events"), round(sum($"ps"), 2).as("sum_value"))
+        .orderBy($"event_type")
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -83,5 +115,32 @@ object EventQueries {
       """SELECT CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month,
          CAST(day(ts) AS BIGINT) AS day, CAST(hour(ts) AS BIGINT) AS hour,
          count(*) AS n_events
-         FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""")
+         FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+    // gaps-and-islands replication of Spark's session_window semantics:
+    // a new session starts when the gap since the previous event is >= 30
+    // minutes (session_window merges on strict interval overlap).
+    "q23_session_windows" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+           FROM events),
+         g AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM e),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT user_id,
+           CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q24_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""")
 }
