@@ -75,7 +75,8 @@ object AccessLogParser {
     * filter, reference s3logs/src/utils.rs:596-602) when `dropMalformed`;
     * pass false to keep them (ts null) for quarantine-style handling.
     */
-  def parse(lines: DataFrame, dropMalformed: Boolean = true): DataFrame = {
+  def parse(lines: DataFrame, dropMalformed: Boolean = true,
+      keepRaw: Boolean = false): DataFrame = {
     val w = AccessLogSchema.width
     val withFields = lines
       .withColumn("_f", tokenizeCol(lines))
@@ -83,7 +84,8 @@ object AccessLogParser {
     // null-fill happens for free (ANSI-safe, unlike element_at which
     // throws under Spark 4's default ANSI mode); fields beyond 26 slice
     // into the overflow array.
-    val cols: Seq[Column] =
+    val rawCol: Seq[Column] = if (keepRaw) Seq(col("value").as("_raw")) else Nil
+    val cols: Seq[Column] = rawCol ++
       AccessLogSchema.fieldNames.zipWithIndex.map { case (name, i) =>
         try_element_at(col("_f"), lit(i + 1)).as(name)
       } :+

@@ -17,9 +17,41 @@ final case class EtlConfig(
     compression: String = "snappy",       // parquet writer props (C1)
     parquetBlockSize: Long = 128L << 20,  // row-group size (writer props INI)
     maxRecordsPerFile: Long = 10000000L,  // ST4 rotation threshold analog
-    archiveDir: Option[String] = None) {  // S4: gzip raw-line archive
+    archiveDir: Option[String] = None,    // S4: gzip raw-line archive
+    quarantineDir: Option[String] = None) { // F1 rejects → bad-records sink
   require(aggregateSeconds >= staggingSeconds,
     "aggregate window must be >= stagging window")
+}
+
+object EtlConfig {
+  /** C1 parity: build a config from the reference's environment-variable
+    * vocabulary (README.md:49-79). Unknown keys fall back to defaults;
+    * tz accepts a fixed-offset POSIX string (`UTC+8`, no DST — matching
+    * the reference's std-offset-only tzif handling). */
+  def fromEnv(env: Map[String, String]): EtlConfig = {
+    def num(k: String, d: Long) = env.get(k).map(_.trim.toLong).getOrElse(d)
+    val tz = env.get("S3LOGS_TRANSFORM_OUTPUT_TIMEZONE").map { s =>
+      val m = "UTC([+-]\\d{1,2})(?::(\\d{2}))?".r
+      s.trim match {
+        case m(h, mm) =>
+          val sign = if (h.startsWith("-")) -1 else 1
+          h.toLong * 3600 + sign * Option(mm).map(_.toLong * 60).getOrElse(0L)
+        case "UTC" | "UTC0" => 0L
+        case other => throw new IllegalArgumentException(
+          s"unsupported fixed-offset tz: $other")
+      }
+    }.getOrElse(0L)
+    EtlConfig(
+      staggingSeconds = num("S3LOGS_STAGGING_PARTITION_SECOND", 900),
+      aggregateSeconds = num("S3LOGS_TRANSFORM_AGGREGATE_SECOND", 900),
+      tzOffsetSeconds = tz,
+      mergeOrigBuckets =
+        env.get("S3LOGS_STAGGING_MERGE_ORIG_BUCKETS").exists(_.toBoolean),
+      dedup = env.get("S3LOGS_TRANSFORM_DEDUP").forall(_.toBoolean),
+      compression =
+        env.getOrElse("S3LOGS_TRANSFORM_PARQUET_COMPRESSION", "snappy").toLowerCase,
+      maxRecordsPerFile = num("S3LOGS_TRANSFORM_PARQUET_WRITER_BULK_LINES", 10000000L))
+  }
 }
 
 /** Result of one batch transform run — the count-conservation facts the
@@ -86,8 +118,15 @@ object Transform {
       lines.write.mode(SaveMode.Append).option("compression", "gzip").text(dir)
     }
 
-    val parsedAll = AccessLogParser.parse(lines, dropMalformed = false)
+    val parsedAll =
+      AccessLogParser.parse(lines, dropMalformed = false, keepRaw = true)
     val malformed = parsedAll.filter(col("ts").isNull).count()
+    // F1 rejects are quarantined raw (the PERMISSIVE badRecords pattern),
+    // not silently dropped.
+    cfg.quarantineDir.foreach { dir =>
+      parsedAll.filter(col("ts").isNull).select(col("_raw"))
+        .write.mode(SaveMode.Append).text(dir)
+    }
 
     val deduped = pipeline(lines, cfg)
     val partCols =

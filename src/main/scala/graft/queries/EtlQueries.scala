@@ -76,6 +76,36 @@ object EtlQueries {
         .groupBy($"agg_ts".as("bucket_ts"), $"Operation".as("op"))
         .agg(count(lit(1)).as("n_requests"), sum($"BytesSent".cast("long")).as("sum_bytes"))
         .orderBy($"bucket_ts", $"op")
+    },
+
+    // ---- e03: ETL throughput probe (M2 conservation at volume) -----------
+    // 1M log lines synthesized DISTRIBUTEDLY from spark.range (no driver
+    // materialization), pushed through tokenizer + bucketing + dedup; the
+    // oracle pins the count-conservation invariant. The bench timing of
+    // this entry measures parse throughput against the reference's
+    // 150k lines/s loggen bar (BASELINE.md).
+    "e03_etl_throughput" -> { (s, dir) =>
+      import s.implicits._
+      val n = 1000000L
+      val lines = s.range(n).select(concat_ws(" ",
+        lit("deadbeefowner0123456789abcdef"),
+        concat(lit("bucket-"), pmod($"id", lit(8))),
+        concat(lit("["),
+          date_format(timestamp_seconds(lit(1700000000L) + pmod($"id", lit(86400))),
+            "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000]")),
+        lit("192.0.2.9"), lit("arn:aws:iam::123456789012:user/t"),
+        concat(lit("R"), $"id"),
+        lit("REST.GET.OBJECT"),
+        concat(lit("data/k"), pmod($"id", lit(997)), lit(".bin")),
+        concat(lit("\"GET /data/k"), pmod($"id", lit(997)), lit(".bin HTTP/1.1\"")),
+        lit("200"), lit("-"),
+        pmod($"id" * 37, lit(1 << 20)).cast("string"),
+        lit("-"), lit("11"), lit("3"), lit("\"-\""),
+        lit("\"agent build x\""), lit("-"), lit("hostid/ex="), lit("SigV4"),
+        lit("ECDHE-RSA-AES128-GCM-SHA256"), lit("AuthHeader"),
+        lit("s3.example.com"), lit("TLSv1.2"), lit("-"), lit("Yes")).as("value"))
+      Transform.pipeline(lines, EtlConfig())
+        .agg(count(lit(1)).as("n_parsed"))
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -94,5 +124,10 @@ object EtlQueries {
          upper(event_type) AS op,
          count(*) AS n_requests,
          CAST(sum(floor(abs(value) * 100)) AS BIGINT) AS sum_bytes
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // M2 count conservation: every one of the 1M synthesized lines must
+    // survive parse→bucket→dedup exactly once (ids are unique, so dedup
+    // must drop nothing; the tokenizer must reject nothing).
+    "e03_etl_throughput" ->
+      "SELECT CAST(1000000 AS BIGINT) AS n_parsed")
 }

@@ -146,6 +146,36 @@ class EtlSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("year=")))
   }
 
+  test("EtlConfig.fromEnv maps the reference env vocabulary (C1)") {
+    val cfg = EtlConfig.fromEnv(Map(
+      "S3LOGS_STAGGING_PARTITION_SECOND" -> "300",
+      "S3LOGS_TRANSFORM_AGGREGATE_SECOND" -> "900",
+      "S3LOGS_TRANSFORM_OUTPUT_TIMEZONE" -> "UTC+8",
+      "S3LOGS_STAGGING_MERGE_ORIG_BUCKETS" -> "true",
+      "S3LOGS_TRANSFORM_PARQUET_COMPRESSION" -> "GZIP",
+      "S3LOGS_TRANSFORM_PARQUET_WRITER_BULK_LINES" -> "200000"))
+    assert(cfg.staggingSeconds == 300 && cfg.aggregateSeconds == 900)
+    assert(cfg.tzOffsetSeconds == 28800)
+    assert(cfg.mergeOrigBuckets && cfg.compression == "gzip")
+    assert(cfg.maxRecordsPerFile == 200000)
+    assert(EtlConfig.fromEnv(Map(
+      "S3LOGS_TRANSFORM_OUTPUT_TIMEZONE" -> "UTC-5")).tzOffsetSeconds == -18000)
+    assert(EtlConfig.fromEnv(Map.empty) == EtlConfig())
+  }
+
+  test("malformed lines are quarantined raw, not dropped (F1 + badRecords)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-quar").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val quar = s"$tmp/bad"
+    val bad = Seq("totally not a log line", "x y [not-a-time] z")
+    (LogGen.lines(50, seed = 17) ++ bad).toDF("value").write.text(in)
+    val stats = Transform.run(spark, Seq(in), out,
+      EtlConfig(quarantineDir = Some(quar)))
+    assert(stats.malformedLines == 2 && stats.outputRows == 50)
+    val q = spark.read.text(quar).collect().map(_.getString(0)).toSet
+    assert(q == bad.toSet)
+  }
+
   test("merge-orig-buckets collapses the bucket key (A3)") {
     import spark.implicits._
     val df = Transform.pipeline(
