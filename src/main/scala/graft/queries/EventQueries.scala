@@ -75,6 +75,26 @@ object EventQueries {
         .orderBy($"user_id", $"session_start")
     },
 
+    // ---- q25: event-time interval join -----------------------------------
+    // The batch shape of a stream-stream join with a time-range condition
+    // (purchase joined to every click by the same user within the
+    // preceding 10 minutes). Equi-key on user_id keeps it a hash join
+    // with a range residual — never a cross product; in streaming the
+    // same condition bounds the join state via watermarks.
+    "q25_interval_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      p.join(c, $"user_id" === $"c_user" &&
+          $"c_ts" <= $"p_ts" && $"c_ts" > $"p_ts" - expr("INTERVAL 10 MINUTES"))
+        .groupBy($"purchase_id", $"user_id")
+        .agg(count(lit(1)).as("n_clicks_10m"), max($"click_id").as("last_click_id"))
+        .orderBy($"purchase_id")
+    },
+
     // ---- q24: salted two-stage aggregation (skew pattern) ----------------
     // The hot-key mitigation used at 100 TB: shard each group key with a
     // salt, pre-aggregate per (key, salt), then merge the partials. The
@@ -142,5 +162,21 @@ object EventQueries {
     "q24_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
-         FROM events GROUP BY event_type ORDER BY event_type""")
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q25_interval_join" ->
+      """WITH p AS (
+           SELECT event_id AS purchase_id, user_id,
+             date_trunc('microseconds', ts) AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT event_id AS click_id, user_id,
+             date_trunc('microseconds', ts) AS c_ts
+           FROM events WHERE event_type = 'click')
+         SELECT purchase_id, p.user_id,
+           count(*) AS n_clicks_10m,
+           max(click_id) AS last_click_id
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL 10 MINUTE
+         GROUP BY purchase_id, p.user_id
+         ORDER BY purchase_id""")
 }
