@@ -93,6 +93,36 @@ class StreamingSpec extends SparkSpec {
     assert(misaligned == 0)
   }
 
+  test("stream-stream interval join with watermark-bounded state (q25's streaming form)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ssj").toString
+    Files.createDirectories(Paths.get(s"$tmp/gets"))
+    Files.createDirectories(Paths.get(s"$tmp/puts"))
+    val t0 = 1700000000L
+    // same bucket, overlapping minute: every GET pairs with PUTs at most
+    // 60s older from the same bucket
+    writeBatch(s"$tmp/gets", "g.log",
+      LogGen.entries(60, t0 = t0 + 60, rangeSec = 60, seed = 61).map(_.line))
+    writeBatch(s"$tmp/puts", "p.log",
+      LogGen.entries(60, t0 = t0, rangeSec = 180, seed = 62).map(_.line))
+    // parse directly (stream() would already watermark `ts`; a watermark
+    // can only be defined once per branch)
+    def src(dir: String, pfx: String) =
+      graft.etl.AccessLogParser.parse(spark.readStream.text(dir))
+        .select(col("RequestID").as(s"${pfx}_id"), col("Bucket").as(s"${pfx}_bucket"),
+          col("ts").as(s"${pfx}_ts"))
+        .withWatermark(s"${pfx}_ts", "10 minutes")
+    val joined = src(s"$tmp/gets", "g").join(src(s"$tmp/puts", "p"),
+      expr("g_bucket = p_bucket AND p_ts <= g_ts AND p_ts > g_ts - INTERVAL 60 SECONDS"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssj")
+    assert(got.count() > 0)
+    // join condition holds on every emitted row
+    assert(got.filter("p_ts > g_ts OR p_ts <= g_ts - INTERVAL 60 SECONDS").count() == 0)
+  }
+
   test("late rows land as extra files in the same partition (ST5)") {
     val tmp = Files.createTempDirectory("graft-late").toString
     val landing = s"$tmp/landing"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
