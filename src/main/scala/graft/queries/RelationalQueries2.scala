@@ -107,6 +107,45 @@ object RelationalQueries2 {
            ORDER BY c_custkey""")
     },
 
+    // ---- q26: nested-array aggregation (collect + sort) ------------------
+    // collect_list is order-nondeterministic under parallelism; sort_array
+    // restores a canonical form — the pattern for any nested output that
+    // must be reproducible across engines and runs.
+    "q26_user_event_arrays" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .filter($"user_id" < 30)
+        .groupBy($"user_id")
+        .agg(
+          sort_array(collect_list($"event_type")).as("types"),
+          countDistinct($"event_type").as("n_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+
+    // ---- q27: scalar-function breadth ------------------------------------
+    "q27_scalar_breadth" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_orderkey" < 100)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          concat(upper($"l_returnflag"), lit("/"), lower($"l_linestatus")).as("flag_status"),
+          substring($"l_returnflag", 1, 1).as("flag1"),
+          length(concat($"l_returnflag", $"l_linestatus")).cast("long").as("len2"),
+          date_add(to_date($"l_shipdate"), 30).as("ship_plus_30"),
+          year($"l_shipdate").cast("long").as("ship_year"),
+          quarter($"l_shipdate").cast("long").as("ship_quarter"),
+          round(abs($"l_discount" - 0.05), 4).as("disc_dev"),
+          ceil($"l_quantity" / 7.0).cast("long").as("qty_ceil7"),
+          coalesce(nullif($"l_returnflag", lit("N")), lit("none")).as("flag_or_none"),
+          // floor(x*100)/100, not round(x,2): round() half-boundary
+          // behavior differs between engines on exact .xx5 doubles
+          (floor(greatest($"l_extendedprice" * (lit(1.0) - $"l_discount"),
+            lit(1000.0)) * 100) / 100.0).as("floor_price"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
     // ---- q22: HLL approximate distinct (no oracle — approximate) ---------
     "q22_approx_distinct" -> { (s, dir) =>
       import s.implicits._
@@ -170,6 +209,25 @@ object RelationalQueries2 {
          FROM customer outer_c
          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
                             WHERE i.c_nationkey = outer_c.c_nationkey)
-         ORDER BY c_custkey""")
+         ORDER BY c_custkey""",
+    "q26_user_event_arrays" ->
+      """SELECT user_id, list_sort(list(event_type)) AS types,
+         count(DISTINCT event_type) AS n_types, count(*) AS n_events
+         FROM events WHERE user_id < 30
+         GROUP BY user_id ORDER BY user_id""",
+    "q27_scalar_breadth" ->
+      """SELECT l_orderkey, l_linenumber,
+         upper(l_returnflag) || '/' || lower(l_linestatus) AS flag_status,
+         substr(l_returnflag, 1, 1) AS flag1,
+         CAST(len(l_returnflag || l_linestatus) AS BIGINT) AS len2,
+         CAST(l_shipdate AS DATE) + 30 AS ship_plus_30,
+         CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         CAST(quarter(l_shipdate) AS BIGINT) AS ship_quarter,
+         round(abs(l_discount - 0.05), 4) AS disc_dev,
+         CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+         coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+         floor(greatest(l_extendedprice * (1.0 - l_discount), 1000.0) * 100) / 100 AS floor_price
+         FROM lineitem WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber""")
     // q22_approx_distinct: no oracle — HLL estimates are engine-specific.
 }
