@@ -12,7 +12,15 @@ import org.apache.spark.sql.functions.col
   *
   * One job: read, repartition by the partition columns (each output
   * partition lands in one task set), rewrite with a bounded file size,
-  * atomically swap via a staging directory + rename.
+  * swap via a staging directory + two renames.
+  *
+  * LOCAL-FILESYSTEM LAKE ONLY: the swap uses java.io renames, which
+  * neither exist atomically on object stores nor span HDFS namenodes,
+  * and there is a window between the two renames where the lake path is
+  * absent. On a production object-store lake, compaction belongs to a
+  * table format's metadata swap (Iceberg rewrite_data_files / Delta
+  * OPTIMIZE) — this operator covers the file-lake shape the reference
+  * writes.
   */
 object Compact {
 
@@ -23,7 +31,7 @@ object Compact {
       compression: String = "snappy"): CompactStats = {
     def countFiles(p: String): Long = {
       def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles.map(walk).sum
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
         else if (f.getName.endsWith(".parquet")) 1L else 0L
       walk(new java.io.File(p))
     }

@@ -66,7 +66,7 @@ object LogGen {
         bucket = bucket, epochSec = ts,
         requestId = f"REQ${seed}%X${i}%08X",
         operation = operations(rnd.nextInt(operations.length)),
-        key = s"data/part-${rnd.nextInt(1000)}%05d.bin",
+        key = f"data/part-${rnd.nextInt(1000)}%05d.bin",
         status = status,
         bytesSent = rnd.nextInt(1 << 20).toLong,
         agent = agents(rnd.nextInt(agents.length)),

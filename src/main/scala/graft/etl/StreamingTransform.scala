@@ -61,8 +61,16 @@ object StreamingTransform {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(landingDir)
     AccessLogParser.parse(lines, dropMalformed = true)
-      // anchor to the last path segment — parent dirs may contain digits
-      .withColumn("dt", regexp_extract(input_file_name(), "(\\d{8})[^/]*$", 1))
+      // anchor to the last path segment — parent dirs may contain digits.
+      // A file with NO date in its name must fail the query loudly (the
+      // reference's passthrough gate panics on unsupported key formats);
+      // silently routing to an empty partition would lose the rows.
+      .withColumn("_dt_raw", regexp_extract(input_file_name(), "(\\d{8})[^/]*$", 1))
+      .withColumn("dt",
+        when(col("_dt_raw") =!= "", col("_dt_raw"))
+          .otherwise(raise_error(concat(
+            lit("passthrough: no YYYYMMDD in object key "), input_file_name()))))
+      .drop("_dt_raw")
   }
 
   /** Wire the pipeline to a partitioned parquet sink with a checkpoint —

@@ -93,8 +93,12 @@ object Transform {
 
   /** Parse + bucket + dedup: the logical core, reusable by batch and
     * streaming. Input: one string column `value`. */
-  def pipeline(lines: DataFrame, cfg: EtlConfig): DataFrame = {
-    val parsed = AccessLogParser.parse(lines, dropMalformed = true)
+  def pipeline(lines: DataFrame, cfg: EtlConfig): DataFrame =
+    bucketAndDedup(AccessLogParser.parse(lines, dropMalformed = true), cfg)
+
+  /** bucket + dedup over an already-parsed frame (lets the batch run
+    * share one cached parse with its stats/quarantine branches). */
+  def bucketAndDedup(parsed: DataFrame, cfg: EtlConfig): DataFrame = {
     val bucketed = parsed
       .withColumn("OrigBucket",
         if (cfg.mergeOrigBuckets) lit("ALLBUCKETS") else col("Bucket"))
@@ -110,17 +114,21 @@ object Transform {
   def run(spark: SparkSession, in: Seq[String], out: String,
       cfg: EtlConfig = EtlConfig()): TransformStats = {
     val lines = spark.read.textFile(in: _*).toDF("value")
-    val inputLines = lines.count()
+
+    // ONE scan+parse of the input, cached; every side branch (counts,
+    // archive, quarantine) and the main write read the cached frame —
+    // at 100 TB each avoided re-scan is a full-corpus read.
+    val parsedAll = AccessLogParser
+      .parse(lines, dropMalformed = false, keepRaw = true).cache()
+    val inputLines = parsedAll.count() // parse is 1:1 with input lines
+    val malformed = parsedAll.filter(col("ts").isNull).count()
 
     // S4: optional gzip archive of the raw lines (transform_cleanup,
     // s3logs/src/utils.rs:1273-1294).
     cfg.archiveDir.foreach { dir =>
-      lines.write.mode(SaveMode.Append).option("compression", "gzip").text(dir)
+      parsedAll.select(col("_raw").as("value"))
+        .write.mode(SaveMode.Append).option("compression", "gzip").text(dir)
     }
-
-    val parsedAll =
-      AccessLogParser.parse(lines, dropMalformed = false, keepRaw = true)
-    val malformed = parsedAll.filter(col("ts").isNull).count()
     // F1 rejects are quarantined raw (the PERMISSIVE badRecords pattern),
     // not silently dropped.
     cfg.quarantineDir.foreach { dir =>
@@ -128,7 +136,10 @@ object Transform {
         .write.mode(SaveMode.Append).text(dir)
     }
 
-    val deduped = pipeline(lines, cfg)
+    val preexisting =
+      try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+    val deduped =
+      bucketAndDedup(parsedAll.filter(col("ts").isNotNull).drop("_raw"), cfg)
     val partCols =
       if (cfg.hourlyPartitions) Seq("year", "month", "day", "hour")
       else Seq("dt")
@@ -157,10 +168,13 @@ object Transform {
       .partitionBy(partCols: _*)
       .parquet(out)
 
-    val outputRows = spark.read.parquet(out).count()
+    // outputRows = THIS run's rows (the sink is append-mode: subtract
+    // whatever the lake already held, so M2 conservation stays per-run)
+    val outputRows = spark.read.parquet(out).count() - preexisting
+    parsedAll.unpersist()
     TransformStats(
       inputLines = inputLines, malformedLines = malformed,
-      dedupedLines = inputLines - malformed - deduped.count(),
+      dedupedLines = inputLines - malformed - outputRows,
       outputRows = outputRows)
   }
 }

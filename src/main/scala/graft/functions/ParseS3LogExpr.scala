@@ -58,5 +58,9 @@ object ParseS3LogExpr {
     ext.injectFunction((
       FunctionIdentifier(functionName),
       new ExpressionInfo(classOf[ParseS3LogExpr].getName, functionName),
-      (children: Seq[Expression]) => ParseS3LogExpr(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"$functionName expects exactly 1 argument, got ${children.length}")
+        ParseS3LogExpr(children.head)
+      }))
 }

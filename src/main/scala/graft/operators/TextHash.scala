@@ -26,11 +26,16 @@ object TextHash {
 
   // ---- Spark SQL expression strings (for functions.expr) ---------------
 
-  /** array<bigint> of per-token rolling hashes of a text column. */
+  /** array<bigint> of per-token rolling hashes of a text column.
+    * Empty-token guard: Spark's sequence(1, 0) yields [1, 0] (descending
+    * sequences!), which would fold ascii('')=0 twice and hash '' to 6727
+    * while DuckDB's range(1, 1) is empty and yields the seed 7 — so ''
+    * is pinned to the seed explicitly on both engines. */
   def sparkTokenHashes(text: String): String =
     s"""transform(split($text, ' '),
-        t -> aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))),
-                       CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % $P))"""
+        t -> CASE WHEN length(t) = 0 THEN CAST(7 AS BIGINT)
+             ELSE aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))),
+                            CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % $P) END)"""
 
   /** word-3-gram shingle hashes from a token-hash array column `th`. */
   def sparkShingles(th: String): String =
@@ -77,7 +82,9 @@ object TextHash {
 
   // ---- DuckDB oracle SQL fragments --------------------------------------
 
-  /** DuckDB: per-token rolling hashes of a text expression. */
+  /** DuckDB: per-token rolling hashes of a text expression (empty token →
+    * seed 7, naturally: range(1,1) is empty, reduce returns the prepended
+    * seed — matches the Spark-side CASE guard). */
   def duckTokenHashes(text: String): String =
     s"""list_transform(string_split($text, ' '),
         t -> list_reduce(
