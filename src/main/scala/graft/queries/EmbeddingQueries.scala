@@ -51,6 +51,17 @@ object EmbeddingQueries {
     expr(bits.mkString(" + ")).cast("int")
   }
 
+  /** The same bucket id in DuckDB syntax (v = double list expr). Term
+    * order matches the Spark expression exactly, so the float sums are
+    * bit-identical and the sign tests agree. */
+  private def duckBucket(v: String): String = {
+    val bits = (0 until lshBits).map { j =>
+      val terms = (0 until 64).map(i => s"$v[${i + 1}] * ${w(j, i)}")
+      s"(CASE WHEN ${terms.mkString(" + ")} > 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    bits.mkString(" + ")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // ---- s01: exact brute-force cosine top-5 for queries vec_id < 20 -----
     "s01_knn_bruteforce" -> { (s, dir) =>
@@ -66,6 +77,25 @@ object EmbeddingQueries {
         .filter($"rnk" <= 5)
         .select($"q_id", $"rnk", $"c_id", $"cos_sim")
         .orderBy($"q_id", $"rnk")
+    },
+
+    // ---- s03: embedding-cosine near-dup candidates (bucketed) ------------
+    // The vector-side dedup op: exact cosine over LSH-bucket candidate
+    // pairs only (the equi-join shape that scales — never the full n²
+    // cross product), top-20 most-similar pairs. The bucket formula is
+    // part of the operator contract, so the oracle reproduces it exactly.
+    "s03_embedding_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir).withColumn("bucket", bucketCol)
+      val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"),
+        $"bucket")
+      val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"),
+        $"bucket".as("bucket_b"))
+      a.join(b, $"bucket" === $"bucket_b" && $"vec_a" < $"vec_b")
+        .withColumn("cos_sim", round(dot("va", "vb") / ($"na" * $"nb"), 4))
+        .orderBy($"cos_sim".desc, $"vec_a", $"vec_b")
+        .limit(20)
+        .select($"vec_a", $"vec_b", $"cos_sim")
     },
 
     // ---- s02: LSH-bucketed ANN with multi-probe (rows-only check) --------
@@ -108,8 +138,19 @@ object EmbeddingQueries {
                ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
            FROM p)
          SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5
-         ORDER BY q_id, rnk""")
+         ORDER BY q_id, rnk""",
+    "s03_embedding_neardup" ->
+      s"""WITH n AS (
+           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             ${duckBucket("v")} AS bucket
+           FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings))
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+         FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""")
     // s02_ann_lsh: intentionally no oracle (approximate operator) —
-    // driver records the weaker rows-only check; AnnSpec asserts recall
-    // against the exact s01 baseline.
+    // driver records the weaker rows-only check; OperatorsSpec asserts
+    // recall against the exact s01 baseline.
 }
