@@ -146,6 +146,37 @@ object RelationalQueries2 {
         .orderBy($"l_orderkey", $"l_linenumber")
     },
 
+    // ---- q28: multiset set-ops (EXCEPT ALL / INTERSECT ALL) --------------
+    // Bag semantics differ from q06's set semantics: duplicates count.
+    "q28_multiset_ops" -> { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val shipped95 = li.filter(year($"l_shipdate") === 1995).select($"l_partkey")
+      val shipped96 = li.filter(year($"l_shipdate") === 1996).select($"l_partkey")
+      shipped95.intersectAll(shipped96)
+        .exceptAll(li.filter($"l_returnflag" === "R" && $"l_quantity" > 48)
+          .select($"l_partkey"))
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy($"l_partkey")
+    },
+
+    // ---- q29: ranking-function family ------------------------------------
+    "q29_rank_family" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" < 200)
+        .select(
+          $"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity",
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy($"l_returnflag", $"rnk")
+    },
+
     // ---- q22: HLL approximate distinct (no oracle — approximate) ---------
     "q22_approx_distinct" -> { (s, dir) =>
       import s.implicits._
@@ -210,6 +241,26 @@ object RelationalQueries2 {
          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
                             WHERE i.c_nationkey = outer_c.c_nationkey)
          ORDER BY c_custkey""",
+    "q28_multiset_ops" ->
+      """SELECT l_partkey, count(*) AS multiplicity FROM (
+           (SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995
+            INTERSECT ALL
+            SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996)
+           EXCEPT ALL
+           SELECT l_partkey FROM lineitem
+           WHERE l_returnflag = 'R' AND l_quantity > 48)
+         GROUP BY l_partkey ORDER BY l_partkey""",
+    "q29_rank_family" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+         round(percent_rank() OVER w, 6) AS prnk,
+         round(cume_dist() OVER w, 6) AS cdist,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM lineitem WHERE l_orderkey < 200
+         WINDOW w AS (PARTITION BY l_returnflag
+                      ORDER BY l_quantity, l_orderkey, l_linenumber)
+         ORDER BY l_returnflag, rnk""",
     "q26_user_event_arrays" ->
       """SELECT user_id, list_sort(list(event_type)) AS types,
          count(DISTINCT event_type) AS n_types, count(*) AS n_events
