@@ -60,6 +60,10 @@ object AccessLogSchema {
     * but derived in one pass from the array column. */
   def widened(df: DataFrame, extraCols: Int): DataFrame =
     (1 to extraCols).foldLeft(df) { (d, i) =>
-      d.withColumn(s"ExtraField${width + i}", col("ExtraFields").getItem(i - 1))
+      // try_element_at, not getItem: rows without overflow have a shorter
+      // (or empty) array, which must widen to NULL — not an ANSI
+      // out-of-bounds error.
+      d.withColumn(s"ExtraField${width + i}",
+        try_element_at(col("ExtraFields"), lit(i)))
     }.drop("ExtraFields")
 }

@@ -10,27 +10,82 @@ import org.apache.spark.sql.functions._
 final case class EtlConfig(
     staggingSeconds: Long = 900,          // S3LOGS_STAGGING_PARTITION_SECOND
     aggregateSeconds: Long = 900,         // S3LOGS_TRANSFORM_AGGREGATE_SECOND (≥ stagging)
-    tzOffsetSeconds: Long = 0,            // T3: fixed-offset POSIX tz (e.g. UTC+8 = 28800)
+    tzOffsetSeconds: Long = 0,            // T3: S3LOGS_STAGGING_PARTITION_TZIF (UTC+8 = 28800)
     mergeOrigBuckets: Boolean = false,    // A3: collapse bucket key to ALLBUCKETS
-    dedup: Boolean = true,                // D1: windowed RequestID dedup
+    dedup: Boolean = true,                // D1: S3LOGS_TRANSFORM_LOG_DEDUPLICATION
     hourlyPartitions: Boolean = true,     // K3: year/.../hour (batch) vs dt=YYYYMMDD (stream)
-    compression: String = "snappy",       // parquet writer props (C1)
+    compression: String = "snappy",       // parquet writer props (C1, conf.rs:43)
+    parquetWriterVersion: String = "v1",  // writer props INI `writer_version` 1.0/2.0
     parquetBlockSize: Long = 128L << 20,  // row-group size (writer props INI)
     maxRecordsPerFile: Long = 10000000L,  // ST4 rotation threshold analog
+    jobIntervalSeconds: Long = 600,       // F3 age gate (S3LOGS_TRANSFORM_JOB_INTERVAL)
+    widenedSink: Boolean = false,         // W1: write reference-shaped ExtraFieldN cols
     archiveDir: Option[String] = None,    // S4: gzip raw-line archive
     quarantineDir: Option[String] = None) { // F1 rejects → bad-records sink
   require(aggregateSeconds >= staggingSeconds,
     "aggregate window must be >= stagging window")
+  require(Set("v1", "v2")(parquetWriterVersion),
+    "parquet writer version must be v1 or v2")
 }
 
 object EtlConfig {
+
+  /** The reference's full documented env vocabulary (README.md:49-79) —
+    * including its literal `WRTIER` spelling — plus the engine-extension
+    * keys. Keys marked n/a configure machinery Spark subsumes (stagging
+    * files, flocks, S3 upload); they are ACCEPTED (a reference deployment's
+    * env must not be rejected) but have no engine knob to turn. */
+  private val passthroughKeys = Set(
+    "S3LOGS_STAGGING_ROOT_PATH",            // staging layer = shuffle
+    "S3LOGS_CONFIG_ROOT_PATH",              // schema is compiled in
+    "S3LOGS_CONFIG_PARQUET_SCHEMA_FILE",
+    "S3LOGS_CONFIG_PARQUET_WRITER_PROPERTIES_FILE",
+    "S3LOGS_TRANSFORM_OUTPUT_TARGET_PREFIX", // sink path given per-run
+    "S3LOGS_TRANSFORM_CLEANUP_UPLOADED_PARQUET", // committer-managed
+    "S3LOGS_TRANSFORM_STORAGE_CLASS",       // fs.s3a.* concern
+    "S3LOGS_TRANSFORM_MPU_CHUNK_SIZE",      // S3A committer concern
+    "S3LOGS_FILE_BUF_SIZE",                 // Hadoop FS buffers
+    "S3LOGS_FILE_LOCK_TIMEOUT_SECONDS",     // no flocks under shuffle
+    "S3LOGS_FILE_LOCK_RETRY_WAIT_MS",
+    "S3LOGS_STAGGING_FILE_DATETIME_FMT",    // no stagging files
+    "S3LOGS_STAGGING_FILE_SUFFIX",
+    "S3LOGS_STAGGING_PROCESSING_SUFFIX")
+
+  private val mappedKeys = Set(
+    "S3LOGS_STAGGING_PARTITION_SECOND",
+    "S3LOGS_STAGGING_PARTITION_TZIF",
+    "S3LOGS_STAGGING_MERGE_ORIG_BUCKETS",
+    "S3LOGS_TRANSFORM_AGGREGATE_SECOND",
+    "S3LOGS_TRANSFORM_LOG_DEDUPLICATION",
+    "S3LOGS_TRANSFORM_JOB_INTERVAL",
+    "S3LOGS_TRANSFORM_ARCHIVE_ROOT_PATH",
+    "S3LOGS_TRANSFORM_CLEANUP_PROCESSED_LOGS",
+    "S3LOGS_TRANSFORM_OUTPUT_PREFIX_FMT",
+    "S3LOGS_TRANSFORM_PARQUET_WRTIER_BULK_LINES", // sic — reference README.md:62
+    "S3LOGS_TRANSFORM_PARQUET_WRITER_BULK_LINES", // corrected-spelling alias
+    // engine extensions (INI writer props + quarantine/widening surfaced as env)
+    "S3LOGS_TRANSFORM_PARQUET_COMPRESSION",
+    "S3LOGS_TRANSFORM_PARQUET_WRITER_VERSION",
+    "S3LOGS_TRANSFORM_PARQUET_MAX_ROW_GROUP_SIZE",
+    "S3LOGS_TRANSFORM_QUARANTINE_ROOT_PATH",
+    "S3LOGS_TRANSFORM_WIDENED_SCHEMA")
+
   /** C1 parity: build a config from the reference's environment-variable
-    * vocabulary (README.md:49-79). Unknown keys fall back to defaults;
-    * tz accepts a fixed-offset POSIX string (`UTC+8`, no DST — matching
-    * the reference's std-offset-only tzif handling). */
+    * vocabulary (README.md:49-79, s3logs/src/conf.rs:39-105). Unknown
+    * `S3LOGS_*` keys FAIL LOUDLY (a typo'd knob silently falling back to a
+    * default is the worst config outcome); non-S3LOGS keys are ignored so
+    * a full process env can be passed in. tz accepts a fixed-offset POSIX
+    * string (`UTC+8`, no DST — matching the reference's std-offset-only
+    * tzif handling). */
   def fromEnv(env: Map[String, String]): EtlConfig = {
+    val unknown = env.keySet.filter(_.startsWith("S3LOGS_")) --
+      mappedKeys -- passthroughKeys
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"unknown S3LOGS_* config keys: ${unknown.toSeq.sorted.mkString(", ")}")
     def num(k: String, d: Long) = env.get(k).map(_.trim.toLong).getOrElse(d)
-    val tz = env.get("S3LOGS_TRANSFORM_OUTPUT_TIMEZONE").map { s =>
+    def bool(k: String, d: Boolean) =
+      env.get(k).map(_.trim.toBoolean).getOrElse(d)
+    val tz = env.get("S3LOGS_STAGGING_PARTITION_TZIF").map { s =>
       val m = "UTC([+-]\\d{1,2})(?::(\\d{2}))?".r
       s.trim match {
         case m(h, mm) =>
@@ -41,16 +96,41 @@ object EtlConfig {
           s"unsupported fixed-offset tz: $other")
       }
     }.getOrElse(0L)
+    // archive only kept when cleanup is disabled — the reference routes
+    // processed logs to the archive root iff CLEANUP_PROCESSED_LOGS=false.
+    val archive =
+      if (bool("S3LOGS_TRANSFORM_CLEANUP_PROCESSED_LOGS", d = true)) None
+      else Some(env.getOrElse("S3LOGS_TRANSFORM_ARCHIVE_ROOT_PATH",
+        "/mnt/s3logs/archive"))
+    val version =
+      env.getOrElse("S3LOGS_TRANSFORM_PARQUET_WRITER_VERSION", "1.0") match {
+        case "1.0" | "v1" => "v1"
+        case "2.0" | "v2" => "v2"
+        case other => throw new IllegalArgumentException(
+          s"parquet writer version must be 1.0 or 2.0, got: $other")
+      }
     EtlConfig(
       staggingSeconds = num("S3LOGS_STAGGING_PARTITION_SECOND", 900),
       aggregateSeconds = num("S3LOGS_TRANSFORM_AGGREGATE_SECOND", 900),
       tzOffsetSeconds = tz,
       mergeOrigBuckets =
-        env.get("S3LOGS_STAGGING_MERGE_ORIG_BUCKETS").exists(_.toBoolean),
-      dedup = env.get("S3LOGS_TRANSFORM_DEDUP").forall(_.toBoolean),
+        bool("S3LOGS_STAGGING_MERGE_ORIG_BUCKETS", d = false),
+      dedup = bool("S3LOGS_TRANSFORM_LOG_DEDUPLICATION", d = true),
+      hourlyPartitions = !env
+        .getOrElse("S3LOGS_TRANSFORM_OUTPUT_PREFIX_FMT",
+          "year=%Y/month=%m/day=%d/hour=%H")
+        .startsWith("dt="),
       compression =
         env.getOrElse("S3LOGS_TRANSFORM_PARQUET_COMPRESSION", "snappy").toLowerCase,
-      maxRecordsPerFile = num("S3LOGS_TRANSFORM_PARQUET_WRITER_BULK_LINES", 10000000L))
+      parquetWriterVersion = version,
+      parquetBlockSize =
+        num("S3LOGS_TRANSFORM_PARQUET_MAX_ROW_GROUP_SIZE", 128L << 20),
+      maxRecordsPerFile = num("S3LOGS_TRANSFORM_PARQUET_WRTIER_BULK_LINES",
+        num("S3LOGS_TRANSFORM_PARQUET_WRITER_BULK_LINES", 10000000L)),
+      jobIntervalSeconds = num("S3LOGS_TRANSFORM_JOB_INTERVAL", 600),
+      widenedSink = bool("S3LOGS_TRANSFORM_WIDENED_SCHEMA", d = false),
+      archiveDir = archive,
+      quarantineDir = env.get("S3LOGS_TRANSFORM_QUARANTINE_ROOT_PATH"))
   }
 }
 
@@ -136,10 +216,15 @@ object Transform {
         .write.mode(SaveMode.Append).text(dir)
     }
 
-    val preexisting =
-      try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+    // Cache the post-dedup frame: its count IS this run's outputRows (the
+    // sink appends exactly these rows), and the write below reuses the
+    // cached shuffle output. A run-sized cache (spills under
+    // MEMORY_AND_DISK) — never a read-back of the whole output lake,
+    // which at 100 TB would cost two full-lake scans per batch.
     val deduped =
       bucketAndDedup(parsedAll.filter(col("ts").isNotNull).drop("_raw"), cfg)
+        .cache()
+    val outputRows = deduped.count()
     val partCols =
       if (cfg.hourlyPartitions) Seq("year", "month", "day", "hour")
       else Seq("dt")
@@ -153,24 +238,36 @@ object Transform {
           .withColumn("hour", date_format(local, "HH"))
       else deduped.withColumn("dt", date_format(local, "yyyyMMdd"))
 
+    // W1 at the sink: reference-shaped physical schema — real ExtraFieldN
+    // columns instead of the overflow array (s3logs/src/utils.rs:1217-1222)
+    // so Athena/Hive-style readers see the reference's widened contract.
+    // The max overflow width is one cheap agg over this run's cached rows.
+    val sinkShaped =
+      if (!cfg.widenedSink) withParts
+      else {
+        val extraCols = deduped
+          .agg(coalesce(max(size(col("ExtraFields"))), lit(0)))
+          .head.getInt(0)
+        AccessLogSchema.widened(withParts, extraCols)
+      }
+
     // T1's sort exists in the reference to enable its streaming split +
     // first-wins dedup; post-shuffle we sort within partitions only (no
     // global exchange) so parquet row groups are time-clustered for
     // downstream range pruning.
-    withParts
+    sinkShaped
       .repartition(partCols.map(col): _*)
       .sortWithinPartitions(col("ts"))
       .drop("ts", "agg_ts")
       .write.mode(SaveMode.Append)
       .option("compression", cfg.compression)
+      .option("parquet.writer.version", cfg.parquetWriterVersion)
       .option("parquet.block.size", cfg.parquetBlockSize)
       .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
       .partitionBy(partCols: _*)
       .parquet(out)
 
-    // outputRows = THIS run's rows (the sink is append-mode: subtract
-    // whatever the lake already held, so M2 conservation stays per-run)
-    val outputRows = spark.read.parquet(out).count() - preexisting
+    deduped.unpersist()
     parsedAll.unpersist()
     TransformStats(
       inputLines = inputLines, malformedLines = malformed,

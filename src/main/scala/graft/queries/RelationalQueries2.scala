@@ -110,14 +110,17 @@ object RelationalQueries2 {
     // ---- q26: nested-array aggregation (collect + sort) ------------------
     // collect_list is order-nondeterministic under parallelism; sort_array
     // restores a canonical form — the pattern for any nested output that
-    // must be reproducible across engines and runs.
+    // must be reproducible across engines and runs. The gate contract is
+    // scalar columns only (the driver hash-compares via pandas, which
+    // cannot factorize array cells), so the canonical array is emitted
+    // string-joined.
     "q26_user_event_arrays" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "events")
         .filter($"user_id" < 30)
         .groupBy($"user_id")
         .agg(
-          sort_array(collect_list($"event_type")).as("types"),
+          array_join(sort_array(collect_list($"event_type")), ",").as("types"),
           countDistinct($"event_type").as("n_types"),
           count(lit(1)).as("n_events"))
         .orderBy($"user_id")
@@ -262,7 +265,7 @@ object RelationalQueries2 {
                       ORDER BY l_quantity, l_orderkey, l_linenumber)
          ORDER BY l_returnflag, rnk""",
     "q26_user_event_arrays" ->
-      """SELECT user_id, list_sort(list(event_type)) AS types,
+      """SELECT user_id, array_to_string(list_sort(list(event_type)), ',') AS types,
          count(DISTINCT event_type) AS n_types, count(*) AS n_events
          FROM events WHERE user_id < 30
          GROUP BY user_id ORDER BY user_id""",

@@ -146,21 +146,68 @@ class EtlSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("year=")))
   }
 
-  test("EtlConfig.fromEnv maps the reference env vocabulary (C1)") {
+  test("EtlConfig.fromEnv maps the full reference env vocabulary (C1)") {
     val cfg = EtlConfig.fromEnv(Map(
       "S3LOGS_STAGGING_PARTITION_SECOND" -> "300",
       "S3LOGS_TRANSFORM_AGGREGATE_SECOND" -> "900",
-      "S3LOGS_TRANSFORM_OUTPUT_TIMEZONE" -> "UTC+8",
+      "S3LOGS_STAGGING_PARTITION_TZIF" -> "UTC+8",
       "S3LOGS_STAGGING_MERGE_ORIG_BUCKETS" -> "true",
+      "S3LOGS_TRANSFORM_LOG_DEDUPLICATION" -> "false",
+      "S3LOGS_TRANSFORM_JOB_INTERVAL" -> "120",
+      "S3LOGS_TRANSFORM_CLEANUP_PROCESSED_LOGS" -> "false",
+      "S3LOGS_TRANSFORM_ARCHIVE_ROOT_PATH" -> "/tmp/arch",
+      "S3LOGS_TRANSFORM_OUTPUT_PREFIX_FMT" -> "dt=%Y%m%d",
       "S3LOGS_TRANSFORM_PARQUET_COMPRESSION" -> "GZIP",
-      "S3LOGS_TRANSFORM_PARQUET_WRITER_BULK_LINES" -> "200000"))
+      "S3LOGS_TRANSFORM_PARQUET_WRITER_VERSION" -> "2.0",
+      "S3LOGS_TRANSFORM_PARQUET_MAX_ROW_GROUP_SIZE" -> "1048576",
+      "S3LOGS_TRANSFORM_QUARANTINE_ROOT_PATH" -> "/tmp/bad",
+      "S3LOGS_TRANSFORM_WIDENED_SCHEMA" -> "true",
+      // the reference README's literal (typo'd) key must be honored
+      "S3LOGS_TRANSFORM_PARQUET_WRTIER_BULK_LINES" -> "200000",
+      // n/a-by-design keys from a real deployment env must not be rejected
+      "S3LOGS_STAGGING_ROOT_PATH" -> "/mnt/s3logs/stagging",
+      "S3LOGS_FILE_LOCK_TIMEOUT_SECONDS" -> "30"))
     assert(cfg.staggingSeconds == 300 && cfg.aggregateSeconds == 900)
     assert(cfg.tzOffsetSeconds == 28800)
     assert(cfg.mergeOrigBuckets && cfg.compression == "gzip")
+    assert(!cfg.dedup && cfg.jobIntervalSeconds == 120)
+    assert(cfg.archiveDir.contains("/tmp/arch"))
+    assert(!cfg.hourlyPartitions) // dt=... prefix fmt → stream layout
+    assert(cfg.parquetWriterVersion == "v2" && cfg.parquetBlockSize == 1048576)
+    assert(cfg.quarantineDir.contains("/tmp/bad") && cfg.widenedSink)
     assert(cfg.maxRecordsPerFile == 200000)
     assert(EtlConfig.fromEnv(Map(
-      "S3LOGS_TRANSFORM_OUTPUT_TIMEZONE" -> "UTC-5")).tzOffsetSeconds == -18000)
+      "S3LOGS_STAGGING_PARTITION_TZIF" -> "UTC-5")).tzOffsetSeconds == -18000)
+    // archive root is only honored when cleanup stays enabled → no archive
+    assert(EtlConfig.fromEnv(Map(
+      "S3LOGS_TRANSFORM_ARCHIVE_ROOT_PATH" -> "/tmp/arch")).archiveDir.isEmpty)
     assert(EtlConfig.fromEnv(Map.empty) == EtlConfig())
+  }
+
+  test("fromEnv rejects unknown S3LOGS_* keys loudly (C1)") {
+    val e = intercept[IllegalArgumentException] {
+      EtlConfig.fromEnv(Map("S3LOGS_TRANSFORM_DEDUP" -> "true",
+        "PATH" -> "/usr/bin"))
+    }
+    assert(e.getMessage.contains("S3LOGS_TRANSFORM_DEDUP"))
+    intercept[IllegalArgumentException] {
+      EtlConfig.fromEnv(Map("S3LOGS_TRANSFORM_PARQUET_WRITER_VERSION" -> "3.0"))
+    }
+  }
+
+  test("widenedSink writes reference-shaped ExtraFieldN physical columns (W1)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-widen").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"
+    LogGen.lines(80, seed = 18, extraFrac = 0.5).toDF("value").write.text(in)
+    val stats = Transform.run(spark, Seq(in), out, EtlConfig(widenedSink = true))
+    assert(stats.outputRows == 80)
+    val back = spark.read.parquet(out)
+    assert(!back.columns.contains("ExtraFields"))
+    assert(back.columns.contains("ExtraField27") && back.columns.contains("ExtraField28"))
+    assert(back.filter($"ExtraField27" === "extraA").count() > 0)
+    // rows without overflow carry nulls in the widened columns (W2 parity)
+    assert(back.filter($"ExtraField27".isNull).count() > 0)
   }
 
   test("malformed lines are quarantined raw, not dropped (F1 + badRecords)") {
