@@ -6,7 +6,9 @@ outDir/oracle_sql.json, runs each oracle statement in DuckDB over the same
 test tables, and compares: row count, column names (sorted), and values
 (rows sorted column-name-major; doubles are rounded to 9 absolute decimal
 places before the exact compare, so queries must round any double that
-passes through arithmetic — see RelationalQueries scaladoc).
+passes through arithmetic — see RelationalQueries scaladoc). When every
+differing cell is a float pair within 1e-6 relative error, the failure is
+annotated as a NEAR MISS (a rounding-discipline bug, not a logic bug).
 
 Usage: python3 scripts/selfcheck.py <sfDir> <outDir>
 """
@@ -26,6 +28,23 @@ def norm(v):
     if isinstance(v, float):
         return ("f", round(v, 9))
     return (type(v).__name__, v)
+
+
+def near_miss_rel_err(bad):
+    """Max relative error if EVERY differing cell is a float pair within
+    1e-6 relative error; None if any diff is non-float or larger."""
+    worst = 0.0
+    for _, a, b in bad:
+        for (ta, va), (tb, vb) in zip(a, b):
+            if (ta, va) == (tb, vb):
+                continue
+            if ta != "f" or tb != "f":
+                return None
+            rel = abs(va - vb) / max(abs(va), abs(vb), 1e-300)
+            if rel > 1e-6:
+                return None
+            worst = max(worst, rel)
+    return worst
 
 
 def main(sf_dir, out_dir):
@@ -64,6 +83,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {len(bad)}/{len(grows)} rows differ; first @{i}:")
             print(f"  spark:  {a}")
             print(f"  duckdb: {b}")
+            rel = near_miss_rel_err(bad)
+            if rel is not None:
+                print(f"  NEAR MISS: all diffs are floats within rel err "
+                      f"{rel:.2e} — rounding discipline, not logic")
             n_fail += 1
         else:
             print(f"PASS {name} ({got.num_rows} rows)")

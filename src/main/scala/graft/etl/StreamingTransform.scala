@@ -3,6 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
 /** Streaming mode (SURVEY §3.3): the reference's s3logd-stream process —
@@ -25,6 +26,45 @@ import org.apache.spark.sql.Row
   *   - ST7 graceful drain             → `query.stop()` + checkpoint resume.
   */
 object StreamingTransform {
+
+  /** The S3 event-notification payload subset the reference deserializes
+    * (aws_lambda_events S3EventRecord fields read by s3_event_handler,
+    * s3logd/src/main.rs:234-247): event name, region, bucket, key, size. */
+  val s3EventSchema: StructType = StructType(Seq(
+    StructField("Records", ArrayType(StructType(Seq(
+      StructField("eventName", StringType),
+      StructField("awsRegion", StringType),
+      StructField("s3", StructType(Seq(
+        StructField("bucket", StructType(Seq(
+          StructField("name", StringType)))),
+        StructField("object", StructType(Seq(
+          StructField("key", StringType),
+          StructField("size", LongType)))))))))))))
+
+  /** F2: only object-creation events trigger processing — every other
+    * event type (deletes, restores, replication, test events) is skipped,
+    * matching the reference's PUT/MPU gate (s3logd/src/main.rs:241-247,
+    * s3log-lambda-aggregator/src/main.rs:44-51). */
+  val createdEventNames: Seq[String] =
+    Seq("ObjectCreated:Put", "ObjectCreated:CompleteMultipartUpload")
+
+  /** Parse a frame of raw S3 event-notification JSON messages (column
+    * `value`, one SQS body per row — batch or streaming) into the created
+    * objects to process: (eventName, region, bucket, key, size). Rows
+    * that aren't valid event JSON parse to a null Records array and are
+    * dropped by the explode, mirroring the reference's warn-and-skip on
+    * undeserializable messages. */
+  def s3EventKeys(events: DataFrame): DataFrame =
+    events
+      .select(explode(
+        from_json(col("value"), s3EventSchema).getField("Records")).as("r"))
+      .select(
+        col("r.eventName").as("eventName"),
+        col("r.awsRegion").as("region"),
+        col("r.s3.bucket.name").as("bucket"),
+        col("r.s3.object.key").as("key"),
+        col("r.s3.object.size").as("size"))
+      .filter(col("eventName").isin(createdEventNames: _*))
 
   /** Build the streaming pipeline over a landing directory of raw log
     * files. `watermarkDelay` bounds dedup/lateness state exactly where the

@@ -21,8 +21,22 @@ object TextHash {
   val Bands = 4       // LSH bands (rows per band = K / Bands = 4)
   val SimBits = 32    // simhash width
 
-  def aCoef(j: Int): Long = 2L * j + 3
-  def bCoef(j: Int): Long = 101L * j + 17
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Minhash coefficients from a splitmix64 finalizer, NOT small affine
+    * constants: with a ≤ 33 the 16 component hashes were strongly
+    * correlated (one small shingle value lands below every component's
+    * min simultaneously), so misses on true near-dup pairs clustered —
+    * observed 3/20 banding misses at jaccard 0.966 vs ~0.006 expected.
+    * Large pseudo-independent a ∈ [1, P-1], b ∈ [0, P-1] restore the
+    * theoretical rate; a·x < P² < 2^63 keeps BIGINT arithmetic exact. */
+  def aCoef(j: Int): Long = Math.floorMod(mix(2L * j), P - 1) + 1
+  def bCoef(j: Int): Long = Math.floorMod(mix(2L * j + 1), P)
 
   // ---- Spark SQL expression strings (for functions.expr) ---------------
 

@@ -2,7 +2,8 @@ package graft.queries
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -20,31 +21,161 @@ import graft.operators.TextHash._
   * never the text. Candidate generation is the band-bucket self-join
   * (d03); exact Jaccard (d06) is the verify stage — at scale you run it
   * on d03's candidates, not on the full inverted index.
+  *
+  * Skew hardening (the 100× story): a band self-join is quadratic PER
+  * BUCKET, so one viral duplicated document (or the shared sentinel
+  * signature of sub-3-token docs, TextHash sentinel = [P,P,…]) turns one
+  * bucket into an n² hot key. Three guards keep every bucket bounded:
+  *
+  *   1. exact-dup collapse FIRST — identical texts (md5 fingerprint, the
+  *      d08 operator) are represented by their min doc_id before any band
+  *      key exists; intra-group pairs are the exact-dedup stage's output
+  *      (d01), not the LSH stage's;
+  *   2. sentinel exclusion — docs with no 3-gram shingles cannot be
+  *      meaningfully minhashed (every pair of them "matches" at sim 1.0);
+  *      they never enter banding;
+  *   3. bucket cap — any (band_id, band_key) bucket larger than
+  *      `MaxBandBucket` distinct texts is dropped: a band key shared by
+  *      hundreds of NON-identical texts carries no selectivity, only a
+  *      quadratic join blow-up.
   */
 object DedupQueries {
 
-  /** documents + th/sh/mh/bands signature columns (shared pipeline). */
-  private def signatures(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  /** Max distinct-text members of one LSH band bucket before the key is
+    * considered degenerate and dropped (guard 3 above). */
+  val MaxBandBucket = 200
+
+  /** doc frame + th/sh/mh/bands signature columns (one narrow codegen
+    * pass per document — nothing shuffles here). */
+  private def signed(docs: DataFrame): DataFrame =
+    docs
       .withColumn("th", expr(sparkTokenHashes("text")))
       .withColumn("sh", expr(sparkShingles("th")))
       .withColumn("mh", expr(sparkMinhash("sh")))
       .withColumn("bands", expr(sparkBands("mh")))
 
-  /** DuckDB CTE computing the same signature table. */
-  private val duckSigs =
+  /** Exact-dup collapse + sentinel exclusion (guards 1+2): one row per
+    * distinct text with ≥1 shingle, keyed by min doc_id. The collapse is
+    * a cheap md5-only aggregate producing representative doc_ids; the
+    * expensive signature expressions are then computed ONCE per
+    * representative row after the join-back. (Carrying mh/bands/shset
+    * through the aggregate as first() values instead makes Catalyst
+    * inline the signature tree into every aggregate input — measured 5×
+    * slower at 500 docs.) */
+  private def representatives(docs: DataFrame): DataFrame = {
+    // The signature table is materialized BEFORE any join sees it: when a
+    // join sits above the raw HOF projections, Catalyst's projection
+    // rebuild re-inlines the minhash tree (mh→sh→th references multiply
+    // out ~200×; measured 0.27s → 48s for 5k docs). Persisting the
+    // narrow derived table — (doc_id, fp, 16+4 longs, shingle set), no
+    // text — freezes the one-pass evaluation; the self-join below also
+    // references it twice and shares the copy (the cache manager dedups
+    // by canonical plan, so d03 and d06 reuse it too). MEMORY_AND_DISK
+    // by default, so at lake scale it spills rather than OOMs.
+    val sigs = signed(docs)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        col("mh"), col("bands"), array_distinct(col("sh")).as("shset"))
+      .persist()
+    val repIds = sigs
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    sigs
+      .join(repIds, "doc_id") // ids are unique → inner ≡ left-semi
+      .filter(size(col("shset")) > 0)
+      .select(col("doc_id"), col("mh"), col("bands"), col("shset"))
+  }
+
+  /** band-exploded representatives with degenerate buckets dropped
+    * (guard 3). posexplode_outer, NOT posexplode: the non-outer Generate
+    * makes InferFiltersFromGenerate push a `size(bands)>0` filter to the
+    * scan with the WHOLE signature expression inlined — a ~600 KB
+    * interpreted tree re-evaluating the minhashes ~256× per row (200s at
+    * sf0.01). bands is always length-4, so outer is semantically
+    * identical and keeps the plan linear. */
+  private def cappedBands(reps: DataFrame, extra: Column*): DataFrame = {
+    val exploded = reps.select(
+      (col("doc_id") +: extra) :+
+        posexplode_outer(col("bands")).as(Seq("band_id", "band_key")): _*)
+    val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
+    exploded
+      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .filter(col("bucket_n") <= MaxBandBucket)
+      .drop("bucket_n")
+  }
+
+  /** d03 as a reusable operator over any (doc_id, text) frame: LSH
+    * candidate pairs with signature-estimated similarity ≥ 0.5. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val exploded = cappedBands(representatives(docs), col("mh"))
+    val a = exploded.select($"doc_id".as("doc_a"), $"mh".as("mh_a"),
+      $"band_id", $"band_key")
+    val b = exploded.select($"doc_id".as("doc_b"), $"mh".as("mh_b"),
+      $"band_id".as("band_id_b"), $"band_key".as("band_key_b"))
+    a.join(b,
+        $"band_id" === $"band_id_b" && $"band_key" === $"band_key_b" &&
+          $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        round(size(filter(zip_with($"mh_a", $"mh_b", (x, y) => x === y),
+          (m: Column) => m)) / lit(K.toDouble), 4).as("sim_est"))
+      .distinct()
+      .filter($"sim_est" >= 0.5)
+  }
+
+  /** d06 as a reusable operator: exact n-gram Jaccard ≥ 0.5 verified over
+    * the LSH band candidates only (the scale-correct verify shape). */
+  def jaccardDups(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val reps = representatives(docs)
+    val exploded = cappedBands(reps)
+    val cand = exploded.as("x")
+      .join(exploded.as("y"),
+        $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(reps.select($"doc_id".as("doc_a"), $"shset".as("sh_a")), "doc_a")
+      .join(reps.select($"doc_id".as("doc_b"), $"shset".as("sh_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard", round($"n_common" /
+        (size($"sh_a") + size($"sh_b") - $"n_common"), 4))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** DuckDB CTEs mirroring representatives() + cappedBands() exactly:
+    * same fingerprint collapse, sentinel exclusion, and bucket cap, so
+    * the pair sets hash-match by construction. */
+  private val duckReps =
     s"""sigs AS (
-          SELECT doc_id, mh, ${duckBands("mh")} AS bands
-          FROM (SELECT doc_id, ${duckMinhash("sh")} AS mh
-                FROM (SELECT doc_id, ${duckShingles("th")} AS sh
-                      FROM (SELECT doc_id, ${duckTokenHashes("text")} AS th
-                            FROM documents))))"""
+          SELECT doc_id, md5(text) AS fp, sh, mh, ${duckBands("mh")} AS bands
+          FROM (SELECT doc_id, text, sh, ${duckMinhash("sh")} AS mh
+                FROM (SELECT doc_id, text, ${duckShingles("th")} AS sh
+                      FROM (SELECT doc_id, text, ${duckTokenHashes("text")} AS th
+                            FROM documents)))
+          WHERE len(sh) > 0),
+        reps AS (
+          SELECT min(doc_id) AS doc_id, any_value(mh) AS mh,
+            any_value(bands) AS bands,
+            any_value(list_distinct(sh)) AS shset
+          FROM sigs GROUP BY fp),
+        expl AS (
+          SELECT doc_id, mh, shset, b.band_id, bands[b.band_id + 1] AS band_key
+          FROM reps, (SELECT unnest(range(${Bands})) AS band_id) b),
+        capped AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+            FROM expl)
+          WHERE bucket_n <= $MaxBandBucket)"""
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // ---- d02: MinHash signatures + LSH band keys -------------------------
     "d02_minhash_sigs" -> { (s, dir) =>
       import s.implicits._
-      signatures(s, dir)
+      signed(Tables(s, dir, "documents"))
         .select(
           $"doc_id",
           expr("array_join(transform(mh, x -> CAST(x AS STRING)), '-')").as("sig"),
@@ -58,28 +189,7 @@ object DedupQueries {
     // ---- d03: LSH candidate pairs + signature-estimated similarity -------
     "d03_minhash_dedup_pairs" -> { (s, dir) =>
       import s.implicits._
-      val sigs = signatures(s, dir).select($"doc_id", $"mh", $"bands")
-      val exploded = sigs
-        // posexplode_outer, NOT posexplode: the non-outer Generate makes
-        // InferFiltersFromGenerate push a `size(bands)>0` filter to the
-        // scan with the WHOLE signature expression inlined — a ~600 KB
-        // interpreted tree re-evaluating the minhashes ~256× per row
-        // (200s at sf0.01). bands is always length-4, so outer is
-        // semantically identical and keeps the plan linear.
-        .select($"doc_id", $"mh", posexplode_outer($"bands").as(Seq("band_id", "band_key")))
-      val a = exploded.select($"doc_id".as("doc_a"), $"mh".as("mh_a"),
-        $"band_id", $"band_key")
-      val b = exploded.select($"doc_id".as("doc_b"), $"mh".as("mh_b"),
-        $"band_id".as("band_id_b"), $"band_key".as("band_key_b"))
-      a.join(b,
-          $"band_id" === $"band_id_b" && $"band_key" === $"band_key_b" &&
-            $"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b",
-          round(size(filter(zip_with($"mh_a", $"mh_b", (x, y) => x === y),
-            (m: org.apache.spark.sql.Column) => m)) / lit(K.toDouble), 4).as("sim_est"))
-        .distinct()
-        .filter($"sim_est" >= 0.5)
-        .orderBy($"doc_a", $"doc_b")
+      minhashPairs(Tables(s, dir, "documents")).orderBy($"doc_a", $"doc_b")
     },
 
     // ---- d04: SimHash fingerprints ---------------------------------------
@@ -92,7 +202,7 @@ object DedupQueries {
     },
 
     // ---- d06: exact n-gram Jaccard over LSH candidates (verify stage) ----
-    // Candidates come from the d03 band join, NEVER from a full inverted-
+    // Candidates come from the band join, NEVER from a full inverted-
     // index self-join: with a small hot vocabulary (exactly this corpus)
     // every shingle is shared by ~1% of all docs and the index join is
     // quadratic (~80M pairs at sf0.1). Verifying only band-collision pairs
@@ -100,32 +210,17 @@ object DedupQueries {
     // that survives 100 TB.
     "d06_ngram_jaccard_dups" -> { (s, dir) =>
       import s.implicits._
-      val sigs = signatures(s, dir)
-        .withColumn("shset", array_distinct($"sh"))
-        .select($"doc_id", $"shset", $"bands")
-      val exploded = sigs
-        // posexplode_outer for the same InferFiltersFromGenerate reason as d03
-        .select($"doc_id", posexplode_outer($"bands").as(Seq("band_id", "band_key")))
-      val cand = exploded.as("x")
-        .join(exploded.as("y"),
-          $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
-            $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-        .distinct()
-      cand
-        .join(sigs.select($"doc_id".as("doc_a"), $"shset".as("sh_a")), "doc_a")
-        .join(sigs.select($"doc_id".as("doc_b"), $"shset".as("sh_b")), "doc_b")
-        .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
-        .withColumn("jaccard", round($"n_common" /
-          (size($"sh_a") + size($"sh_b") - $"n_common"), 4))
-        .filter($"jaccard" >= 0.5)
-        .select($"doc_a", $"doc_b", $"jaccard")
-        .orderBy($"doc_a", $"doc_b")
+      jaccardDups(Tables(s, dir, "documents")).orderBy($"doc_a", $"doc_b")
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
     "d02_minhash_sigs" ->
-      s"""WITH $duckSigs
+      s"""WITH sigs AS (
+            SELECT doc_id, mh, ${duckBands("mh")} AS bands
+            FROM (SELECT doc_id, ${duckMinhash("sh")} AS mh
+                  FROM (SELECT doc_id, ${duckShingles("th")} AS sh
+                        FROM (SELECT doc_id, ${duckTokenHashes("text")} AS th
+                              FROM documents))))
           SELECT doc_id, concat_ws('-', mh[1], mh[2], mh[3], mh[4], mh[5], mh[6],
             mh[7], mh[8], mh[9], mh[10], mh[11], mh[12], mh[13], mh[14], mh[15],
             mh[16]) AS sig,
@@ -133,14 +228,11 @@ object DedupQueries {
             bands[4] AS band3
           FROM sigs ORDER BY doc_id""",
     "d03_minhash_dedup_pairs" ->
-      s"""WITH $duckSigs,
-          expl AS (
-            SELECT doc_id, mh, b.band_id, bands[b.band_id + 1] AS band_key
-            FROM sigs, (SELECT unnest(range(${Bands})) AS band_id) b)
+      s"""WITH $duckReps
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
             round(len(list_filter(range(1, ${K + 1}), i -> a.mh[i] = b.mh[i]))
                   / ${K}.0, 4) AS sim_est
-          FROM expl a JOIN expl b
+          FROM capped a JOIN capped b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
           WHERE round(len(list_filter(range(1, ${K + 1}), i -> a.mh[i] = b.mh[i]))
@@ -156,18 +248,10 @@ object DedupQueries {
             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
           FROM b GROUP BY doc_id ORDER BY doc_id""",
     "d06_ngram_jaccard_dups" ->
-      s"""WITH sets AS (
-            SELECT doc_id, list_distinct(sh) AS shset, ${duckBands("mh")} AS bands
-            FROM (SELECT doc_id, sh, ${duckMinhash("sh")} AS mh
-                  FROM (SELECT doc_id, ${duckShingles("th")} AS sh
-                        FROM (SELECT doc_id, ${duckTokenHashes("text")} AS th
-                              FROM documents)))),
-          expl AS (
-            SELECT doc_id, b.band_id, bands[b.band_id + 1] AS band_key
-            FROM sets, (SELECT unnest(range(${Bands})) AS band_id) b),
+      s"""WITH $duckReps,
           cand AS (
             SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM expl x JOIN expl y
+            FROM capped x JOIN capped y
               ON x.band_id = y.band_id AND x.band_key = y.band_key
                 AND x.doc_id < y.doc_id),
           scored AS (
@@ -175,8 +259,8 @@ object DedupQueries {
               len(list_intersect(sa.shset, sb.shset)) AS n_common,
               len(sa.shset) AS n_a, len(sb.shset) AS n_b
             FROM cand
-            JOIN sets sa ON sa.doc_id = doc_a
-            JOIN sets sb ON sb.doc_id = doc_b)
+            JOIN reps sa ON sa.doc_id = doc_a
+            JOIN reps sb ON sb.doc_id = doc_b)
           SELECT doc_a, doc_b,
             round(n_common / (n_a + n_b - n_common), 4) AS jaccard
           FROM scored

@@ -26,10 +26,19 @@ import graft.Tables
   */
 object EmbeddingQueries {
 
-  private val lshBits = 6   // 64 buckets
-  /** deterministic ±1 hyperplane weights: w(j)(i) */
-  private def w(j: Int, i: Int): Double =
-    if (((i * 31 + j * 17) % 7) % 2 == 0) 1.0 else -1.0
+  private val lshBits = 5   // 32 buckets
+  /** deterministic ±1 hyperplane weights w(j)(i), derived per (plane,dim)
+    * from a splitmix64 finalizer — statistically independent signs (the
+    * previous `((i*31+j*17)%7)%2` pattern had period-7 structure that
+    * correlated planes and collapsed the effective bucket count). The
+    * weights become plan literals, so Spark and DuckDB agree bit-for-bit. */
+  private def w(j: Int, i: Int): Double = {
+    var z = ((j.toLong << 32) | i.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    if (((z >>> 17) & 1L) == 0L) 1.0 else -1.0
+  }
 
   /** embeddings with double vector + L2 norm. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
@@ -105,8 +114,15 @@ object EmbeddingQueries {
       val c = e.select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"),
         $"bucket".as("c_bucket"))
       // multi-probe: each query probes its own bucket plus all buckets at
-      // hamming distance 1 (flip each of the lshBits bits)
-      val probes = array((lit(0) +: (0 until lshBits).map(j => lit(1 << j))): _*)
+      // hamming distance <= 2 — at the measured top-5 similarity (~0.33
+      // cosine → ~0.6 per-plane agreement) radius 1 recalls only ~0.3 of
+      // the true neighborhood; radius 2 recalls ~0.7. The radius is the
+      // recall/cost knob at scale (probes × bucket size candidates).
+      val hamming1 = (0 until lshBits).map(j => 1 << j)
+      val hamming2 = for {
+        a <- 0 until lshBits; b <- a + 1 until lshBits
+      } yield (1 << a) | (1 << b)
+      val probes = array((0 +: hamming1 ++: hamming2).map(lit): _*)
       val q = e.filter($"vec_id" < 20)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
         .withColumn("probe", explode(probes))
@@ -117,7 +133,7 @@ object EmbeddingQueries {
         .dropDuplicates("q_id", "c_id") // probes can hit the same candidate twice
         .withColumn("cos_sim", round(dot("qv", "cv") / ($"qn" * $"cn"), 4))
         .withColumn("rnk", row_number().over(rnkW).cast("long"))
-        .filter($"rnk" <= 3)
+        .filter($"rnk" <= 5) // same k as the exact s01 baseline
         .select($"q_id", $"rnk", $"c_id", $"cos_sim")
         .orderBy($"q_id", $"rnk")
     })

@@ -123,6 +123,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter("p_ts > g_ts OR p_ts <= g_ts - INTERVAL 60 SECONDS").count() == 0)
   }
 
+  test("S3 event notifications gate processing to Put/MPU objects (F2)") {
+    val tmp = Files.createTempDirectory("graft-f2").toString
+    val notif = s"$tmp/notifications"; val objects = s"$tmp/objects"
+    val out = s"$tmp/out"
+    Files.createDirectories(Paths.get(notif))
+    Files.createDirectories(Paths.get(objects))
+
+    def event(name: String, key: String) =
+      s"""{"Records":[{"eventVersion":"2.1","eventName":"$name","awsRegion":"us-east-1",""" +
+        s""""s3":{"bucket":{"name":"logs-bucket"},"object":{"key":"$key","size":123}}}]}"""
+    // one SQS-style message per line: 2 processable events, 3 skips
+    writeBatch(notif, "msgs.json", Seq(
+      event("ObjectCreated:Put", "put.log"),
+      event("ObjectCreated:CompleteMultipartUpload", "mpu.log"),
+      event("ObjectRemoved:Delete", "deleted.log"),
+      event("ObjectRestore:Completed", "restored.log"),
+      "not json at all"))
+    // every named object exists — only the gated ones may be transformed
+    for ((f, seed) <- Seq("put.log" -> 31, "mpu.log" -> 32, "deleted.log" -> 33,
+        "restored.log" -> 34))
+      writeBatch(objects, f, LogGen.lines(10, seed = seed))
+
+    // ST1+F2 as a streaming query: notification JSON stream → event filter
+    val q = StreamingTransform.s3EventKeys(spark.readStream.text(notif))
+      .writeStream.format("memory").queryName("f2_keys")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val keys = spark.table("f2_keys").collect()
+    assert(keys.map(_.getAs[String]("key")).toSet == Set("put.log", "mpu.log"))
+    assert(keys.forall(_.getAs[String]("bucket") == "logs-bucket"))
+
+    // the gated keys drive the transform — skipped objects never land
+    val gated = keys.map(r => s"$objects/${r.getAs[String]("key")}").toSeq
+    val stats = Transform.run(spark, gated, out)
+    assert(stats.outputRows == 20)
+    assert(spark.read.parquet(out).count() == 20)
+  }
+
   test("late rows land as extra files in the same partition (ST5)") {
     val tmp = Files.createTempDirectory("graft-late").toString
     val landing = s"$tmp/landing"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
