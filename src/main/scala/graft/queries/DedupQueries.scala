@@ -146,6 +146,58 @@ object DedupQueries {
       .select($"doc_a", $"doc_b", $"jaccard")
   }
 
+  /** d11: duplicate CLUSTERS — the connected components of the LSH pair
+    * graph, each doc labeled with the min doc_id reachable through
+    * near-dup links (transitive closure). This is the actual artifact a
+    * dedup pipeline ships: keep one doc per cluster_id.
+    *
+    * Implementation is iterative min-label propagation (the Pregel
+    * pattern as plain DataFrame ops): each round every node takes the
+    * min of its own label and its neighbors' labels — converges in
+    * O(cluster diameter) rounds. Per round the data in motion is ONLY
+    * (doc_id, label) pairs — two narrow hash shuffles — so the loop
+    * scales to any corpus whose near-dup graph fits the cluster (it
+    * always does: the graph is bounded by the capped candidate pairs,
+    * not the corpus). Labels are persisted per round and the previous
+    * round unpersisted, keeping lineage flat.
+    */
+  def duplicateClusters(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pairs = minhashPairs(docs).select($"doc_a", $"doc_b").persist()
+    val edges = pairs
+      .union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+      .persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("src"), $"label"), "src")
+        .groupBy($"dst".as("doc_id"))
+        .agg(min($"label").as("label"))
+      val merged = labels.union(nbrMin)
+        .groupBy($"doc_id").agg(min($"label").as("label"))
+        .persist()
+      // converged when no node's label improved this round; an aggregate
+      // over (doc_id, label) pairs — never a collect of the data
+      val improved = merged
+        .join(labels.select($"doc_id", $"label".as("old_label")), "doc_id")
+        .filter($"label" < $"old_label")
+        .count()
+      labels.unpersist()
+      labels = merged
+      converged = improved == 0
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException("label propagation did not converge")
+    labels.select($"doc_id", $"label".cast("long").as("cluster_id"))
+  }
+
   /** DuckDB CTEs mirroring representatives() + cappedBands() exactly:
     * same fingerprint collapse, sentinel exclusion, and bucket cap, so
     * the pair sets hash-match by construction. */
@@ -211,6 +263,12 @@ object DedupQueries {
     "d06_ngram_jaccard_dups" -> { (s, dir) =>
       import s.implicits._
       jaccardDups(Tables(s, dir, "documents")).orderBy($"doc_a", $"doc_b")
+    },
+
+    // ---- d11: duplicate clusters (connected components of d03 pairs) -----
+    "d11_dup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      duplicateClusters(Tables(s, dir, "documents")).orderBy($"doc_id")
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -238,6 +296,24 @@ object DedupQueries {
           WHERE round(len(list_filter(range(1, ${K + 1}), i -> a.mh[i] = b.mh[i]))
                   / ${K}.0, 4) >= 0.5
           ORDER BY doc_a, doc_b""",
+    "d11_dup_clusters" ->
+      s"""WITH RECURSIVE $duckReps,
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+            WHERE round(len(list_filter(range(1, ${K + 1}), i -> a.mh[i] = b.mh[i]))
+                    / ${K}.0, 4) >= 0.5),
+          edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+          SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY u ORDER BY doc_id""",
     "d04_simhash" ->
       s"""WITH th AS (SELECT doc_id, unnest(${duckTokenHashes("text")}) AS t
                       FROM documents),

@@ -40,6 +40,29 @@ object EmbeddingQueries {
     if (((z >>> 17) & 1L) == 0L) 1.0 else -1.0
   }
 
+  // ---- s04 IVF coarse quantizer ------------------------------------------
+  private val ivfCells = 16
+  private val ivfProbes = 6
+  /** ±1 sign-vector centroid component, splitmix-derived like w() but on
+    * an offset stream so cells and hyperplanes are independent. */
+  private def cw(j: Int, i: Int): Double = {
+    var z = ((1000L + j) * 64 + i) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    if (((z >>> 17) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** centroid-dot expressions (one per cell), term order identical in
+    * both dialects so the float sums are bit-identical. */
+  private def ivfDots(v: String, duck: Boolean): Seq[String] =
+    (0 until ivfCells).map { j =>
+      (0 until 64).map { i =>
+        if (duck) s"$v[${i + 1}] * ${cw(j, i)}"
+        else s"element_at($v, ${i + 1}) * ${cw(j, i)}"
+      }.mkString(" + ")
+    }
+
   /** embeddings with double vector + L2 norm. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -136,6 +159,39 @@ object EmbeddingQueries {
         .filter($"rnk" <= 5) // same k as the exact s01 baseline
         .select($"q_id", $"rnk", $"c_id", $"cos_sim")
         .orderBy($"q_id", $"rnk")
+    },
+
+    // ---- s04: IVF ANN (coarse quantizer + nprobe cells, oracle-exact) ----
+    // The second scale path next to LSH (s02): assign every vector to its
+    // best of 16 sign-vector centroids (one narrow pass, argmax via
+    // explode + windowed row_number — no UDF), then each query scans only
+    // its nprobe=6 nearest cells. The candidate join is an equi-join on
+    // the int cell id — the IVF shape that scales: centroids broadcast as
+    // plan literals, cells are the partition key. Deterministic
+    // centroids make the whole operator SQL-expressible → full oracle.
+    "s04_ann_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir)
+      val dotsArr = expr(
+        s"array(${ivfDots("v", duck = false).mkString(", ")})")
+      // posexplode_outer (never-empty array): non-outer Generate would
+      // inline the 16×64-term dot array into a pushed-down size() filter
+      val cells = e
+        .select($"vec_id", $"v", $"nrm", posexplode_outer(dotsArr).as(Seq("cell", "dot")))
+      val argW = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
+      val ranked = cells.withColumn("rn", row_number().over(argW))
+      val corpus = ranked.filter($"rn" === 1)
+        .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"), $"cell")
+      val probes = ranked.filter($"rn" <= ivfProbes && $"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+          $"cell".as("q_cell"))
+      val rnkW = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"c_id")
+      corpus.join(broadcast(probes), $"q_cell" === $"cell" && $"q_id" =!= $"c_id")
+        .withColumn("cos_sim", round(dot("qv", "cv") / ($"qn" * $"cn"), 4))
+        .withColumn("rnk", row_number().over(rnkW).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"q_id", $"rnk", $"c_id", $"cos_sim")
+        .orderBy($"q_id", $"rnk")
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -165,7 +221,38 @@ object EmbeddingQueries {
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""")
+         ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""",
+    "s04_ann_ivf" -> {
+      val dotSelects = ivfDots("v", duck = true).zipWithIndex.map {
+        case (d, j) => s"SELECT vec_id, v, nrm, $j AS cell, $d AS dot FROM m"
+      }.mkString(" UNION ALL ")
+      s"""WITH n AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+         cells AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dot DESC, cell) AS rn
+           FROM ($dotSelects)),
+         corpus AS (
+           SELECT vec_id AS c_id, v AS cv, nrm AS cn, cell
+           FROM cells WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell
+           FROM cells WHERE rn <= $ivfProbes AND vec_id < 20),
+         p AS (
+           SELECT q_id, c_id,
+             round(list_dot_product(qv, cv) / (qn * cn), 4) AS cos_sim
+           FROM probes JOIN corpus ON probes.cell = corpus.cell
+             AND q_id <> c_id),
+         r AS (
+           SELECT q_id, c_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+           FROM p)
+         SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5
+         ORDER BY q_id, rnk"""
+    })
     // s02_ann_lsh: intentionally no oracle (approximate operator) —
     // driver records the weaker rows-only check; OperatorsSpec asserts
     // recall against the exact s01 baseline.

@@ -52,6 +52,44 @@ class OperatorsSpec extends SparkSpec {
     assert(verified.forall(r => r.getDouble(2) >= 0.5))
   }
 
+  test("IVF ANN recalls >=0.5 of the exact top-5 (s04 vs s01)") {
+    val exact = EmbeddingQueries.queries("s01_knn_bruteforce")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = EmbeddingQueries.queries("s04_ann_ivf")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall vs exact top-5 too low: $recall")
+  }
+
+  test("dup clusters are consistent closures of the pair graph (d11)") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val pairs = DedupQueries.minhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = DedupQueries.duplicateClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cluster.nonEmpty)
+    // every paired doc is labeled, both ends share a label, and the label
+    // is the min doc_id of the member set (canonical representative)
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    cluster.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label, s"cluster $label not min-labeled")
+    }
+    // transitivity stress: a chained quadruple a~b, b~c, c~d must collapse
+    // to ONE cluster even though a~d never banded together
+    import spark.implicits._
+    val base = (0 until 40).map(t => s"tok$t").mkString(" ")
+    def drift(n: Int) = ((0 until 40).map(t => s"tok$t") ++ Seq.fill(n)("x"))
+      .drop(n).mkString(" ") // slide the window: neighbors overlap, ends don't
+    val chain = Seq(0L -> base, 1L -> drift(2), 2L -> drift(4), 3L -> drift(6))
+      .toDF("doc_id", "text")
+    val chained = DedupQueries.duplicateClusters(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(chained.values.toSet.size == 1 && chained.values.forall(_ == 0L),
+      s"chain did not collapse: $chained")
+  }
+
   test("q22 HLL estimate within 3x configured rsd of exact (error bound)") {
     for (dir <- Seq(sfSmoke, "/root/testdata/sf0.01")) {
       val rows = graft.queries.RelationalQueries2
