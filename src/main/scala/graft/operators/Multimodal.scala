@@ -26,12 +26,32 @@ object Multimodal {
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Long, width: Int, height: Int, phash: String)
 
+  /** One sampled frame's features (video-style decode output). */
+  final case class FrameFeatures(
+      doc_id: Long, frame_idx: Long, frame_bytes: Long, fhash: String)
+
+  /** A resized (downsampled) media object's summary. */
+  final case class ResizedMedia(
+      doc_id: Long, r_bytes: Long, r_width: Int, r_height: Int, rhash: String)
+
+  /** Frame geometry for `sampleFrames`: a 64-byte "frame" every 128
+    * payload bytes (sample every other frame — the fps-decimation shape
+    * a video pipeline uses). */
+  val FrameSize = 64
+  val FrameStride = 128
+
+  /** Nearest-neighbor-style downsample stride for `resize`. */
+  val ResampleStride = 4
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
   /** STUB decoder: a real implementation would parse the codec here.
     * Deterministic fake: dimensions + perceptual-hash stand-in derived
     * from the payload's md5, so the oracle can recompute them in SQL. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    val hex = md5hex(bytes)
     val width = 16 + (hex.charAt(0).toInt % 16)
     val height = 16 + (hex.charAt(1).toInt % 16)
     (width, height, hex.substring(0, 8))
@@ -47,6 +67,48 @@ object Multimodal {
         batch.map { r =>
           val (w, h, ph) = decodeStub(r.media)
           MediaFeatures(r.doc_id, r.media.length.toLong, w, h, ph)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling (the video-decode analog): slice each payload into
+    * FrameSize-byte frames at FrameStride intervals — every other frame,
+    * fps decimation — and extract per-frame features. Like
+    * extractFeatures, the loop is batched per partition and never
+    * shuffles the payload; only the narrow (doc_id, idx, hash) rows leave
+    * the decode stage. A real decoder would replace the slice+md5 body
+    * with codec frame extraction; the batch shape is what it would sit in. */
+  def sampleFrames(ds: Dataset[MediaRecord]): Dataset[FrameFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.flatMap { r =>
+          (0 until r.media.length by FrameStride).map { off =>
+            val frame = r.media.slice(off, math.min(off + FrameSize, r.media.length))
+            FrameFeatures(r.doc_id, (off / FrameStride).toLong,
+              frame.length.toLong, md5hex(frame))
+          }
+        }
+      }
+    }
+  }
+
+  /** Resize (downsample) plumbing: keep every ResampleStride-th payload
+    * byte (the nearest-neighbor-resample shape), halve the decoded
+    * dimensions, and fingerprint the downsampled payload. Zero-shuffle,
+    * batched, binary-in/binary-derived-out — swap the body for a real
+    * resampler without touching the plan. */
+  def resize(ds: Dataset[MediaRecord]): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val sampled = (0 until r.media.length by ResampleStride)
+            .map(r.media).toArray
+          val (w, h, _) = decodeStub(r.media)
+          ResizedMedia(r.doc_id, sampled.length.toLong, w / 2, h / 2,
+            md5hex(sampled))
         }
       }
     }

@@ -22,6 +22,20 @@ object MultimodalQueries {
         .toDF()
         .withColumn("aspect", round($"width" / $"height".cast("double"), 4))
         .orderBy($"doc_id")
+    },
+
+    // ---- m02: video-style frame sampling (every other 64B frame) ---------
+    "m02_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"))
+      Multimodal.sampleFrames(media).toDF().orderBy($"doc_id", $"frame_idx")
+    },
+
+    // ---- m03: resize/downsample plumbing ---------------------------------
+    "m03_media_resize" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"))
+      Multimodal.resize(media).toDF().orderBy($"doc_id")
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -33,5 +47,31 @@ object MultimodalQueries {
          substr(md5(text), 1, 8) AS phash,
          round((16 + (ascii(substr(md5(text), 1, 1)) % 16))
                / CAST(16 + (ascii(substr(md5(text), 2, 1)) % 16) AS DOUBLE), 4) AS aspect
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    // the corpus is pure ASCII (verified), so character slices in SQL are
+    // byte slices of the UTF-8 payload the engine frames/downsamples
+    "m02_frame_sample" ->
+      s"""WITH f AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+              substr(text, 1 + i * ${Multimodal.FrameStride},
+                ${Multimodal.FrameSize}) AS frame
+            FROM documents, (SELECT unnest(range(0, 64)) AS i) idx
+            WHERE 1 + i * ${Multimodal.FrameStride} <= length(text))
+          SELECT doc_id, frame_idx,
+            CAST(length(frame) AS BIGINT) AS frame_bytes, md5(frame) AS fhash
+          FROM f ORDER BY doc_id, frame_idx""",
+    "m03_media_resize" ->
+      s"""WITH s AS (
+            SELECT doc_id,
+              string_agg(substr(text, 1 + i * ${Multimodal.ResampleStride}, 1),
+                '' ORDER BY i) AS sampled
+            FROM documents, (SELECT unnest(range(0, 4096)) AS i) idx
+            WHERE 1 + i * ${Multimodal.ResampleStride} <= length(text)
+            GROUP BY doc_id)
+          SELECT d.doc_id, CAST(length(s.sampled) AS BIGINT) AS r_bytes,
+            CAST((16 + (ascii(substr(md5(d.text), 1, 1)) % 16)) // 2 AS INTEGER) AS r_width,
+            CAST((16 + (ascii(substr(md5(d.text), 2, 1)) % 16)) // 2 AS INTEGER) AS r_height,
+            md5(s.sampled) AS rhash
+          FROM documents d JOIN s ON s.doc_id = d.doc_id
+          ORDER BY d.doc_id""")
 }

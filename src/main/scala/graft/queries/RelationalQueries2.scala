@@ -180,6 +180,40 @@ object RelationalQueries2 {
         .orderBy($"l_returnflag", $"rnk")
     },
 
+    // ---- q30: time-range window frame (7-day trailing revenue) -----------
+    // RANGE frames (vs q10's ROWS frame): the frame is defined by VALUE
+    // distance on the ordering key, so gap days don't shrink the window.
+    // Ordered by day over pre-aggregated daily rows — thousands of rows,
+    // so the single-partition window is fine; at finer grain you'd
+    // partition by a coarser bucket (year) first.
+    "q30_sliding_window" -> { (s, dir) =>
+      import s.implicits._
+      val daily = t(s, dir, "lineitem")
+        .groupBy(to_date($"l_shipdate").as("ship_date"))
+        .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      val w = Window.orderBy($"day_num").rangeBetween(-6, 0)
+      daily
+        .withColumn("day_num", datediff($"ship_date", lit("1970-01-01")).cast("long"))
+        // floor(x*100)/100, not round(x,2): engines disagree on .xx5
+        .withColumn("rev_7d", floor(sum($"rev").over(w) * 100) / 100.0)
+        .select($"ship_date", (floor($"rev" * 100) / 100.0).as("day_rev"), $"rev_7d")
+        .orderBy($"ship_date")
+    },
+
+    // ---- q31: unpivot (wide metrics -> long rows) -------------------------
+    "q31_unpivot" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).cast("double").as("n_items"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"sum_qty", $"sum_price", $"n_items"), "metric", "value")
+        .orderBy($"l_returnflag", $"metric")
+    },
+
     // ---- q22: HLL approximate distinct (no oracle — approximate) ---------
     "q22_approx_distinct" -> { (s, dir) =>
       import s.implicits._
@@ -282,6 +316,25 @@ object RelationalQueries2 {
          coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
          floor(greatest(l_extendedprice * (1.0 - l_discount), 1000.0) * 100) / 100 AS floor_price
          FROM lineitem WHERE l_orderkey < 100
-         ORDER BY l_orderkey, l_linenumber""")
+         ORDER BY l_orderkey, l_linenumber""",
+    "q30_sliding_window" ->
+      """WITH daily AS (
+           SELECT CAST(l_shipdate AS DATE) AS ship_date,
+             sum(l_extendedprice * (1.0 - l_discount)) AS rev
+           FROM lineitem GROUP BY 1)
+         SELECT ship_date, floor(rev * 100) / 100 AS day_rev,
+           floor(sum(rev) OVER (ORDER BY ship_date
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) * 100) / 100 AS rev_7d
+         FROM daily ORDER BY ship_date""",
+    "q31_unpivot" ->
+      """WITH agg AS (
+           SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             CAST(count(*) AS DOUBLE) AS n_items
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, metric, value
+         FROM agg UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_items))
+         ORDER BY l_returnflag, metric""")
     // q22_approx_distinct: no oracle — HLL estimates are engine-specific.
 }
