@@ -169,8 +169,12 @@ object DedupQueries {
       .union(pairs.select($"doc_b", $"doc_a"))
       .toDF("src", "dst")
       .persist()
-    var labels = edges.select($"src".as("doc_id")).distinct()
-      .withColumn("label", $"doc_id")
+    // init with one neighborhood-min pass (label = min(self, neighbors))
+    // instead of self-labels: LSH clusters are near-cliques, so most
+    // converge here and the loop is a single verification round
+    var labels = edges
+      .groupBy($"src").agg(min($"dst").as("nbr"))
+      .select($"src".as("doc_id"), least($"src", $"nbr").as("label"))
       .persist()
     var converged = false
     var rounds = 0

@@ -53,15 +53,24 @@ object EmbeddingQueries {
     if (((z >>> 17) & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** centroid-dot expressions (one per cell), term order identical in
-    * both dialects so the float sums are bit-identical. */
-  private def ivfDots(v: String, duck: Boolean): Seq[String] =
+  /** the centroid matrix as an array-of-arrays literal (both dialects).
+    * Dots are computed as HOFs over this literal, NOT as 16×64 inline
+    * product terms — the expanded form grows the generated Java method
+    * past the JVM's 64 KB limit and kicks the whole stage out of codegen.
+    * Cross-engine float parity: Spark's aggregate∘zip_with and DuckDB's
+    * list_dot_product both reduce left-to-right (bit-identical — the
+    * same pairing s01 hash-matches on). */
+  private def centroidMatrix: String =
     (0 until ivfCells).map { j =>
-      (0 until 64).map { i =>
-        if (duck) s"$v[${i + 1}] * ${cw(j, i)}"
-        else s"element_at($v, ${i + 1}) * ${cw(j, i)}"
-      }.mkString(" + ")
-    }
+      (0 until 64).map(i => cw(j, i)).mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+
+  private def sparkIvfDots(v: String): String =
+    s"""transform(array(${(0 until ivfCells).map { j =>
+      s"array(${(0 until 64).map(i => s"CAST(${cw(j, i)} AS DOUBLE)").mkString(", ")})"
+    }.mkString(", ")}),
+        c -> aggregate(zip_with($v, c, (x, w) -> x * w),
+                       CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"""
 
   /** embeddings with double vector + L2 norm. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
@@ -172,10 +181,9 @@ object EmbeddingQueries {
     "s04_ann_ivf" -> { (s, dir) =>
       import s.implicits._
       val e = vecs(s, dir)
-      val dotsArr = expr(
-        s"array(${ivfDots("v", duck = false).mkString(", ")})")
+      val dotsArr = expr(sparkIvfDots("v"))
       // posexplode_outer (never-empty array): non-outer Generate would
-      // inline the 16×64-term dot array into a pushed-down size() filter
+      // inline the dot-array expression into a pushed-down size() filter
       val cells = e
         .select($"vec_id", $"v", $"nrm", posexplode_outer(dotsArr).as(Seq("cell", "dot")))
       val argW = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
@@ -223,9 +231,6 @@ object EmbeddingQueries {
          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""",
     "s04_ann_ivf" -> {
-      val dotSelects = ivfDots("v", duck = true).zipWithIndex.map {
-        case (d, j) => s"SELECT vec_id, v, nrm, $j AS cell, $d AS dot FROM m"
-      }.mkString(" UNION ALL ")
       s"""WITH n AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -233,7 +238,10 @@ object EmbeddingQueries {
          cells AS (
            SELECT *, row_number() OVER (PARTITION BY vec_id
              ORDER BY dot DESC, cell) AS rn
-           FROM ($dotSelects)),
+           FROM (
+             SELECT vec_id, v, nrm, c.j AS cell,
+               list_dot_product(v, ($centroidMatrix)[c.j + 1]) AS dot
+             FROM m, (SELECT unnest(range($ivfCells)) AS j) c)),
          corpus AS (
            SELECT vec_id AS c_id, v AS cv, nrm AS cn, cell
            FROM cells WHERE rn = 1),
