@@ -91,6 +91,42 @@ object DocumentQueries {
         .orderBy($"doc_id")
     },
 
+    // Text normalization — the canonical pre-tokenization cleanup pass:
+    // lowercase, strip non-alphanumerics, collapse whitespace, trim.
+    // Emits the normalized text plus its fingerprint (what a dedup stage
+    // downstream would key on).
+    "d12_normalize" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .withColumn("norm", trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")))
+        .select($"doc_id", $"norm",
+          length($"norm").cast("long").as("n_chars"),
+          md5($"norm").as("norm_fp"))
+        .orderBy($"doc_id")
+    },
+
+    // Deterministic train/val/test split — hash-mod assignment over the
+    // document content (NOT doc_id: re-ingestion with new ids must not
+    // reshuffle the split). The rolling char hash is the cross-engine-
+    // exact TextHash family, so the oracle reproduces the buckets
+    // bit-for-bit; 80/10/10.
+    "d13_split_assign" -> { (s, dir) =>
+      import s.implicits._
+      val h = expr(
+        s"""aggregate(transform(sequence(1, length(text)),
+            i -> ascii(substring(text, i, 1))),
+            CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % ${graft.operators.TextHash.P})""")
+      Tables(s, dir, "documents")
+        .withColumn("bucket", (h % 100).cast("long"))
+        .withColumn("split",
+          when($"bucket" < 80, "train")
+            .when($"bucket" < 90, "val")
+            .otherwise("test"))
+        .select($"doc_id", $"bucket", $"split")
+        .orderBy($"doc_id")
+    },
+
     // Token counting: whitespace tokens, BPE-ish regex token count
     // (letter-runs / digit-runs / single symbols), and a ceil(len/4)
     // subword-chunk estimate.
@@ -151,6 +187,29 @@ object DocumentQueries {
                  0.3 * (1.0 - abs(avg_tok_len - 4.5) / 4.5) +
                  0.3 * least(stop_ratio * 10.0, 1.0), 4) AS quality
          FROM base ORDER BY doc_id""",
+    "d12_normalize" ->
+      """SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g')) AS norm,
+         CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
+         FROM documents ORDER BY doc_id""",
+    "d13_split_assign" ->
+      s"""WITH h AS (
+            SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(7 AS BIGINT),
+                  list_transform(range(1, len(text) + 1),
+                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % ${graft.operators.TextHash.P}) % 100 AS bucket
+            FROM documents)
+          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+            CASE WHEN bucket < 80 THEN 'train'
+                 WHEN bucket < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM h ORDER BY doc_id""",
     "d10_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,

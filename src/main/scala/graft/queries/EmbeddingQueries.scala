@@ -200,6 +200,34 @@ object EmbeddingQueries {
         .filter($"rnk" <= 5)
         .select($"q_id", $"rnk", $"c_id", $"cos_sim")
         .orderBy($"q_id", $"rnk")
+    },
+
+    // ---- s05: int8 scalar quantization (the ANN memory-scale path) -------
+    // Per-vector min/max scalar quantization to 256 levels + dequantized
+    // reconstruction error. 4x memory over float32 (16x over the double
+    // working form) is what makes billion-vector candidate sets fit in
+    // executor memory; the reconstruction bound (max normalized error <=
+    // half a step = 1/510) is asserted in OperatorsSpec. One narrow
+    // codegen pass per vector, no shuffle. floor-scaling (not round) for
+    // all emitted doubles: cross-engine .xx5 discipline.
+    "s05_quantize_int8" -> { (s, dir) =>
+      import s.implicits._
+      vecs(s, dir)
+        .withColumn("lo", expr("array_min(v)"))
+        .withColumn("hi", expr("array_max(v)"))
+        .withColumn("scale", ($"hi" - $"lo") / lit(255.0))
+        .withColumn("q", expr(
+          "transform(v, x -> least(CAST(floor((x - lo) / scale) AS BIGINT), CAST(255 AS BIGINT)))"))
+        .withColumn("deq", expr(
+          "transform(q, qi -> lo + (CAST(qi AS DOUBLE) + 0.5) * scale)"))
+        .withColumn("max_err", floor(
+          expr("array_max(zip_with(deq, v, (d, x) -> abs(d - x)))")
+            / ($"hi" - $"lo") * 1000000) / 1000000.0)
+        .select($"vec_id",
+          (floor($"lo" * 10000) / 10000.0).as("lo"),
+          (floor($"hi" * 10000) / 10000.0).as("hi"),
+          $"max_err")
+        .orderBy($"vec_id")
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -260,7 +288,25 @@ object EmbeddingQueries {
            FROM p)
          SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5
          ORDER BY q_id, rnk"""
-    })
+    },
+    "s05_quantize_int8" ->
+      """WITH n AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM n),
+         c AS (SELECT *, (hi - lo) / 255.0 AS scale FROM b),
+         q AS (SELECT *, list_transform(v,
+             x -> least(CAST(floor((x - lo) / scale) AS BIGINT), 255)) AS qv
+           FROM c),
+         d AS (SELECT *, list_transform(qv,
+             qi -> lo + (CAST(qi AS DOUBLE) + 0.5) * scale) AS deq
+           FROM q)
+         SELECT vec_id,
+           floor(lo * 10000) / 10000 AS lo,
+           floor(hi * 10000) / 10000 AS hi,
+           floor(list_max(list_transform(range(1, len(v) + 1),
+             i -> abs(deq[i] - v[i]))) / (hi - lo) * 1000000) / 1000000 AS max_err
+         FROM d ORDER BY vec_id""")
     // s02_ann_lsh: intentionally no oracle (approximate operator) —
     // driver records the weaker rows-only check; OperatorsSpec asserts
     // recall against the exact s01 baseline.

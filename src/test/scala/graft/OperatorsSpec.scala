@@ -90,6 +90,19 @@ class OperatorsSpec extends SparkSpec {
       s"chain did not collapse: $chained")
   }
 
+  test("int8 quantization reconstruction error is within half a step (s05)") {
+    val rows = EmbeddingQueries.queries("s05_quantize_int8")(spark, sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = r.getDouble(3)
+      // 256 levels, dequantize at the level midpoint → normalized error
+      // can't exceed half a quantization step = 1/510
+      assert(err <= 1.0 / 510 + 1e-9,
+        s"vec ${r.getLong(0)}: max_err $err above the half-step bound")
+    }
+  }
+
   test("q22 HLL estimate within 3x configured rsd of exact (error bound)") {
     for (dir <- Seq(sfSmoke, "/root/testdata/sf0.01")) {
       val rows = graft.queries.RelationalQueries2
