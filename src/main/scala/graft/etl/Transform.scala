@@ -18,7 +18,13 @@ final case class EtlConfig(
     parquetWriterVersion: String = "v1",  // writer props INI `writer_version` 1.0/2.0
     parquetBlockSize: Long = 128L << 20,  // row-group size (writer props INI)
     maxRecordsPerFile: Long = 10000000L,  // ST4 rotation threshold analog
-    jobIntervalSeconds: Long = 600,       // F3 age gate (S3LOGS_TRANSFORM_JOB_INTERVAL)
+    // F3 age gate (S3LOGS_TRANSFORM_JOB_INTERVAL): skip input files
+    // modified within the last N seconds. 0 = disabled — the reference's
+    // 600 s default protects its live append-in-progress stagging files,
+    // which don't exist under the fused shuffle pipeline; enable it when
+    // scanning an external staging drop directory that other writers are
+    // still appending to.
+    jobIntervalSeconds: Long = 0,
     widenedSink: Boolean = false,         // W1: write reference-shaped ExtraFieldN cols
     archiveDir: Option[String] = None,    // S4: gzip raw-line archive
     quarantineDir: Option[String] = None) { // F1 rejects → bad-records sink
@@ -127,7 +133,7 @@ object EtlConfig {
         num("S3LOGS_TRANSFORM_PARQUET_MAX_ROW_GROUP_SIZE", 128L << 20),
       maxRecordsPerFile = num("S3LOGS_TRANSFORM_PARQUET_WRTIER_BULK_LINES",
         num("S3LOGS_TRANSFORM_PARQUET_WRITER_BULK_LINES", 10000000L)),
-      jobIntervalSeconds = num("S3LOGS_TRANSFORM_JOB_INTERVAL", 600),
+      jobIntervalSeconds = num("S3LOGS_TRANSFORM_JOB_INTERVAL", 0),
       widenedSink = bool("S3LOGS_TRANSFORM_WIDENED_SCHEMA", d = false),
       archiveDir = archive,
       quarantineDir = env.get("S3LOGS_TRANSFORM_QUARANTINE_ROOT_PATH"))
@@ -193,7 +199,20 @@ object Transform {
     * Returns conservation stats (M2). */
   def run(spark: SparkSession, in: Seq[String], out: String,
       cfg: EtlConfig = EtlConfig()): TransformStats = {
-    val lines = spark.read.textFile(in: _*).toDF("value")
+    // F3 age gate: only files quiet for >= jobIntervalSeconds are picked
+    // up (the reference's is_process_target mtime check,
+    // s3logs/src/utils.rs:896-938) — a file-listing filter, so excluded
+    // files are never even opened.
+    val reader =
+      if (cfg.jobIntervalSeconds <= 0) spark.read
+      else spark.read.option("modifiedBefore",
+        // JVM-default zone: modifiedBefore parses its timestamp in the
+        // session timezone, which defaults to the JVM zone
+        java.time.LocalDateTime.now()
+          .minusSeconds(cfg.jobIntervalSeconds)
+          .format(java.time.format.DateTimeFormatter.ofPattern(
+            "yyyy-MM-dd'T'HH:mm:ss")))
+    val lines = reader.textFile(in: _*).toDF("value")
 
     // ONE scan+parse of the input, cached; every side branch (counts,
     // archive, quarantine) and the main write read the cached frame —

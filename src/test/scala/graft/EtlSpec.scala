@@ -210,6 +210,20 @@ class EtlSpec extends SparkSpec {
     assert(back.filter($"ExtraField27".isNull).count() > 0)
   }
 
+  test("job-interval age gate skips files modified too recently (F3)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-age").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"
+    LogGen.lines(30, seed = 19).toDF("value").coalesce(1).write.text(in)
+    // files written milliseconds ago: a 1-hour quiet gate must skip them
+    val gated = Transform.run(spark, Seq(in), s"$out/gated",
+      EtlConfig(jobIntervalSeconds = 3600))
+    assert(gated.inputLines == 0 && gated.outputRows == 0)
+    // disabled gate (the default) processes everything
+    val open = Transform.run(spark, Seq(in), s"$out/open", EtlConfig())
+    assert(open.inputLines == 30 && open.outputRows == 30)
+  }
+
   test("malformed lines are quarantined raw, not dropped (F1 + badRecords)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-quar").toString
