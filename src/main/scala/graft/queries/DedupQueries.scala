@@ -62,27 +62,40 @@ object DedupQueries {
     * through the aggregate as first() values instead makes Catalyst
     * inline the signature tree into every aggregate input — measured 5×
     * slower at 500 docs.) */
-  private def representatives(docs: DataFrame): DataFrame = {
-    // The signature table is materialized BEFORE any join sees it: when a
-    // join sits above the raw HOF projections, Catalyst's projection
-    // rebuild re-inlines the minhash tree (mh→sh→th references multiply
-    // out ~200×; measured 0.27s → 48s for 5k docs). Persisting the
-    // narrow derived table — (doc_id, fp, 16+4 longs, shingle set), no
-    // text — freezes the one-pass evaluation; the self-join below also
-    // references it twice and shares the copy (the cache manager dedups
-    // by canonical plan, so d03 and d06 reuse it too). MEMORY_AND_DISK
-    // by default, so at lake scale it spills rather than OOMs.
-    val sigs = signed(docs)
+  /** Signature tables are materialized BEFORE any join sees them: when a
+    * join sits above the raw HOF projections, Catalyst's projection
+    * rebuild re-inlines the minhash tree (mh→sh→th references multiply
+    * out ~200×; measured 0.27s → 48s for 5k docs). Persisting the
+    * derived tables freezes the one-pass evaluation; the self-join below
+    * references them twice and shares the copy (the cache manager dedups
+    * by canonical plan, so d03 and d06 reuse them too). MEMORY_AND_DISK
+    * by default, so at lake scale they spill rather than OOM.
+    *
+    * The shingle SETS live in their own table: they are ~20× wider than
+    * the signatures, and only the d06 verify stage reads them — caching
+    * them on the d03 path costs more than the whole candidate join. */
+  private def narrowSigs(docs: DataFrame): DataFrame =
+    signed(docs)
       .select(col("doc_id"), md5(col("text")).as("fp"),
-        col("mh"), col("bands"), array_distinct(col("sh")).as("shset"))
+        col("mh"), col("bands"))
       .persist()
+
+  private def shingleSets(docs: DataFrame): DataFrame =
+    signed(docs)
+      .select(col("doc_id"), array_distinct(col("sh")).as("shset"))
+      .persist()
+
+  private def representatives(docs: DataFrame): DataFrame = {
+    val sigs = narrowSigs(docs)
     val repIds = sigs
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     sigs
       .join(repIds, "doc_id") // ids are unique → inner ≡ left-semi
-      .filter(size(col("shset")) > 0)
-      .select(col("doc_id"), col("mh"), col("bands"), col("shset"))
+      // sentinel exclusion: mh[1] == P ⇔ the shingle set is empty (mod-P
+      // hashes land in [0, P-1]; P is exactly the empty-doc sentinel)
+      .filter(element_at(col("mh"), 1) =!= P)
+      .select(col("doc_id"), col("mh"), col("bands"))
   }
 
   /** band-exploded representatives with degenerate buckets dropped
@@ -128,8 +141,8 @@ object DedupQueries {
   def jaccardDups(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val reps = representatives(docs)
-    val exploded = cappedBands(reps)
+    val exploded = cappedBands(representatives(docs))
+    val shsets = shingleSets(docs)
     val cand = exploded.as("x")
       .join(exploded.as("y"),
         $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
@@ -137,8 +150,8 @@ object DedupQueries {
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
     cand
-      .join(reps.select($"doc_id".as("doc_a"), $"shset".as("sh_a")), "doc_a")
-      .join(reps.select($"doc_id".as("doc_b"), $"shset".as("sh_b")), "doc_b")
+      .join(shsets.select($"doc_id".as("doc_a"), $"shset".as("sh_a")), "doc_a")
+      .join(shsets.select($"doc_id".as("doc_b"), $"shset".as("sh_b")), "doc_b")
       .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("jaccard", round($"n_common" /
         (size($"sh_a") + size($"sh_b") - $"n_common"), 4))
