@@ -26,6 +26,12 @@ final case class EtlConfig(
     // still appending to.
     jobIntervalSeconds: Long = 0,
     widenedSink: Boolean = false,         // W1: write reference-shaped ExtraFieldN cols
+    // fixed ExtraFieldN count for widenedSink. 0 = derive from this run's
+    // widest row (reference-faithful: it widens per transform batch,
+    // utils.rs:1213-1235) — but successive appends can then write
+    // DIFFERENT physical schemas into one lake. Set >0 to pin the lake
+    // contract for fixed-schema (Athena/Hive) readers.
+    widenedSinkCols: Int = 0,
     archiveDir: Option[String] = None,    // S4: gzip raw-line archive
     quarantineDir: Option[String] = None) { // F1 rejects → bad-records sink
   require(aggregateSeconds >= staggingSeconds,
@@ -74,7 +80,8 @@ object EtlConfig {
     "S3LOGS_TRANSFORM_PARQUET_WRITER_VERSION",
     "S3LOGS_TRANSFORM_PARQUET_MAX_ROW_GROUP_SIZE",
     "S3LOGS_TRANSFORM_QUARANTINE_ROOT_PATH",
-    "S3LOGS_TRANSFORM_WIDENED_SCHEMA")
+    "S3LOGS_TRANSFORM_WIDENED_SCHEMA",
+    "S3LOGS_TRANSFORM_WIDENED_SCHEMA_COLS")
 
   /** C1 parity: build a config from the reference's environment-variable
     * vocabulary (README.md:49-79, s3logs/src/conf.rs:39-105). Unknown
@@ -135,6 +142,8 @@ object EtlConfig {
         num("S3LOGS_TRANSFORM_PARQUET_WRITER_BULK_LINES", 10000000L)),
       jobIntervalSeconds = num("S3LOGS_TRANSFORM_JOB_INTERVAL", 0),
       widenedSink = bool("S3LOGS_TRANSFORM_WIDENED_SCHEMA", d = false),
+      widenedSinkCols =
+        num("S3LOGS_TRANSFORM_WIDENED_SCHEMA_COLS", 0).toInt,
       archiveDir = archive,
       quarantineDir = env.get("S3LOGS_TRANSFORM_QUARANTINE_ROOT_PATH"))
   }
@@ -206,9 +215,12 @@ object Transform {
     val reader =
       if (cfg.jobIntervalSeconds <= 0) spark.read
       else spark.read.option("modifiedBefore",
-        // JVM-default zone: modifiedBefore parses its timestamp in the
-        // session timezone, which defaults to the JVM zone
-        java.time.LocalDateTime.now()
+        // modifiedBefore parses its timestamp in spark.sql.session.timeZone
+        // (which GraftSession pins to UTC) — the cutoff must be computed
+        // in THAT zone, not the JVM default, or the gate is off by the
+        // host's UTC offset
+        java.time.LocalDateTime.now(java.time.ZoneId.of(
+            spark.conf.get("spark.sql.session.timeZone")))
           .minusSeconds(cfg.jobIntervalSeconds)
           .format(java.time.format.DateTimeFormatter.ofPattern(
             "yyyy-MM-dd'T'HH:mm:ss")))
@@ -264,9 +276,11 @@ object Transform {
     val sinkShaped =
       if (!cfg.widenedSink) withParts
       else {
-        val extraCols = deduped
-          .agg(coalesce(max(size(col("ExtraFields"))), lit(0)))
-          .head.getInt(0)
+        val extraCols =
+          if (cfg.widenedSinkCols > 0) cfg.widenedSinkCols
+          else deduped
+            .agg(coalesce(max(size(col("ExtraFields"))), lit(0)))
+            .head.getInt(0)
         AccessLogSchema.widened(withParts, extraCols)
       }
 

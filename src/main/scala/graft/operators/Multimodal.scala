@@ -36,12 +36,17 @@ object Multimodal {
 
   /** Frame geometry for `sampleFrames`: a 64-byte "frame" every 128
     * payload bytes (sample every other frame — the fps-decimation shape
-    * a video pipeline uses). */
+    * a video pipeline uses), capped at MaxFrames per object (real
+    * pipelines bound frames-per-video; the cap is part of the operator
+    * contract and the oracle mirrors it). */
   val FrameSize = 64
   val FrameStride = 128
+  val MaxFrames = 64
 
-  /** Nearest-neighbor-style downsample stride for `resize`. */
+  /** Nearest-neighbor-style downsample stride for `resize`, with the
+    * matching output-size cap (MaxSamples bytes kept per object). */
   val ResampleStride = 4
+  val MaxSamples = 4096
 
   private def md5hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -84,11 +89,12 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.flatMap { r =>
-          (0 until r.media.length by FrameStride).map { off =>
-            val frame = r.media.slice(off, math.min(off + FrameSize, r.media.length))
-            FrameFeatures(r.doc_id, (off / FrameStride).toLong,
-              frame.length.toLong, md5hex(frame))
-          }
+          (0 until math.min(r.media.length, FrameStride * MaxFrames) by FrameStride)
+            .map { off =>
+              val frame = r.media.slice(off, math.min(off + FrameSize, r.media.length))
+              FrameFeatures(r.doc_id, (off / FrameStride).toLong,
+                frame.length.toLong, md5hex(frame))
+            }
         }
       }
     }
@@ -104,8 +110,9 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.map { r =>
-          val sampled = (0 until r.media.length by ResampleStride)
-            .map(r.media).toArray
+          val sampled =
+            (0 until math.min(r.media.length, ResampleStride * MaxSamples) by ResampleStride)
+              .map(r.media).toArray
           val (w, h, _) = decodeStub(r.media)
           ResizedMedia(r.doc_id, sampled.length.toLong, w / 2, h / 2,
             md5hex(sampled))

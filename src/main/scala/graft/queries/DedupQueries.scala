@@ -174,21 +174,32 @@ object DedupQueries {
     * not the corpus). Labels are persisted per round and the previous
     * round unpersisted, keeping lineage flat.
     */
-  def duplicateClusters(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
+  def duplicateClusters(docs: DataFrame): DataFrame =
+    connectedComponents(
+      minhashPairs(docs).select(col("doc_a"), col("doc_b")))
+
+  /** Connected components over an undirected pair graph (doc_a, doc_b):
+    * every node labeled with the min doc_id reachable from it. */
+  def connectedComponents(pairFrame: DataFrame): DataFrame = {
+    val s = pairFrame.sparkSession
     import s.implicits._
-    val pairs = minhashPairs(docs).select($"doc_a", $"doc_b").persist()
+    val pairs = pairFrame.persist()
     val edges = pairs
       .union(pairs.select($"doc_b", $"doc_a"))
       .toDF("src", "dst")
       .persist()
     // init with one neighborhood-min pass (label = min(self, neighbors))
     // instead of self-labels: LSH clusters are near-cliques, so most
-    // converge here and the loop is a single verification round
+    // converge here and the loop is a single verification round.
+    // localCheckpoint (eager) rather than persist: the doubling step
+    // references `labels` three times per round, so the LOGICAL plan
+    // would grow ~4× per round and OOM the planner around round 8 even
+    // though execution reads the cache — checkpointing truncates lineage
+    // to the materialized partitions every round.
     var labels = edges
       .groupBy($"src").agg(min($"dst").as("nbr"))
       .select($"src".as("doc_id"), least($"src", $"nbr").as("label"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 30) {
@@ -196,22 +207,33 @@ object DedupQueries {
         .join(labels.select($"doc_id".as("src"), $"label"), "src")
         .groupBy($"dst".as("doc_id"))
         .agg(min($"label").as("label"))
-      val merged = labels.union(nbrMin)
+      // pointer doubling (label ← label of my label): halves the
+      // remaining chain length every round, so convergence is
+      // O(log diameter) joins, not O(diameter) — a 30-round cap covers
+      // any graph a real corpus can produce (diameter 2^30)
+      val shortcut = labels.as("l1")
+        .join(labels.select($"doc_id".as("label"), $"label".as("ll")), "label")
+        .select($"doc_id", $"ll".as("label"))
+      val merged = labels.union(nbrMin).union(shortcut)
         .groupBy($"doc_id").agg(min($"label").as("label"))
-        .persist()
+        .localCheckpoint(true)
       // converged when no node's label improved this round; an aggregate
       // over (doc_id, label) pairs — never a collect of the data
       val improved = merged
         .join(labels.select($"doc_id", $"label".as("old_label")), "doc_id")
         .filter($"label" < $"old_label")
         .count()
-      labels.unpersist()
       labels = merged
       converged = improved == 0
       rounds += 1
     }
     if (!converged)
       throw new IllegalStateException("label propagation did not converge")
+    // the result frame reads only the persisted `labels`; the loop's
+    // scaffolding caches can go (leaving them would leak storage across
+    // every corpus a long-lived session processes)
+    pairs.unpersist()
+    edges.unpersist()
     labels.select($"doc_id", $"label".cast("long").as("cluster_id"))
   }
 

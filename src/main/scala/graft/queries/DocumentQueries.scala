@@ -113,10 +113,15 @@ object DocumentQueries {
     // bit-for-bit; 80/10/10.
     "d13_split_assign" -> { (s, dir) =>
       import s.implicits._
+      // empty-text guard (same trap TextHash.sparkTokenHashes documents):
+      // Spark's sequence(1, 0) is the DESCENDING [1, 0], which would fold
+      // twice and hash '' to 6727 while DuckDB's empty range yields the
+      // seed 7 — pin '' to the seed explicitly
       val h = expr(
-        s"""aggregate(transform(sequence(1, length(text)),
-            i -> ascii(substring(text, i, 1))),
-            CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % ${graft.operators.TextHash.P})""")
+        s"""CASE WHEN length(text) = 0 THEN CAST(7 AS BIGINT)
+            ELSE aggregate(transform(sequence(1, length(text)),
+              i -> ascii(substring(text, i, 1))),
+              CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % ${graft.operators.TextHash.P}) END""")
       Tables(s, dir, "documents")
         .withColumn("bucket", (h % 100).cast("long"))
         .withColumn("split",

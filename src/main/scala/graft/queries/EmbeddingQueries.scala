@@ -215,14 +215,20 @@ object EmbeddingQueries {
       vecs(s, dir)
         .withColumn("lo", expr("array_min(v)"))
         .withColumn("hi", expr("array_max(v)"))
-        .withColumn("scale", ($"hi" - $"lo") / lit(255.0))
+        // constant-vector guard: hi == lo would make scale 0 and
+        // (x-lo)/scale NaN, which ANSI-mode CAST(... AS BIGINT) turns
+        // into a runtime error; a degenerate range quantizes to level 0
+        // with zero error
+        .withColumn("scale",
+          when($"hi" === $"lo", lit(1.0)).otherwise(($"hi" - $"lo") / lit(255.0)))
         .withColumn("q", expr(
           "transform(v, x -> least(CAST(floor((x - lo) / scale) AS BIGINT), CAST(255 AS BIGINT)))"))
         .withColumn("deq", expr(
           "transform(q, qi -> lo + (CAST(qi AS DOUBLE) + 0.5) * scale)"))
-        .withColumn("max_err", floor(
-          expr("array_max(zip_with(deq, v, (d, x) -> abs(d - x)))")
-            / ($"hi" - $"lo") * 1000000) / 1000000.0)
+        .withColumn("max_err",
+          when($"hi" === $"lo", lit(0.0)).otherwise(floor(
+            expr("array_max(zip_with(deq, v, (d, x) -> abs(d - x)))")
+              / ($"hi" - $"lo") * 1000000) / 1000000.0))
         .select($"vec_id",
           (floor($"lo" * 10000) / 10000.0).as("lo"),
           (floor($"hi" * 10000) / 10000.0).as("hi"),
@@ -294,7 +300,8 @@ object EmbeddingQueries {
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
          b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM n),
-         c AS (SELECT *, (hi - lo) / 255.0 AS scale FROM b),
+         c AS (SELECT *, CASE WHEN hi = lo THEN 1.0
+                              ELSE (hi - lo) / 255.0 END AS scale FROM b),
          q AS (SELECT *, list_transform(v,
              x -> least(CAST(floor((x - lo) / scale) AS BIGINT), 255)) AS qv
            FROM c),
@@ -304,8 +311,10 @@ object EmbeddingQueries {
          SELECT vec_id,
            floor(lo * 10000) / 10000 AS lo,
            floor(hi * 10000) / 10000 AS hi,
-           floor(list_max(list_transform(range(1, len(v) + 1),
-             i -> abs(deq[i] - v[i]))) / (hi - lo) * 1000000) / 1000000 AS max_err
+           CASE WHEN hi = lo THEN 0.0
+                ELSE floor(list_max(list_transform(range(1, len(v) + 1),
+                  i -> abs(deq[i] - v[i]))) / (hi - lo) * 1000000) / 1000000
+           END AS max_err
          FROM d ORDER BY vec_id""")
     // s02_ann_lsh: intentionally no oracle (approximate operator) —
     // driver records the weaker rows-only check; OperatorsSpec asserts

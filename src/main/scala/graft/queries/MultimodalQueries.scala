@@ -49,13 +49,15 @@ object MultimodalQueries {
                / CAST(16 + (ascii(substr(md5(text), 2, 1)) % 16) AS DOUBLE), 4) AS aspect
          FROM documents ORDER BY doc_id""",
     // the corpus is pure ASCII (verified), so character slices in SQL are
-    // byte slices of the UTF-8 payload the engine frames/downsamples
+    // byte slices of the UTF-8 payload the engine frames/downsamples;
+    // the range bounds ARE the operator's MaxFrames/MaxSamples caps
     "m02_frame_sample" ->
       s"""WITH f AS (
             SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
               substr(text, 1 + i * ${Multimodal.FrameStride},
                 ${Multimodal.FrameSize}) AS frame
-            FROM documents, (SELECT unnest(range(0, 64)) AS i) idx
+            FROM documents,
+              (SELECT unnest(range(0, ${Multimodal.MaxFrames})) AS i) idx
             WHERE 1 + i * ${Multimodal.FrameStride} <= length(text))
           SELECT doc_id, frame_idx,
             CAST(length(frame) AS BIGINT) AS frame_bytes, md5(frame) AS fhash
@@ -65,7 +67,8 @@ object MultimodalQueries {
             SELECT doc_id,
               string_agg(substr(text, 1 + i * ${Multimodal.ResampleStride}, 1),
                 '' ORDER BY i) AS sampled
-            FROM documents, (SELECT unnest(range(0, 4096)) AS i) idx
+            FROM documents,
+              (SELECT unnest(range(0, ${Multimodal.MaxSamples})) AS i) idx
             WHERE 1 + i * ${Multimodal.ResampleStride} <= length(text)
             GROUP BY doc_id)
           SELECT d.doc_id, CAST(length(s.sampled) AS BIGINT) AS r_bytes,

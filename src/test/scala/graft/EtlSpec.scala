@@ -208,6 +208,15 @@ class EtlSpec extends SparkSpec {
     assert(back.filter($"ExtraField27" === "extraA").count() > 0)
     // rows without overflow carry nulls in the widened columns (W2 parity)
     assert(back.filter($"ExtraField27".isNull).count() > 0)
+    // pinned width: a clean batch (no overflow anywhere) still writes the
+    // configured ExtraFieldN columns, so append-mode runs never produce
+    // mixed physical schemas in one lake
+    val in2 = s"$tmp/in2"; val out2 = s"$tmp/out2"
+    LogGen.lines(20, seed = 20).toDF("value").write.text(in2)
+    Transform.run(spark, Seq(in2), out2,
+      EtlConfig(widenedSink = true, widenedSinkCols = 3))
+    val cols2 = spark.read.parquet(out2).columns.toSet
+    assert(Set("ExtraField27", "ExtraField28", "ExtraField29").subsetOf(cols2))
   }
 
   test("job-interval age gate skips files modified too recently (F3)") {

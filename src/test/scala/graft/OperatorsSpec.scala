@@ -76,18 +76,17 @@ class OperatorsSpec extends SparkSpec {
     cluster.groupBy(_._2).foreach { case (label, members) =>
       assert(members.keys.min == label, s"cluster $label not min-labeled")
     }
-    // transitivity stress: a chained quadruple a~b, b~c, c~d must collapse
-    // to ONE cluster even though a~d never banded together
+    // transitivity stress on the component engine itself: a 400-link
+    // path graph (diameter 399) must collapse to ONE cluster. An
+    // O(diameter) one-hop propagation cannot finish this inside any sane
+    // round cap; the pointer-doubling step converges in O(log d) rounds.
     import spark.implicits._
-    val base = (0 until 40).map(t => s"tok$t").mkString(" ")
-    def drift(n: Int) = ((0 until 40).map(t => s"tok$t") ++ Seq.fill(n)("x"))
-      .drop(n).mkString(" ") // slide the window: neighbors overlap, ends don't
-    val chain = Seq(0L -> base, 1L -> drift(2), 2L -> drift(4), 3L -> drift(6))
-      .toDF("doc_id", "text")
-    val chained = DedupQueries.duplicateClusters(chain)
+    val path = (0 until 399).map(k => (k.toLong, k.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val chained = DedupQueries.connectedComponents(path)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(chained.values.toSet.size == 1 && chained.values.forall(_ == 0L),
-      s"chain did not collapse: $chained")
+    assert(chained.size == 400 && chained.values.forall(_ == 0L),
+      s"path did not collapse: ${chained.values.toSet.size} clusters")
   }
 
   test("int8 quantization reconstruction error is within half a step (s05)") {
