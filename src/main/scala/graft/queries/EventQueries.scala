@@ -95,6 +95,22 @@ object EventQueries {
         .orderBy($"purchase_id")
     },
 
+    // ---- q33: hopping (sliding) windows ----------------------------------
+    // 30-minute windows every 15 minutes: each event contributes to TWO
+    // overlapping windows — the sliding form the streaming engine uses
+    // for moving aggregates (q11 is the tumbling special case). The
+    // oracle reproduces the window assignment arithmetically (an event
+    // at t belongs to starts {align(t)-900, align(t)}).
+    "q33_hopping_windows" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy(window($"ts", "30 minutes", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .select(unix_timestamp($"window.start").as("win_start"),
+          $"event_type", $"n_events", $"sum_value")
+        .orderBy($"win_start", $"event_type")
+    },
+
     // ---- q24: salted two-stage aggregation (skew pattern) ----------------
     // The hot-key mitigation used at 100 TB: shard each group key with a
     // salt, pre-aggregate per (key, salt), then merge the partials. The
@@ -159,6 +175,19 @@ object EventQueries {
            CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start,
            count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    // hop-window assignment: an event at t is in windows starting at
+    // align15(t) and align15(t) - 900 (size 1800, slide 900)
+    "q33_hopping_windows" ->
+      """WITH a AS (
+           SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS al,
+             event_type, value
+           FROM events),
+         w AS (
+           SELECT u.win_start, event_type, value
+           FROM a, unnest([al - 900, al]) AS u(win_start))
+         SELECT win_start, event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "q24_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value

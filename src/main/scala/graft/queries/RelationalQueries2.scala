@@ -214,6 +214,27 @@ object RelationalQueries2 {
         .orderBy($"l_returnflag", $"metric")
     },
 
+    // ---- q34: offset/value window functions (lag/lead/first/last/nth) ----
+    "q34_lag_lead" -> { (s, dir) =>
+      import s.implicits._
+      // (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+      // qty+price complete a unique sort key, or lag/lead tie-break
+      // nondeterministically across engines
+      val wo = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      val wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" < 150)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity",
+          lag($"l_quantity", 1).over(wo).as("prev_qty"),
+          lead($"l_quantity", 2).over(wo).as("next2_qty"),
+          first($"l_quantity").over(wf).as("first_qty"),
+          last($"l_quantity").over(wf).as("last_qty"),
+          nth_value($"l_quantity", 3).over(wf).as("third_qty"))
+        .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"l_extendedprice")
+    },
+
     // ---- q22: HLL approximate distinct (no oracle — approximate) ---------
     "q22_approx_distinct" -> { (s, dir) =>
       import s.implicits._
@@ -326,6 +347,22 @@ object RelationalQueries2 {
            floor(sum(rev) OVER (ORDER BY ship_date
              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) * 100) / 100 AS rev_7d
          FROM daily ORDER BY ship_date""",
+    "q34_lag_lead" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         lag(l_quantity, 1) OVER wo AS prev_qty,
+         lead(l_quantity, 2) OVER wo AS next2_qty,
+         first_value(l_quantity) OVER wf AS first_qty,
+         last_value(l_quantity) OVER wf AS last_qty,
+         nth_value(l_quantity, 3) OVER wf AS third_qty
+         FROM lineitem WHERE l_orderkey < 150
+         WINDOW
+           wo AS (PARTITION BY l_returnflag
+                  ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice),
+           wf AS (PARTITION BY l_returnflag
+                  ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY l_returnflag, l_orderkey, l_linenumber,
+           l_quantity, l_extendedprice""",
     "q31_unpivot" ->
       """WITH agg AS (
            SELECT l_returnflag,
