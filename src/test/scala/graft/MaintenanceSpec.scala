@@ -11,6 +11,26 @@ import graft.streaming.Metrics
 /** Lake-maintenance + UDAF + metrics coverage. */
 class MaintenanceSpec extends SparkSpec {
 
+  test("csv and json sinks round-trip the typed log table (S1-S4 superset)") {
+    import spark.implicits._
+    import graft.etl._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val typed = AccessLogSchema.typedView(
+      AccessLogParser.parse(LogGen.lines(120, seed = 41).toDF("value")))
+      .drop("ExtraFields") // array col: csv is a flat format
+      .withColumn("ts", col("ts").cast("string"))
+    typed.write.option("header", "true").csv(s"$tmp/csv")
+    typed.write.json(s"$tmp/json")
+    val backCsv = spark.read.option("header", "true").csv(s"$tmp/csv")
+    val backJson = spark.read.json(s"$tmp/json")
+    assert(backCsv.count() == 120 && backJson.count() == 120)
+    assert(backCsv.columns.toSet == typed.columns.toSet)
+    // values survive: RequestIDs round-trip through both formats
+    val ids = typed.select("RequestID").collect().map(_.getString(0)).toSet
+    assert(backCsv.select("RequestID").collect().map(_.getString(0)).toSet == ids)
+    assert(backJson.select("RequestID").collect().map(_.getString(0)).toSet == ids)
+  }
+
   test("MinHashAgg (typed Aggregator) equals the HOF signature exactly") {
     import spark.implicits._
     val docs = Tables(spark, sfSmoke, "documents").limit(100)
