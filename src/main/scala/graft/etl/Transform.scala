@@ -140,7 +140,11 @@ object EtlConfig {
         num("S3LOGS_TRANSFORM_PARQUET_MAX_ROW_GROUP_SIZE", 128L << 20),
       maxRecordsPerFile = num("S3LOGS_TRANSFORM_PARQUET_WRTIER_BULK_LINES",
         num("S3LOGS_TRANSFORM_PARQUET_WRITER_BULK_LINES", 10000000L)),
-      jobIntervalSeconds = num("S3LOGS_TRANSFORM_JOB_INTERVAL", 0),
+      // env-driven configs get the REFERENCE's default (600 s): a
+      // reference deployment env dropped in unchanged must keep its
+      // in-flight-file protection. Programmatic EtlConfig() defaults to
+      // 0 because the fused pipeline has no live stagging files.
+      jobIntervalSeconds = num("S3LOGS_TRANSFORM_JOB_INTERVAL", 600),
       widenedSink = bool("S3LOGS_TRANSFORM_WIDENED_SCHEMA", d = false),
       widenedSinkCols =
         num("S3LOGS_TRANSFORM_WIDENED_SCHEMA_COLS", 0).toInt,
@@ -276,11 +280,16 @@ object Transform {
     val sinkShaped =
       if (!cfg.widenedSink) withParts
       else {
-        val extraCols =
-          if (cfg.widenedSinkCols > 0) cfg.widenedSinkCols
-          else deduped
-            .agg(coalesce(max(size(col("ExtraFields"))), lit(0)))
-            .head.getInt(0)
+        val derived = deduped
+          .agg(coalesce(max(size(col("ExtraFields"))), lit(0)))
+          .head.getInt(0)
+        // a pinned width narrower than the data would silently drop
+        // overflow fields at the sink — refuse loudly instead
+        if (cfg.widenedSinkCols > 0)
+          require(derived <= cfg.widenedSinkCols,
+            s"widenedSinkCols=${cfg.widenedSinkCols} but this batch has " +
+              s"rows with $derived overflow fields — raise the pinned width")
+        val extraCols = math.max(cfg.widenedSinkCols, derived)
         AccessLogSchema.widened(withParts, extraCols)
       }
 

@@ -73,7 +73,13 @@ object DedupQueries {
     *
     * The shingle SETS live in their own table: they are ~20× wider than
     * the signatures, and only the d06 verify stage reads them — caching
-    * them on the d03 path costs more than the whole candidate join. */
+    * them on the d03 path costs more than the whole candidate join.
+    *
+    * Cache lifetime: both tables are SESSION-scoped per input corpus
+    * (canonical-plan keyed). A long-lived session processing many
+    * corpora should release them with `spark.catalog.clearCache()` (or
+    * `df.unpersist()` per table) between corpora; within one corpus the
+    * sharing across d03/d06/d11 is the point. */
   private def narrowSigs(docs: DataFrame): DataFrame =
     signed(docs)
       .select(col("doc_id"), md5(col("text")).as("fp"),
@@ -214,6 +220,9 @@ object DedupQueries {
       val shortcut = labels.as("l1")
         .join(labels.select($"doc_id".as("label"), $"label".as("ll")), "label")
         .select($"doc_id", $"ll".as("label"))
+      // superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once the old frame is unreferenced — peak live
+      // storage is O(log diameter) narrow (doc_id,label) tables
       val merged = labels.union(nbrMin).union(shortcut)
         .groupBy($"doc_id").agg(min($"label").as("label"))
         .localCheckpoint(true)

@@ -181,7 +181,11 @@ class EtlSpec extends SparkSpec {
     // archive root is only honored when cleanup stays enabled → no archive
     assert(EtlConfig.fromEnv(Map(
       "S3LOGS_TRANSFORM_ARCHIVE_ROOT_PATH" -> "/tmp/arch")).archiveDir.isEmpty)
-    assert(EtlConfig.fromEnv(Map.empty) == EtlConfig())
+    // env-driven default keeps the REFERENCE's 600s in-flight-file gate;
+    // programmatic EtlConfig() disables it (no stagging files to guard)
+    assert(EtlConfig.fromEnv(Map.empty) ==
+      EtlConfig(jobIntervalSeconds = 600))
+    assert(EtlConfig().jobIntervalSeconds == 0)
   }
 
   test("fromEnv rejects unknown S3LOGS_* keys loudly (C1)") {
@@ -217,6 +221,14 @@ class EtlSpec extends SparkSpec {
       EtlConfig(widenedSink = true, widenedSinkCols = 3))
     val cols2 = spark.read.parquet(out2).columns.toSet
     assert(Set("ExtraField27", "ExtraField28", "ExtraField29").subsetOf(cols2))
+    // a pinned width NARROWER than the data must fail loudly, not
+    // silently truncate overflow fields
+    val in3 = s"$tmp/in3"
+    LogGen.lines(20, seed = 21, extraFrac = 1.0).toDF("value").write.text(in3)
+    intercept[IllegalArgumentException] {
+      Transform.run(spark, Seq(in3), s"$tmp/out3",
+        EtlConfig(widenedSink = true, widenedSinkCols = 1))
+    }
   }
 
   test("job-interval age gate skips files modified too recently (F3)") {

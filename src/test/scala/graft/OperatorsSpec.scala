@@ -87,6 +87,18 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(chained.size == 400 && chained.values.forall(_ == 0L),
       s"path did not collapse: ${chained.values.toSet.size} clusters")
+    // ...and end-to-end through REAL text + LSH banding: a short drift
+    // chain whose links only exist pairwise (a~b, b~c, c~d) must come out
+    // of the full duplicateClusters pipeline as one cluster
+    val base = (0 until 40).map(t => s"tok$t").mkString(" ")
+    def drift(n: Int) = ((0 until 40).map(t => s"tok$t") ++ Seq.fill(n)(s"pad$n"))
+      .drop(n).mkString(" ")
+    val textChain = Seq(100L -> base, 101L -> drift(2), 102L -> drift(4),
+      103L -> drift(6)).toDF("doc_id", "text")
+    val textClusters = DedupQueries.duplicateClusters(textChain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(textClusters.size == 4 && textClusters.values.forall(_ == 100L),
+      s"text chain did not collapse: $textClusters")
   }
 
   test("int8 quantization reconstruction error is within half a step (s05)") {
