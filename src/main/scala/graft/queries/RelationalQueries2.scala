@@ -72,12 +72,15 @@ object RelationalQueries2 {
     // ---- q19: exact interpolated percentiles -----------------------------
     "q19_percentiles" -> { (s, dir) =>
       import s.implicits._
+      // floor(x*100)/100, not round(x,2): interpolated percentiles land
+      // on exact .xx5 boundaries where engines' round() disagree
+      // (surfaced at sf0.001)
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+          (floor(expr("percentile(l_extendedprice, 0.5)") * 100) / 100.0).as("p50"),
+          (floor(expr("percentile(l_extendedprice, 0.9)") * 100) / 100.0).as("p90"),
+          (floor(expr("percentile(l_extendedprice, 0.99)") * 100) / 100.0).as("p99"))
         .orderBy($"l_returnflag")
     },
 
@@ -281,9 +284,9 @@ object RelationalQueries2 {
          GROUP BY band ORDER BY band""",
     "q19_percentiles" ->
       """SELECT l_returnflag,
-         round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-         round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-         round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+         floor(quantile_cont(l_extendedprice, 0.5) * 100) / 100 AS p50,
+         floor(quantile_cont(l_extendedprice, 0.9) * 100) / 100 AS p90,
+         floor(quantile_cont(l_extendedprice, 0.99) * 100) / 100 AS p99
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q20_pivot_priority" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
