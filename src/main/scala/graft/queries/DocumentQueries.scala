@@ -132,6 +132,21 @@ object DocumentQueries {
         .orderBy($"doc_id")
     },
 
+    // Stratified sampling — N docs per language stratum, chosen by a
+    // deterministic hash order (NOT rand(): the sample must be stable
+    // across runs/engines and rebalance only when content changes). The
+    // per-stratum window is the balanced-corpus curation primitive.
+    "d15_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy(md5($"text"), $"doc_id")
+      Tables(s, dir, "documents")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 5)
+        .select($"lang", $"rk", $"doc_id")
+        .orderBy($"lang", $"rk")
+    },
+
     // Token counting: whitespace tokens, BPE-ish regex token count
     // (letter-runs / digit-runs / single symbols), and a ceil(len/4)
     // subword-chunk estimate.
@@ -215,6 +230,13 @@ object DocumentQueries {
                  WHEN bucket < 90 THEN 'val'
                  ELSE 'test' END AS split
           FROM h ORDER BY doc_id""",
+    "d15_stratified_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+           SELECT lang, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+           FROM documents)
+         WHERE rk <= 5 ORDER BY lang, rk""",
     "d10_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,

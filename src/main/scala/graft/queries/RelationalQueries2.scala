@@ -217,6 +217,26 @@ object RelationalQueries2 {
         .orderBy($"l_returnflag", $"metric")
     },
 
+    // ---- q35: EXISTS / NOT EXISTS subqueries ------------------------------
+    // The SQL-surface form of semi/anti joins (q07/q08 use the DataFrame
+    // API): Catalyst rewrites correlated EXISTS into LeftSemi/LeftAnti —
+    // same physical plan family, different front door.
+    "q35_exists_subquery" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("v_cust35")
+      t(s, dir, "orders").createOrReplaceTempView("v_ord35")
+      s.sql(
+        """SELECT c_custkey, c_acctbal
+           FROM v_cust35 c
+           WHERE EXISTS (SELECT 1 FROM v_ord35 o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+             AND NOT EXISTS (SELECT 1 FROM v_ord35 o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderstatus = 'F'
+                               AND o.o_totalprice > 200000)
+           ORDER BY c_custkey""")
+    },
+
     // ---- q34: offset/value window functions (lag/lead/first/last/nth) ----
     "q34_lag_lead" -> { (s, dir) =>
       import s.implicits._
@@ -350,6 +370,17 @@ object RelationalQueries2 {
            floor(sum(rev) OVER (ORDER BY ship_date
              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) * 100) / 100 AS rev_7d
          FROM daily ORDER BY ship_date""",
+    "q35_exists_subquery" ->
+      """SELECT c_custkey, c_acctbal
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F'
+                             AND o.o_totalprice > 200000)
+         ORDER BY c_custkey""",
     "q34_lag_lead" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
          lag(l_quantity, 1) OVER wo AS prev_qty,
