@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 59 codegen'd queries overflow the JDK-17 default 240 MB JIT code
+  // cache (flushing then deoptimizes hot loops mid-bench — a uniform
+  // ~1.5-2x slowdown on every query once the cache fills)
+  "-XX:ReservedCodeCacheSize=1g",
 )

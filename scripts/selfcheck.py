@@ -4,11 +4,13 @@
 Reads the parquet dumps produced by `graft.Verify <sfDir> <outDir>` plus
 outDir/oracle_sql.json, runs each oracle statement in DuckDB over the same
 test tables, and compares: row count, column names (sorted), and values
-(rows sorted column-name-major; doubles are rounded to 9 absolute decimal
-places before the exact compare, so queries must round any double that
-passes through arithmetic — see RelationalQueries scaladoc). When every
-differing cell is a float pair within 1e-6 relative error, the failure is
-annotated as a NEAR MISS (a rounding-discipline bug, not a logic bug).
+(rows sorted column-name-major). Floats are normalized with round(v, 9) —
+9 absolute decimal places — and then compared EXACTLY, so queries must
+emit already-rounded doubles (the repo convention is floor(x*100)/100 to
+dodge cross-engine .xx5 half-even differences; see the RelationalQueries
+scaladoc). When every differing cell is a float pair within 1e-6 relative
+error, the failure is annotated as a NEAR MISS (a rounding-discipline
+bug, not a logic bug).
 
 Usage: python3 scripts/selfcheck.py <sfDir> <outDir>
 """

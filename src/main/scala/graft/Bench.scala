@@ -13,6 +13,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
+    // Release every byte of warmup state before timing: cached DataFrames
+    // (catalog cache manager) AND the RDD blocks behind warm-dir
+    // localCheckpoints — otherwise the timed loop runs under the warmup
+    // corpus's storage/heap pressure (round-3 bench showed the first timed
+    // queries 3-4x slower from exactly this).
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

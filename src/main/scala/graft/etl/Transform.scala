@@ -53,6 +53,7 @@ object EtlConfig {
     "S3LOGS_CONFIG_PARQUET_SCHEMA_FILE",
     "S3LOGS_CONFIG_PARQUET_WRITER_PROPERTIES_FILE",
     "S3LOGS_TRANSFORM_OUTPUT_TARGET_PREFIX", // sink path given per-run
+    "S3LOGS_TRANSFORM_PARQUET_ROOT_PATH",   // local staging = committer/sink-managed
     "S3LOGS_TRANSFORM_CLEANUP_UPLOADED_PARQUET", // committer-managed
     "S3LOGS_TRANSFORM_STORAGE_CLASS",       // fs.s3a.* concern
     "S3LOGS_TRANSFORM_MPU_CHUNK_SIZE",      // S3A committer concern

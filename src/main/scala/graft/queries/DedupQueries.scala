@@ -75,11 +75,11 @@ object DedupQueries {
     * the signatures, and only the d06 verify stage reads them — caching
     * them on the d03 path costs more than the whole candidate join.
     *
-    * Cache lifetime: both tables are SESSION-scoped per input corpus
-    * (canonical-plan keyed). A long-lived session processing many
-    * corpora should release them with `spark.catalog.clearCache()` (or
-    * `df.unpersist()` per table) between corpora; within one corpus the
-    * sharing across d03/d06/d11 is the point. */
+    * Cache lifetime: OPERATOR-scoped. Each public operator materializes
+    * its (narrow, bounded) result eagerly and unpersists the signature
+    * tables before returning, so a long-lived session processing many
+    * corpora holds at most one corpus's signatures at a time — and zero
+    * between operator calls. */
   private def narrowSigs(docs: DataFrame): DataFrame =
     signed(docs)
       .select(col("doc_id"), md5(col("text")).as("fp"),
@@ -91,8 +91,7 @@ object DedupQueries {
       .select(col("doc_id"), array_distinct(col("sh")).as("shset"))
       .persist()
 
-  private def representatives(docs: DataFrame): DataFrame = {
-    val sigs = narrowSigs(docs)
+  private def representatives(sigs: DataFrame): DataFrame = {
     val repIds = sigs
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
@@ -123,46 +122,63 @@ object DedupQueries {
   }
 
   /** d03 as a reusable operator over any (doc_id, text) frame: LSH
-    * candidate pairs with signature-estimated similarity ≥ 0.5. */
+    * candidate pairs with signature-estimated similarity ≥ 0.5.
+    *
+    * Eager: the (bounded, narrow) pair set is materialized via
+    * localCheckpoint before the signature cache is released — the
+    * returned frame has truncated lineage and references no cache, so
+    * the operator leaves the session's storage exactly as it found it. */
   def minhashPairs(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val exploded = cappedBands(representatives(docs), col("mh"))
-    val a = exploded.select($"doc_id".as("doc_a"), $"mh".as("mh_a"),
-      $"band_id", $"band_key")
-    val b = exploded.select($"doc_id".as("doc_b"), $"mh".as("mh_b"),
-      $"band_id".as("band_id_b"), $"band_key".as("band_key_b"))
-    a.join(b,
-        $"band_id" === $"band_id_b" && $"band_key" === $"band_key_b" &&
-          $"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
-        round(size(filter(zip_with($"mh_a", $"mh_b", (x, y) => x === y),
-          (m: Column) => m)) / lit(K.toDouble), 4).as("sim_est"))
-      .distinct()
-      .filter($"sim_est" >= 0.5)
+    val sigs = narrowSigs(docs)
+    try {
+      val exploded = cappedBands(representatives(sigs), col("mh"))
+      val a = exploded.select($"doc_id".as("doc_a"), $"mh".as("mh_a"),
+        $"band_id", $"band_key")
+      val b = exploded.select($"doc_id".as("doc_b"), $"mh".as("mh_b"),
+        $"band_id".as("band_id_b"), $"band_key".as("band_key_b"))
+      a.join(b,
+          $"band_id" === $"band_id_b" && $"band_key" === $"band_key_b" &&
+            $"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          round(size(filter(zip_with($"mh_a", $"mh_b", (x, y) => x === y),
+            (m: Column) => m)) / lit(K.toDouble), 4).as("sim_est"))
+        .distinct()
+        .filter($"sim_est" >= 0.5)
+        .localCheckpoint(true)
+    } finally sigs.unpersist(blocking = true)
   }
 
   /** d06 as a reusable operator: exact n-gram Jaccard ≥ 0.5 verified over
-    * the LSH band candidates only (the scale-correct verify shape). */
+    * the LSH band candidates only (the scale-correct verify shape).
+    * Eager + self-cleaning, same contract as [[minhashPairs]]. */
   def jaccardDups(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val exploded = cappedBands(representatives(docs))
+    val sigs = narrowSigs(docs)
     val shsets = shingleSets(docs)
-    val cand = exploded.as("x")
-      .join(exploded.as("y"),
-        $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-      .distinct()
-    cand
-      .join(shsets.select($"doc_id".as("doc_a"), $"shset".as("sh_a")), "doc_a")
-      .join(shsets.select($"doc_id".as("doc_b"), $"shset".as("sh_b")), "doc_b")
-      .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
-      .withColumn("jaccard", round($"n_common" /
-        (size($"sh_a") + size($"sh_b") - $"n_common"), 4))
-      .filter($"jaccard" >= 0.5)
-      .select($"doc_a", $"doc_b", $"jaccard")
+    try {
+      val exploded = cappedBands(representatives(sigs))
+      val cand = exploded.as("x")
+        .join(exploded.as("y"),
+          $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+        .distinct()
+      cand
+        .join(shsets.select($"doc_id".as("doc_a"), $"shset".as("sh_a")), "doc_a")
+        .join(shsets.select($"doc_id".as("doc_b"), $"shset".as("sh_b")), "doc_b")
+        .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
+        .withColumn("jaccard", round($"n_common" /
+          (size($"sh_a") + size($"sh_b") - $"n_common"), 4))
+        .filter($"jaccard" >= 0.5)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .localCheckpoint(true)
+    } finally {
+      sigs.unpersist(blocking = true)
+      shsets.unpersist(blocking = true)
+    }
   }
 
   /** d11: duplicate CLUSTERS — the connected components of the LSH pair

@@ -71,10 +71,10 @@ object MultimodalQueries {
               (SELECT unnest(range(0, ${Multimodal.MaxSamples})) AS i) idx
             WHERE 1 + i * ${Multimodal.ResampleStride} <= length(text)
             GROUP BY doc_id)
-          SELECT d.doc_id, CAST(length(s.sampled) AS BIGINT) AS r_bytes,
+          SELECT d.doc_id, CAST(length(coalesce(s.sampled, '')) AS BIGINT) AS r_bytes,
             CAST((16 + (ascii(substr(md5(d.text), 1, 1)) % 16)) // 2 AS INTEGER) AS r_width,
             CAST((16 + (ascii(substr(md5(d.text), 2, 1)) % 16)) // 2 AS INTEGER) AS r_height,
-            md5(s.sampled) AS rhash
-          FROM documents d JOIN s ON s.doc_id = d.doc_id
+            md5(coalesce(s.sampled, '')) AS rhash
+          FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
           ORDER BY d.doc_id""")
 }

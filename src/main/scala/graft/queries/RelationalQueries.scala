@@ -14,7 +14,10 @@ import graft.Tables
   *
   * Every query is written to be DETERMINISTIC across engines so it can be
   * hash-compared against the DuckDB oracle:
-  *   - every double that passes through arithmetic is `round(_, 2..4)`;
+  *   - every double that passes through arithmetic is rounded — plain
+  *     `round(_, 2..4)` when the value cannot land on a .xx5 boundary,
+  *     `floor(x*100)/100` otherwise (Spark rounds half-up, DuckDB
+  *     half-even; flooring is identical in both engines);
   *   - integer-typed outputs are cast to long (DuckDB returns BIGINT);
   *   - a total ORDER BY with a unique tie-break key ends every query.
   *

@@ -188,6 +188,44 @@ class EtlSpec extends SparkSpec {
     assert(EtlConfig().jobIntervalSeconds == 0)
   }
 
+  test("fromEnv accepts EVERY key in the reference README env table (C1)") {
+    // The complete vocabulary from the reference README.md:51-79 with its
+    // documented defaults — a stock reference deployment's env, dropped in
+    // unchanged, must never be rejected. Enumerated key-by-key so a future
+    // omission from mappedKeys/passthroughKeys fails here, not in prod.
+    val referenceEnv = Map(
+      "S3LOGS_STAGGING_ROOT_PATH" -> "/mnt/s3logs/stagging",
+      "S3LOGS_STAGGING_PARTITION_SECOND" -> "900",
+      "S3LOGS_STAGGING_PARTITION_TZIF" -> "UTC+0",
+      "S3LOGS_STAGGING_MERGE_ORIG_BUCKETS" -> "true",
+      "S3LOGS_CONFIG_ROOT_PATH" -> "/mnt/s3logs/config",
+      "S3LOGS_CONFIG_PARQUET_SCHEMA_FILE" -> "parquet.schema",
+      "S3LOGS_CONFIG_PARQUET_WRITER_PROPERTIES_FILE" ->
+        "parquet_writer_properties.ini",
+      "S3LOGS_TRANSFORM_ARCHIVE_ROOT_PATH" -> "/mnt/s3logs/archive",
+      "S3LOGS_TRANSFORM_PARQUET_ROOT_PATH" -> "/mnt/s3logs/parquet",
+      "S3LOGS_TRANSFORM_OUTPUT_TARGET_PREFIX" -> "logs/",
+      "S3LOGS_TRANSFORM_OUTPUT_PREFIX_FMT" -> "year=%Y/month=%m/day=%d/hour=%H",
+      "S3LOGS_TRANSFORM_PARQUET_WRTIER_BULK_LINES" -> "200000",
+      "S3LOGS_TRANSFORM_JOB_INTERVAL" -> "600",
+      "S3LOGS_TRANSFORM_AGGREGATE_SECOND" -> "900",
+      "S3LOGS_TRANSFORM_LOG_DEDUPLICATION" -> "true",
+      "S3LOGS_TRANSFORM_CLEANUP_PROCESSED_LOGS" -> "true",
+      "S3LOGS_TRANSFORM_CLEANUP_UPLOADED_PARQUET" -> "true",
+      "S3LOGS_TRANSFORM_STORAGE_CLASS" -> "STANDARD",
+      "S3LOGS_TRANSFORM_MPU_CHUNK_SIZE" -> "5242880",
+      "S3LOGS_FILE_BUF_SIZE" -> "104857600",
+      "S3LOGS_FILE_LOCK_TIMEOUT_SECONDS" -> "30",
+      "S3LOGS_FILE_LOCK_RETRY_WAIT_MS" -> "100",
+      "S3LOGS_STAGGING_FILE_DATETIME_FMT" -> "%Y-%m-%d-%H-%M-%S%z",
+      "S3LOGS_STAGGING_FILE_SUFFIX" -> ".s3logs",
+      "S3LOGS_STAGGING_PROCESSING_SUFFIX" -> ".processing")
+    // every key individually and all at once — both must be accepted
+    referenceEnv.foreach { case (k, v) => EtlConfig.fromEnv(Map(k -> v)) }
+    val cfg = EtlConfig.fromEnv(referenceEnv)
+    assert(cfg.staggingSeconds == 900 && cfg.dedup && cfg.hourlyPartitions)
+  }
+
   test("fromEnv rejects unknown S3LOGS_* keys loudly (C1)") {
     val e = intercept[IllegalArgumentException] {
       EtlConfig.fromEnv(Map("S3LOGS_TRANSFORM_DEDUP" -> "true",

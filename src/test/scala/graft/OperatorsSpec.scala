@@ -154,6 +154,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dedup operators leave no cached tables behind (cache lifecycle)") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    spark.catalog.clearCache() // isolate from earlier suites
+    assert(spark.sharedState.cacheManager.isEmpty)
+    // each operator is eager + self-cleaning: it materializes its bounded
+    // result, releases the signature caches, and returns a frame whose
+    // lineage no longer references them — a long-lived session processing
+    // many corpora must not accumulate storage per call
+    val pairs = DedupQueries.minhashPairs(docs)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "minhashPairs left cached tables behind")
+    assert(pairs.count() > 0)
+    val dups = DedupQueries.jaccardDups(docs)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "jaccardDups left cached tables behind")
+    assert(dups.count() > 0)
+    val clusters = DedupQueries.duplicateClusters(docs)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "duplicateClusters left cached tables behind")
+    assert(clusters.count() > 0)
+    // released caches must not change results: pair set is stable across
+    // two independent operator invocations
+    val again = DedupQueries.minhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("multimodal decode stub is deterministic and batch extraction conserves rows") {
     val media = Multimodal.mediaFromDocuments(spark, Tables(spark, sfSmoke, "documents"))
     val feats = Multimodal.extractFeatures(media)
