@@ -15,12 +15,19 @@ import graft.operators.Multimodal
 object MultimodalQueries {
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    // ---- m01: REAL media decode — every doc wrapped as a valid binary
+    // PPM; extractFeatures must recover width/height from the P6 header
+    // it parses and hash every raster byte. The oracle recomputes the
+    // payload-generation contract (not the parse) in SQL.
     "m01_media_features" -> { (s, dir) =>
       import s.implicits._
-      val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"))
+      val media = Multimodal.ppmFromDocuments(s, Tables(s, dir, "documents"))
       Multimodal.extractFeatures(media)
         .toDF()
-        .withColumn("aspect", round($"width" / $"height".cast("double"), 4))
+        // floor-scale, not round: w/h can land exactly on a .xxxx5
+        // boundary (e.g. 9/160) where engine round modes diverge
+        .withColumn("aspect",
+          floor($"width" / $"height".cast("double") * 10000) / 10000)
         .orderBy($"doc_id")
     },
 
@@ -39,15 +46,26 @@ object MultimodalQueries {
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
+    // mirrors ppmFromDocuments' generation contract: w = 8 + doc_id%9,
+    // h = ceil(len/3w) (>=1), raster = text '.'-padded to w*h*3; the
+    // ENGINE's numbers come from parsing the P6 header it wrote
     "m01_media_features" ->
-      """SELECT doc_id,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         CAST(16 + (ascii(substr(md5(text), 1, 1)) % 16) AS INTEGER) AS width,
-         CAST(16 + (ascii(substr(md5(text), 2, 1)) % 16) AS INTEGER) AS height,
-         substr(md5(text), 1, 8) AS phash,
-         round((16 + (ascii(substr(md5(text), 1, 1)) % 16))
-               / CAST(16 + (ascii(substr(md5(text), 2, 1)) % 16) AS DOUBLE), 4) AS aspect
-         FROM documents ORDER BY doc_id""",
+      """WITH g AS (
+           SELECT doc_id, text, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+             CAST(greatest(1, (length(text) + 3 * (8 + doc_id % 9) - 1)
+                  // (3 * (8 + doc_id % 9))) AS INTEGER) AS h
+           FROM documents),
+         p AS (
+           SELECT doc_id, w, h,
+             'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) AS header,
+             rpad(text, w * h * 3, '.') AS raster
+           FROM g)
+         SELECT doc_id,
+           CAST(length(header) + length(raster) AS BIGINT) AS n_bytes,
+           w AS width, h AS height,
+           substr(md5(raster), 1, 8) AS phash,
+           floor(w / CAST(h AS DOUBLE) * 10000) / 10000 AS aspect
+         FROM p ORDER BY doc_id""",
     // the corpus is pure ASCII (verified), so character slices in SQL are
     // byte slices of the UTF-8 payload the engine frames/downsamples;
     // the range bounds ARE the operator's MaxFrames/MaxSamples caps

@@ -192,4 +192,118 @@ class OperatorsSpec extends SparkSpec {
     assert(f.width == w && f.height == h && f.phash == ph)
     assert(f.width >= 16 && f.width < 32 && ph.length == 8)
   }
+
+  // -- real media decode ----------------------------------------------------
+
+  private def ppm(w: Int, h: Int, raster: Array[Byte],
+      header: String = null): Array[Byte] = {
+    val hdr = Option(header).getOrElse(s"P6\n$w $h\n255\n")
+    hdr.getBytes("US-ASCII") ++ raster
+  }
+
+  /** Minimal valid 24bpp uncompressed BMP (bottom-up, 4-byte row pad). */
+  private def bmp(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val raster = new Array[Byte](rowSize * h)
+    for (y <- 0 until h; x <- 0 until w * 3)
+      raster(y * rowSize + x) = pixels((y * w * 3 + x) % pixels.length)
+    val out = java.nio.ByteBuffer.allocate(54 + raster.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + raster.length)
+      .putInt(0).putInt(54)           // reserved, data offset
+      .putInt(40).putInt(w).putInt(h) // DIB size, dims
+      .putShort(1).putShort(24)       // planes, bpp
+      .putInt(0).putInt(raster.length).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    out.put(raster).array()
+  }
+
+  test("PPM decode recovers header dims and hashes the raster (m01 path)") {
+    val raster = Array.tabulate(6 * 4 * 3)(i => (i * 7 % 251).toByte)
+    val (w, h, ph) = Multimodal.decodePpm(ppm(6, 4, raster))
+    assert(w == 6 && h == 4 && ph.length == 8)
+    // whitespace/comment-tolerant header, same raster → same hash
+    val (w2, h2, ph2) = Multimodal.decodePpm(
+      ppm(6, 4, raster, header = "P6\n# a comment\n 6\t4 # dims\n255\n"))
+    assert((w2, h2, ph2) == (w, h, ph))
+    // decode() dispatches on magic: same payload through the generic path
+    assert(Multimodal.decode(ppm(6, 4, raster)) == ((6, 4, ph)))
+  }
+
+  test("malformed media is rejected loudly, never silently stubbed") {
+    val raster = Array.tabulate(6 * 4 * 3)(i => i.toByte)
+    // truncated raster (header claims 6x4, raster one byte short)
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(ppm(6, 4, raster.dropRight(1)))
+    }
+    assert(e1.getMessage.contains("raster"))
+    // header garbage after magic
+    intercept[IllegalArgumentException] {
+      Multimodal.decode("P6\nnot numbers\n".getBytes ++ raster)
+    }
+    // oversized maxval (16-bit PPM) is unsupported, not misparsed
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(ppm(6, 4, raster, header = "P6\n6 4\n65535\n"))
+    }
+    // BMP: compressed / wrong bpp / truncated all reject
+    val good = bmp(5, 3, Array.tabulate(45)(_.toByte))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp(good.take(53)) // shorter than fixed headers
+    }
+    val wrongBpp = good.clone; wrongBpp(28) = 8
+    intercept[IllegalArgumentException] { Multimodal.decode(wrongBpp) }
+    val compressed = good.clone; compressed(30) = 1
+    intercept[IllegalArgumentException] { Multimodal.decode(compressed) }
+  }
+
+  test("BMP decode handles row padding and top-down (negative height) bitmaps") {
+    val px = Array.tabulate(5 * 3 * 3)(i => (i * 11 % 255).toByte)
+    val b = bmp(5, 3, px) // rowSize 16 ≠ 15 → padding exercised
+    val (w, h, ph) = Multimodal.decodeBmp(b)
+    assert(w == 5 && h == 3 && ph.length == 8)
+    val topDown = b.clone()
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -3)
+    val (w2, h2, _) = Multimodal.decode(topDown)
+    assert(w2 == 5 && h2 == 3)
+  }
+
+  test("averageHash: near-identical rasters within few bits, unrelated far apart") {
+    val rnd = new scala.util.Random(42)
+    val w = 64; val h = 64
+    val img = Array.fill(w * h * 3)((rnd.nextInt(200) + 20).toByte)
+    val base = Multimodal.averageHash(w, h, img)
+    // small perturbation: +1 on 1% of bytes
+    val nearby = img.clone()
+    for (_ <- 0 until img.length / 100)
+      { val i = rnd.nextInt(img.length); nearby(i) = (nearby(i) + 1).toByte }
+    val near = Multimodal.averageHash(w, h, nearby)
+    assert(java.lang.Long.bitCount(base ^ near) <= 6)
+    // unrelated image: independent random raster
+    val other = Array.fill(w * h * 3)((rnd.nextInt(200) + 20).toByte)
+    val far = Multimodal.averageHash(w, h, other)
+    assert(java.lang.Long.bitCount(base ^ far) >= 12)
+    // scale invariance of the grid: 2x nearest-neighbor upsample keeps
+    // the same 8x8 block structure → identical hash
+    val up = new Array[Byte](2 * w * 2 * h * 3)
+    for (y <- 0 until 2 * h; x <- 0 until 2 * w; c <- 0 until 3)
+      up((y * 2 * w + x) * 3 + c) = img(((y / 2) * w + x / 2) * 3 + c)
+    assert(Multimodal.averageHash(2 * w, 2 * h, up) == base)
+  }
+
+  test("ppmFromDocuments end-to-end: engine-parsed dims match the generation contract") {
+    import spark.implicits._
+    val docs = Seq((0L, "hello world this is a document"), (17L, ""),
+      (5L, "x" * 1000)).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.ppmFromDocuments(spark, docs)).collect()
+    feats.foreach { f =>
+      val w = 8 + (f.doc_id % 9).toInt
+      val len = if (f.doc_id == 5L) 1000 else if (f.doc_id == 17L) 0 else 30
+      val h = math.max(1, (len + 3 * w - 1) / (3 * w))
+      assert(f.width == w, s"doc ${f.doc_id}")
+      assert(f.height == h, s"doc ${f.doc_id}")
+      assert(f.n_bytes == s"P6\n$w $h\n255\n".length + w * h * 3)
+    }
+  }
 }
