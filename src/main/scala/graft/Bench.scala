@@ -24,6 +24,13 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      // The query's result frame is dropped here, but the RDD blocks
+      // behind its localCheckpoint (the eager dedup operators) are only
+      // reclaimed asynchronously by the ContextCleaner — release them
+      // now (outside the timed window) so every query starts from zero
+      // storage instead of inheriting its predecessors' blocks.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }

@@ -45,8 +45,11 @@ object DedupQueries {
     * considered degenerate and dropped (guard 3 above). */
   val MaxBandBucket = 200
 
-  /** doc frame + th/sh/mh/bands signature columns (one narrow codegen
-    * pass per document — nothing shuffles here). */
+  /** doc frame + th/sh/mh/bands signature columns (one narrow pass per
+    * document — nothing shuffles here). Higher-order functions are
+    * CodegenFallback expressions, so this pass is interpreted and
+    * CPU-bound: its wall-clock is input-partition-parallel, see
+    * [[spread]]. */
   private def signed(docs: DataFrame): DataFrame =
     docs
       .withColumn("th", expr(sparkTokenHashes("text")))
@@ -54,54 +57,43 @@ object DedupQueries {
       .withColumn("mh", expr(sparkMinhash("sh")))
       .withColumn("bands", expr(sparkBands("mh")))
 
+  /** Fan the corpus out to the session's full parallelism before a
+    * CPU-bound interpreted pass (signatures, split hashes) when the scan
+    * supplies fewer partitions than cores — a few-thousand-doc single
+    * parquet row-group otherwise evaluates every signature on ONE thread
+    * (measured 0.93 s of a 2.0 s d03 at sf0.1). The shuffle moves the
+    * input bytes exactly once and only in that starved case; when the
+    * source already provides >= cores partitions — any real lake at
+    * scale — this is the identity and the text still never shuffles. */
+  private[queries] def spread(docs: DataFrame): DataFrame = {
+    // a QUARTER of the cores, not all of them: this branch only fires
+    // for small inputs, where the interpreted pass parallelizes fine at
+    // 8× while every later map stage over the cached table pays per-task
+    // launch overhead × its partition count (32-way measured slower
+    // end-to-end than 8-way at sf0.1 for exactly that reason)
+    val target = math.max(4, docs.sparkSession.sparkContext.defaultParallelism / 4)
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+  }
+
   /** Exact-dup collapse + sentinel exclusion (guards 1+2): one row per
-    * distinct text with ≥1 shingle, keyed by min doc_id. The collapse is
-    * a cheap md5-only aggregate producing representative doc_ids; the
-    * expensive signature expressions are then computed ONCE per
-    * representative row after the join-back. (Carrying mh/bands/shset
-    * through the aggregate as first() values instead makes Catalyst
-    * inline the signature tree into every aggregate input — measured 5×
-    * slower at 500 docs.) */
-  /** Signature tables are materialized BEFORE any join sees them: when a
-    * join sits above the raw HOF projections, Catalyst's projection
-    * rebuild re-inlines the minhash tree (mh→sh→th references multiply
-    * out ~200×; measured 0.27s → 48s for 5k docs). Persisting the
-    * derived tables freezes the one-pass evaluation; the self-join below
-    * references them twice and shares the copy (the cache manager dedups
-    * by canonical plan, so d03 and d06 reuse them too). MEMORY_AND_DISK
-    * by default, so at lake scale they spill rather than OOM.
-    *
-    * The shingle SETS live in their own table: they are ~20× wider than
-    * the signatures, and only the d06 verify stage reads them — caching
-    * them on the d03 path costs more than the whole candidate join.
-    *
-    * Cache lifetime: OPERATOR-scoped. Each public operator materializes
-    * its (narrow, bounded) result eagerly and unpersists the signature
-    * tables before returning, so a long-lived session processing many
-    * corpora holds at most one corpus's signatures at a time — and zero
-    * between operator calls. */
-  private def narrowSigs(docs: DataFrame): DataFrame =
-    signed(docs)
-      .select(col("doc_id"), md5(col("text")).as("fp"),
-        col("mh"), col("bands"))
-      .persist()
-
-  private def shingleSets(docs: DataFrame): DataFrame =
-    signed(docs)
-      .select(col("doc_id"), array_distinct(col("sh")).as("shset"))
-      .persist()
-
-  private def representatives(sigs: DataFrame): DataFrame = {
-    val repIds = sigs
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
+    * distinct text with ≥1 shingle, keyed by min doc_id. One partial-
+    * aggregating shuffle on fp — map-side combine collapses viral dup
+    * groups before anything moves, and `first(mh)`/`first(bands)` are
+    * sound because an fp group is byte-identical text. Carrying the
+    * columns through the aggregate is safe ONLY because `sigs` is the
+    * materialized cache: over the raw projections Catalyst re-inlines
+    * the signature tree into every aggregate input (measured 5× slower
+    * at 500 docs — and the join-back shape this replaces cost a
+    * broadcast exchange + join stage per use). */
+  private def representatives(sigs: DataFrame): DataFrame =
     sigs
-      .join(repIds, "doc_id") // ids are unique → inner ≡ left-semi
       // sentinel exclusion: mh[1] == P ⇔ the shingle set is empty (mod-P
       // hashes land in [0, P-1]; P is exactly the empty-doc sentinel)
       .filter(element_at(col("mh"), 1) =!= P)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        first(col("mh")).as("mh"), first(col("bands")).as("bands"))
       .select(col("doc_id"), col("mh"), col("bands"))
-  }
 
   /** band-exploded representatives with degenerate buckets dropped
     * (guard 3). posexplode_outer, NOT posexplode: the non-outer Generate
@@ -121,18 +113,56 @@ object DedupQueries {
       .drop("bucket_n")
   }
 
-  /** d03 as a reusable operator over any (doc_id, text) frame: LSH
-    * candidate pairs with signature-estimated similarity ≥ 0.5.
+  /** A cache-scope handle owning ONE materialized signature table shared
+    * by every dedup stage run inside it.
     *
-    * Eager: the (bounded, narrow) pair set is materialized via
-    * localCheckpoint before the signature cache is released — the
-    * returned frame has truncated lineage and references no cache, so
-    * the operator leaves the session's storage exactly as it found it. */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val sigs = narrowSigs(docs)
-    try {
+    * The signature table is materialized BEFORE any join sees it: when a
+    * join sits above the raw HOF projections, Catalyst's projection
+    * rebuild re-inlines the minhash tree (mh→sh→th references multiply
+    * out ~200×; measured 0.27s → 48s for 5k docs). Persisting freezes the
+    * one-pass evaluation; the band self-join references it twice and
+    * shares the copy. MEMORY_AND_DISK by default, so at lake scale it
+    * spills rather than OOMs.
+    *
+    * `withShingles` controls whether the distinct-shingle SETS ride in
+    * the same table: they are ~20× wider than the signatures and only the
+    * verify stage (d06/d14) reads them — the candidate-only path (d03/
+    * d11) must not pay their caching. When the verify stage IS wanted,
+    * folding shset into the one table costs one extra column, while a
+    * separate table would cost a second full signature pass over the
+    * text (exactly the duplicated-pass regression round 4 flagged).
+    *
+    * Cache lifetime: SCOPE-bound. `close()` releases the one cache entry;
+    * the public one-shot operators below wrap a scope around a single
+    * stage and localCheckpoint the (narrow, bounded) result before
+    * closing, so a long-lived session processing many corpora holds at
+    * most one corpus's signatures at a time — and zero between calls. */
+  final class DedupScope private[DedupQueries] (
+      docs: DataFrame, withShingles: Boolean, withSplit: Boolean = false)
+      extends AutoCloseable {
+
+    /** (doc_id, fp, mh, bands[, shset][, split]) — the only pass over
+      * the text. `withSplit` folds the d13 split hash into the same
+      * pass: the contamination check then never rescans the corpus for
+      * its split side. */
+    private[queries] val sigs: DataFrame = {
+      val cols = Seq(col("doc_id"), md5(col("text")).as("fp"), col("mh"),
+        col("bands")) ++
+        (if (withShingles) Seq(array_distinct(col("sh")).as("shset")) else Nil) ++
+        (if (withSplit)
+           Seq(DocumentQueries.splitOfBucket(
+             DocumentQueries.splitBucketCol).as("split"))
+         else Nil)
+      signed(spread(docs)).select(cols: _*).persist()
+    }
+
+    /** d03: LSH candidate pairs with signature-estimated similarity
+      * ≥ 0.5, between exact-dup representatives. Lazy — reads the shared
+      * signature cache; materialize (or localCheckpoint) before close()
+      * if the result must outlive the scope. */
+    def pairs: DataFrame = {
+      val s = sigs.sparkSession
+      import s.implicits._
       val exploded = cappedBands(representatives(sigs), col("mh"))
       val a = exploded.select($"doc_id".as("doc_a"), $"mh".as("mh_a"),
         $"band_id", $"band_key")
@@ -146,19 +176,15 @@ object DedupQueries {
             (m: Column) => m)) / lit(K.toDouble), 4).as("sim_est"))
         .distinct()
         .filter($"sim_est" >= 0.5)
-        .localCheckpoint(true)
-    } finally sigs.unpersist(blocking = true)
-  }
+    }
 
-  /** d06 as a reusable operator: exact n-gram Jaccard ≥ 0.5 verified over
-    * the LSH band candidates only (the scale-correct verify shape).
-    * Eager + self-cleaning, same contract as [[minhashPairs]]. */
-  def jaccardDups(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val sigs = narrowSigs(docs)
-    val shsets = shingleSets(docs)
-    try {
+    /** d06: exact n-gram Jaccard ≥ 0.5 verified over the LSH band
+      * candidates only (the scale-correct verify shape). Requires a
+      * shingle-bearing scope. */
+    def verifiedPairs: DataFrame = {
+      require(withShingles, "verifiedPairs needs DedupScope(withShingles = true)")
+      val s = sigs.sparkSession
+      import s.implicits._
       val exploded = cappedBands(representatives(sigs))
       val cand = exploded.as("x")
         .join(exploded.as("y"),
@@ -167,17 +193,103 @@ object DedupQueries {
         .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
         .distinct()
       cand
-        .join(shsets.select($"doc_id".as("doc_a"), $"shset".as("sh_a")), "doc_a")
-        .join(shsets.select($"doc_id".as("doc_b"), $"shset".as("sh_b")), "doc_b")
+        .join(sigs.select($"doc_id".as("doc_a"), $"shset".as("sh_a")), "doc_a")
+        .join(sigs.select($"doc_id".as("doc_b"), $"shset".as("sh_b")), "doc_b")
         .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
         .withColumn("jaccard", round($"n_common" /
           (size($"sh_a") + size($"sh_b") - $"n_common"), 4))
         .filter($"jaccard" >= 0.5)
         .select($"doc_a", $"doc_b", $"jaccard")
+    }
+
+    /** d11: duplicate clusters from this scope's candidate pairs. Eager
+      * (the component loop materializes every round). */
+    def clusters: DataFrame =
+      connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+
+    /** Releases the signature cache. The catalog entry is removed
+      * synchronously (the cache-empty contract); block deletion is
+      * async — nothing re-reads them. */
+    def close(): Unit = sigs.unpersist(blocking = false)
+  }
+
+  /** Open a [[DedupScope]], run `f` inside it, release the signature
+    * cache on every exit path. The composed entry point for running
+    * several dedup stages over ONE signature materialization — at 100 TB
+    * the candidate → verify → cluster pipeline is one job, and the corpus
+    * must be signature-scanned once, not once per stage. */
+  def withDedupScope[A](docs: DataFrame, withShingles: Boolean = true,
+      withSplit: Boolean = false)(f: DedupScope => A): A = {
+    val scope = new DedupScope(docs, withShingles, withSplit)
+    try f(scope) finally scope.close()
+  }
+
+  /** d03 as a reusable operator over any (doc_id, text) frame: LSH
+    * candidate pairs with signature-estimated similarity ≥ 0.5.
+    *
+    * Eager: the (bounded, narrow) pair set is materialized via
+    * localCheckpoint before the signature cache is released — the
+    * returned frame has truncated lineage and references no cache, so
+    * the operator leaves the session's catalog cache exactly as it found
+    * it. (The checkpoint's own RDD blocks live until the RETURNED frame
+    * is unreferenced — the ContextCleaner reclaims them then; callers
+    * retaining many results across corpora hold that storage, see the
+    * Bench post-query unpersist.) */
+  def minhashPairs(docs: DataFrame): DataFrame =
+    withDedupScope(docs, withShingles = false)(_.pairs.localCheckpoint(true))
+
+  /** d06 as a reusable operator: exact n-gram Jaccard ≥ 0.5 verified over
+    * the LSH band candidates only (the scale-correct verify shape).
+    * Eager + self-cleaning, same contract as [[minhashPairs]]. */
+  def jaccardDups(docs: DataFrame): DataFrame =
+    withDedupScope(docs)(_.verifiedPairs.localCheckpoint(true))
+
+  /** d14: train/test contamination — the question a training pipeline
+    * asks of exactly the d13 + d03/d06 artifacts: which TEST documents
+    * have a near-duplicate on the TRAIN side of the split? Each offender
+    * is reported once, with its most-similar train-side partner
+    * (similarity desc, then min train doc_id — deterministic).
+    *
+    * Composition: near-dup pairs are exact-Jaccard-verified band
+    * candidates between exact-dup REPRESENTATIVES (the [[DedupScope]]
+    * pipeline), expanded to member docs through the fingerprint groups,
+    * then gated by the d13 content-hash split. Exact duplicates cannot
+    * themselves straddle the split (identical text ⇒ identical content
+    * hash ⇒ same bucket — see [[DocumentQueries.splitAssign]]), so every
+    * possible leak flows through a verified near-dup pair and the
+    * rep-level pair set is sufficient, not just cheap.
+    *
+    * Scale shape: everything that shuffles is (doc_id, rep) pairs or the
+    * bounded verified-pair set; the split assignment is one codegen pass.
+    * The expansion joins are rep-keyed equi-joins — candidate volume is
+    * bounded by (verified pairs × dup-group sizes), never corpus². */
+  def contamination(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    withDedupScope(docs, withShingles = true, withSplit = true) { scope =>
+      val nd = scope.verifiedPairs
+      // doc → its exact-dup representative (min doc_id per fingerprint):
+      // a window over the already-materialized sigs, which also carry
+      // the split label — no second pass over the corpus at all
+      val members = scope.sigs.select($"doc_id", $"fp", $"split")
+        .withColumn("rep", min($"doc_id").over(Window.partitionBy($"fp")))
+        .drop("fp")
+      val test = members.filter($"split" === "test")
+        .select($"doc_id".as("test_id"), $"rep".as("rep_t"))
+      val train = members.filter($"split" === "train")
+        .select($"doc_id".as("train_id"), $"rep".as("rep_r"))
+      // undirected pair set, oriented both ways so either side may be the
+      // test doc
+      val sym = nd.select($"doc_a".as("rep_x"), $"doc_b".as("rep_y"), $"jaccard")
+        .union(nd.select($"doc_b".as("rep_x"), $"doc_a".as("rep_y"), $"jaccard"))
+      val hits = test.join(sym, $"rep_t" === $"rep_x")
+        .join(train, $"rep_y" === $"rep_r")
+        .select($"test_id", $"train_id", $"jaccard".as("sim"))
+      val w = Window.partitionBy($"test_id").orderBy($"sim".desc, $"train_id")
+      hits.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"test_id".as("doc_id"), $"train_id".as("train_doc_id"),
+          $"sim".as("similarity"))
         .localCheckpoint(true)
-    } finally {
-      sigs.unpersist(blocking = true)
-      shsets.unpersist(blocking = true)
     }
   }
 
@@ -222,6 +334,14 @@ object DedupQueries {
       .groupBy($"src").agg(min($"dst").as("nbr"))
       .select($"src".as("doc_id"), least($"src", $"nbr").as("label"))
       .localCheckpoint(true)
+    // convergence metric: labels only ever DECREASE, so the label sum is
+    // strictly monotone until fixpoint — comparing sums is exact and
+    // costs one single-stage aggregate over the just-materialized round
+    // (the previous merged-vs-old join cost a shuffle per round).
+    // decimal(38,0): exact at any row count × any doc_id magnitude.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 30) {
@@ -232,24 +352,25 @@ object DedupQueries {
       // pointer doubling (label ← label of my label): halves the
       // remaining chain length every round, so convergence is
       // O(log diameter) joins, not O(diameter) — a 30-round cap covers
-      // any graph a real corpus can produce (diameter 2^30)
-      val shortcut = labels.as("l1")
-        .join(labels.select($"doc_id".as("label"), $"label".as("ll")), "label")
-        .select($"doc_id", $"ll".as("label"))
+      // any graph a real corpus can produce (diameter 2^30). Deferred
+      // until a plain propagation round exists to double over: LSH
+      // clusters are near-cliques, so the common corpus finishes in one
+      // cheap verification round that never pays the label self-join.
+      val doubling =
+        if (rounds == 0) Nil
+        else Seq(labels.as("l1")
+          .join(labels.select($"doc_id".as("label"), $"label".as("ll")), "label")
+          .select($"doc_id", $"ll".as("label")))
       // superseded rounds' checkpoint blocks are reclaimed by the
       // ContextCleaner once the old frame is unreferenced — peak live
       // storage is O(log diameter) narrow (doc_id,label) tables
-      val merged = labels.union(nbrMin).union(shortcut)
+      val merged = doubling.foldLeft(labels.union(nbrMin))(_ union _)
         .groupBy($"doc_id").agg(min($"label").as("label"))
         .localCheckpoint(true)
-      // converged when no node's label improved this round; an aggregate
-      // over (doc_id, label) pairs — never a collect of the data
-      val improved = merged
-        .join(labels.select($"doc_id", $"label".as("old_label")), "doc_id")
-        .filter($"label" < $"old_label")
-        .count()
+      val mergedSum = labelSum(merged)
       labels = merged
-      converged = improved == 0
+      converged = mergedSum.compareTo(prevSum) == 0
+      prevSum = mergedSum
       rounds += 1
     }
     if (!converged)
@@ -333,6 +454,12 @@ object DedupQueries {
     "d11_dup_clusters" -> { (s, dir) =>
       import s.implicits._
       duplicateClusters(Tables(s, dir, "documents")).orderBy($"doc_id")
+    },
+
+    // ---- d14: train/test contamination (d13 split × verified near-dups) --
+    "d14_contamination" -> { (s, dir) =>
+      import s.implicits._
+      contamination(Tables(s, dir, "documents")).orderBy($"doc_id")
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -405,5 +532,49 @@ object DedupQueries {
             round(n_common / (n_a + n_b - n_common), 4) AS jaccard
           FROM scored
           WHERE round(n_common / (n_a + n_b - n_common), 4) >= 0.5
-          ORDER BY doc_a, doc_b""")
+          ORDER BY doc_a, doc_b""",
+    "d14_contamination" ->
+      s"""WITH $duckReps,
+          ${DocumentQueries.duckSplits},
+          cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM capped x JOIN capped y
+              ON x.band_id = y.band_id AND x.band_key = y.band_key
+                AND x.doc_id < y.doc_id),
+          scored AS (
+            SELECT doc_a, doc_b,
+              len(list_intersect(sa.shset, sb.shset)) AS n_common,
+              len(sa.shset) AS n_a, len(sb.shset) AS n_b
+            FROM cand
+            JOIN reps sa ON sa.doc_id = doc_a
+            JOIN reps sb ON sb.doc_id = doc_b),
+          nd AS (
+            SELECT doc_a, doc_b,
+              round(n_common / (n_a + n_b - n_common), 4) AS jaccard
+            FROM scored
+            WHERE round(n_common / (n_a + n_b - n_common), 4) >= 0.5),
+          repof AS (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep
+            FROM sigs),
+          t AS (
+            SELECT r.doc_id AS test_id, r.rep AS rep_t
+            FROM repof r JOIN splits s ON s.doc_id = r.doc_id
+            WHERE s.split = 'test'),
+          tr AS (
+            SELECT r.doc_id AS train_id, r.rep AS rep_r
+            FROM repof r JOIN splits s ON s.doc_id = r.doc_id
+            WHERE s.split = 'train'),
+          sym AS (
+            SELECT doc_a AS rep_x, doc_b AS rep_y, jaccard FROM nd
+            UNION ALL SELECT doc_b, doc_a, jaccard FROM nd),
+          hits AS (
+            SELECT test_id, train_id, jaccard AS sim
+            FROM t JOIN sym ON rep_t = rep_x JOIN tr ON rep_y = rep_r)
+          SELECT doc_id, train_doc_id, similarity FROM (
+            SELECT test_id AS doc_id, train_id AS train_doc_id,
+              sim AS similarity,
+              row_number() OVER (PARTITION BY test_id
+                ORDER BY sim DESC, train_id) AS rk
+            FROM hits)
+          WHERE rk = 1 ORDER BY doc_id""")
 }

@@ -14,6 +14,60 @@ import graft.Tables
   */
 object DocumentQueries {
 
+  /** d13 as a reusable operator over any (doc_id, text) frame:
+    * deterministic train/val/test split — hash-mod assignment over the
+    * document CONTENT (not doc_id: re-ingestion with new ids must not
+    * reshuffle the split). The rolling char hash is the cross-engine-exact
+    * TextHash family, so the oracle reproduces the buckets bit-for-bit;
+    * 80/10/10. One narrow codegen pass, no shuffle.
+    *
+    * A corollary the contamination check (d14) relies on: byte-identical
+    * texts always share a bucket, so EXACT duplicates can never straddle
+    * the train/test boundary — only near-duplicates can leak. */
+  /** The split bucket of a `text` column as a Column (one interpreted-HOF
+    * pass — composable into an existing pass, e.g. the DedupScope
+    * signature table).
+    *
+    * Empty-text guard (same trap TextHash.sparkTokenHashes documents):
+    * Spark's sequence(1, 0) is the DESCENDING [1, 0], which would fold
+    * twice and hash '' to 6727 while DuckDB's empty range yields the
+    * seed 7 — pin '' to the seed explicitly. */
+  private[queries] def splitBucketCol: org.apache.spark.sql.Column =
+    (expr(
+      s"""CASE WHEN length(text) = 0 THEN CAST(7 AS BIGINT)
+          ELSE aggregate(transform(sequence(1, length(text)),
+            i -> ascii(substring(text, i, 1))),
+            CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % ${graft.operators.TextHash.P}) END""")
+      % 100).cast("long")
+
+  /** bucket → split label (80/10/10). */
+  private[queries] def splitOfBucket(
+      bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket", splitBucketCol)
+      .withColumn("split", splitOfBucket(col("bucket")))
+      .select(col("doc_id"), col("bucket"), col("split"))
+
+  /** DuckDB CTE mirroring [[splitAssign]] exactly (shared by the d13 and
+    * d14 oracles). */
+  val duckSplits: String =
+    s"""splits AS (
+          SELECT doc_id, bucket,
+            CASE WHEN bucket < 80 THEN 'train'
+                 WHEN bucket < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(7 AS BIGINT),
+                  list_transform(range(1, len(text) + 1),
+                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % ${graft.operators.TextHash.P}) % 100 AS bucket
+            FROM documents))"""
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // Exact dedup: one representative (min doc_id) per distinct text.
     // At 100 TB, group on a fixed-width hash of the text instead of the
@@ -106,30 +160,10 @@ object DocumentQueries {
         .orderBy($"doc_id")
     },
 
-    // Deterministic train/val/test split — hash-mod assignment over the
-    // document content (NOT doc_id: re-ingestion with new ids must not
-    // reshuffle the split). The rolling char hash is the cross-engine-
-    // exact TextHash family, so the oracle reproduces the buckets
-    // bit-for-bit; 80/10/10.
+    // Deterministic train/val/test split (see splitAssign above).
     "d13_split_assign" -> { (s, dir) =>
       import s.implicits._
-      // empty-text guard (same trap TextHash.sparkTokenHashes documents):
-      // Spark's sequence(1, 0) is the DESCENDING [1, 0], which would fold
-      // twice and hash '' to 6727 while DuckDB's empty range yields the
-      // seed 7 — pin '' to the seed explicitly
-      val h = expr(
-        s"""CASE WHEN length(text) = 0 THEN CAST(7 AS BIGINT)
-            ELSE aggregate(transform(sequence(1, length(text)),
-              i -> ascii(substring(text, i, 1))),
-              CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % ${graft.operators.TextHash.P}) END""")
-      Tables(s, dir, "documents")
-        .withColumn("bucket", (h % 100).cast("long"))
-        .withColumn("split",
-          when($"bucket" < 80, "train")
-            .when($"bucket" < 90, "val")
-            .otherwise("test"))
-        .select($"doc_id", $"bucket", $"split")
-        .orderBy($"doc_id")
+      splitAssign(Tables(s, dir, "documents")).orderBy($"doc_id")
     },
 
     // Stratified sampling — N docs per language stratum, chosen by a
@@ -217,19 +251,9 @@ object DocumentQueries {
            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
          FROM documents ORDER BY doc_id""",
     "d13_split_assign" ->
-      s"""WITH h AS (
-            SELECT doc_id,
-              list_reduce(
-                list_prepend(CAST(7 AS BIGINT),
-                  list_transform(range(1, len(text) + 1),
-                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-                (a, b) -> (a * 31 + b) % ${graft.operators.TextHash.P}) % 100 AS bucket
-            FROM documents)
-          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
-            CASE WHEN bucket < 80 THEN 'train'
-                 WHEN bucket < 90 THEN 'val'
-                 ELSE 'test' END AS split
-          FROM h ORDER BY doc_id""",
+      s"""WITH $duckSplits
+          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, split
+          FROM splits ORDER BY doc_id""",
     "d15_stratified_sample" ->
       """SELECT lang, rk, doc_id FROM (
            SELECT lang, doc_id,

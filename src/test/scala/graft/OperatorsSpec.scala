@@ -1,7 +1,9 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, md5}
+
 import graft.operators.{Multimodal, TextHash}
-import graft.queries.{DedupQueries, EmbeddingQueries}
+import graft.queries.{DedupQueries, DocumentQueries, EmbeddingQueries}
 
 /** Semantics checks for the training-data operators beyond the oracle
   * gate: LSH recall vs the exact baseline, MinHash candidate coverage of
@@ -174,12 +176,96 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "duplicateClusters left cached tables behind")
     assert(clusters.count() > 0)
+    val contam = DedupQueries.contamination(docs)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "contamination left cached tables behind")
+    contam.count() // may legitimately be 0 on an arbitrary corpus
     // released caches must not change results: pair set is stable across
     // two independent operator invocations
     val again = DedupQueries.minhashPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("DedupScope shares ONE signature materialization across stages") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    spark.catalog.clearCache()
+    val (nPairs, nVerified) = DedupQueries.withDedupScope(docs) { scope =>
+      // exactly one cache entry serves candidate AND verify stages — the
+      // composed pipeline signature-scans the corpus once, not per stage
+      val p = scope.pairs.count()
+      assert(!spark.sharedState.cacheManager.isEmpty, "scope lost its cache")
+      val v = scope.verifiedPairs.count()
+      (p, v)
+    }
+    assert(nPairs > 0 && nVerified > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "DedupScope.close() left the signature cache behind")
+    // scoped results match the one-shot operators exactly
+    val oneShot = DedupQueries.jaccardDups(docs).count()
+    assert(oneShot == nVerified)
+  }
+
+  // -- d14 train/test contamination -----------------------------------------
+
+  /** The d13 content-hash bucket, recomputed independently. */
+  private def bucketOf(text: String): Long = {
+    val h = text.foldLeft(7L)((acc, c) => (acc * 31 + c.toLong) % TextHash.P)
+    (if (text.isEmpty) 7L else h) % 100
+  }
+
+  test("contamination flags planted cross-split near-dups (d14)") {
+    import spark.implicits._
+    // engineer a near-dup pair that STRADDLES the split: vary a salt
+    // token until the base lands in train (bucket < 80) and its variant
+    // in test (bucket >= 90). Both searches are deterministic.
+    val body = (0 until 40).map(t => s"tok$t").mkString(" ")
+    val base = (0 until 1000).iterator
+      .map(i => s"$body salt$i").find(bucketOf(_) < 80).get
+    val leak = (0 until 1000).iterator
+      .map(i => s"$base tail$i").find(bucketOf(_) >= 90).get
+    // a val-side near-dup must NOT be reported (only train leaks matter)
+    val valSide = (0 until 1000).iterator
+      .map(i => s"$base val$i").find(t => bucketOf(t) >= 80 && bucketOf(t) < 90).get
+    // unrelated filler so the corpus isn't degenerate
+    val filler = (0 until 30).map(k =>
+      (100L + k, (0 until 30).map(t => s"f${k}_$t").mkString(" ")))
+    val docs = (Seq((0L, base), (1L, leak), (2L, valSide)) ++ filler)
+      .toDF("doc_id", "text")
+    val got = DedupQueries.contamination(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == Set(1L),
+      s"expected exactly the planted test doc flagged, got ${got.toSeq}")
+    val (_, trainId, sim) = got.head
+    assert(trainId == 0L && sim >= 0.5, s"wrong partner/similarity: $got")
+  }
+
+  test("contamination matches a brute-force recompute on the gate corpus (d14)") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val splits = DocumentQueries.queries("d13_split_assign")(spark, sfSmoke)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // expected: expand rep-level verified pairs through exact-dup groups
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val groups = fp.groupBy(_._2).map { case (_, m) =>
+      m.map(_._1).min -> m.map(_._1).toSeq }
+    val nd = DedupQueries.jaccardDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (nd ++ nd.map(p => (p._2, p._1, p._3))).flatMap {
+      case (ra, rb, sim) =>
+        for {
+          t <- groups(ra) if splits(t) == "test"
+          tr <- groups(rb) if splits(tr) == "train"
+        } yield (t, tr, sim)
+    }.groupBy(_._1).map { case (t, hs) =>
+      val best = hs.minBy(h => (-h._3, h._2))
+      t -> (best._2, best._3)
+    }
+    val got = DedupQueries.contamination(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.nonEmpty, "gate corpus lost its planted contamination?")
   }
 
   test("multimodal decode stub is deterministic and batch extraction conserves rows") {
