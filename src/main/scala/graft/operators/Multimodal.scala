@@ -9,12 +9,20 @@ import org.apache.spark.sql.functions._
   * The decode step is REAL for the two formats a decoder can be written
   * for without a codec library: binary PPM (P6) and uncompressed 24-bit
   * BMP — header fields parsed byte-by-byte, raster length validated,
-  * malformed media rejected loudly. Payloads that aren't media (no
-  * recognizable magic) take a documented deterministic md5 fallback so
-  * the same operator runs over arbitrary binary columns. Everything
-  * Spark-cares-about is equally real: the binary column schema, the
-  * case-class Encoders, the mapPartitions batch shape (fixed-size
-  * groups, the way a vectorized decoder consumes its input buffer).
+  * malformed media rejected loudly. Payloads that aren't media take a
+  * documented deterministic md5 fallback so the same operator runs over
+  * arbitrary binary columns. Everything Spark-cares-about is equally
+  * real: the binary column schema, the case-class Encoders, the
+  * mapPartitions batch shape (fixed-size groups, the way a vectorized
+  * decoder consumes its input buffer).
+  *
+  * Dispatch contract: the DECLARED mime is consulted first. Image,
+  * video, and audio mimes route to the real decoders, which reject
+  * malformed payloads loudly — a corrupt image must never silently
+  * degrade to the stub. Declared NON-media payloads (text, structured
+  * data) always take the stub: document text that happens to start with
+  * "BM" or "P6" is not an image and must not crash the job. Only
+  * unknown/absent mimes fall back to content sniffing.
   *
   * Scale design: decode runs per-partition with zero shuffle; the wide
   * binary column is projected away immediately after feature extraction,
@@ -25,9 +33,12 @@ object Multimodal {
   /** One media object: payload + minimal typed metadata. */
   final case class MediaRecord(doc_id: Long, media: Array[Byte], mime: String)
 
-  /** Extracted features (what a real decoder would emit). */
+  /** Extracted features (what a real decoder would emit). `phash` is the
+    * md5-prefix content hash over every raster byte; `ahash` is the
+    * perceptual average-hash (see [[averageHash]]). */
   final case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, width: Int, height: Int, phash: String)
+      doc_id: Long, n_bytes: Long, width: Int, height: Int, phash: String,
+      ahash: Long)
 
   /** One sampled frame's features (video-style decode output). */
   final case class FrameFeatures(
@@ -36,6 +47,10 @@ object Multimodal {
   /** A resized (downsampled) media object's summary. */
   final case class ResizedMedia(
       doc_id: Long, r_bytes: Long, r_width: Int, r_height: Int, rhash: String)
+
+  /** A decoded payload's features: header dims, content hash, perceptual
+    * hash. */
+  final case class Decoded(width: Int, height: Int, phash: String, ahash: Long)
 
   /** Frame geometry for `sampleFrames`: a 64-byte "frame" every 128
     * payload bytes (sample every other frame — the fps-decimation shape
@@ -55,14 +70,16 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
 
-  /** Fallback for payloads with no media magic (documents-as-bytes, blob
-    * columns): dimensions + hash stand-in derived from the payload's md5,
-    * so the oracle can recompute them in SQL. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
+  /** Fallback for non-media payloads (documents-as-bytes, blob columns):
+    * dimensions + hashes derived from the payload's md5, so the oracle
+    * can recompute them in SQL. The stand-in ahash is the md5's leading
+    * 64 bits — deterministic, not perceptual. */
+  def decodeStub(bytes: Array[Byte]): Decoded = {
     val hex = md5hex(bytes)
     val width = 16 + (hex.charAt(0).toInt % 16)
     val height = 16 + (hex.charAt(1).toInt % 16)
-    (width, height, hex.substring(0, 8))
+    Decoded(width, height, hex.substring(0, 8),
+      java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16))
   }
 
   private def bad(msg: String): Nothing =
@@ -71,11 +88,12 @@ object Multimodal {
   /** Real binary-PPM (P6) decode: tokenized header (whitespace- and
     * `#`-comment-tolerant, per the netpbm spec), exactly one whitespace
     * byte after maxval, then a w*h*3 raster that must account for every
-    * remaining payload byte. Returns (width, height, hash-of-raster) —
-    * the dimensions come from the HEADER, and the hash touches every
-    * raster byte (reference analog: s3logs/src/utils.rs:1110-1119 runs
-    * the whole payload through its pipeline the same way). */
-  def decodePpm(bytes: Array[Byte]): (Int, Int, String) = {
+    * remaining payload byte. The dimensions come from the HEADER, the
+    * content hash touches every raster byte (reference analog:
+    * s3logs/src/utils.rs:1110-1119 runs the whole payload through its
+    * pipeline the same way), and the perceptual hash is computed over
+    * the RGB raster. */
+  def decodePpm(bytes: Array[Byte]): Decoded = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') bad("not P6")
     var i = 2
     def skipSpaceAndComments(): Unit = {
@@ -107,14 +125,21 @@ object Multimodal {
     val expected = w.toLong * h * 3
     if (bytes.length - i != expected)
       bad(s"PPM raster: ${bytes.length - i} bytes, expected $expected")
-    (w, h, md5hex(java.util.Arrays.copyOfRange(bytes, i, bytes.length)).substring(0, 8))
+    val raster = java.util.Arrays.copyOfRange(bytes, i, bytes.length)
+    Decoded(w, h, md5hex(raster).substring(0, 8), averageHash(w, h, raster))
   }
 
   /** Real BMP decode (uncompressed 24bpp, the format every BMP writer can
     * emit): little-endian header fields, 4-byte-aligned row stride,
     * raster bounds validated against the declared data offset. Top-down
-    * bitmaps (negative height) are normalized to positive dims. */
-  def decodeBmp(bytes: Array[Byte]): (Int, Int, String) = {
+    * bitmaps (negative height) are normalized to positive dims. All size
+    * arithmetic is Long-width: a crafted width must overflow into a
+    * LOUD bounds rejection, never wrap into a "successful" decode of a
+    * 4-byte raster. The content hash covers the raw raster range
+    * (stride padding included); the perceptual hash is computed over the
+    * repacked top-down RGB pixels, so a BMP and a PPM of the same image
+    * agree on ahash. */
+  def decodeBmp(bytes: Array[Byte]): Decoded = {
     def le32(off: Int): Int =
       (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
         ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
@@ -126,36 +151,90 @@ object Multimodal {
     if (dibSize < 40) bad(s"BMP DIB header size $dibSize unsupported")
     val w = le32(18)
     val hRaw = le32(22)
+    val topDown = hRaw < 0
+    // math.abs(Int.MinValue) is still negative — the h <= 0 check below
+    // rejects it rather than letting it reach the raster math
     val h = math.abs(hRaw)
-    if (w <= 0 || h == 0) bad(s"BMP: bad dims ${w}x$hRaw")
+    if (w <= 0 || h <= 0) bad(s"BMP: bad dims ${w}x$hRaw")
     if (le16(26) != 1) bad("BMP: planes != 1")
     if (le16(28) != 24) bad(s"BMP: ${le16(28)}bpp unsupported (need 24)")
     if (le32(30) != 0) bad("BMP: compressed payloads unsupported")
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    val rasterEnd = dataOffset.toLong + rowSize.toLong * h
+    // Long-width stride/bounds: w near 2^31 must trip the bounds check,
+    // not wrap w*3+3 into a tiny stride
+    val rowSize = ((w.toLong * 3 + 3) / 4) * 4
+    val rasterEnd = dataOffset.toLong + rowSize * h
     if (dataOffset < 54 || rasterEnd > bytes.length)
       bad(s"BMP raster out of bounds: [$dataOffset, $rasterEnd) of ${bytes.length}")
-    (w, h, md5hex(java.util.Arrays.copyOfRange(bytes, dataOffset, rasterEnd.toInt))
-      .substring(0, 8))
+    val phash = md5hex(java.util.Arrays.copyOfRange(
+      bytes, dataOffset, rasterEnd.toInt)).substring(0, 8)
+    // repack to top-down tightly-packed RGB for the perceptual hash
+    // (BMP stores bottom-up BGR rows with stride padding)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val src = dataOffset + srcRow * rowSize.toInt
+      var x = 0
+      while (x < w) {
+        val s = src + x * 3
+        val d = (y * w + x) * 3
+        rgb(d) = bytes(s + 2); rgb(d + 1) = bytes(s + 1); rgb(d + 2) = bytes(s)
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(w, h, phash, averageHash(w, h, rgb))
   }
 
-  /** Format dispatch: real decoders for recognized media magic (which
-    * REJECT malformed payloads loudly — a corrupt header must never
-    * silently fall through to the stand-in), md5 fallback otherwise. */
-  def decode(bytes: Array[Byte]): (Int, Int, String) =
-    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
-    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+  /** Declared-media mimes route to the real decoders (loud rejection on
+    * malformed payloads). */
+  private def isDeclaredMedia(mime: String): Boolean =
+    mime != null && (mime.startsWith("image/") || mime.startsWith("video/") ||
+      mime.startsWith("audio/"))
+
+  /** Declared-non-media mimes always stub: text starting with "BM…" or
+    * "P6…" is prose, not a bitmap. */
+  private def isDeclaredNonMedia(mime: String): Boolean =
+    mime != null && (mime.startsWith("text/") ||
+      mime.startsWith("application/json") || mime.startsWith("application/xml"))
+
+  /** Mime-first dispatch (see the object doc): declared media → real
+    * decoders (which REJECT malformed payloads loudly — a corrupt header
+    * must never silently fall through to the stand-in); declared
+    * non-media → stub; unknown mime → magic sniff with stub fallback. */
+  def decode(bytes: Array[Byte], mime: String): Decoded = {
+    def looksPpm = bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6'
+    def looksBmp = bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M'
+    if (isDeclaredMedia(mime)) {
+      if (looksPpm) decodePpm(bytes)
+      else if (looksBmp) decodeBmp(bytes)
+      else bad(s"declared media ($mime) with unrecognized magic")
+    } else if (isDeclaredNonMedia(mime)) decodeStub(bytes)
+    else if (looksPpm) decodePpm(bytes)
+    else if (looksBmp) decodeBmp(bytes)
     else decodeStub(bytes)
+  }
+
+  /** Sniff-only dispatch for payloads with no mime metadata. */
+  def decode(bytes: Array[Byte]): Decoded = decode(bytes, null)
 
   /** Average-hash: a REAL perceptual hash over a decoded RGB raster —
-    * 8x8 block-mean luma grid thresholded at the global mean, one bit per
-    * cell. Near-identical images land within a few bits; unrelated
-    * images ~32 bits apart. Spec-verified (no SQL oracle: the fixed-point
-    * block geometry has no reasonable SQL expression). */
+    * 8x8 block-mean luma grid thresholded at the image's overall mean
+    * luma, one bit per cell. Near-identical images land within a few
+    * bits; unrelated images ~32 bits apart; nearest-neighbor upscales
+    * hash identically (the grid is resolution-invariant).
+    *
+    * EXACT INTEGER arithmetic throughout: "cell mean > global mean" is
+    * evaluated as the cross-multiplication S_cell * N > T * n_cell over
+    * integer luma sums (BigInt: immune to overflow at any raster size),
+    * so the m01 oracle reproduces every bit in SQL — no float summation
+    * order to disagree on, even for flat images where cell means tie
+    * the global mean exactly. */
   def averageHash(w: Int, h: Int, raster: Array[Byte]): Long = {
     require(raster.length == w * h * 3, "raster is not w*h RGB triplets")
-    val cells = new Array[Long](64)
+    val sums = new Array[Long](64)
     val counts = new Array[Long](64)
+    var total = 0L
     var y = 0
     while (y < h) {
       val cy = y * 8 / h
@@ -166,16 +245,18 @@ object Multimodal {
         // integer luma (ITU-R 601 weights scaled by 1000)
         val luma = 299L * (raster(p) & 0xff) + 587L * (raster(p + 1) & 0xff) +
           114L * (raster(p + 2) & 0xff)
-        cells(cy * 8 + cx) += luma
+        sums(cy * 8 + cx) += luma
         counts(cy * 8 + cx) += 1
+        total += luma
         x += 1
       }
       y += 1
     }
-    val means = Array.tabulate(64)(i => if (counts(i) == 0) 0.0 else cells(i).toDouble / counts(i))
-    val global = means.sum / 64
-    means.zipWithIndex.foldLeft(0L) { case (acc, (m, i)) =>
-      if (m > global) acc | (1L << i) else acc
+    val n = w.toLong * h
+    (0 until 64).foldLeft(0L) { (acc, c) =>
+      if (counts(c) > 0 &&
+          BigInt(sums(c)) * n > BigInt(total) * counts(c)) acc | (1L << c)
+      else acc
     }
   }
 
@@ -187,8 +268,9 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.map { r =>
-          val (w, h, ph) = decode(r.media)
-          MediaFeatures(r.doc_id, r.media.length.toLong, w, h, ph)
+          val d = decode(r.media, r.mime)
+          MediaFeatures(r.doc_id, r.media.length.toLong, d.width, d.height,
+            d.phash, d.ahash)
         }
       }
     }
@@ -221,7 +303,9 @@ object Multimodal {
     * byte (the nearest-neighbor-resample shape), halve the decoded
     * dimensions, and fingerprint the downsampled payload. Zero-shuffle,
     * batched, binary-in/binary-derived-out — swap the body for a real
-    * resampler without touching the plan. */
+    * resampler without touching the plan. Decode honors the record's
+    * declared mime, so text payloads always stub (never crash on a
+    * "BM…"-prefixed document). */
   def resize(ds: Dataset[MediaRecord]): Dataset[ResizedMedia] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
@@ -230,8 +314,8 @@ object Multimodal {
           val sampled =
             (0 until math.min(r.media.length, ResampleStride * MaxSamples) by ResampleStride)
               .map(r.media).toArray
-          val (w, h, _) = decode(r.media)
-          ResizedMedia(r.doc_id, sampled.length.toLong, w / 2, h / 2,
+          val d = decode(r.media, r.mime)
+          ResizedMedia(r.doc_id, sampled.length.toLong, d.width / 2, d.height / 2,
             md5hex(sampled))
         }
       }

@@ -48,7 +48,12 @@ object MultimodalQueries {
   val oracleSql: ListMap[String, String] = ListMap(
     // mirrors ppmFromDocuments' generation contract: w = 8 + doc_id%9,
     // h = ceil(len/3w) (>=1), raster = text '.'-padded to w*h*3; the
-    // ENGINE's numbers come from parsing the P6 header it wrote
+    // ENGINE's numbers come from parsing the P6 header it wrote. ahash
+    // is the integer-exact perceptual average-hash: per-pixel ITU-601
+    // luma (×1000), 8×8 grid cells, bit set iff S_cell*N > T*n_cell
+    // (cross-multiplied integers — DuckDB's sum() is HUGEINT, so the
+    // products are exact like the engine's BigInt compare), assembled
+    // as an unsigned HUGEINT then mapped to the signed 64-bit value.
     "m01_media_features" ->
       """WITH g AS (
            SELECT doc_id, text, CAST(8 + doc_id % 9 AS INTEGER) AS w,
@@ -59,13 +64,36 @@ object MultimodalQueries {
            SELECT doc_id, w, h,
              'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) AS header,
              rpad(text, w * h * 3, '.') AS raster
-           FROM g)
-         SELECT doc_id,
+           FROM g),
+         px AS (
+           SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM p),
+         lum AS (
+           SELECT px.doc_id, (i % px.w) AS x, (i // px.w) AS y, px.w, px.h,
+             299 * ascii(substr(p.raster, 3*i + 1, 1))
+             + 587 * ascii(substr(p.raster, 3*i + 2, 1))
+             + 114 * ascii(substr(p.raster, 3*i + 3, 1)) AS luma
+           FROM px JOIN p ON p.doc_id = px.doc_id),
+         cells AS (
+           SELECT doc_id, ((y*8) // h)*8 + ((x*8) // w) AS cell,
+             sum(luma) AS s, count(*) AS n,
+             sum(sum(luma)) OVER (PARTITION BY doc_id) AS t,
+             sum(count(*)) OVER (PARTITION BY doc_id) AS nn
+           FROM lum GROUP BY doc_id, ((y*8) // h)*8 + ((x*8) // w)),
+         bits AS (
+           SELECT doc_id,
+             sum(CASE WHEN s * nn > t * n
+                 THEN CAST(1 AS HUGEINT) << cell
+                 ELSE CAST(0 AS HUGEINT) END) AS ub
+           FROM cells GROUP BY doc_id)
+         SELECT p.doc_id,
            CAST(length(header) + length(raster) AS BIGINT) AS n_bytes,
            w AS width, h AS height,
            substr(md5(raster), 1, 8) AS phash,
+           CAST(CASE WHEN ub >= CAST(9223372036854775808 AS HUGEINT)
+                THEN ub - CAST(18446744073709551616 AS HUGEINT)
+                ELSE ub END AS BIGINT) AS ahash,
            floor(w / CAST(h AS DOUBLE) * 10000) / 10000 AS aspect
-         FROM p ORDER BY doc_id""",
+         FROM p JOIN bits ON bits.doc_id = p.doc_id ORDER BY p.doc_id""",
     // the corpus is pure ASCII (verified), so character slices in SQL are
     // byte slices of the UTF-8 payload the engine frames/downsamples;
     // the range bounds ARE the operator's MaxFrames/MaxSamples caps

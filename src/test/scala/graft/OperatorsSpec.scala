@@ -273,10 +273,41 @@ class OperatorsSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(media)
     assert(feats.count() == media.count())
     val f = feats.filter(_.doc_id == 0).head()
-    val (w, h, ph) = Multimodal.decodeStub(
-      media.filter(_.doc_id == 0).head().media)
-    assert(f.width == w && f.height == h && f.phash == ph)
-    assert(f.width >= 16 && f.width < 32 && ph.length == 8)
+    val d = Multimodal.decodeStub(media.filter(_.doc_id == 0).head().media)
+    assert(f.width == d.width && f.height == d.height && f.phash == d.phash)
+    assert(f.ahash == d.ahash)
+    assert(f.width >= 16 && f.width < 32 && d.phash.length == 8)
+  }
+
+  test("mime dispatch: text payloads with media magic stub, declared media rejects loudly") {
+    import spark.implicits._
+    // prose that HAPPENS to start with the BMP/PPM magic bytes — routed
+    // by the declared text/plain mime to the stub, never the strict
+    // decoders (which would throw on these "headers")
+    val docs = Seq(
+      (1L, "BMW builds engines in Munich and the plant runs all year"),
+      (2L, "P6 chips shipped with the original workstation line"),
+      (3L, "plain filler document with no magic prefix at all"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 3) // no crash: every text doc decoded via stub
+    val resized = Multimodal.resize(media).collect()
+    assert(resized.length == 3)
+    // the same payloads DECLARED as images must reject loudly
+    val bmText = "BMW builds engines".getBytes("UTF-8")
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(bmText, "image/bmp")
+    }
+    // declared media with an unrecognized magic is equally loud
+    intercept[IllegalArgumentException] {
+      Multimodal.decode("no magic here".getBytes("UTF-8"), "image/png")
+    }
+    // unknown mime falls back to sniffing: valid PPM decodes for real
+    val raster = Array.tabulate(6 * 4 * 3)(i => (i * 7 % 251).toByte)
+    val viaNull = Multimodal.decode(ppm(6, 4, raster))
+    val viaOctet = Multimodal.decode(ppm(6, 4, raster), "application/octet-stream")
+    assert(viaNull == viaOctet && viaNull.width == 6 && viaNull.height == 4)
   }
 
   // -- real media decode ----------------------------------------------------
@@ -306,14 +337,14 @@ class OperatorsSpec extends SparkSpec {
 
   test("PPM decode recovers header dims and hashes the raster (m01 path)") {
     val raster = Array.tabulate(6 * 4 * 3)(i => (i * 7 % 251).toByte)
-    val (w, h, ph) = Multimodal.decodePpm(ppm(6, 4, raster))
-    assert(w == 6 && h == 4 && ph.length == 8)
-    // whitespace/comment-tolerant header, same raster → same hash
-    val (w2, h2, ph2) = Multimodal.decodePpm(
+    val d = Multimodal.decodePpm(ppm(6, 4, raster))
+    assert(d.width == 6 && d.height == 4 && d.phash.length == 8)
+    // whitespace/comment-tolerant header, same raster → same result
+    val d2 = Multimodal.decodePpm(
       ppm(6, 4, raster, header = "P6\n# a comment\n 6\t4 # dims\n255\n"))
-    assert((w2, h2, ph2) == (w, h, ph))
+    assert(d2 == d)
     // decode() dispatches on magic: same payload through the generic path
-    assert(Multimodal.decode(ppm(6, 4, raster)) == ((6, 4, ph)))
+    assert(Multimodal.decode(ppm(6, 4, raster)) == d)
   }
 
   test("malformed media is rejected loudly, never silently stubbed") {
@@ -345,13 +376,44 @@ class OperatorsSpec extends SparkSpec {
   test("BMP decode handles row padding and top-down (negative height) bitmaps") {
     val px = Array.tabulate(5 * 3 * 3)(i => (i * 11 % 255).toByte)
     val b = bmp(5, 3, px) // rowSize 16 ≠ 15 → padding exercised
-    val (w, h, ph) = Multimodal.decodeBmp(b)
-    assert(w == 5 && h == 3 && ph.length == 8)
+    val d = Multimodal.decodeBmp(b)
+    assert(d.width == 5 && d.height == 3 && d.phash.length == 8)
     val topDown = b.clone()
     java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(22, -3)
-    val (w2, h2, _) = Multimodal.decode(topDown)
-    assert(w2 == 5 && h2 == 3)
+    val d2 = Multimodal.decode(topDown)
+    assert(d2.width == 5 && d2.height == 3)
+  }
+
+  test("BMP size arithmetic is Long-width: crafted width rejects, never wraps") {
+    // w = 0x55555556 makes Int w*3+3 wrap to 5 (stride 4): the Long math
+    // must instead trip the raster bounds check loudly
+    val good = bmp(5, 3, Array.tabulate(45)(_.toByte))
+    val crafted = good.clone()
+    java.nio.ByteBuffer.wrap(crafted).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 0x55555556)
+    val e = intercept[IllegalArgumentException] { Multimodal.decodeBmp(crafted) }
+    assert(e.getMessage.contains("out of bounds"), e.getMessage)
+    // h = Int.MinValue survives math.abs still-negative → rejected as bad dims
+    val minH = good.clone()
+    java.nio.ByteBuffer.wrap(minH).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp(minH) }
+  }
+
+  test("BMP and PPM of the same pixels agree on the perceptual hash") {
+    val w = 16; val h = 8
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val fromPpm = Multimodal.decodePpm(ppm(w, h, rgb))
+    // bmp() writes bottom-up rows; feed it the vertically flipped image
+    // with channels swapped to BGR so the stored pixels match `rgb`
+    val bgrFlipped = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      bgrFlipped((y * w + x) * 3 + c) = rgb(((h - 1 - y) * w + x) * 3 + (2 - c))
+    val fromBmp = Multimodal.decodeBmp(bmp(w, h, bgrFlipped))
+    assert(fromBmp.width == fromPpm.width && fromBmp.height == fromPpm.height)
+    assert(fromBmp.ahash == fromPpm.ahash,
+      f"ahash mismatch: bmp ${fromBmp.ahash}%016x vs ppm ${fromPpm.ahash}%016x")
   }
 
   test("averageHash: near-identical rasters within few bits, unrelated far apart") {
