@@ -92,6 +92,20 @@ object EmbeddingQueries {
     expr(bits.mkString(" + ")).cast("int")
   }
 
+  /** s02 multi-probe masks: the home bucket plus every bucket at hamming
+    * distance <= 2 — at the measured top-5 similarity (~0.33 cosine →
+    * ~0.6 per-plane agreement) radius 1 recalls only ~0.3 of the true
+    * neighborhood; radius 2 recalls ~0.7. The radius is the recall/cost
+    * knob at scale (probes × bucket size candidates). Shared verbatim
+    * with the DuckDB oracle. */
+  private val probeMasks: Seq[Int] = {
+    val hamming1 = (0 until lshBits).map(j => 1 << j)
+    val hamming2 = for {
+      a <- 0 until lshBits; b <- a + 1 until lshBits
+    } yield (1 << a) | (1 << b)
+    0 +: hamming1 ++: hamming2
+  }
+
   /** The same bucket id in DuckDB syntax (v = double list expr). Term
     * order matches the Spark expression exactly, so the float sums are
     * bit-identical and the sign tests agree. */
@@ -139,22 +153,15 @@ object EmbeddingQueries {
         .select($"vec_a", $"vec_b", $"cos_sim")
     },
 
-    // ---- s02: LSH-bucketed ANN with multi-probe (rows-only check) --------
+    // ---- s02: LSH-bucketed ANN with multi-probe (full oracle: the
+    // splitmix hyperplanes, probe masks, and tie-breaks are all
+    // deterministic, so the DuckDB side replays the operator exactly) --
     "s02_ann_lsh" -> { (s, dir) =>
       import s.implicits._
       val e = vecs(s, dir).withColumn("bucket", bucketCol)
       val c = e.select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"),
         $"bucket".as("c_bucket"))
-      // multi-probe: each query probes its own bucket plus all buckets at
-      // hamming distance <= 2 — at the measured top-5 similarity (~0.33
-      // cosine → ~0.6 per-plane agreement) radius 1 recalls only ~0.3 of
-      // the true neighborhood; radius 2 recalls ~0.7. The radius is the
-      // recall/cost knob at scale (probes × bucket size candidates).
-      val hamming1 = (0 until lshBits).map(j => 1 << j)
-      val hamming2 = for {
-        a <- 0 until lshBits; b <- a + 1 until lshBits
-      } yield (1 << a) | (1 << b)
-      val probes = array((0 +: hamming1 ++: hamming2).map(lit): _*)
+      val probes = array(probeMasks.map(lit): _*)
       val q = e.filter($"vec_id" < 20)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
         .withColumn("probe", explode(probes))
@@ -315,8 +322,34 @@ object EmbeddingQueries {
                 ELSE floor(list_max(list_transform(range(1, len(v) + 1),
                   i -> abs(deq[i] - v[i]))) / (hi - lo) * 1000000) / 1000000
            END AS max_err
-         FROM d ORDER BY vec_id""")
-    // s02_ann_lsh: intentionally no oracle (approximate operator) —
-    // driver records the weaker rows-only check; OperatorsSpec asserts
-    // recall against the exact s01 baseline.
+         FROM d ORDER BY vec_id""",
+    // s02: the approximation is DETERMINISTIC (fixed hyperplane literals,
+    // fixed probe set, rounded-sim + c_id tie-breaks), so the oracle
+    // replays it exactly; OperatorsSpec additionally asserts recall
+    // against the exact s01 baseline.
+    "s02_ann_lsh" ->
+      s"""WITH n AS (
+           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             ${duckBucket("v")} AS bucket
+           FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings)),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+           FROM n q,
+             (SELECT unnest([${probeMasks.mkString(", ")}]) AS probe) pr,
+             n c
+           WHERE q.vec_id < 20 AND xor(q.bucket, pr.probe) = c.bucket
+             AND q.vec_id <> c.vec_id),
+         p AS (
+           SELECT q_id, c_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cos_sim
+           FROM cand JOIN n q ON q.vec_id = q_id JOIN n c ON c.vec_id = c_id),
+         r AS (
+           SELECT q_id, c_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+           FROM p)
+         SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5
+         ORDER BY q_id, rnk""")
 }
