@@ -1,5 +1,6 @@
 package graft.etl
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -10,50 +11,91 @@ import org.apache.spark.sql.functions.col
   * reference accepts this (output.rs behavior); at 100 TB the lake needs
   * periodic compaction or scan planning drowns in file listings.
   *
-  * One job: read, repartition by the partition columns (each output
-  * partition lands in one task set), rewrite with a bounded file size,
-  * swap via a staging directory + two renames.
+  * One job, object-store-safe commit: rewrite the lake repartitioned by
+  * its partition columns into a staging prefix (each output partition
+  * lands in one task set, bounded file sizes), verify row conservation
+  * against the staged footers, then commit PER PARTITION with per-FILE
+  * operations — move the staged files into the live partition directory,
+  * then delete the superseded ones. The lake root is never renamed,
+  * moved, or absent (the round-4 design swapped the whole tree through
+  * two java.io renames — a window with no lake at all, and no rename to
+  * speak of on an object store). The same shape as the reference's
+  * rename-free upload path (s3logd-stream/src/output.rs:905-949:
+  * `.incomplete` staging name → complete upload, never a directory
+  * rename), and all IO goes through the Hadoop FileSystem API, so the
+  * operator runs unchanged on file://, hdfs://, or s3a://.
   *
-  * LOCAL-FILESYSTEM LAKE ONLY: the swap uses java.io renames, which
-  * neither exist atomically on object stores nor span HDFS namenodes,
-  * and there is a window between the two renames where the lake path is
-  * absent. On a production object-store lake, compaction belongs to a
-  * table format's metadata swap (Iceberg rewrite_data_files / Delta
-  * OPTIMIZE) — this operator covers the file-lake shape the reference
-  * writes.
+  * Consistency window: within one partition, a concurrent reader between
+  * the reveal and the delete can see old AND new files (transient
+  * overcount). The alternative — delete first — trades that for a
+  * transient EMPTY partition (undercount), which is what Spark's own
+  * dynamic partition overwrite commit does; compaction prefers the
+  * never-absent side. True atomic swap needs a table format's metadata
+  * commit (Iceberg rewrite_data_files / Delta OPTIMIZE), which is the
+  * production answer when readers can't tolerate either window.
   */
 object Compact {
 
   final case class CompactStats(files0: Long, files1: Long, rows: Long)
 
+  /** Data files (visible to planners): not hidden, not commit markers. */
+  private def isDataFile(p: Path): Boolean = {
+    val n = p.getName
+    !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  private def dataFiles(fs: FileSystem, root: Path): Seq[Path] = {
+    val out = Seq.newBuilder[Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && isDataFile(f.getPath)) out += f.getPath
+    }
+    out.result()
+  }
+
   def run(spark: SparkSession, dir: String, partitionCols: Seq[String],
       maxRecordsPerFile: Long = 10000000L,
       compression: String = "snappy"): CompactStats = {
-    def countFiles(p: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1L else 0L
-      walk(new java.io.File(p))
-    }
-    val before = countFiles(dir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = dataFiles(fs, root).size.toLong
+
     val df = spark.read.parquet(dir)
     val rows = df.count()
-    val staged = dir.stripSuffix("/") + ".compact-staging"
+    val staged = new Path(dir.stripSuffix("/") + ".compact-staging")
+    fs.delete(staged, true) // stale staging from a crashed prior run
     df.repartition(partitionCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("compression", compression)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
-      .parquet(staged)
-    // swap: the staged tree replaces the original in two renames
-    val old = new java.io.File(dir)
-    val retired = new java.io.File(dir.stripSuffix("/") + ".compact-old")
-    require(old.renameTo(retired), s"rename $dir -> $retired failed")
-    require(new java.io.File(staged).renameTo(old), s"rename $staged -> $dir failed")
-    def rmRf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmRf); f.delete()
+      .parquet(staged.toString)
+
+    // refuse to commit a lossy rewrite: footer-count the staged copy
+    val stagedRows = spark.read.parquet(staged.toString).count()
+    require(stagedRows == rows,
+      s"compaction would lose rows: staged $stagedRows != source $rows")
+
+    // per-partition commit: group staged data files by their partition
+    // subpath, reveal them in the live partition dir, then delete the
+    // files they supersede (enumerated BEFORE the reveal, so freshly
+    // committed files are never collateral)
+    val stagedPrefix = staged.toUri.getPath.stripSuffix("/")
+    val byPartition = dataFiles(fs, staged).groupBy { f =>
+      f.getParent.toUri.getPath.stripPrefix(stagedPrefix).stripPrefix("/")
     }
-    rmRf(retired)
-    CompactStats(before, countFiles(dir), rows)
+    byPartition.foreach { case (rel, files) =>
+      val target = if (rel.isEmpty) root else new Path(root, rel)
+      fs.mkdirs(target)
+      val superseded = dataFiles(fs, target)
+      files.foreach { f =>
+        require(fs.rename(f, new Path(target, f.getName)),
+          s"commit failed moving $f into $target")
+      }
+      superseded.foreach(f => fs.delete(f, false))
+    }
+    fs.delete(staged, true)
+    CompactStats(before, dataFiles(fs, root).size.toLong, rows)
   }
 }

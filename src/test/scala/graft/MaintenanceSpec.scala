@@ -54,18 +54,33 @@ class MaintenanceSpec extends SparkSpec {
     viaUdaf.foreach { case (k, v) => assert(v == viaHof(k), s"doc $k") }
   }
 
-  test("compaction merges small files and conserves rows") {
+  test("compaction merges small files, conserves data, commits per partition") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-compact").toString
     val in = s"$tmp/in"; val out = s"$tmp/out"
     LogGen.lines(2000, seed = 51).toDF("value").repartition(8).write.text(in)
     // force many tiny files per partition
     Transform.run(spark, Seq(in), out, EtlConfig(maxRecordsPerFile = 50))
+    val idsBefore = spark.read.parquet(out)
+      .select("RequestID").collect().map(_.getString(0)).sorted.toSeq
     val stats = Compact.run(spark, out, Seq("year", "month", "day", "hour"))
     assert(stats.rows == 2000)
     assert(stats.files1 < stats.files0,
       s"expected fewer files, got ${stats.files0} -> ${stats.files1}")
-    assert(spark.read.parquet(out).count() == 2000)
+    // VALUES conserved, not just counts
+    val idsAfter = spark.read.parquet(out)
+      .select("RequestID").collect().map(_.getString(0)).sorted.toSeq
+    assert(idsAfter == idsBefore)
+    // object-store-safe commit: the live tree was never swapped through a
+    // sibling rename — no retired copy, no staging leftovers, and the
+    // lake path itself is the original directory
+    val siblings = Option(new java.io.File(tmp).listFiles).toSeq.flatten.map(_.getName)
+    assert(siblings.sorted == Seq("in", "out"),
+      s"commit left top-level artifacts: $siblings")
+    // partition dirs survived in place with compacted files inside
+    val partDirs = Option(new java.io.File(out).listFiles).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName)
+    assert(partDirs.nonEmpty && partDirs.forall(_.startsWith("year=")))
   }
 
   test("streaming metrics listener records per-batch throughput (M1)") {
