@@ -87,6 +87,44 @@ object StreamingTransform {
     else parsed
   }
 
+  /** The reference's whole streaming loop as ONE wired query (s3logd-
+    * stream/src/main.rs:263-289 feeding output.rs:737-759): poll
+    * notifications → F2 created-object gate → fetch the named objects →
+    * batch transform (parse → conform → dedup) → partitioned parquet
+    * sink. `foreachBatch` is the poll-loop shape: the notification
+    * stream carries WHICH objects to process — a driver-side handful per
+    * micro-batch, bounded like the reference's max_sqs_messages — and
+    * the object BYTES never enter the stream; each batch's objects go
+    * through the full batch pipeline ([[Transform.run]]), so quarantine/
+    * archive/stats semantics are identical between the triggered and the
+    * scheduled paths. Exactly-once over NOTIFICATIONS comes from the
+    * checkpoint (a crash replays the un-committed batch — at-least-once
+    * object processing, the reference's contract); line-level dedup is
+    * the pipeline's D1 stage.
+    *
+    * `resolveKey` maps (bucket, key) to a readable path — production maps
+    * to s3a://bucket/key; tests map to local fixture files. Call
+    * `.trigger(...).start()` on the result. */
+  def notificationPipeline(
+      spark: SparkSession, notifDir: String, outDir: String,
+      checkpointDir: String, resolveKey: (String, String) => String,
+      cfg: EtlConfig = EtlConfig(hourlyPartitions = false),
+      maxFilesPerTrigger: Int = 10): DataStreamWriter[Row] = {
+    val notifs = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(notifDir)
+    s3EventKeys(notifs).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        // driver-side collect of NOTIFICATION records only (the SQS
+        // receive) — bounded by maxFilesPerTrigger × records-per-message
+        val objs = batch.select("bucket", "key").distinct().collect()
+          .map(r => resolveKey(r.getString(0), r.getString(1)))
+        if (objs.nonEmpty) Transform.run(spark, objs.toSeq, outDir, cfg)
+        ()
+      }
+  }
+
   /** ST3 passthrough mode: when log objects are themselves named by event
     * date (the reference's event-time key format), the output partition
     * comes from the OBJECT KEY, not from per-line timestamp parsing —

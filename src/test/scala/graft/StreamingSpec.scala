@@ -161,6 +161,54 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 20)
   }
 
+  test("F2 end-to-end: notification stream drives gate → fetch → transform → dt sink") {
+    val tmp = Files.createTempDirectory("graft-f2e2e").toString
+    val notif = s"$tmp/notifications"; val objects = s"$tmp/objects"
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(notif))
+    Files.createDirectories(Paths.get(objects))
+    writeBatch(objects, "a.log", LogGen.lines(300, seed = 71))
+    writeBatch(objects, "b.log", LogGen.lines(200, seed = 72))
+    writeBatch(objects, "skip.log", LogGen.lines(100, seed = 73))
+    def event(name: String, key: String) =
+      s"""{"Records":[{"eventName":"$name","awsRegion":"us-east-1",""" +
+        s""""s3":{"bucket":{"name":"logs-bucket"},"object":{"key":"$key","size":123}}}]}"""
+    writeBatch(notif, "n1.json", Seq(
+      event("ObjectCreated:Put", "a.log"),
+      "not json at all")) // undeserializable message: warn-and-skip
+    writeBatch(notif, "n2.json", Seq(
+      event("ObjectCreated:CompleteMultipartUpload", "b.log"),
+      event("ObjectRemoved:Delete", "skip.log"))) // delete: gated out
+    val run = () => {
+      // maxFilesPerTrigger=1 → one notification file per micro-batch,
+      // exercising multiple foreachBatch commits into one lake
+      val q = StreamingTransform.notificationPipeline(spark, notif, out, ckpt,
+          (_, key) => s"$objects/$key", maxFilesPerTrigger = 1)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run()
+    val result = spark.read.parquet(out)
+    // both gated objects flowed through parse → dedup → sink; the deleted
+    // object's lines never entered the lake
+    assert(result.count() == 500)
+    val skipIds = AccessLogParser.parse(
+      spark.read.text(s"$objects/skip.log")).select("RequestID")
+      .collect().map(_.getString(0)).toSet
+    val landedIds = result.select("RequestID").collect().map(_.getString(0)).toSet
+    assert(landedIds.size == 500 && landedIds.intersect(skipIds).isEmpty)
+    // dt partition layout, derived from event time
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_"))
+    assert(dirs.nonEmpty && dirs.forall(_.matches("dt=\\d{8}")))
+    // restart with a NEW notification: the checkpoint replays nothing —
+    // only the new object's rows append
+    writeBatch(objects, "c.log", LogGen.lines(100, seed = 74))
+    writeBatch(notif, "n3.json", Seq(event("ObjectCreated:Put", "c.log")))
+    run()
+    assert(spark.read.parquet(out).count() == 600)
+  }
+
   test("late rows land as extra files in the same partition (ST5)") {
     val tmp = Files.createTempDirectory("graft-late").toString
     val landing = s"$tmp/landing"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
