@@ -186,19 +186,37 @@ object RelationalQueries2 {
     // ---- q30: time-range window frame (7-day trailing revenue) -----------
     // RANGE frames (vs q10's ROWS frame): the frame is defined by VALUE
     // distance on the ordering key, so gap days don't shrink the window.
-    // Ordered by day over pre-aggregated daily rows — thousands of rows,
-    // so the single-partition window is fine; at finer grain you'd
-    // partition by a coarser bucket (year) first.
+    // The window is PARTITIONED by year — a global orderBy window funnels
+    // every row through one task, the classic scale-killer — and the ≤6
+    // days at each year boundary recover their previous-year contribution
+    // through a boundary stitch: a range join of each year's first 6 days
+    // against the previous year's last 6 (both sides O(years × 6) rows,
+    // broadcast-sized at any corpus scale).
     "q30_sliding_window" -> { (s, dir) =>
       import s.implicits._
       val daily = t(s, dir, "lineitem")
         .groupBy(to_date($"l_shipdate").as("ship_date"))
         .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
-      val w = Window.orderBy($"day_num").rangeBetween(-6, 0)
-      daily
         .withColumn("day_num", datediff($"ship_date", lit("1970-01-01")).cast("long"))
+      val w = Window.partitionBy(year($"ship_date"))
+        .orderBy($"day_num").rangeBetween(-6, 0)
+      val withinYear = daily.withColumn("part_sum", sum($"rev").over(w))
+      // cross-boundary contribution: day-of-year <= 6 pulls the trailing
+      // days it can't see inside its year partition (day_num distance
+      // alone selects them — they necessarily fall in the prior year)
+      val head = daily.filter(dayofyear($"ship_date") <= 6)
+        .select($"day_num".as("h_day"))
+      val tail = daily
+        .filter(month($"ship_date") === 12 && dayofmonth($"ship_date") >= 26)
+        .select($"day_num".as("t_day"), $"rev".as("t_rev"))
+      val fix = head.join(tail,
+          $"t_day" >= $"h_day" - 6 && $"t_day" <= $"h_day" - 1)
+        .groupBy($"h_day").agg(sum($"t_rev").as("fix_rev"))
+      withinYear
+        .join(broadcast(fix), $"day_num" === $"h_day", "left")
         // floor(x*100)/100, not round(x,2): engines disagree on .xx5
-        .withColumn("rev_7d", floor(sum($"rev").over(w) * 100) / 100.0)
+        .withColumn("rev_7d",
+          floor(($"part_sum" + coalesce($"fix_rev", lit(0.0))) * 100) / 100.0)
         .select($"ship_date", (floor($"rev" * 100) / 100.0).as("day_rev"), $"rev_7d")
         .orderBy($"ship_date")
     },

@@ -14,6 +14,28 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("no gate query plans an unbounded unpartitioned window (single-task hazard)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit,
+      Window => LWindow, WindowGroupLimit}
+    // a global orderBy window funnels the whole input through ONE task —
+    // q30 shipped that shape for four rounds before the year partition +
+    // boundary stitch replaced it. The acceptable unpartitioned forms are
+    // the ones whose single task provably sees a BOUNDED input: a global
+    // top-k (the optimizer's WindowGroupLimit caps rows per upstream
+    // partition) or a window above an explicit GlobalLimit (q15 ranks 10
+    // already-limited rows).
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfSmoke).queryExecution.optimizedPlan
+      val bare = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            !w.child.exists(n => n.isInstanceOf[WindowGroupLimit] ||
+              n.isInstanceOf[GlobalLimit]) => w
+      }
+      assert(bare.isEmpty,
+        s"$name plans ${bare.size} unbounded window(s) with no PARTITION BY")
+    }
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sfSmoke)
