@@ -24,8 +24,10 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
-      // Engine extensions: native codegen functions (graft_tokenize).
+      // Engine extensions: native codegen functions (graft_tokenize,
+      // graft_text_signature).
       .withExtensions(graft.functions.ParseS3LogExpr.register)
+      .withExtensions(graft.functions.TextSignatureExpr.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

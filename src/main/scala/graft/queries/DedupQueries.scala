@@ -45,35 +45,18 @@ object DedupQueries {
     * considered degenerate and dropped (guard 3 above). */
   val MaxBandBucket = 200
 
-  /** doc frame + th/sh/mh/bands signature columns (one narrow pass per
-    * document — nothing shuffles here). Higher-order functions are
-    * CodegenFallback expressions, so this pass is interpreted and
-    * CPU-bound: its wall-clock is input-partition-parallel, see
-    * [[spread]]. */
-  private def signed(docs: DataFrame): DataFrame =
+  /** doc frame + th/sh/mh/bands signature columns via the HOF reference
+    * formulas (one narrow pass per document — nothing shuffles here).
+    * This is the ORACLE-DOCUMENTED form, kept as the d02 gate surface
+    * and the equivalence baseline; the hot path (DedupScope) uses the
+    * codegen [[graft.functions.TextSignatureExpr]], spec-pinned to
+    * produce identical integers. */
+  private[queries] def signed(docs: DataFrame): DataFrame =
     docs
       .withColumn("th", expr(sparkTokenHashes("text")))
       .withColumn("sh", expr(sparkShingles("th")))
       .withColumn("mh", expr(sparkMinhash("sh")))
       .withColumn("bands", expr(sparkBands("mh")))
-
-  /** Fan the corpus out to the session's full parallelism before a
-    * CPU-bound interpreted pass (signatures, split hashes) when the scan
-    * supplies fewer partitions than cores — a few-thousand-doc single
-    * parquet row-group otherwise evaluates every signature on ONE thread
-    * (measured 0.93 s of a 2.0 s d03 at sf0.1). The shuffle moves the
-    * input bytes exactly once and only in that starved case; when the
-    * source already provides >= cores partitions — any real lake at
-    * scale — this is the identity and the text still never shuffles. */
-  private[queries] def spread(docs: DataFrame): DataFrame = {
-    // a QUARTER of the cores, not all of them: this branch only fires
-    // for small inputs, where the interpreted pass parallelizes fine at
-    // 8× while every later map stage over the cached table pays per-task
-    // launch overhead × its partition count (32-way measured slower
-    // end-to-end than 8-way at sf0.1 for exactly that reason)
-    val target = math.max(4, docs.sparkSession.sparkContext.defaultParallelism / 4)
-    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
-  }
 
   /** Exact-dup collapse + sentinel exclusion (guards 1+2): one row per
     * distinct text with ≥1 shingle, keyed by min doc_id. One partial-
@@ -142,18 +125,22 @@ object DedupQueries {
       extends AutoCloseable {
 
     /** (doc_id, fp, mh, bands[, shset][, split]) — the only pass over
-      * the text. `withSplit` folds the d13 split hash into the same
-      * pass: the contamination check then never rescans the corpus for
-      * its split side. */
+      * the text, computed by the codegen
+      * [[graft.functions.TextSignatureExpr]] (one compiled loop per doc;
+      * the struct's field extractions share a single evaluation via
+      * whole-stage-codegen subexpression elimination). `withSplit` folds
+      * the d13 split hash into the same pass: the contamination check
+      * then never rescans the corpus for its split side. */
     private[queries] val sigs: DataFrame = {
-      val cols = Seq(col("doc_id"), md5(col("text")).as("fp"), col("mh"),
-        col("bands")) ++
-        (if (withShingles) Seq(array_distinct(col("sh")).as("shset")) else Nil) ++
+      val sig = expr(s"${graft.functions.TextSignatureExpr.functionName}(text)")
+      val cols = Seq(col("doc_id"), md5(col("text")).as("fp"),
+        col("_sig.mh").as("mh"), col("_sig.bands").as("bands")) ++
+        (if (withShingles) Seq(col("_sig.shset").as("shset")) else Nil) ++
         (if (withSplit)
            Seq(DocumentQueries.splitOfBucket(
-             DocumentQueries.splitBucketCol).as("split"))
+             col("_sig.split_bucket")).as("split"))
          else Nil)
-      signed(spread(docs)).select(cols: _*).persist()
+      docs.withColumn("_sig", sig).select(cols: _*).persist()
     }
 
     /** d03: LSH candidate pairs with signature-estimated similarity

@@ -42,4 +42,49 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("graft_tokenize"), plan)
     assert(df.count() == 10)
   }
+
+  test("graft_text_signature is bit-equal to the HOF reference formulas") {
+    import spark.implicits._
+    import graft.operators.TextHash._
+    assert(spark.catalog.functionExists("graft_text_signature"))
+    // the gate corpus PLUS every documented edge: empty text, lone/multi/
+    // trailing spaces (empty tokens), sub-3-token docs (sentinel), dups
+    val edges = Seq("", " ", "  ", "a", "a b", "a b c", "a  b  c ",
+      ("x " * 50).trim, "the the the the")
+      .zipWithIndex.map { case (t, i) => (100000L + i, t) }
+    val docs = Tables(spark, sfSmoke, "documents").select($"doc_id", $"text")
+      .union(edges.toDF("doc_id", "text"))
+    val hof = docs
+      .withColumn("th", expr(sparkTokenHashes("text")))
+      .withColumn("sh", expr(sparkShingles("th")))
+      .withColumn("mh", expr(sparkMinhash("sh")))
+      .withColumn("bands", expr(sparkBands("mh")))
+      .select($"doc_id", $"mh", $"bands", array_distinct($"sh").as("shset"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getSeq[String](2), r.getSeq[Long](3)))).toMap
+    val buckets = graft.queries.DocumentQueries.splitAssign(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = docs
+      .select($"doc_id", call_function("graft_text_signature", $"text").as("s"))
+      .select($"doc_id", $"s.mh", $"s.bands", $"s.shset", $"s.split_bucket")
+      .collect()
+    assert(native.length == hof.size)
+    native.foreach { r =>
+      val id = r.getLong(0)
+      val (mh, bands, shset) = hof(id)
+      assert(r.getSeq[Long](1) == mh, s"doc $id minhash")
+      assert(r.getSeq[String](2) == bands, s"doc $id bands")
+      assert(r.getSeq[Long](3) == shset, s"doc $id shset")
+      assert(r.getLong(4) == buckets(id), s"doc $id split bucket")
+    }
+  }
+
+  test("graft_text_signature fuses into whole-stage codegen") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "")).toDF("doc_id", "text").repartition(2)
+      .select(call_function("graft_text_signature", $"text").as("s"))
+    assert(df.collect().length == 2) // finalize the adaptive plan first
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_text_signature.*"), plan)
+  }
 }
