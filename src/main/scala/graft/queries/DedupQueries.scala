@@ -231,6 +231,71 @@ object DedupQueries {
   def jaccardDups(docs: DataFrame): DataFrame =
     withDedupScope(docs)(_.verifiedPairs.localCheckpoint(true))
 
+  /** The persistable signature artifact for incremental dedup — compute
+    * once per ingestion batch (one codegen pass), store next to the
+    * lake: (doc_id, fp, mh, bands). At 100 TB the corpus is never
+    * re-signed; each new batch signs itself and joins this table. */
+  def signatureTable(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_sig",
+        expr(s"${graft.functions.TextSignatureExpr.functionName}(text)"))
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        col("_sig.mh").as("mh"), col("_sig.bands").as("bands"))
+
+  /** d16: incremental dedup — match an INCOMING batch against an
+    * EXISTING corpus, both given as [[signatureTable]] artifacts, so the
+    * corpus text is never touched (the only 100 TB-viable shape: the
+    * lake keeps its signature table; each ingest signs just itself).
+    *
+    * Two tiers, one row per matched incoming doc (best partner:
+    * similarity desc, then min corpus doc_id):
+    *   - exact: content-fingerprint equi-join, similarity 1.0;
+    *   - near: LSH band equi-join of batch reps against corpus reps
+    *     (exact-dup collapse + sentinel exclusion per side; degenerate
+    *     corpus buckets dropped by the [[MaxBandBucket]] cap — a band
+    *     key shared by hundreds of distinct corpus texts has no
+    *     selectivity), minhash-estimated similarity ≥ 0.5, expanded
+    *     back to member docs through the batch's fp groups.
+    * Everything that shuffles is signatures and band keys — never text. */
+  def incrementalMatches(corpusSigs: DataFrame, batchSigs: DataFrame): DataFrame = {
+    val s = corpusSigs.sparkSession
+    import s.implicits._
+    val corpus = corpusSigs.persist()
+    val batch = batchSigs.persist()
+    try {
+      val exact = batch
+        .join(corpus.groupBy($"fp").agg(min($"doc_id").as("match_id")), "fp")
+        .select($"doc_id", $"match_id", lit(1.0).as("sim"))
+      val cBands = cappedBands(representatives(corpus), col("mh"))
+      val bBands = representatives(batch)
+        .select($"doc_id".as("b_id"), $"mh".as("b_mh"),
+          posexplode_outer($"bands").as(Seq("b_band_id", "b_band_key")))
+      val nearRep = bBands
+        .join(cBands,
+          $"b_band_id" === $"band_id" && $"b_band_key" === $"band_key")
+        .select($"b_id", $"doc_id".as("c_id"),
+          round(size(filter(zip_with($"b_mh", $"mh", (x, y) => x === y),
+            (m: Column) => m)) / lit(K.toDouble), 4).as("sim"))
+        .distinct()
+        .filter($"sim" >= 0.5)
+      val batchRepOf = batch
+        .select($"doc_id", $"fp")
+        .withColumn("rep", min($"doc_id").over(Window.partitionBy($"fp")))
+      val near = batchRepOf
+        .join(nearRep, $"rep" === $"b_id")
+        .select($"doc_id", $"c_id".as("match_id"), $"sim")
+      val w = Window.partitionBy($"doc_id").orderBy($"sim".desc, $"match_id")
+      exact.union(near)
+        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"doc_id", $"match_id".as("match_doc_id"),
+          $"sim".as("similarity"))
+        .localCheckpoint(true)
+    } finally {
+      corpus.unpersist(blocking = false)
+      batch.unpersist(blocking = false)
+    }
+  }
+
   /** d14: train/test contamination — the question a training pipeline
     * asks of exactly the d13 + d03/d06 artifacts: which TEST documents
     * have a near-duplicate on the TRAIN side of the split? Each offender
@@ -447,6 +512,18 @@ object DedupQueries {
     "d14_contamination" -> { (s, dir) =>
       import s.implicits._
       contamination(Tables(s, dir, "documents")).orderBy($"doc_id")
+    },
+
+    // ---- d16: incremental dedup (new batch vs existing corpus) ----------
+    // The 20% of docs with doc_id ≡ 4 (mod 5) play the incoming batch;
+    // the rest are the standing corpus with a persisted signature table.
+    "d16_incremental_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      incrementalMatches(
+        signatureTable(docs.filter(pmod($"doc_id", lit(5)) =!= 4)),
+        signatureTable(docs.filter(pmod($"doc_id", lit(5)) === 4)))
+        .orderBy($"doc_id")
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -563,5 +640,57 @@ object DedupQueries {
               row_number() OVER (PARTITION BY test_id
                 ORDER BY sim DESC, train_id) AS rk
             FROM hits)
+          WHERE rk = 1 ORDER BY doc_id""",
+    "d16_incremental_dedup" ->
+      s"""WITH allsigs AS (
+            SELECT doc_id, md5(text) AS fp, sh, mh, ${duckBands("mh")} AS bands
+            FROM (SELECT doc_id, text, sh, ${duckMinhash("sh")} AS mh
+                  FROM (SELECT doc_id, text, ${duckShingles("th")} AS sh
+                        FROM (SELECT doc_id, text, ${duckTokenHashes("text")} AS th
+                              FROM documents)))),
+          e AS (SELECT * FROM allsigs WHERE doc_id % 5 <> 4),
+          i AS (SELECT * FROM allsigs WHERE doc_id % 5 = 4),
+          exact AS (
+            SELECT i.doc_id, ce.match_id, CAST(1.0 AS DOUBLE) AS sim
+            FROM i JOIN (SELECT fp, min(doc_id) AS match_id
+                         FROM e GROUP BY fp) ce ON ce.fp = i.fp),
+          ereps AS (
+            SELECT min(doc_id) AS doc_id, any_value(mh) AS mh,
+              any_value(bands) AS bands
+            FROM e WHERE len(sh) > 0 GROUP BY fp),
+          ireps AS (
+            SELECT min(doc_id) AS doc_id, any_value(mh) AS mh,
+              any_value(bands) AS bands
+            FROM i WHERE len(sh) > 0 GROUP BY fp),
+          ecap AS (
+            SELECT * FROM (
+              SELECT doc_id, mh, b.band_id, bands[b.band_id + 1] AS band_key,
+                count(*) OVER (PARTITION BY b.band_id,
+                  bands[b.band_id + 1]) AS bucket_n
+              FROM ereps, (SELECT unnest(range(${Bands})) AS band_id) b)
+            WHERE bucket_n <= $MaxBandBucket),
+          ibands AS (
+            SELECT doc_id, mh, b.band_id, bands[b.band_id + 1] AS band_key
+            FROM ireps, (SELECT unnest(range(${Bands})) AS band_id) b),
+          nearrep AS (
+            SELECT DISTINCT ib.doc_id AS i_rep, ec.doc_id AS c_id,
+              round(len(list_filter(range(1, ${K + 1}),
+                k -> ib.mh[k] = ec.mh[k])) / ${K}.0, 4) AS sim
+            FROM ibands ib JOIN ecap ec
+              ON ib.band_id = ec.band_id AND ib.band_key = ec.band_key
+            WHERE round(len(list_filter(range(1, ${K + 1}),
+                k -> ib.mh[k] = ec.mh[k])) / ${K}.0, 4) >= 0.5),
+          near AS (
+            SELECT i.doc_id, nr.c_id AS match_id, nr.sim
+            FROM i
+            JOIN (SELECT fp, min(doc_id) AS rep FROM i GROUP BY fp) ir
+              ON ir.fp = i.fp
+            JOIN nearrep nr ON nr.i_rep = ir.rep),
+          allm AS (
+            SELECT * FROM exact UNION ALL SELECT * FROM near)
+          SELECT doc_id, match_id AS match_doc_id, sim AS similarity FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY sim DESC, match_id) AS rk
+            FROM allm)
           WHERE rk = 1 ORDER BY doc_id""")
 }

@@ -181,6 +181,33 @@ object DocumentQueries {
         .orderBy($"lang", $"rk")
     },
 
+    // TF-IDF keyword extraction — top-3 scoring terms per document.
+    // tf = in-doc term count, idf = ln((N+1)/(df+1)); floor-scaled like
+    // every cross-engine double. Corpus size N enters as a broadcast
+    // 1-row aggregate (scalar side input), never a driver action; the
+    // explode shuffles (doc_id, term) pairs with map-side combine and
+    // the per-doc top-3 is a WindowGroupLimit-bounded rank filter.
+    "d17_tfidf_keywords" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val terms = docs
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .filter($"term" =!= "")
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val docFreq = terms.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      tf.join(docFreq, "term").crossJoin(broadcast(total))
+        .withColumn("score",
+          floor($"tf" * log(($"n_docs" + 1.0) / ($"df" + 1.0)) * 10000) / 10000.0)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk", $"term", $"score")
+        .orderBy($"doc_id", $"rk")
+    },
+
     // Token counting: whitespace tokens, BPE-ish regex token count
     // (letter-runs / digit-runs / single symbols), and a ceil(len/4)
     // subword-chunk estimate.
@@ -261,6 +288,27 @@ object DocumentQueries {
                ORDER BY md5(text), doc_id) AS BIGINT) AS rk
            FROM documents)
          WHERE rk <= 5 ORDER BY lang, rk""",
+    "d17_tfidf_keywords" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         t2 AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM t2 GROUP BY doc_id, term),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM t2 GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term,
+             floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 10000) / 10000 AS score
+           FROM tf JOIN df USING (term), n),
+         r AS (
+           SELECT doc_id, term, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS BIGINT) AS rk
+           FROM scored)
+         SELECT doc_id, rk, term, score FROM r WHERE rk <= 3
+         ORDER BY doc_id, rk""",
     "d10_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,

@@ -241,6 +241,30 @@ class OperatorsSpec extends SparkSpec {
     assert(trainId == 0L && sim >= 0.5, s"wrong partner/similarity: $got")
   }
 
+  test("incremental dedup matches new docs against the standing corpus (d16)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val base = (0 until 40).map(t => s"inc$t").mkString(" ")
+    val corpus = Seq(
+      (0L, base),
+      (1L, "wholly unrelated corpus doc " + (0 until 30).map(t => s"c$t").mkString(" ")),
+      (2L, "exact twin text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "exact twin text"),   // exact tier
+      (101L, base + " tail"),      // near tier
+      (102L, "completely novel document " + (0 until 30).map(t => s"n$t").mkString(" ")),
+      (103L, "exact twin text"))   // exact-dup GROUP member, same partner
+      .toDF("doc_id", "text")
+    val got = DedupQueries.incrementalMatches(
+        DedupQueries.signatureTable(corpus), DedupQueries.signatureTable(batch))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(100L, 101L, 103L), s"got $got")
+    assert(got(100L) == ((2L, 1.0)) && got(103L) == ((2L, 1.0)))
+    assert(got(101L)._1 == 0L && got(101L)._2 >= 0.5)
+    // self-cleaning: the persisted signature tables are released
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("contamination matches a brute-force recompute on the gate corpus (d14)") {
     val docs = Tables(spark, sfSmoke, "documents")
     val splits = DocumentQueries.queries("d13_split_assign")(spark, sfSmoke)
