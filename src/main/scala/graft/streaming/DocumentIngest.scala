@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
+
+/** Streaming document ingestion with exact dedup — the training-corpus
+  * counterpart of the access-log stream: JSON-lines documents land in a
+  * directory (the crawl drop), are fingerprinted with the d08 normalized
+  * content hash, deduplicated within a watermark, and appended to a
+  * lang-partitioned parquet corpus.
+  *
+  * Scale shape: the only stateful operator is
+  * `dropDuplicatesWithinWatermark` keyed on the 32-char fingerprint —
+  * state is bounded by (unique docs in the watermark window), never by
+  * the corpus; the text itself shuffles once to the dedup exchange and
+  * straight into the sink. Near-dup dedup (MinHash/LSH) stays a batch
+  * job over the accumulated corpus ([[graft.queries.DedupQueries]], or
+  * incrementally via `signatureTable` + `incrementalMatches`) — LSH
+  * banding needs a corpus-wide join no streaming state should hold.
+  */
+object DocumentIngest {
+
+  /** Landing-file schema: one JSON document per line. `event_ts` is the
+    * crawl/event time the watermark runs on. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("event_ts", TimestampType)))
+
+  /** d08's normalized content fingerprint (whitespace-collapsed lower). */
+  def fingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Landing dir → watermarked, content-deduped document stream. Docs
+    * whose normalized text was already seen inside the watermark window
+    * are dropped (first wins); rows with unparseable JSON arrive as
+    * all-null and are filtered like the batch pipeline's F1 gate. */
+  def stream(spark: SparkSession, landingDir: String,
+      watermarkDelay: String = "10 minutes",
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(docSchema)
+      .json(landingDir)
+      .filter(col("text").isNotNull && col("event_ts").isNotNull)
+      .withColumn("fp", fingerprint(col("text")))
+      .withWatermark("event_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Wire to the lang-partitioned parquet corpus; call
+    * `.trigger(...).start()` on the result. */
+  def writer(df: DataFrame, outDir: String, checkpointDir: String)
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("lang")
+}

@@ -209,6 +209,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 600)
   }
 
+  test("streaming document ingestion dedups by content fingerprint across batches") {
+    import graft.streaming.DocumentIngest
+    val tmp = Files.createTempDirectory("graft-docs").toString
+    val landing = s"$tmp/landing"; val out = s"$tmp/corpus"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(landing))
+    def doc(id: Long, text: String, lang: String, t: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"$lang","source":"crawl","event_ts":"$t"}"""
+    writeBatch(landing, "b1.jsonl", Seq(
+      doc(1, "the quick brown fox", "en", "2024-01-01T10:00:00Z"),
+      doc(2, "der schnelle braune fuchs", "de", "2024-01-01T10:00:05Z"),
+      // same NORMALIZED content as doc 1 (case + spacing differ)
+      doc(3, "The  Quick Brown   Fox", "en", "2024-01-01T10:00:10Z"),
+      "not json at all"))
+    val run = () => {
+      val q = DocumentIngest.writer(
+        DocumentIngest.stream(spark, landing, watermarkDelay = "1 hour"),
+        out, ckpt).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run()
+    // redelivery batch: doc 1's content again (new id), plus one new doc
+    writeBatch(landing, "b2.jsonl", Seq(
+      doc(10, "the quick brown fox", "en", "2024-01-01T10:05:00Z"),
+      doc(11, "a genuinely new document", "en", "2024-01-01T10:05:05Z")))
+    run()
+    val corpus = spark.read.parquet(out)
+    // 1 or 3 (first-wins), 2, 11 — the cross-batch duplicate 10 dropped
+    // by fingerprint state carried in the checkpoint
+    assert(corpus.count() == 3)
+    assert(corpus.select("fp").distinct().count() == 3)
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(10L) && ids.contains(11L) && ids.contains(2L))
+    val langs = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).sorted
+    assert(langs.toSeq == Seq("lang=de", "lang=en"))
+  }
+
   test("late rows land as extra files in the same partition (ST5)") {
     val tmp = Files.createTempDirectory("graft-late").toString
     val landing = s"$tmp/landing"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"

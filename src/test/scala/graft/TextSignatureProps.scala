@@ -1,0 +1,74 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TextSignatureExpr
+import graft.operators.TextHash
+
+/** Property coverage for the codegen signature expression: the
+  * hand-optimized loops in [[TextSignatureExpr.signatures]] are checked
+  * against a NAIVE recompute of the TextHash formulas over arbitrary
+  * texts — splitting edge cases (empty text, leading/trailing/multiple
+  * spaces) are exactly where an off-by-one in the fused loop would hide.
+  * Pure JVM (no SparkSession); the Spark-plan equivalence vs the HOF
+  * expressions lives in FunctionsSpec.
+  */
+object TextSignatureProps extends Properties("textsig") {
+
+  private val P = TextHash.P
+
+  /** Naive reference: straight transliteration of the HOF formulas. */
+  private def reference(text: String)
+      : (Seq[Long], Seq[String], Seq[Long], Long) = {
+    val tokens = text.split(" ", -1).toSeq // keeps empties, '' -> [""]
+    val th = tokens.map { t =>
+      if (t.isEmpty) 7L
+      else t.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+    }
+    val sh =
+      if (th.length < 3) Seq.empty[Long]
+      else (0 to th.length - 3).map(i =>
+        ((th(i) * 37 + th(i + 1)) % P * 37 + th(i + 2)) % P)
+    val mh = (0 until TextHash.K).map { j =>
+      if (sh.isEmpty) P
+      else sh.map(x => (TextHash.aCoef(j) * x + TextHash.bCoef(j)) % P).min
+    }
+    val r = TextHash.K / TextHash.Bands
+    val bands = (0 until TextHash.Bands).map(b =>
+      (0 until r).map(i => mh(b * r + i)).mkString("-"))
+    val full =
+      if (text.isEmpty) 7L
+      else text.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+    (mh, bands, sh.distinct, full % 100)
+  }
+
+  private val genText: Gen[String] = Gen.frequency(
+    1 -> Gen.const(""),
+    1 -> Gen.const(" "),
+    2 -> Gen.listOf(Gen.oneOf(Gen.identifier, Gen.const(""), Gen.const("the")))
+      .map(_.mkString(" ")),
+    4 -> Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.filterNot(_ == ' ').take(12)),
+      Gen.const(""))).map(_.mkString(" ")))
+
+  property("fused loop equals the naive TextHash recompute") =
+    forAll(genText) { text =>
+      val row = TextSignatureExpr.signatures(UTF8String.fromString(text))
+      val (mh, bands, shset, bucket) = reference(text)
+      row.getArray(0).toLongArray.toSeq == mh &&
+        (0 until row.getArray(1).numElements()).map(
+          row.getArray(1).getUTF8String(_).toString) == bands &&
+        row.getArray(2).toLongArray.toSeq == shset &&
+        row.getLong(3) == bucket
+    }
+
+  property("signature is a pure function of the text") =
+    forAll(genText) { text =>
+      val a = TextSignatureExpr.signatures(UTF8String.fromString(text))
+      val b = TextSignatureExpr.signatures(UTF8String.fromString(text))
+      a.getArray(0).toLongArray.sameElements(b.getArray(0).toLongArray) &&
+        a.getLong(3) == b.getLong(3)
+    }
+}
