@@ -20,24 +20,34 @@ object Bench {
     // queries 3-4x slower from exactly this).
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // Per-query time = MIN over `runs` timed executions (default 2):
+    // single samples on this box jitter ±25% from GC/scheduling noise,
+    // which round-over-round comparison then misreads as regressions.
+    // The min is the standard steady-state latency estimator; per-run
+    // numbers go to stderr for inspection.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // The query's result frame is dropped here, but the RDD blocks
-      // behind its localCheckpoint (the eager dedup operators) are only
-      // reclaimed asynchronously by the ContextCleaner — release them
-      // now (outside the timed window) so every query starts from zero
-      // storage instead of inheriting its predecessors' blocks.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
-      name -> dt
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // The query's result frame is dropped here, but the RDD blocks
+        // behind its localCheckpoint (the eager dedup operators) are only
+        // reclaimed asynchronously by the ContextCleaner — release them
+        // now (outside the timed window) so every run starts from zero
+        // storage instead of inheriting its predecessors' blocks.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        dt
+      }
+      System.err.println(f"[bench] $name%-28s ${times.min}%8.2f s  (runs: ${
+        times.map(t => f"$t%.2f").mkString(" ")})")
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
     spark.stop()
   }
 }

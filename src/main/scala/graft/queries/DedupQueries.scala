@@ -361,8 +361,14 @@ object DedupQueries {
     * round unpersisted, keeping lineage flat.
     */
   def duplicateClusters(docs: DataFrame): DataFrame =
-    connectedComponents(
-      minhashPairs(docs).select(col("doc_a"), col("doc_b")))
+    // run the component loop INSIDE the scope: the loop's own per-round
+    // checkpoints materialize the pair join straight off the cached
+    // signatures, skipping the intermediate eager pair checkpoint the
+    // one-shot minhashPairs needs; the returned labels are checkpoint-
+    // backed and reference no scope state
+    withDedupScope(docs, withShingles = false) { scope =>
+      connectedComponents(scope.pairs.select(col("doc_a"), col("doc_b")))
+    }
 
   /** Connected components over an undirected pair graph (doc_a, doc_b):
     * every node labeled with the min doc_id reachable from it. */
