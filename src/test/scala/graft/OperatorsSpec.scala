@@ -265,6 +265,24 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("signatureTable round-trips through parquet (the persistable lake artifact)") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigs").toString
+    DedupQueries.signatureTable(docs).write.parquet(s"$tmp/sigs")
+    val stored = spark.read.parquet(s"$tmp/sigs")
+    val incoming = docs.filter(col("doc_id") % 7 === 0)
+    val viaStored = DedupQueries.incrementalMatches(
+        stored.filter(col("doc_id") % 7 =!= 0),
+        DedupQueries.signatureTable(incoming))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = DedupQueries.incrementalMatches(
+        DedupQueries.signatureTable(docs.filter(col("doc_id") % 7 =!= 0)),
+        DedupQueries.signatureTable(incoming))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStored == direct && direct.nonEmpty,
+      s"stored-signature matches diverge: ${viaStored.size} vs ${direct.size}")
+  }
+
   test("contamination matches a brute-force recompute on the gate corpus (d14)") {
     val docs = Tables(spark, sfSmoke, "documents")
     val splits = DocumentQueries.queries("d13_split_assign")(spark, sfSmoke)
