@@ -260,8 +260,13 @@ object DedupQueries {
   def incrementalMatches(corpusSigs: DataFrame, batchSigs: DataFrame): DataFrame = {
     val s = corpusSigs.sparkSession
     import s.implicits._
-    val corpus = corpusSigs.persist()
-    val batch = batchSigs.persist()
+    // persist only what this call materializes itself — a caller that
+    // already cached its signature table keeps its cache afterwards
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val ownCorpus = corpusSigs.storageLevel == none
+    val ownBatch = batchSigs.storageLevel == none
+    val corpus = if (ownCorpus) corpusSigs.persist() else corpusSigs
+    val batch = if (ownBatch) batchSigs.persist() else batchSigs
     try {
       val exact = batch
         .join(corpus.groupBy($"fp").agg(min($"doc_id").as("match_id")), "fp")
@@ -291,8 +296,8 @@ object DedupQueries {
           $"sim".as("similarity"))
         .localCheckpoint(true)
     } finally {
-      corpus.unpersist(blocking = false)
-      batch.unpersist(blocking = false)
+      if (ownCorpus) corpus.unpersist(blocking = false)
+      if (ownBatch) batch.unpersist(blocking = false)
     }
   }
 
