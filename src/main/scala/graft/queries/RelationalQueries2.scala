@@ -255,6 +255,25 @@ object RelationalQueries2 {
            ORDER BY c_custkey""")
     },
 
+    // ---- q36: LATERAL correlated-subquery join ---------------------------
+    // The per-row-subquery join form (vs q35's EXISTS and q03's window
+    // top-N): each nation drives a correlated ORDER BY ... LIMIT 2
+    // subquery. Catalyst decorrelates the lateral limit into a ranked
+    // join (DecorrelateInnerQuery) — same physical family as the window
+    // top-N, different front door. Raw acctbal values pass through
+    // unmodified, so no rounding discipline is needed.
+    "q36_lateral_join" -> { (s, dir) =>
+      t(s, dir, "nation").createOrReplaceTempView("v_nat36")
+      t(s, dir, "customer").createOrReplaceTempView("v_cust36")
+      s.sql(
+        """SELECT n.n_name, c.c_custkey, c.c_acctbal
+           FROM v_nat36 n,
+           LATERAL (SELECT c_custkey, c_acctbal FROM v_cust36
+                    WHERE c_nationkey = n.n_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+           ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""")
+    },
+
     // ---- q34: offset/value window functions (lag/lead/first/last/nth) ----
     "q34_lag_lead" -> { (s, dir) =>
       import s.implicits._
@@ -388,6 +407,13 @@ object RelationalQueries2 {
            floor(sum(rev) OVER (ORDER BY ship_date
              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) * 100) / 100 AS rev_7d
          FROM daily ORDER BY ship_date""",
+    "q36_lateral_join" ->
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+         ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""",
     "q35_exists_subquery" ->
       """SELECT c_custkey, c_acctbal
          FROM customer c
