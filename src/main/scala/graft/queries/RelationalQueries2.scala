@@ -274,6 +274,49 @@ object RelationalQueries2 {
            ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""")
     },
 
+    // ---- q37: null semantics (null group keys, null-safe join, ordering) -
+    // The synthetic tables carry no nulls, so the query derives them
+    // (nullif) and then exercises the null paths end to end: nulls form
+    // their own GROUP BY key, count(col) skips them while count(*)
+    // doesn't, the join matches null keys via <=> (EqualNullSafe ↔
+    // DuckDB IS NOT DISTINCT FROM), and the output ordering pins NULLS
+    // FIRST explicitly — Spark defaults nulls first, DuckDB last, so an
+    // implicit ordering hash-diverges.
+    "q37_null_semantics" -> { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .withColumn("rf", nullif($"l_returnflag", lit("N")))
+      val byRf = li.groupBy($"rf").agg(
+        count(lit(1)).as("n_rows"),
+        count($"rf").as("n_nonnull"),
+        sum($"l_quantity").cast("long").as("qty"))
+      val heavy = li.filter($"l_quantity" > 25)
+        .groupBy($"rf".as("rf_h")).agg(count(lit(1)).as("n_heavy"))
+      byRf.join(heavy, $"rf" <=> $"rf_h", "left")
+        .select($"rf", $"n_rows", $"n_nonnull", $"qty",
+          coalesce($"n_heavy", lit(0L)).as("n_heavy"))
+        .orderBy($"rf".asc_nulls_first)
+    },
+
+    // ---- q38: exact decimal aggregation ----------------------------------
+    // Money math on DECIMAL, not DOUBLE: sums of scaled decimals are
+    // EXACT and associativity-free, so the totals hash-match with no
+    // floor-scaling discipline at all — the contrast to every rounded
+    // double in this file and the type a revenue pipeline should carry.
+    "q38_decimal_exact" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .withColumn("price_d", $"l_extendedprice".cast("decimal(12,2)"))
+        .withColumn("disc_d", $"l_discount".cast("decimal(4,2)"))
+        .groupBy($"l_returnflag")
+        .agg(
+          sum($"price_d").cast("decimal(18,2)").as("sum_price"),
+          sum($"price_d" * (lit(BigDecimal(1)).cast("decimal(4,2)") - $"disc_d"))
+            .cast("decimal(18,4)").as("sum_disc_price"),
+          max($"price_d").cast("decimal(18,2)").as("max_price"))
+        .orderBy($"l_returnflag")
+    },
+
     // ---- q34: offset/value window functions (lag/lead/first/last/nth) ----
     "q34_lag_lead" -> { (s, dir) =>
       import s.implicits._
@@ -407,6 +450,30 @@ object RelationalQueries2 {
            floor(sum(rev) OVER (ORDER BY ship_date
              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) * 100) / 100 AS rev_7d
          FROM daily ORDER BY ship_date""",
+    "q37_null_semantics" ->
+      """WITH l AS (
+           SELECT nullif(l_returnflag, 'N') AS rf, l_quantity FROM lineitem),
+         byrf AS (
+           SELECT rf, count(*) AS n_rows, count(rf) AS n_nonnull,
+             CAST(sum(l_quantity) AS BIGINT) AS qty
+           FROM l GROUP BY rf),
+         heavy AS (
+           SELECT rf AS rf_h, count(*) AS n_heavy
+           FROM l WHERE l_quantity > 25 GROUP BY rf)
+         SELECT rf, n_rows, n_nonnull, qty,
+           CAST(coalesce(n_heavy, 0) AS BIGINT) AS n_heavy
+         FROM byrf LEFT JOIN heavy ON rf IS NOT DISTINCT FROM rf_h
+         ORDER BY rf NULLS FIRST""",
+    "q38_decimal_exact" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS sum_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+              (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS DECIMAL(18,4)) AS sum_disc_price,
+         CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS max_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q36_lateral_join" ->
       """SELECT n.n_name, c.c_custkey, c.c_acctbal
          FROM nation n,
