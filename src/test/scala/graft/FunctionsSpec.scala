@@ -49,8 +49,13 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.catalog.functionExists("graft_text_signature"))
     // the gate corpus PLUS every documented edge: empty text, lone/multi/
     // trailing spaces (empty tokens), sub-3-token docs (sentinel), dups
+    // BMP non-ASCII included: ascii()/substring count code points and
+    // charAt units identically across the Basic Multilingual Plane, so
+    // the fused loop must match there too (the corpus contract is ASCII;
+    // astral chars are outside both formulas' documented domain)
     val edges = Seq("", " ", "  ", "a", "a b", "a b c", "a  b  c ",
-      ("x " * 50).trim, "the the the the")
+      ("x " * 50).trim, "the the the the",
+      "héllo wörld ünïcode tökens here", "中文 文本 测试 四个 词元")
       .zipWithIndex.map { case (t, i) => (100000L + i, t) }
     val docs = Tables(spark, sfSmoke, "documents").select($"doc_id", $"text")
       .union(edges.toDF("doc_id", "text"))
