@@ -265,6 +265,25 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("incremental dedup stays bounded under viral duplicates (d16 skew)") {
+    import spark.implicits._
+    val viral = "the same viral incoming document body repeated verbatim everywhere"
+    val corpus = ((0 until 50).map(i => (i.toLong,
+      s"corpus doc $i " + (0 until 25).map(t => s"c${i}_$t").mkString(" ")))
+      :+ (999L, viral)).toDF("doc_id", "text")
+    // 800 byte-identical incoming copies + 100 shingle-less docs: the
+    // exact-dup collapse must keep the band join at ONE batch rep, and
+    // sentinel docs must never enter banding
+    val incoming = ((1000 until 1800).map(i => (i.toLong, viral)) ++
+      (2000 until 2100).map(i => (i.toLong, "too short"))).toDF("doc_id", "text")
+    val got = DedupQueries.incrementalMatches(
+        DedupQueries.signatureTable(corpus),
+        DedupQueries.signatureTable(incoming))
+      .collect()
+    assert(got.length == 800, s"got ${got.length} rows")
+    assert(got.forall(r => r.getLong(1) == 999L && r.getDouble(2) == 1.0))
+  }
+
   test("signatureTable round-trips through parquet (the persistable lake artifact)") {
     val docs = Tables(spark, sfSmoke, "documents")
     val tmp = java.nio.file.Files.createTempDirectory("graft-sigs").toString
