@@ -83,6 +83,46 @@ class MaintenanceSpec extends SparkSpec {
     assert(partDirs.nonEmpty && partDirs.forall(_.startsWith("year=")))
   }
 
+  test("bucketed tables co-locate the join: zero shuffle exchanges in the plan") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-bucket").toString
+    val orders = Tables(spark, sfSmoke, "orders")
+    val customer = Tables(spark, sfSmoke, "customer")
+    // bucketBy the JOIN KEY with equal bucket counts on both sides: each
+    // bucket pair joins in place — the pre-shuffled lake layout that
+    // eliminates the exchange for every future join on that key (the
+    // 100 TB answer to repeated fact-dim joins; requires saveAsTable,
+    // bucket metadata lives in the catalog)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$tmp/b_orders").saveAsTable("b_orders")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$tmp/b_customer").saveAsTable("b_customer")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // force the sort-merge path — a broadcast join would hide the
+      // bucketing evidence (it never shuffles anyway)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).count()
+      val rows = j.collect()
+      assert(rows.map(_.getLong(1)).sum == orders.count())
+      val plan = j.queryExecution.executedPlan.toString
+      // the JOIN runs on bucket-aligned scans: the only exchange in the
+      // whole plan is the one the aggregation needs
+      val joinSection = plan.split("HashAggregate").last
+      assert(joinSection.contains("SortMergeJoin"), plan)
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("streaming metrics listener records per-batch throughput (M1)") {
     import java.nio.file.Paths
     import org.apache.spark.sql.streaming.Trigger
