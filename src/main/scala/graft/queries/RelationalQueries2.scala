@@ -317,6 +317,25 @@ object RelationalQueries2 {
         .orderBy($"l_returnflag")
     },
 
+    // ---- q39: FILTER-clause aggregates ------------------------------------
+    // Per-aggregate predicates in ONE grouped pass (vs q20's pivot and
+    // CASE-WHEN folding): four differently-filtered aggregates share a
+    // single shuffle. count/min/max/integer-sum only — all order-
+    // independent, so no rounding discipline is needed.
+    "q39_filtered_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("v_li39")
+      s.sql(
+        """SELECT l_returnflag,
+             count(*) AS n_all,
+             count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+             CAST(sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+               AS qty_discounted,
+             min(l_extendedprice) FILTER (WHERE l_tax > 0.04) AS min_price_taxed,
+             max(l_extendedprice) FILTER (WHERE l_linestatus = 'F') AS max_price_f
+           FROM v_li39
+           GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
     // ---- q34: offset/value window functions (lag/lead/first/last/nth) ----
     "q34_lag_lead" -> { (s, dir) =>
       import s.implicits._
@@ -450,6 +469,15 @@ object RelationalQueries2 {
            floor(sum(rev) OVER (ORDER BY ship_date
              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) * 100) / 100 AS rev_7d
          FROM daily ORDER BY ship_date""",
+    "q39_filtered_agg" ->
+      """SELECT l_returnflag,
+         count(*) AS n_all,
+         count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+         CAST(sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+           AS qty_discounted,
+         min(l_extendedprice) FILTER (WHERE l_tax > 0.04) AS min_price_taxed,
+         max(l_extendedprice) FILTER (WHERE l_linestatus = 'F') AS max_price_f
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q37_null_semantics" ->
       """WITH l AS (
            SELECT nullif(l_returnflag, 'N') AS rf, l_quantity FROM lineitem),
