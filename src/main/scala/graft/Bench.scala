@@ -44,10 +44,21 @@ object Bench {
         times.map(t => f"$t%.2f").mkString(" ")})")
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact JSON: the driver captures only the LAST ~2000 bytes of
+    // stdout, and the [success] line sbt appends eats ~80 of them — with
+    // 66 queries, 9-digit doubles pushed the line's HEAD out of the
+    // window (round 6's map lost q01–q07). 3-decimal seconds keep the
+    // full map near 1.8 KB; ms precision is below this box's run-to-run
+    // jitter anyway.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}","runs":$runs}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} B " +
+        "may overflow the driver's 2000-byte stdout tail capture")
+    println(line)
     spark.stop()
   }
 }

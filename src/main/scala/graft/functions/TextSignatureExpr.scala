@@ -15,7 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.operators.TextHash
 
 /** Native Catalyst expression for the whole dedup signature family:
-  * `graft_text_signature(text) -> struct(mh, bands, shset, split_bucket)`.
+  * `graft_text_signature(text) ->
+  *   struct(mh, bands, shset, split_bucket, simhash)`.
   *
   * The higher-order-function formulation (TextHash.spark*) is the
   * cross-engine REFERENCE formula — it is what the DuckDB oracle mirrors
@@ -35,7 +36,9 @@ import graft.operators.TextHash
   *     BMP; the corpus contract (TESTDATA.md) is ASCII.
   *   - docs with < 3 tokens have no shingles → sentinel signature [P]*K.
   *   - shset preserves first-occurrence order (array_distinct).
-  *   - split_bucket pins '' to seed 7 (the sequence(1,0) trap). */
+  *   - split_bucket pins '' to seed 7 (the sequence(1,0) trap).
+  *   - simhash ties (bit balance 0) resolve to 0, matching the HOF's
+  *     strict `s > 0` test. */
 case class TextSignatureExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -61,6 +64,7 @@ object TextSignatureExpr {
   private val P = TextHash.P
   private val K = TextHash.K
   private val Bands = TextHash.Bands
+  private val SimBits = TextHash.SimBits
   private val A = Array.tabulate(K)(TextHash.aCoef)
   private val B = Array.tabulate(K)(TextHash.bCoef)
 
@@ -68,7 +72,8 @@ object TextSignatureExpr {
     StructField("mh", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("bands", ArrayType(StringType, containsNull = false), nullable = false),
     StructField("shset", ArrayType(LongType, containsNull = false), nullable = false),
-    StructField("split_bucket", LongType, nullable = false)))
+    StructField("split_bucket", LongType, nullable = false),
+    StructField("simhash", LongType, nullable = false)))
 
   /** Static entry point referenced from generated code. */
   def signatures(s: UTF8String): InternalRow = {
@@ -146,12 +151,28 @@ object TextSignatureExpr {
     i = 0
     while (it.hasNext) { shset(i) = it.next().longValue(); i += 1 }
 
+    // d04 simhash over the token hashes: per-bit +1/-1 vote, bit set
+    // iff the vote is strictly positive (token hashes are < P < 2^30,
+    // so bits ≥ 30 vote all -1 and stay clear — same as the HOF)
+    var simhash = 0L
+    var jb = 0
+    while (jb < SimBits) {
+      var vote = 0
+      i = 0
+      while (i < nTokens) {
+        if (((th(i) >>> jb) & 1L) == 1L) vote += 1 else vote -= 1
+        i += 1
+      }
+      if (vote > 0) simhash |= 1L << jb
+      jb += 1
+    }
+
     val mh = new Array[Any](K)
     i = 0
     while (i < K) { mh(i) = mins(i); i += 1 }
     new GenericInternalRow(Array[Any](
       new GenericArrayData(mh), new GenericArrayData(bands),
-      new GenericArrayData(shset), splitBucket))
+      new GenericArrayData(shset), splitBucket, simhash))
   }
 
   val functionName = "graft_text_signature"

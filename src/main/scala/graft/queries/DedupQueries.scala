@@ -45,18 +45,13 @@ object DedupQueries {
     * considered degenerate and dropped (guard 3 above). */
   val MaxBandBucket = 200
 
-  /** doc frame + th/sh/mh/bands signature columns via the HOF reference
-    * formulas (one narrow pass per document — nothing shuffles here).
-    * This is the ORACLE-DOCUMENTED form, kept as the d02 gate surface
-    * and the equivalence baseline; the hot path (DedupScope) uses the
-    * codegen [[graft.functions.TextSignatureExpr]], spec-pinned to
-    * produce identical integers. */
-  private[queries] def signed(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("th", expr(sparkTokenHashes("text")))
-      .withColumn("sh", expr(sparkShingles("th")))
-      .withColumn("mh", expr(sparkMinhash("sh")))
-      .withColumn("bands", expr(sparkBands("mh")))
+  /** The one-pass signature expression: every gate query and scope runs
+    * the codegen [[graft.functions.TextSignatureExpr]] — the HOF strings
+    * in [[graft.operators.TextHash]] are the oracle-documented reference
+    * formulas, spec-pinned bit-equal (FunctionsSpec), and never run on
+    * the hot path (HOFs are CodegenFallback: interpreted, boxed). */
+  private def sigExpr: Column =
+    expr(s"${graft.functions.TextSignatureExpr.functionName}(text)")
 
   /** Exact-dup collapse + sentinel exclusion (guards 1+2): one row per
     * distinct text with ≥1 shingle, keyed by min doc_id. One partial-
@@ -107,13 +102,13 @@ object DedupQueries {
     * shares the copy. MEMORY_AND_DISK by default, so at lake scale it
     * spills rather than OOMs.
     *
-    * `withShingles` controls whether the distinct-shingle SETS ride in
-    * the same table: they are ~20× wider than the signatures and only the
-    * verify stage (d06/d14) reads them — the candidate-only path (d03/
-    * d11) must not pay their caching. When the verify stage IS wanted,
-    * folding shset into the one table costs one extra column, while a
-    * separate table would cost a second full signature pass over the
-    * text (exactly the duplicated-pass regression round 4 flagged).
+    * The cached table is the NARROW signature set only — (doc_id, fp,
+    * mh, bands): the distinct-shingle SETS the verify stage needs are
+    * ~20× wider than the signatures, so they are never cached or
+    * shuffled corpus-wide; [[verifiedPairs]] recomputes them for the
+    * (bounded) band-candidate docs alone, via a broadcast semi-join back
+    * to the text. Caching them corpus-wide was round 6's single biggest
+    * bench cost.
     *
     * Cache lifetime: SCOPE-bound. `close()` releases the one cache entry;
     * the public one-shot operators below wrap a scope around a single
@@ -121,10 +116,10 @@ object DedupQueries {
     * closing, so a long-lived session processing many corpora holds at
     * most one corpus's signatures at a time — and zero between calls. */
   final class DedupScope private[DedupQueries] (
-      docs: DataFrame, withShingles: Boolean, withSplit: Boolean = false)
+      docs: DataFrame, withSplit: Boolean = false)
       extends AutoCloseable {
 
-    /** (doc_id, fp, mh, bands[, shset][, split]) — the only pass over
+    /** (doc_id, fp, mh, bands[, split]) — the only corpus-wide pass over
       * the text, computed by the codegen
       * [[graft.functions.TextSignatureExpr]] (one compiled loop per doc;
       * the struct's field extractions share a single evaluation via
@@ -132,15 +127,13 @@ object DedupQueries {
       * the d13 split hash into the same pass: the contamination check
       * then never rescans the corpus for its split side. */
     private[queries] val sigs: DataFrame = {
-      val sig = expr(s"${graft.functions.TextSignatureExpr.functionName}(text)")
       val cols = Seq(col("doc_id"), md5(col("text")).as("fp"),
         col("_sig.mh").as("mh"), col("_sig.bands").as("bands")) ++
-        (if (withShingles) Seq(col("_sig.shset").as("shset")) else Nil) ++
         (if (withSplit)
            Seq(DocumentQueries.splitOfBucket(
              col("_sig.split_bucket")).as("split"))
          else Nil)
-      docs.withColumn("_sig", sig).select(cols: _*).persist()
+      docs.withColumn("_sig", sigExpr).select(cols: _*).persist()
     }
 
     /** d03: LSH candidate pairs with signature-estimated similarity
@@ -166,22 +159,39 @@ object DedupQueries {
     }
 
     /** d06: exact n-gram Jaccard ≥ 0.5 verified over the LSH band
-      * candidates only (the scale-correct verify shape). Requires a
-      * shingle-bearing scope. */
+      * candidates only (the scale-correct verify shape).
+      *
+      * The shingle SETS never ride the corpus-wide cache or any wide
+      * shuffle: the candidate pair set is bounded (capped band buckets),
+      * so its member docs are re-read through a broadcast semi-join on
+      * the text and shingled in one codegen pass over JUST those docs.
+      * The exact-intersect joins then move only candidate shsets —
+      * volume proportional to the candidates LSH already bounded, never
+      * corpus². (Round 6 cached shsets corpus-wide instead: ~20× wider
+      * than the signatures, and the round's single biggest bench cost.) */
     def verifiedPairs: DataFrame = {
-      require(withShingles, "verifiedPairs needs DedupScope(withShingles = true)")
       val s = sigs.sparkSession
       import s.implicits._
       val exploded = cappedBands(representatives(sigs))
+      // bounded; referenced three times below — checkpoint, don't replan
       val cand = exploded.as("x")
         .join(exploded.as("y"),
           $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
             $"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
         .distinct()
+        .localCheckpoint(true)
+      val candIds = cand.select($"doc_a".as("doc_id"))
+        .union(cand.select($"doc_b".as("doc_id"))).distinct()
+      // shingle sets for the candidate docs ONLY — one codegen pass over
+      // the few docs surviving the broadcast semi-join, checkpointed so
+      // both join sides below read the same materialized (bounded) table
+      val candSh = docs.join(broadcast(candIds), "doc_id")
+        .select($"doc_id", sigExpr.getField("shset").as("shset"))
+        .localCheckpoint(true)
       cand
-        .join(sigs.select($"doc_id".as("doc_a"), $"shset".as("sh_a")), "doc_a")
-        .join(sigs.select($"doc_id".as("doc_b"), $"shset".as("sh_b")), "doc_b")
+        .join(candSh.select($"doc_id".as("doc_a"), $"shset".as("sh_a")), "doc_a")
+        .join(candSh.select($"doc_id".as("doc_b"), $"shset".as("sh_b")), "doc_b")
         .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
         .withColumn("jaccard", round($"n_common" /
           (size($"sh_a") + size($"sh_b") - $"n_common"), 4))
@@ -205,9 +215,9 @@ object DedupQueries {
     * several dedup stages over ONE signature materialization — at 100 TB
     * the candidate → verify → cluster pipeline is one job, and the corpus
     * must be signature-scanned once, not once per stage. */
-  def withDedupScope[A](docs: DataFrame, withShingles: Boolean = true,
-      withSplit: Boolean = false)(f: DedupScope => A): A = {
-    val scope = new DedupScope(docs, withShingles, withSplit)
+  def withDedupScope[A](docs: DataFrame, withSplit: Boolean = false)(
+      f: DedupScope => A): A = {
+    val scope = new DedupScope(docs, withSplit)
     try f(scope) finally scope.close()
   }
 
@@ -223,7 +233,7 @@ object DedupQueries {
     * retaining many results across corpora hold that storage, see the
     * Bench post-query unpersist.) */
   def minhashPairs(docs: DataFrame): DataFrame =
-    withDedupScope(docs, withShingles = false)(_.pairs.localCheckpoint(true))
+    withDedupScope(docs)(_.pairs.localCheckpoint(true))
 
   /** d06 as a reusable operator: exact n-gram Jaccard ≥ 0.5 verified over
     * the LSH band candidates only (the scale-correct verify shape).
@@ -323,7 +333,7 @@ object DedupQueries {
   def contamination(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    withDedupScope(docs, withShingles = true, withSplit = true) { scope =>
+    withDedupScope(docs, withSplit = true) { scope =>
       val nd = scope.verifiedPairs
       // doc → its exact-dup representative (min doc_id per fingerprint):
       // a window over the already-materialized sigs, which also carry
@@ -371,7 +381,7 @@ object DedupQueries {
     // signatures, skipping the intermediate eager pair checkpoint the
     // one-shot minhashPairs needs; the returned labels are checkpoint-
     // backed and reference no scope state
-    withDedupScope(docs, withShingles = false) { scope =>
+    withDedupScope(docs) { scope =>
       connectedComponents(scope.pairs.select(col("doc_a"), col("doc_b")))
     }
 
@@ -473,16 +483,22 @@ object DedupQueries {
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // ---- d02: MinHash signatures + LSH band keys -------------------------
+    // One codegen pass; each band key is already the '-'-joined run of 4
+    // signature components, so the full 16-component sig string is the
+    // bands re-joined — no per-row HOF anywhere.
     "d02_minhash_sigs" -> { (s, dir) =>
       import s.implicits._
-      signed(Tables(s, dir, "documents"))
+      Tables(s, dir, "documents")
+        .withColumn("_sig", sigExpr)
         .select(
           $"doc_id",
-          expr("array_join(transform(mh, x -> CAST(x AS STRING)), '-')").as("sig"),
-          element_at($"bands", 1).as("band0"),
-          element_at($"bands", 2).as("band1"),
-          element_at($"bands", 3).as("band2"),
-          element_at($"bands", 4).as("band3"))
+          concat_ws("-", element_at($"_sig.bands", 1),
+            element_at($"_sig.bands", 2), element_at($"_sig.bands", 3),
+            element_at($"_sig.bands", 4)).as("sig"),
+          element_at($"_sig.bands", 1).as("band0"),
+          element_at($"_sig.bands", 2).as("band1"),
+          element_at($"_sig.bands", 3).as("band2"),
+          element_at($"_sig.bands", 4).as("band3"))
         .orderBy($"doc_id")
     },
 
@@ -493,11 +509,14 @@ object DedupQueries {
     },
 
     // ---- d04: SimHash fingerprints ---------------------------------------
+    // The HOF formulation (TextHash.sparkSimhash) is the oracle-documented
+    // reference; the gate runs the same bits out of the one codegen pass
+    // (spec-pinned equal in FunctionsSpec).
     "d04_simhash" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "documents")
-        .withColumn("th", expr(sparkTokenHashes("text")))
-        .select($"doc_id", expr(sparkSimhash("th")).as("simhash"))
+        .withColumn("_sig", sigExpr)
+        .select($"doc_id", $"_sig.simhash".as("simhash"))
         .orderBy($"doc_id")
     },
 

@@ -303,6 +303,10 @@ object RelationalQueries2 {
     // EXACT and associativity-free, so the totals hash-match with no
     // floor-scaling discipline at all — the contrast to every rounded
     // double in this file and the type a revenue pipeline should carry.
+    // The ARITHMETIC stays decimal end-to-end; only the final gate
+    // projection casts to DOUBLE (every value here is ≤14 significant
+    // digits, so the cast is exact and identical in both engines —
+    // decimal128 gate columns trip the driver's hash-compare).
     "q38_decimal_exact" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem")
@@ -310,10 +314,10 @@ object RelationalQueries2 {
         .withColumn("disc_d", $"l_discount".cast("decimal(4,2)"))
         .groupBy($"l_returnflag")
         .agg(
-          sum($"price_d").cast("decimal(18,2)").as("sum_price"),
+          sum($"price_d").cast("decimal(18,2)").cast("double").as("sum_price"),
           sum($"price_d" * (lit(BigDecimal(1)).cast("decimal(4,2)") - $"disc_d"))
-            .cast("decimal(18,4)").as("sum_disc_price"),
-          max($"price_d").cast("decimal(18,2)").as("max_price"))
+            .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
+          max($"price_d").cast("decimal(18,2)").cast("double").as("max_price"))
         .orderBy($"l_returnflag")
     },
 
@@ -494,13 +498,13 @@ object RelationalQueries2 {
          ORDER BY rf NULLS FIRST""",
     "q38_decimal_exact" ->
       """SELECT l_returnflag,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-           AS sum_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS DOUBLE) AS sum_price,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
               (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-           AS DECIMAL(18,4)) AS sum_disc_price,
-         CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-           AS max_price
+           AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+         CAST(CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS DOUBLE) AS max_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q36_lateral_join" ->
       """SELECT n.n_name, c.c_custkey, c.c_acctbal

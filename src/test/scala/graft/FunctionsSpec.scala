@@ -64,23 +64,27 @@ class FunctionsSpec extends SparkSpec {
       .withColumn("sh", expr(sparkShingles("th")))
       .withColumn("mh", expr(sparkMinhash("sh")))
       .withColumn("bands", expr(sparkBands("mh")))
-      .select($"doc_id", $"mh", $"bands", array_distinct($"sh").as("shset"))
+      .select($"doc_id", $"mh", $"bands", array_distinct($"sh").as("shset"),
+        expr(sparkSimhash("th")).as("simhash"))
       .collect().map(r => r.getLong(0) ->
-        ((r.getSeq[Long](1), r.getSeq[String](2), r.getSeq[Long](3)))).toMap
+        ((r.getSeq[Long](1), r.getSeq[String](2), r.getSeq[Long](3),
+          r.getLong(4)))).toMap
     val buckets = graft.queries.DocumentQueries.splitAssign(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val native = docs
       .select($"doc_id", call_function("graft_text_signature", $"text").as("s"))
-      .select($"doc_id", $"s.mh", $"s.bands", $"s.shset", $"s.split_bucket")
+      .select($"doc_id", $"s.mh", $"s.bands", $"s.shset", $"s.split_bucket",
+        $"s.simhash")
       .collect()
     assert(native.length == hof.size)
     native.foreach { r =>
       val id = r.getLong(0)
-      val (mh, bands, shset) = hof(id)
+      val (mh, bands, shset, simhash) = hof(id)
       assert(r.getSeq[Long](1) == mh, s"doc $id minhash")
       assert(r.getSeq[String](2) == bands, s"doc $id bands")
       assert(r.getSeq[Long](3) == shset, s"doc $id shset")
       assert(r.getLong(4) == buckets(id), s"doc $id split bucket")
+      assert(r.getLong(5) == simhash, s"doc $id simhash")
     }
   }
 

@@ -21,7 +21,7 @@ object TextSignatureProps extends Properties("textsig") {
 
   /** Naive reference: straight transliteration of the HOF formulas. */
   private def reference(text: String)
-      : (Seq[Long], Seq[String], Seq[Long], Long) = {
+      : (Seq[Long], Seq[String], Seq[Long], Long, Long) = {
     val tokens = text.split(" ", -1).toSeq // keeps empties, '' -> [""]
     val th = tokens.map { t =>
       if (t.isEmpty) 7L
@@ -41,7 +41,11 @@ object TextSignatureProps extends Properties("textsig") {
     val full =
       if (text.isEmpty) 7L
       else text.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
-    (mh, bands, sh.distinct, full % 100)
+    val simhash = (0 until TextHash.SimBits).map { j =>
+      val vote = th.map(t => if (((t >> j) & 1L) == 1L) 1 else -1).sum
+      if (vote > 0) 1L << j else 0L
+    }.sum
+    (mh, bands, sh.distinct, full % 100, simhash)
   }
 
   private val genText: Gen[String] = Gen.frequency(
@@ -56,12 +60,13 @@ object TextSignatureProps extends Properties("textsig") {
   property("fused loop equals the naive TextHash recompute") =
     forAll(genText) { text =>
       val row = TextSignatureExpr.signatures(UTF8String.fromString(text))
-      val (mh, bands, shset, bucket) = reference(text)
+      val (mh, bands, shset, bucket, simhash) = reference(text)
       row.getArray(0).toLongArray.toSeq == mh &&
         (0 until row.getArray(1).numElements()).map(
           row.getArray(1).getUTF8String(_).toString) == bands &&
         row.getArray(2).toLongArray.toSeq == shset &&
-        row.getLong(3) == bucket
+        row.getLong(3) == bucket &&
+        row.getLong(4) == simhash
     }
 
   property("signature is a pure function of the text") =
