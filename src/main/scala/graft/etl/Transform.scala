@@ -25,6 +25,16 @@ final case class EtlConfig(
     // scanning an external staging drop directory that other writers are
     // still appending to.
     jobIntervalSeconds: Long = 0,
+    // Sink-shuffle salt width: the write repartitions by the OUTPUT
+    // PARTITION columns so each Hive partition is produced by a bounded
+    // set of tasks — but log traffic is diurnal, so one hot hour hashed
+    // to ONE reducer would cap the sink at single-task throughput no
+    // matter the cluster size (the reference documents the same hot-
+    // partition contention for its prefix layout, FAQ.md:3-13). A
+    // bounded per-partition salt fans each output partition across up
+    // to this many reducer tasks while keeping files-per-partition
+    // bounded (≤ salt × files-per-task). 1 disables salting.
+    sinkSaltBuckets: Int = 8,
     widenedSink: Boolean = false,         // W1: write reference-shaped ExtraFieldN cols
     // fixed ExtraFieldN count for widenedSink. 0 = derive from this run's
     // widest row (reference-faithful: it widens per transform batch,
@@ -36,6 +46,7 @@ final case class EtlConfig(
     quarantineDir: Option[String] = None) { // F1 rejects → bad-records sink
   require(aggregateSeconds >= staggingSeconds,
     "aggregate window must be >= stagging window")
+  require(sinkSaltBuckets >= 1, "sinkSaltBuckets must be >= 1")
   require(Set("v1", "v2")(parquetWriterVersion),
     "parquet writer version must be v1 or v2")
 }
@@ -82,7 +93,8 @@ object EtlConfig {
     "S3LOGS_TRANSFORM_PARQUET_MAX_ROW_GROUP_SIZE",
     "S3LOGS_TRANSFORM_QUARANTINE_ROOT_PATH",
     "S3LOGS_TRANSFORM_WIDENED_SCHEMA",
-    "S3LOGS_TRANSFORM_WIDENED_SCHEMA_COLS")
+    "S3LOGS_TRANSFORM_WIDENED_SCHEMA_COLS",
+    "S3LOGS_TRANSFORM_SINK_SALT_BUCKETS")
 
   /** C1 parity: build a config from the reference's environment-variable
     * vocabulary (README.md:49-79, s3logs/src/conf.rs:39-105). Unknown
@@ -146,6 +158,8 @@ object EtlConfig {
       // in-flight-file protection. Programmatic EtlConfig() defaults to
       // 0 because the fused pipeline has no live stagging files.
       jobIntervalSeconds = num("S3LOGS_TRANSFORM_JOB_INTERVAL", 600),
+      sinkSaltBuckets =
+        num("S3LOGS_TRANSFORM_SINK_SALT_BUCKETS", 8).toInt,
       widenedSink = bool("S3LOGS_TRANSFORM_WIDENED_SCHEMA", d = false),
       widenedSinkCols =
         num("S3LOGS_TRANSFORM_WIDENED_SCHEMA_COLS", 0).toInt,
@@ -298,8 +312,19 @@ object Transform {
     // first-wins dedup; post-shuffle we sort within partitions only (no
     // global exchange) so parquet row groups are time-clustered for
     // downstream range pruning.
+    //
+    // The repartition key is (partition cols, bounded RequestID salt):
+    // partition cols alone would route a hot hour — guaranteed by
+    // diurnal log traffic — to ONE reducer task regardless of cluster
+    // size (maxRecordsPerFile bounds file size, not task size). The
+    // salt fans each output partition over ≤ sinkSaltBuckets tasks;
+    // RequestID is effectively uniform, so the fan-out is even.
+    val sinkKey = partCols.map(col) ++
+      (if (cfg.sinkSaltBuckets > 1)
+         Seq(pmod(hash(col("RequestID")), lit(cfg.sinkSaltBuckets)))
+       else Nil)
     sinkShaped
-      .repartition(partCols.map(col): _*)
+      .repartition(sinkKey: _*)
       .sortWithinPartitions(col("ts"))
       .drop("ts", "agg_ts")
       .write.mode(SaveMode.Append)

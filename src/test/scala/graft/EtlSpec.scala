@@ -296,6 +296,49 @@ class EtlSpec extends SparkSpec {
     assert(q == bad.toSet)
   }
 
+  test("sink salt fans a hot hour across writer tasks, layout unchanged") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-salt").toString
+    val in = s"$tmp/in"
+    // the generator's default 600 s spread IS a hot hour: every line
+    // lands in one (year,month,day,hour) output partition
+    LogGen.lines(2000, seed = 77).toDF("value").coalesce(2).write.text(in)
+    // pin a tiny AQE advisory size so the salted shuffle keeps its
+    // fan-out at test scale the way real-size partitions would at 100 TB
+    // (default 64 MB would coalesce a KB-scale test corpus to one task)
+    val advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    try {
+      val salted = Transform.run(spark, Seq(in), s"$tmp/salted",
+        EtlConfig(sinkSaltBuckets = 8))
+      val unsalted = Transform.run(spark, Seq(in), s"$tmp/unsalted",
+        EtlConfig(sinkSaltBuckets = 1))
+      def hourDirs(out: String) = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.getName.startsWith("hour=")) Seq(f)
+          else f.listFiles.toSeq.filter(_.isDirectory).flatMap(walk)
+        walk(new java.io.File(out))
+      }
+      // (i) layout unchanged: identical single hot-hour hive path, same rows
+      val sDirs = hourDirs(s"$tmp/salted"); val uDirs = hourDirs(s"$tmp/unsalted")
+      assert(sDirs.size == 1 && uDirs.size == 1)
+      assert(sDirs.head.toString.stripPrefix(s"$tmp/salted")
+        == uDirs.head.toString.stripPrefix(s"$tmp/unsalted"))
+      assert(salted.outputRows == unsalted.outputRows)
+      val a = spark.read.parquet(s"$tmp/salted").drop("year", "month", "day", "hour")
+      val b = spark.read.parquet(s"$tmp/unsalted").drop("year", "month", "day", "hour")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      // (ii) the hot hour is written by >1 task when salted (one parquet
+      // file per reducer task), exactly 1 when the salt is disabled
+      def files(d: java.io.File) =
+        d.listFiles.count(_.getName.endsWith(".parquet"))
+      assert(files(sDirs.head) > 1,
+        s"hot hour written by a single task despite salt: ${files(sDirs.head)} file(s)")
+      assert(files(uDirs.head) == 1)
+    } finally
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+  }
+
   test("merge-orig-buckets collapses the bucket key (A3)") {
     import spark.implicits._
     val df = Transform.pipeline(
