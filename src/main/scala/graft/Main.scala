@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.etl.{AccessLogParser, EtlConfig, StreamingTransform, Transform}
+
+/** CLI entry point — the reference's `s3logs` binary surface
+  * (s3logs/src/main.rs:7-48) re-expressed over the Spark engine:
+  *
+  *   aggregate s3 -r <region> -b <bucket> -k <key>
+  *       parse one S3 object (read via s3a://bucket/key) and report the
+  *       line count — main.rs:55-59's `process_s3` path.
+  *   aggregate local <input>...
+  *       parse local files/dirs and report per-input line counts —
+  *       main.rs:60-90's `process_local` loop (a single directory arg is
+  *       expanded to its files, same as main.rs:61-78).
+  *   transform [-o <outDir>] [<input>...]
+  *       the full batch pipeline ([[Transform.run]]): parse → conform →
+  *       dedup → partitioned parquet. With no input it scans
+  *       $S3LOGS_STAGGING_ROOT_PATH, exactly like main.rs:97-101's
+  *       `process_stagging_dir`. Prints "transform task ended, N lines
+  *       processed" (main.rs:99,106 parity).
+  *   stream <landingDir> <outDir> <checkpointDir>
+  *       the streaming mode (s3logd-stream analog): continuous
+  *       [[StreamingTransform]] query over a landing directory.
+  *
+  * Config comes from the process environment via [[EtlConfig.fromEnv]] —
+  * the reference's full env vocabulary, unknown S3LOGS_* keys rejected
+  * loudly. The reference's `-t threads` knob maps to the session's core
+  * count (SPARK_GRAFT_CPUS): parallelism is a cluster property here, not
+  * a per-command flag. There is no `-r region`/`-b bucket` pair on
+  * transform because the Spark sink takes ONE output URI; `-o
+  * s3a://bucket/prefix` carries both.
+  */
+object Main {
+
+  private val usage =
+    """usage:
+      |  graft.Main aggregate s3 -r <region> -b <bucket> -k <key>
+      |  graft.Main aggregate local <input>...
+      |  graft.Main transform [-o <outDir>] [<input>...]
+      |  graft.Main stream <landingDir> <outDir> <checkpointDir>""".stripMargin
+
+  /** Parse-and-count one input (file, directory, or URI): the reference
+    * aggregator's observable effect minus its staging files — under this
+    * engine the staging layer IS the transform's shuffle (SURVEY §3.1),
+    * so a standalone aggregate pass validates and counts. */
+  private def aggregateCount(spark: SparkSession, in: String): Long =
+    AccessLogParser
+      .parse(spark.read.textFile(in).toDF("value"), dropMalformed = true)
+      .count()
+
+  /** Run one CLI invocation against an existing session; returns the
+    * lines a terminal user would see (printed by [[main]]). Separated so
+    * the spec can drive the full command surface on the shared test
+    * session with a controlled environment. */
+  def run(spark: SparkSession, args: Seq[String],
+      env: Map[String, String] = sys.env): Seq[String] = {
+    val cfg = EtlConfig.fromEnv(env)
+    args.toList match {
+      case "aggregate" :: "s3" :: rest =>
+        val opts = flags(rest)
+        val (bucket, key) = (req(opts, "-b"), req(opts, "-k"))
+        // region rides the FS config (fs.s3a.endpoint.region), not the
+        // path; it is required for arg parity with main.rs:10-17
+        req(opts, "-r")
+        val n = aggregateCount(spark, s"s3a://$bucket/$key")
+        Seq(s"$n of lines processed")
+      case "aggregate" :: "local" :: inputs if inputs.nonEmpty =>
+        // one directory arg expands to its plain files (main.rs:61-78);
+        // everything else is processed as given
+        val expanded = inputs match {
+          case Seq(one) =>
+            val f = new java.io.File(one)
+            if (f.isDirectory)
+              f.listFiles.toSeq.filter(_.isFile).map(_.toString).sorted
+            else inputs
+          case _ => inputs
+        }
+        expanded.map { in =>
+          try s"${aggregateCount(spark, in)} of lines processed for input $in"
+          catch { case scala.util.control.NonFatal(_) =>
+            s"process failed input $in" } // main.rs:73,86 parity
+        }
+      case "transform" :: rest =>
+        val opts = flags(rest)
+        val out = opts.getOrElse("-o",
+          env.getOrElse("S3LOGS_TRANSFORM_PARQUET_ROOT_PATH",
+            fail("transform needs -o <outDir> or " +
+              "$S3LOGS_TRANSFORM_PARQUET_ROOT_PATH")))
+        val inputs =
+          if (opts.positional.nonEmpty) opts.positional
+          else Seq(env.getOrElse("S3LOGS_STAGGING_ROOT_PATH",
+            fail("transform needs input paths or $S3LOGS_STAGGING_ROOT_PATH")))
+        val stats = Transform.run(spark, inputs, out, cfg)
+        Seq(s"transform task ended, ${stats.inputLines} lines processed")
+      case "stream" :: landing :: out :: checkpoint :: Nil =>
+        val query = StreamingTransform
+          .writer(StreamingTransform.stream(spark, landing, cfg), out,
+            checkpoint, cfg)
+          .start()
+        query.awaitTermination()
+        Seq("stream query terminated")
+      case _ => fail(usage)
+    }
+  }
+
+  private final case class Opts(named: Map[String, String], positional: Seq[String]) {
+    def getOrElse(k: String, d: => String): String = named.getOrElse(k, d)
+  }
+
+  /** `-x value` flag splitter; everything else is positional. */
+  private def flags(args: List[String]): Opts = {
+    @annotation.tailrec
+    def loop(rest: List[String], named: Map[String, String],
+        pos: Vector[String]): Opts = rest match {
+      case f :: v :: tail if f.startsWith("-") => loop(tail, named + (f -> v), pos)
+      case f :: Nil if f.startsWith("-") => fail(s"flag $f needs a value")
+      case v :: tail => loop(tail, named, pos :+ v)
+      case Nil => Opts(named, pos)
+    }
+    loop(args, Map.empty, Vector.empty)
+  }
+
+  private def req(opts: Opts, k: String): String =
+    opts.named.getOrElse(k, fail(s"missing required flag $k\n$usage"))
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(appName = "graft-cli")
+    try run(spark, args.toSeq).foreach(println)
+    finally spark.stop()
+  }
+}

@@ -119,6 +119,18 @@ object DedupQueries {
       docs: DataFrame, withSplit: Boolean = false)
       extends AutoCloseable {
 
+    /** Caches acquired by stages inside this scope (beyond `sigs`),
+      * all released together by [[close]]. Stages persist LAZILY and
+      * register here — no stage pays an eager materialization barrier,
+      * and the scope still guarantees a cache-clean session on exit. */
+    private val acquired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    private[DedupQueries] def owned(df: DataFrame): DataFrame = {
+      val cached = df.persist()
+      acquired += cached
+      cached
+    }
+
     /** (doc_id, fp, mh, bands[, split]) — the only corpus-wide pass over
       * the text, computed by the codegen
       * [[graft.functions.TextSignatureExpr]] (one compiled loop per doc;
@@ -172,23 +184,37 @@ object DedupQueries {
     def verifiedPairs: DataFrame = {
       val s = sigs.sparkSession
       import s.implicits._
-      val exploded = cappedBands(representatives(sigs))
-      // bounded; referenced three times below — checkpoint, don't replan
+      // Everything below is LAZY + scope-owned-cached — ZERO eager
+      // barriers. Rounds 6–8 checkpointed the candidate pair set first
+      // because the shingle side seemed to need its ids; that serialized
+      // the stage behind two synchronous checkpoint jobs (the dominant
+      // d14/d06 constant factor: band join → barrier → broadcast →
+      // barrier → verify). The key fact that removes the chain: a doc
+      // participates in a candidate pair IFF it sits in a band bucket of
+      // size 2..MaxBandBucket, so the shingle side derives from the
+      // exploded bands directly and the one real job materializes the
+      // shared `exploded` cache once, then the self-join and the shingle
+      // pass read it in parallel.
+      val exploded = owned(cappedBands(representatives(sigs)))
       val cand = exploded.as("x")
         .join(exploded.as("y"),
           $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
             $"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
         .distinct()
-        .localCheckpoint(true)
-      val candIds = cand.select($"doc_a".as("doc_id"))
-        .union(cand.select($"doc_b".as("doc_id"))).distinct()
+      // pair-participating docs, straight from the bucket structure (no
+      // dependency on the self-join): any doc sharing a surviving bucket
+      // with at least one other doc
+      val bucketW = Window.partitionBy($"band_id", $"band_key")
+      val candIds = exploded
+        .withColumn("bucket_n", count(lit(1)).over(bucketW))
+        .filter($"bucket_n" >= 2)
+        .select($"doc_id").distinct()
       // shingle sets for the candidate docs ONLY — one codegen pass over
-      // the few docs surviving the broadcast semi-join, checkpointed so
-      // both join sides below read the same materialized (bounded) table
-      val candSh = docs.join(broadcast(candIds), "doc_id")
-        .select($"doc_id", sigExpr.getField("shset").as("shset"))
-        .localCheckpoint(true)
+      // the few docs surviving the broadcast semi-join, cached so both
+      // join sides below share one computed (bounded) table
+      val candSh = owned(docs.join(broadcast(candIds), "doc_id")
+        .select($"doc_id", sigExpr.getField("shset").as("shset")))
       cand
         .join(candSh.select($"doc_id".as("doc_a"), $"shset".as("sh_a")), "doc_a")
         .join(candSh.select($"doc_id".as("doc_b"), $"shset".as("sh_b")), "doc_b")
@@ -204,10 +230,14 @@ object DedupQueries {
     def clusters: DataFrame =
       connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
 
-    /** Releases the signature cache. The catalog entry is removed
-      * synchronously (the cache-empty contract); block deletion is
-      * async — nothing re-reads them. */
-    def close(): Unit = sigs.unpersist(blocking = false)
+    /** Releases the signature cache and every stage-acquired cache. The
+      * catalog entries are removed synchronously (the cache-empty
+      * contract); block deletion is async — nothing re-reads them. */
+    def close(): Unit = {
+      acquired.foreach(_.unpersist(blocking = false))
+      acquired.clear()
+      sigs.unpersist(blocking = false)
+    }
   }
 
   /** Open a [[DedupScope]], run `f` inside it, release the signature
@@ -334,13 +364,18 @@ object DedupQueries {
     val s = docs.sparkSession
     import s.implicits._
     withDedupScope(docs, withSplit = true) { scope =>
-      val nd = scope.verifiedPairs
+      // cache the verified pairs (scope-owned, lazy): the symmetric union
+      // below references them twice, and the exact-Jaccard verify join is
+      // the stage's dominant cost — computing it once halves the query
+      val nd = scope.owned(scope.verifiedPairs)
       // doc → its exact-dup representative (min doc_id per fingerprint):
       // a window over the already-materialized sigs, which also carry
-      // the split label — no second pass over the corpus at all
-      val members = scope.sigs.select($"doc_id", $"fp", $"split")
+      // the split label — no second pass over the corpus at all. Cached
+      // (scope-owned): the test and train sides below would otherwise
+      // each run the window shuffle.
+      val members = scope.owned(scope.sigs.select($"doc_id", $"fp", $"split")
         .withColumn("rep", min($"doc_id").over(Window.partitionBy($"fp")))
-        .drop("fp")
+        .drop("fp"))
       val test = members.filter($"split" === "test")
         .select($"doc_id".as("test_id"), $"rep".as("rep_t"))
       val train = members.filter($"split" === "train")
@@ -390,11 +425,20 @@ object DedupQueries {
   def connectedComponents(pairFrame: DataFrame): DataFrame = {
     val s = pairFrame.sparkSession
     import s.implicits._
-    val pairs = pairFrame.persist()
+    // Materialize the pair graph ONCE before the loop touches it. A lazy
+    // persist() here is not enough: the first action evaluates the edges
+    // union + init pass against the still-un-materialized plan, so an
+    // expensive upstream (the LSH band self-join when called from
+    // duplicateClusters) is partially re-triggered across its branches.
+    // An eager localCheckpoint runs the upstream exactly once and the
+    // loop then reads narrow materialized (doc_a, doc_b) blocks only.
+    val pairs = pairFrame.localCheckpoint(true)
+    // edges is a cheap narrow view over the checkpointed blocks (scan +
+    // column swap + union) — re-deriving it per round costs less than
+    // pinning a second copy of the graph in storage.
     val edges = pairs
       .union(pairs.select($"doc_b", $"doc_a"))
       .toDF("src", "dst")
-      .persist()
     // init with one neighborhood-min pass (label = min(self, neighbors))
     // instead of self-labels: LSH clusters are near-cliques, so most
     // converge here and the loop is a single verification round.
@@ -448,11 +492,10 @@ object DedupQueries {
     }
     if (!converged)
       throw new IllegalStateException("label propagation did not converge")
-    // the result frame reads only the persisted `labels`; the loop's
-    // scaffolding caches can go (leaving them would leak storage across
-    // every corpus a long-lived session processes)
-    pairs.unpersist()
-    edges.unpersist()
+    // the result frame reads only the final round's checkpoint; the
+    // pair-graph checkpoint and superseded rounds become unreferenced
+    // here and the ContextCleaner reclaims their blocks — nothing stays
+    // registered in the catalog cache manager (the lifecycle contract)
     labels.select($"doc_id", $"label".cast("long").as("cluster_id"))
   }
 

@@ -303,11 +303,15 @@ class EtlSpec extends SparkSpec {
     // the generator's default 600 s spread IS a hot hour: every line
     // lands in one (year,month,day,hour) output partition
     LogGen.lines(2000, seed = 77).toDF("value").coalesce(2).write.text(in)
-    // pin a tiny AQE advisory size so the salted shuffle keeps its
-    // fan-out at test scale the way real-size partitions would at 100 TB
-    // (default 64 MB would coalesce a KB-scale test corpus to one task)
+    // pin BOTH tiny AQE size knobs so the salted shuffle keeps its
+    // fan-out at test scale the way real-size partitions would at 100 TB:
+    // advisoryPartitionSizeInBytes alone is not enough — coalescing's
+    // minPartitionSize floor (default 1 MB, applied with parallelismFirst)
+    // still collapses a KB-scale test shuffle to a single reducer
     val advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val minPart = spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
     try {
       val salted = Transform.run(spark, Seq(in), s"$tmp/salted",
         EtlConfig(sinkSaltBuckets = 8))
@@ -335,8 +339,10 @@ class EtlSpec extends SparkSpec {
       assert(files(sDirs.head) > 1,
         s"hot hour written by a single task despite salt: ${files(sDirs.head)} file(s)")
       assert(files(uDirs.head) == 1)
-    } finally
+    } finally {
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
+    }
   }
 
   test("merge-orig-buckets collapses the bucket key (A3)") {

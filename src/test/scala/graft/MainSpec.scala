@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.etl.LogGen
+
+/** CLI surface (reference s3logs/src/main.rs parity): aggregate local,
+  * transform, and their printed line-count contract. */
+class MainSpec extends SparkSpec {
+
+  test("aggregate local: per-input line counts, directory expansion") {
+    val tmp = Files.createTempDirectory("graft-cli-agg").toString
+    // two plain files in one directory — the single-dir arg expands
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    def writeLines(path: String, n: Int, seed: Long): Unit =
+      Files.write(java.nio.file.Paths.get(path),
+        LogGen.lines(n, seed).mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeLines(s"$tmp/in/a.log", 30, seed = 41)
+    writeLines(s"$tmp/in/b.log", 20, seed = 42)
+    val perFile = Main.run(spark, Seq("aggregate", "local",
+      s"$tmp/in/a.log", s"$tmp/in/b.log"), Map.empty)
+    assert(perFile == Seq(
+      s"30 of lines processed for input $tmp/in/a.log",
+      s"20 of lines processed for input $tmp/in/b.log"))
+    // a single directory arg expands to its files (main.rs:61-78)
+    val expanded = Main.run(spark, Seq("aggregate", "local", s"$tmp/in"),
+      Map.empty)
+    assert(expanded == Seq(
+      s"30 of lines processed for input $tmp/in/a.log",
+      s"20 of lines processed for input $tmp/in/b.log"))
+    // unreadable input reports a failure line, not an exception
+    val failed = Main.run(spark, Seq("aggregate", "local", s"$tmp/nope"),
+      Map.empty)
+    assert(failed == Seq(s"process failed input $tmp/nope"))
+  }
+
+  test("transform: fixture dir -> partitioned lake + stats line") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-tr").toString
+    LogGen.lines(200, seed = 43).toDF("value").write.text(s"$tmp/in")
+    // env-driven config keeps the reference's 600 s age gate by default;
+    // the fixture was written milliseconds ago, so disable it here
+    val out = Main.run(spark,
+      Seq("transform", "-o", s"$tmp/lake", s"$tmp/in"),
+      Map("S3LOGS_TRANSFORM_JOB_INTERVAL" -> "0"))
+    assert(out == Seq("transform task ended, 200 lines processed"))
+    // the lake is hive-partitioned parquet with every surviving row
+    val lake = spark.read.parquet(s"$tmp/lake")
+    assert(lake.count() > 0 && lake.columns.contains("RequestID"))
+    val hourDirs = new java.io.File(s"$tmp/lake").listFiles
+    assert(hourDirs.exists(_.getName.startsWith("year=")))
+  }
+
+  test("transform without -o or inputs fails loudly; bad flags too") {
+    intercept[IllegalArgumentException](
+      Main.run(spark, Seq("transform"), Map.empty))
+    intercept[IllegalArgumentException](
+      Main.run(spark, Seq("nonsense"), Map.empty))
+    intercept[IllegalArgumentException](Main.run(spark,
+      Seq("aggregate", "s3", "-r", "eu-west-1", "-b", "b"), Map.empty))
+  }
+}
