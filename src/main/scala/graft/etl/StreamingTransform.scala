@@ -104,7 +104,17 @@ object StreamingTransform {
     *
     * `resolveKey` maps (bucket, key) to a readable path — production maps
     * to s3a://bucket/key; tests map to local fixture files. Call
-    * `.trigger(...).start()` on the result. */
+    * `.trigger(...).start()` on the result.
+    *
+    * Queue-connector contract (swapping the file source for real SQS —
+    * README "Streaming notification source (ST1)"): visibility timeout
+    * must exceed trigger interval + batch runtime (s3logd sizes it the
+    * same way, s3logd/src/main.rs:29-207); message deletion maps to
+    * checkpoint commit, so a crash replays the uncommitted batch —
+    * at-least-once, made effectively-once by D1 dedup (the reference
+    * deletes each message only after staging completes,
+    * s3log-lambda-aggregator/src/main.rs:68-109); undeserializable
+    * bodies drop with a warning (null Records → empty explode). */
   def notificationPipeline(
       spark: SparkSession, notifDir: String, outDir: String,
       checkpointDir: String, resolveKey: (String, String) => String,

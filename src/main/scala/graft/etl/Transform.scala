@@ -57,7 +57,11 @@ object EtlConfig {
     * including its literal `WRTIER` spelling — plus the engine-extension
     * keys. Keys marked n/a configure machinery Spark subsumes (stagging
     * files, flocks, S3 upload); they are ACCEPTED (a reference deployment's
-    * env must not be rejected) but have no engine knob to turn. */
+    * env must not be rejected) but have no engine knob to turn. The S3
+    * upload keys (MPU_CHUNK_SIZE, STORAGE_CLASS, CLEANUP_UPLOADED_PARQUET)
+    * map onto the S3A committer/filesystem layer — see README "S3 sink:
+    * the committer contract (K4)" for the fs.s3a.* settings that
+    * reproduce the reference's .incomplete→rename atomicity. */
   private val passthroughKeys = Set(
     "S3LOGS_STAGGING_ROOT_PATH",            // staging layer = shuffle
     "S3LOGS_CONFIG_ROOT_PATH",              // schema is compiled in
@@ -319,6 +323,18 @@ object Transform {
     // size (maxRecordsPerFile bounds file size, not task size). The
     // salt fans each output partition over ≤ sinkSaltBuckets tasks;
     // RequestID is effectively uniform, so the fan-out is even.
+    //
+    // AQE interaction: coalescePartitions can merge salted sub-splits
+    // back together when they are SMALL — at production sizes a hot
+    // hour is hundreds of GB, so its sinkSaltBuckets sub-splits each
+    // dwarf advisoryPartitionSizeInBytes (64 MB default) and the
+    // fan-out survives; a KB-scale test corpus must pin BOTH
+    // advisoryPartitionSizeInBytes AND coalescePartitions
+    // .minPartitionSize down (the 1 MB minPartitionSize floor alone
+    // re-collapses tiny shuffles to one task — see the EtlSpec salt
+    // test). Cost side: salting multiplies files-per-partition by up
+    // to sinkSaltBuckets (one file per reducer per partition dir),
+    // bounded and compactable (graft.etl.Compact).
     val sinkKey = partCols.map(col) ++
       (if (cfg.sinkSaltBuckets > 1)
          Seq(pmod(hash(col("RequestID")), lit(cfg.sinkSaltBuckets)))

@@ -54,13 +54,15 @@ class OperatorsSpec extends SparkSpec {
     assert(verified.forall(r => r.getDouble(2) >= 0.5))
   }
 
-  test("IVF ANN recalls >=0.5 of the exact top-5 (s04 vs s01)") {
+  test("IVF ANN recalls >=0.7 of the exact top-5 (s04 vs s01)") {
     val exact = EmbeddingQueries.queries("s01_knn_bruteforce")(spark, sfSmoke)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = EmbeddingQueries.queries("s04_ann_ivf")(spark, sfSmoke)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall vs exact top-5 too low: $recall")
+    // the Lloyd-trained quantizer must beat what fixed sign-vector cells
+    // could do (those plateaued just above 0.5 on this corpus)
+    assert(recall >= 0.7, s"IVF recall vs exact top-5 too low: $recall")
   }
 
   test("dup clusters are consistent closures of the pair graph (d11)") {
