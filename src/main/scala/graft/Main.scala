@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.etl.{AccessLogParser, EtlConfig, StreamingTransform, Transform}
+import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Transform}
 
 /** CLI entry point — the reference's `s3logs` binary surface
   * (s3logs/src/main.rs:7-48) re-expressed over the Spark engine:
@@ -39,7 +39,8 @@ object Main {
       |  graft.Main aggregate s3 -r <region> -b <bucket> -k <key>
       |  graft.Main aggregate local <input>...
       |  graft.Main transform [-o <outDir>] [<input>...]
-      |  graft.Main stream <landingDir> <outDir> <checkpointDir>""".stripMargin
+      |  graft.Main stream <landingDir> <outDir> <checkpointDir>
+      |  graft.Main compact <lakeDir> [<partitionCol>...]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -94,6 +95,18 @@ object Main {
             fail("transform needs input paths or $S3LOGS_STAGGING_ROOT_PATH")))
         val stats = Transform.run(spark, inputs, out, cfg)
         Seq(s"transform task ended, ${stats.inputLines} lines processed")
+      case "compact" :: lake :: cols =>
+        // maintenance pass for the streaming lake's small files — the
+        // reference accepts per-rotation small files and leaves cleanup
+        // to operations (scripts/transform.sh runbook); here it is one
+        // engine command. Partition columns default to the lake's own
+        // hive layout, read from the directory names.
+        val partCols = if (cols.nonEmpty) cols else detectPartitionCols(spark, lake)
+        val st = Compact.run(spark, lake, partCols,
+          maxRecordsPerFile = cfg.maxRecordsPerFile,
+          compression = cfg.compression)
+        Seq(s"compact task ended, ${st.rows} rows kept, " +
+          s"${st.files0} -> ${st.files1} files")
       case "stream" :: landing :: out :: checkpoint :: Nil =>
         val query = StreamingTransform
           .writer(StreamingTransform.stream(spark, landing, cfg), out,
@@ -103,6 +116,29 @@ object Main {
         Seq("stream query terminated")
       case _ => fail(usage)
     }
+  }
+
+  /** Read the lake's hive partition columns off its directory names:
+    * follow one `k=v` chain down from the root. Fails loudly on a
+    * directory with no partition structure (compacting a non-lake dir
+    * by accident must not flatten it). */
+  private def detectPartitionCols(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    @annotation.tailrec
+    def walk(p: org.apache.hadoop.fs.Path, acc: Vector[String]): Seq[String] = {
+      val child = fs.listStatus(p).find(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      child match {
+        case Some(st) => walk(st.getPath,
+          acc :+ st.getPath.getName.takeWhile(_ != '='))
+        case None => acc
+      }
+    }
+    val cols = walk(root, Vector.empty)
+    if (cols.isEmpty) fail(s"no hive partition dirs (k=v) under $dir — " +
+      "pass partition columns explicitly")
+    cols
   }
 
   private final case class Opts(named: Map[String, String], positional: Seq[String]) {

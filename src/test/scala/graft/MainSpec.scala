@@ -52,6 +52,27 @@ class MainSpec extends SparkSpec {
     assert(hourDirs.exists(_.getName.startsWith("year=")))
   }
 
+  test("compact: detects hive layout, conserves rows, reports file counts") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-cmp").toString
+    val env = Map("S3LOGS_TRANSFORM_JOB_INTERVAL" -> "0")
+    // two appends -> several files per hot-hour partition (salted writes)
+    LogGen.lines(150, seed = 44).toDF("value").write.text(s"$tmp/in1")
+    LogGen.lines(150, seed = 44).toDF("value").write.text(s"$tmp/in2")
+    Main.run(spark, Seq("transform", "-o", s"$tmp/lake", s"$tmp/in1"), env)
+    Main.run(spark, Seq("transform", "-o", s"$tmp/lake", s"$tmp/in2"), env)
+    val rows = spark.read.parquet(s"$tmp/lake").count()
+    val out = Main.run(spark, Seq("compact", s"$tmp/lake"), env)
+    assert(out.size == 1 && out.head.startsWith(s"compact task ended, $rows rows kept"))
+    assert(spark.read.parquet(s"$tmp/lake").count() == rows)
+    // partition layout survived (auto-detected year/month/day/hour)
+    assert(new java.io.File(s"$tmp/lake").listFiles
+      .exists(_.getName.startsWith("year=")))
+    // a dir with no hive layout is refused, not flattened
+    intercept[IllegalArgumentException](
+      Main.run(spark, Seq("compact", s"$tmp/in1"), env))
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))
