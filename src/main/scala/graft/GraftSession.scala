@@ -25,9 +25,10 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       // Engine extensions: native codegen functions (graft_tokenize,
-      // graft_text_signature).
+      // graft_text_signature, graft_dot).
       .withExtensions(graft.functions.ParseS3LogExpr.register)
       .withExtensions(graft.functions.TextSignatureExpr.register)
+      .withExtensions(graft.functions.DotProductExpr.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

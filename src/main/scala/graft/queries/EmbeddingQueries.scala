@@ -69,8 +69,7 @@ object EmbeddingQueries {
     s"""transform(array(${(0 until ivfCells).map { j =>
       s"array(${(0 until 64).map(i => s"CAST(${cw(j, i)} AS DOUBLE)").mkString(", ")})"
     }.mkString(", ")}),
-        c -> aggregate(zip_with($v, c, (x, w) -> x * w),
-                       CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"""
+        c -> graft_dot($v, c))"""
 
   /** One Lloyd re-centering round: an assignment (vec_id, v, cell) →
     * learned centroids (cell, cv_sum, cnorm). Per-dimension member sums
@@ -94,8 +93,7 @@ object EmbeddingQueries {
       .groupBy($"cell")
       .agg(expr("transform(sort_array(collect_list(struct(i, sx))), p -> p.sx)")
         .as("cv_sum"))
-      .withColumn("cnorm", expr(
-        "sqrt(aggregate(cv_sum, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+      .withColumn("cnorm", expr("sqrt(graft_dot(cv_sum, cv_sum))"))
   }
 
   /** Assign every vector to learned centroids by cosine: the k·n scan
@@ -111,15 +109,18 @@ object EmbeddingQueries {
       .withColumn("rn", row_number().over(argW))
   }
 
-  /** embeddings with double vector + L2 norm. */
+  /** embeddings with double vector + L2 norm. Norms and every dot product
+    * below run through the codegen [[graft.functions.DotProductExpr]] —
+    * bit-equal to the HOF `aggregate(zip_with(...))` reference formula
+    * (same left-to-right fold the DuckDB oracle's list_dot_product uses)
+    * without the per-pair interpreted-lambda cost. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
 
   private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    expr(s"graft_dot($a, $b)")
 
   /** LSH bucket id from the sign pattern of `lshBits` hyperplane
     * projections (generated as fixed literals — same plan every run). */
