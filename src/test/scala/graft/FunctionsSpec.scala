@@ -96,4 +96,39 @@ class FunctionsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_text_signature.*"), plan)
   }
+
+  test("graft_dot is bit-equal to the HOF fold and rejects dim mismatch") {
+    import spark.implicits._
+    // adversarial doubles: mixed magnitudes + signs make float addition
+    // order-sensitive, so bit-equality here proves the SAME left-to-right
+    // fold as the aggregate(zip_with(...)) reference formula
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 50).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextDouble * math.pow(10, rnd.nextInt(7) - 3)
+          * (if (rnd.nextBoolean()) 1 else -1)),
+        Array.fill(64)(rnd.nextDouble * 2 - 1))
+    }
+    val df = vecs.toDF("id", "a", "b").repartition(2)
+      .withColumn("fast", expr("graft_dot(a, b)"))
+      .withColumn("ref", expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(4)),
+        s"graft_dot diverged from the HOF fold on id ${r.getLong(0)}")
+    }
+    // null input -> null (BinaryExpression null-safety)
+    val n = Seq((null.asInstanceOf[Array[Double]], Array(1.0)))
+      .toDF("a", "b").repartition(2)
+      .select(expr("graft_dot(a, b)")).collect()
+    assert(n(0).isNullAt(0))
+    // a dimension bug must fail loudly, not null-pad like zip_with
+    val err = intercept[org.apache.spark.SparkException] {
+      Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b").repartition(2)
+        .select(expr("graft_dot(a, b)")).collect()
+    }
+    assert(err.getMessage.contains("dimension mismatch") ||
+      Option(err.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
 }
