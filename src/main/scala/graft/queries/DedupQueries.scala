@@ -597,9 +597,44 @@ object DedupQueries {
         signatureTable(docs.filter(pmod($"doc_id", lit(5)) =!= 4)),
         signatureTable(docs.filter(pmod($"doc_id", lit(5)) === 4)))
         .orderBy($"doc_id")
+    },
+
+    // ---- d19: within-document repetition ratio ---------------------------
+    // The Gopher-family quality signal the near-dup operators don't
+    // cover: how much of a document is the document repeating ITSELF —
+    // 1 − distinct/total 3-gram shingles (0.0 for shingle-less docs).
+    // Rides the same codegen signature pass as d02-d14 (shset is the
+    // distinct set, total is tokens−2); one linear pass, no shuffle.
+    "d19_repetition" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .withColumn("_sig", sigExpr)
+        .withColumn("n_shingles",
+          greatest(lit(0L), (size(split($"text", " ")) - 2).cast("long")))
+        .withColumn("n_distinct", size($"_sig.shset").cast("long"))
+        .withColumn("rep_ratio",
+          when($"n_shingles" === 0, lit(0.0))
+            .otherwise(floor(
+              (lit(1.0) - $"n_distinct".cast("double") / $"n_shingles")
+                * 1000000) / 1000000.0))
+        .select($"doc_id", $"n_shingles", $"n_distinct", $"rep_ratio")
+        .orderBy($"doc_id")
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
+    "d19_repetition" ->
+      s"""WITH sh AS (
+            SELECT doc_id, ${duckShingles("th")} AS sh
+            FROM (SELECT doc_id, ${duckTokenHashes("text")} AS th
+                  FROM documents))
+          SELECT doc_id,
+            CAST(len(sh) AS BIGINT) AS n_shingles,
+            CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+            CASE WHEN len(sh) = 0 THEN 0.0
+                 ELSE floor((1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+                             / len(sh)) * 1000000) / 1000000
+            END AS rep_ratio
+          FROM sh ORDER BY doc_id""",
     "d02_minhash_sigs" ->
       s"""WITH sigs AS (
             SELECT doc_id, mh, ${duckBands("mh")} AS bands

@@ -208,6 +208,24 @@ object DocumentQueries {
         .orderBy($"doc_id", $"rk")
     },
 
+    // d18 vocabulary extraction: corpus-level token frequencies, top-100
+    // by occurrence — the input artifact a BPE/unigram tokenizer trains
+    // from. Scale shape: the explode shuffles (term) with map-side
+    // combine (partial counts per partition), then the global top-k is a
+    // TakeOrderedAndProject (per-partition heaps + driver merge of 100
+    // rows), never a full sort of the vocabulary.
+    "d18_vocab_topk" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"term")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"n_occ".desc, $"term")
+        .limit(100)
+    },
+
     // Token counting: whitespace tokens, BPE-ish regex token count
     // (letter-runs / digit-runs / single symbols), and a ceil(len/4)
     // subword-chunk estimate.
@@ -288,6 +306,13 @@ object DocumentQueries {
                ORDER BY md5(text), doc_id) AS BIGINT) AS rk
            FROM documents)
          WHERE rk <= 5 ORDER BY lang, rk""",
+    "d18_vocab_topk" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents)
+         SELECT term, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+         FROM terms WHERE term <> ''
+         GROUP BY term ORDER BY n_occ DESC, term LIMIT 100""",
     "d17_tfidf_keywords" ->
       """WITH terms AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term
