@@ -25,10 +25,11 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       // Engine extensions: native codegen functions (graft_tokenize,
-      // graft_text_signature, graft_dot).
+      // graft_text_signature, graft_dot, graft_eq_count).
       .withExtensions(graft.functions.ParseS3LogExpr.register)
       .withExtensions(graft.functions.TextSignatureExpr.register)
       .withExtensions(graft.functions.DotProductExpr.register)
+      .withExtensions(graft.functions.EqCountExpr.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

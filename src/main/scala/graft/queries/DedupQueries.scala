@@ -163,9 +163,12 @@ object DedupQueries {
       a.join(b,
           $"band_id" === $"band_id_b" && $"band_key" === $"band_key_b" &&
             $"doc_a" < $"doc_b")
+        // equal-component count via the codegen graft_eq_count (the HOF
+        // zip_with∘filter chain is interpreted and runs per PRE-distinct
+        // join row); integer count → /K → round is arithmetic-identical
         .select($"doc_a", $"doc_b",
-          round(size(filter(zip_with($"mh_a", $"mh_b", (x, y) => x === y),
-            (m: Column) => m)) / lit(K.toDouble), 4).as("sim_est"))
+          round(expr("graft_eq_count(mh_a, mh_b)") / lit(K.toDouble), 4)
+            .as("sim_est"))
         .distinct()
         .filter($"sim_est" >= 0.5)
     }
@@ -319,8 +322,8 @@ object DedupQueries {
         .join(cBands,
           $"b_band_id" === $"band_id" && $"b_band_key" === $"band_key")
         .select($"b_id", $"doc_id".as("c_id"),
-          round(size(filter(zip_with($"b_mh", $"mh", (x, y) => x === y),
-            (m: Column) => m)) / lit(K.toDouble), 4).as("sim"))
+          round(expr("graft_eq_count(b_mh, mh)") / lit(K.toDouble), 4)
+            .as("sim"))
         .distinct()
         .filter($"sim" >= 0.5)
       val batchRepOf = batch

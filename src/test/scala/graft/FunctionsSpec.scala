@@ -97,6 +97,30 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_text_signature.*"), plan)
   }
 
+  test("graft_eq_count matches the HOF zip_with∘filter count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map { i =>
+      val a = Array.fill(16)(rnd.nextInt(4).toLong)
+      // mix: some identical arrays, some independent
+      val b = if (i % 5 == 0) a.clone else Array.fill(16)(rnd.nextInt(4).toLong)
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b").repartition(2)
+      .withColumn("fast", expr("graft_eq_count(a, b)"))
+      .withColumn("ref", expr(
+        "CAST(size(filter(zip_with(a, b, (x, y) -> x = y), m -> m)) AS BIGINT)"))
+    df.collect().foreach { r =>
+      assert(r.getLong(3) == r.getLong(4), s"eq_count diverged on id ${r.getLong(0)}")
+    }
+    val err = intercept[org.apache.spark.SparkException] {
+      Seq((Array(1L, 2L), Array(1L))).toDF("a", "b").repartition(2)
+        .select(expr("graft_eq_count(a, b)")).collect()
+    }
+    assert(err.getMessage.contains("dimension mismatch") ||
+      Option(err.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
   test("graft_dot is bit-equal to the HOF fold and rejects dim mismatch") {
     import spark.implicits._
     // adversarial doubles: mixed magnitudes + signs make float addition
