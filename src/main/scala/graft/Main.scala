@@ -39,7 +39,7 @@ object Main {
       |  graft.Main aggregate s3 -r <region> -b <bucket> -k <key>
       |  graft.Main aggregate local <input>...
       |  graft.Main transform [-o <outDir>] [<input>...]
-      |  graft.Main stream <landingDir> <outDir> <checkpointDir>
+      |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
       |  graft.Main compact <lakeDir> [<partitionCol>...]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
@@ -107,11 +107,20 @@ object Main {
           compression = cfg.compression)
         Seq(s"compact task ended, ${st.rows} rows kept, " +
           s"${st.files0} -> ${st.files1} files")
-      case "stream" :: landing :: out :: checkpoint :: Nil =>
-        val query = StreamingTransform
+      case "stream" :: rest if rest.filterNot(_ == "--once").size == 3 =>
+        // --once = Trigger.AvailableNow: process the backlog, checkpoint,
+        // exit — the reference's timer-driven lambda transformer shape
+        // (s3log-lambda-transformer on an EventBridge schedule); without
+        // it the query runs continuously like s3logd-stream
+        val Seq(landing, out, checkpoint) = rest.filterNot(_ == "--once")
+        val writer = StreamingTransform
           .writer(StreamingTransform.stream(spark, landing, cfg), out,
             checkpoint, cfg)
-          .start()
+        val query =
+          if (rest.contains("--once"))
+            writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+          else writer.start()
         query.awaitTermination()
         Seq("stream query terminated")
       case _ => fail(usage)

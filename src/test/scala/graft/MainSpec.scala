@@ -73,6 +73,24 @@ class MainSpec extends SparkSpec {
       Main.run(spark, Seq("compact", s"$tmp/in1"), env))
   }
 
+  test("stream --once drains the landing backlog and terminates") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-str").toString
+    LogGen.lines(60, seed = 45).toDF("value").write.text(s"$tmp/landing")
+    val out = Main.run(spark, Seq("stream", "--once",
+      s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"), Map.empty)
+    assert(out == Seq("stream query terminated"))
+    val lake = spark.read.parquet(s"$tmp/out")
+    assert(lake.count() == 60)
+    // stream layout is dt=YYYYMMDD (the reference's streaming default)
+    assert(new java.io.File(s"$tmp/out").listFiles
+      .exists(_.getName.startsWith("dt=")))
+    // a second --once run from the checkpoint re-processes nothing
+    Main.run(spark, Seq("stream", "--once",
+      s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt"), Map.empty)
+    assert(spark.read.parquet(s"$tmp/out").count() == 60)
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))
