@@ -40,6 +40,7 @@ object Main {
       |  graft.Main aggregate local <input>...
       |  graft.Main transform [-o <outDir>] [<input>...]
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
+      |  graft.Main ingest [--once] <dropDir> <corpusDir> <checkpointDir>
       |  graft.Main compact <lakeDir> [<partitionCol>...]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
@@ -95,6 +96,22 @@ object Main {
             fail("transform needs input paths or $S3LOGS_STAGGING_ROOT_PATH")))
         val stats = Transform.run(spark, inputs, out, cfg)
         Seq(s"transform task ended, ${stats.inputLines} lines processed")
+      case "ingest" :: rest if rest.filterNot(_ == "--once").size == 3 =>
+        // training-corpus ingestion: JSON-lines crawl drop → content-
+        // fingerprint dedup within the watermark → lang-partitioned
+        // parquet corpus (graft.streaming.DocumentIngest); --once drains
+        // the backlog and exits like the stream command
+        val Seq(drop, corpus, checkpoint) = rest.filterNot(_ == "--once")
+        val writer = graft.streaming.DocumentIngest
+          .writer(graft.streaming.DocumentIngest.stream(spark, drop),
+            corpus, checkpoint)
+        val query =
+          if (rest.contains("--once"))
+            writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+          else writer.start()
+        query.awaitTermination()
+        Seq("ingest query terminated")
       case "compact" :: lake :: cols =>
         // maintenance pass for the streaming lake's small files — the
         // reference accepts per-rotation small files and leaves cleanup

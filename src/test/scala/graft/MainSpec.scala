@@ -91,6 +91,27 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() == 60)
   }
 
+  test("ingest --once dedups the crawl drop into a lang-partitioned corpus") {
+    val tmp = Files.createTempDirectory("graft-cli-ing").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/drop"))
+    def doc(id: Long, text: String, lang: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"$lang","source":"crawl",""" +
+        s""""event_ts":"2024-01-01T00:0$id:00.000Z"}"""
+    Files.write(java.nio.file.Paths.get(s"$tmp/drop/batch1.jsonl"),
+      (Seq(doc(1, "alpha beta", "en"), doc(2, "ALPHA  beta", "en"), // dup of 1
+        doc(3, "gamma delta", "de")).mkString("", "\n", "\n"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = Main.run(spark, Seq("ingest", "--once",
+      s"$tmp/drop", s"$tmp/corpus", s"$tmp/ckpt"), Map.empty)
+    assert(out == Seq("ingest query terminated"))
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+    // doc 2 is a normalized-content duplicate of doc 1 — dropped
+    assert(corpus.count() == 2)
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(new java.io.File(s"$tmp/corpus").listFiles
+      .map(_.getName).filter(_.startsWith("lang=")).toSet == Set("lang=en", "lang=de"))
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))
