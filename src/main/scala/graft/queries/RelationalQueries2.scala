@@ -209,7 +209,10 @@ object RelationalQueries2 {
       val tail = daily
         .filter(month($"ship_date") === 12 && dayofmonth($"ship_date") >= 26)
         .select($"day_num".as("t_day"), $"rev".as("t_rev"))
-      val fix = head.join(tail,
+      // both stitch sides are <=6 rows per YEAR of data (the day-of-year
+      // filters); broadcast makes the non-equi range join provably
+      // bounded instead of leaving a potential cartesian to the planner
+      val fix = head.join(broadcast(tail),
           $"t_day" >= $"h_day" - 6 && $"t_day" <= $"h_day" - 1)
         .groupBy($"h_day").agg(sum($"t_rev").as("fix_rev"))
       withinYear

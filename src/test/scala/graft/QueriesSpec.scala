@@ -36,6 +36,53 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("no gate query joins without equi-keys unless one side is provably tiny") {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe,
+      EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LocalRelation}
+    // a join with no equi-key component executes as a nested-loop/cartesian
+    // — quadratic unless one side is bounded. The acceptable forms all
+    // make one side provably small: an inline literal table (q18's range
+    // bands are a LocalRelation), or an explicitly BROADCAST side — a
+    // scalar/constant aggregate (d17's corpus size), a fixed-k centroid
+    // table (s04's 16 cells), or the bounded query set of the brute-force
+    // kNN baseline (s01/s02 — the exact baseline is INTENTIONALLY
+    // linear-scan; the bucketed variants are the scale path). Everything
+    // else must carry equi-keys so it hash-partitions.
+    // q30's stitch join: both sides are <=6 rows per year by filter
+    val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
+      "s04_ann_ivf", "d17_tfidf_keywords", "q30_sliding_window")
+    // top-level conjunct split: `a =!= b` CONTAINS an EqualTo node, so a
+    // whole-tree search would miscount it as an equi-key
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfSmoke).queryExecution.optimizedPlan
+      val nonEqui = plan.collect {
+        case j @ Join(_, _, _, cond, _)
+            if !cond.exists(conjuncts(_).exists {
+              case _: EqualTo | _: EqualNullSafe => true
+              case _ => false
+            }) => j
+      }
+      nonEqui.foreach { j =>
+        val inlineSide = Seq(j.left, j.right).exists(_.exists {
+          case _: LocalRelation => true
+          case _ => false
+        })
+        // the optimizer folds broadcast() hints into the Join's JoinHint
+        val hinted = broadcastWhitelist(name) &&
+          Seq(j.hint.leftHint, j.hint.rightHint)
+            .exists(_.exists(_.strategy.isDefined))
+        assert(inlineSide || hinted,
+          s"$name plans a join with no equi-keys and no provably-bounded " +
+            "side (inline literal table or whitelisted broadcast)")
+      }
+    }
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sfSmoke)
