@@ -47,10 +47,11 @@ object Bench {
     // Compact JSON: the driver captures only the LAST ~2000 bytes of
     // stdout, and the [success] line sbt appends eats ~80 of them — with
     // 66 queries, 9-digit doubles pushed the line's HEAD out of the
-    // window (round 6's map lost q01–q07). 3-decimal seconds keep the
-    // full map near 1.8 KB; ms precision is below this box's run-to-run
-    // jitter anyway.
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // window (round 6's map lost q01–q07). At 67 queries the 3-decimal
+    // line measured 1892 B — inside the window by under 30 B — so
+    // per-query values are 2-decimal now (10 ms precision, still well
+    // below this box's run-to-run jitter); the headline total keeps 3.
+    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
