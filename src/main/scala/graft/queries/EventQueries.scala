@@ -111,6 +111,33 @@ object EventQueries {
         .orderBy($"win_start", $"event_type")
     },
 
+    // ---- q40: ordered funnel (view -> click -> purchase) -----------------
+    // Sequential step matching per user: step N counts only if it happens
+    // strictly AFTER the user's step N-1 completion. The chained shape is
+    // three pre-filtered event subsets joined on user_id (equi-joins with
+    // map-side-combinable min aggregates) — each stage's input shrinks to
+    // the users still in the funnel, never a per-user sort of all events.
+    "q40_funnel_steps" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      def firstAfter(evType: String, prev: DataFrame, prevTs: String,
+          outTs: String): DataFrame =
+        ev.filter($"event_type" === evType)
+          .select($"user_id".as("u"), $"ts")
+          .join(prev, $"u" === prev("user_id") && $"ts" > prev(prevTs))
+          .groupBy($"u").agg(min($"ts").as(outTs))
+          .select($"u".as("user_id"), col(outTs))
+      val s1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val s2 = firstAfter("click", s1, "t1", "t2")
+      val s3 = firstAfter("purchase", s2, "t2", "t3")
+      s1.select(lit(1L).as("step"), lit("view").as("step_name"), $"user_id")
+        .unionAll(s2.select(lit(2L), lit("click"), $"user_id"))
+        .unionAll(s3.select(lit(3L), lit("purchase"), $"user_id"))
+        .groupBy($"step", $"step_name").agg(count(lit(1)).as("n_users"))
+        .orderBy($"step")
+    },
+
     // ---- q24: salted two-stage aggregation (skew pattern) ----------------
     // The hot-key mitigation used at 100 TB: shard each group key with a
     // salt, pre-aggregate per (key, salt), then merge the partials. The
@@ -192,6 +219,27 @@ object EventQueries {
       """SELECT event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q40_funnel_steps" ->
+      """WITH e AS (
+           SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+           FROM events),
+         s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT step, step_name, n_users FROM (
+           SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+             count(*) AS n_users FROM s1
+           UNION ALL SELECT 2, 'click', count(*) FROM s2
+           UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         ORDER BY step""",
     "q25_interval_join" ->
       """WITH p AS (
            SELECT event_id AS purchase_id, user_id,
