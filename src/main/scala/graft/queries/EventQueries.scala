@@ -138,6 +138,28 @@ object EventQueries {
         .orderBy($"step")
     },
 
+    // ---- q41: full outer join (year-over-year customer revenue) ----------
+    // The one join type the surface lacked: customers active in 1995 OR
+    // 1996, either side nullable — coalesced key, per-side null
+    // preservation, and the YoY delta computed through the nulls. Both
+    // sides are pre-aggregated to one row per customer BEFORE the join
+    // (shuffle carries (custkey, sum) pairs, not order rows).
+    "q41_yoy_full_outer" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      def yearRev(y: Int) = o
+        .filter(year($"o_orderdate") === y)
+        .groupBy($"o_custkey".as(s"ck$y"))
+        .agg(round(sum($"o_totalprice"), 2).as(s"rev$y"))
+      yearRev(1995).join(yearRev(1996), $"ck1995" === $"ck1996", "full_outer")
+        .select(
+          coalesce($"ck1995", $"ck1996").as("custkey"),
+          $"rev1995", $"rev1996",
+          round(coalesce($"rev1996", lit(0.0)) - coalesce($"rev1995", lit(0.0)), 2)
+            .as("yoy_delta"))
+        .orderBy($"custkey")
+    },
+
     // ---- q24: salted two-stage aggregation (skew pattern) ----------------
     // The hot-key mitigation used at 100 TB: shard each group key with a
     // salt, pre-aggregate per (key, salt), then merge the partials. The
@@ -240,6 +262,17 @@ object EventQueries {
            UNION ALL SELECT 2, 'click', count(*) FROM s2
            UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
          ORDER BY step""",
+    "q41_yoy_full_outer" ->
+      """WITH r95 AS (
+           SELECT o_custkey AS ck1995, round(sum(o_totalprice), 2) AS rev1995
+           FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+         r96 AS (
+           SELECT o_custkey AS ck1996, round(sum(o_totalprice), 2) AS rev1996
+           FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+         SELECT coalesce(ck1995, ck1996) AS custkey, rev1995, rev1996,
+           round(coalesce(rev1996, 0) - coalesce(rev1995, 0), 2) AS yoy_delta
+         FROM r95 FULL OUTER JOIN r96 ON ck1995 = ck1996
+         ORDER BY custkey""",
     "q25_interval_join" ->
       """WITH p AS (
            SELECT event_id AS purchase_id, user_id,
