@@ -83,6 +83,26 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("filters and projections reach the parquet scan (q01/q02 pushdown)") {
+    // the 100 TB contract: a scan that reads all 16 lineitem columns for
+    // a 7-column aggregate, or re-filters ship dates AFTER the scan, pays
+    // the full corpus in IO. PushedFilters + pruned ReadSchema in the
+    // FileSourceScan prove predicate pushdown and column pruning survive
+    // any future re-write of these queries.
+    val q01 = SparkEntry.queries("q01_pricing_summary")(spark, sfSmoke)
+      .queryExecution.sparkPlan.toString
+    assert(q01.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"q01 ship-date filter not pushed to the scan:\n$q01")
+    assert(!q01.contains("l_orderkey"),
+      "q01 scan reads l_orderkey, which the query never uses (pruning lost)")
+    val q02 = SparkEntry.queries("q02_revenue_by_nation")(spark, sfSmoke)
+      .queryExecution.sparkPlan.toString
+    assert(q02.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"q02 order-date filter not pushed to the scan:\n$q02")
+    assert(q02.contains("BroadcastHashJoin"),
+      "q02 plans no broadcast join for its dimension tables")
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sfSmoke)
