@@ -20,9 +20,18 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       $S3LOGS_STAGGING_ROOT_PATH, exactly like main.rs:97-101's
   *       `process_stagging_dir`. Prints "transform task ended, N lines
   *       processed" (main.rs:99,106 parity).
-  *   stream <landingDir> <outDir> <checkpointDir>
+  *   stream [--once] <landingDir> <outDir> <checkpointDir>
   *       the streaming mode (s3logd-stream analog): continuous
-  *       [[StreamingTransform]] query over a landing directory.
+  *       [[StreamingTransform]] query over a landing directory; `--once`
+  *       drains the backlog and exits (the timer-driven
+  *       s3log-lambda-transformer shape, Trigger.AvailableNow).
+  *   ingest [--once] <dropDir> <corpusDir> <checkpointDir>
+  *       training-corpus ingestion ([[graft.streaming.DocumentIngest]]):
+  *       JSON-lines crawl drop → watermarked content-fingerprint dedup →
+  *       lang-partitioned parquet corpus.
+  *   compact <lakeDir> [<partitionCol>...]
+  *       small-file compaction ([[graft.etl.Compact]]); partition columns
+  *       auto-detected from the lake's hive directory names.
   *
   * Config comes from the process environment via [[EtlConfig.fromEnv]] —
   * the reference's full env vocabulary, unknown S3LOGS_* keys rejected

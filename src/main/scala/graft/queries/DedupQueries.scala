@@ -459,8 +459,12 @@ object DedupQueries {
     // costs one single-stage aggregate over the just-materialized round
     // (the previous merged-vs-old join cost a shuffle per round).
     // decimal(38,0): exact at any row count × any doc_id magnitude.
+    // sum() over an EMPTY frame is SQL NULL — a pair-free corpus (no
+    // duplicates at all) must converge to an empty result on round one,
+    // not NPE on the null decimal.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0

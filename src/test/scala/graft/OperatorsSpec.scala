@@ -105,6 +105,19 @@ class OperatorsSpec extends SparkSpec {
       s"text chain did not collapse: $textClusters")
   }
 
+  test("duplicate clusters on a dup-free corpus is empty, not an error") {
+    import spark.implicits._
+    // every text unique and dissimilar -> zero candidate pairs -> the
+    // component loop must converge on an empty graph (sum() over an
+    // empty frame is NULL, which once NPE'd round one)
+    val docs = (0 until 30)
+      .map(i => (i.toLong, (0 until 25).map(t => s"u${i}w$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(DedupQueries.duplicateClusters(docs).count() == 0)
+    assert(DedupQueries.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
   test("int8 quantization reconstruction error is within half a step (s05)") {
     val rows = EmbeddingQueries.queries("s05_quantize_int8")(spark, sfSmoke)
       .collect()
