@@ -79,7 +79,14 @@ object DedupQueries {
     * scan with the WHOLE signature expression inlined — a ~600 KB
     * interpreted tree re-evaluating the minhashes ~256× per row (200s at
     * sf0.01). bands is always length-4, so outer is semantically
-    * identical and keeps the plan linear. */
+    * identical and keeps the plan linear.
+    *
+    * `bucket_n` (the bucket's member count) is RETAINED in the output:
+    * buckets are dropped whole by the cap, so the count computed here is
+    * exact for every surviving row, and downstream consumers
+    * ([[DedupScope.verifiedPairs]]'s candidate-doc filter) read it as a
+    * plain column instead of re-running the identical window shuffle on
+    * the same frame. */
   private def cappedBands(reps: DataFrame, extra: Column*): DataFrame = {
     val exploded = reps.select(
       (col("doc_id") +: extra) :+
@@ -88,7 +95,6 @@ object DedupQueries {
     exploded
       .withColumn("bucket_n", count(lit(1)).over(bucketW))
       .filter(col("bucket_n") <= MaxBandBucket)
-      .drop("bucket_n")
   }
 
   /** A cache-scope handle owning ONE materialized signature table shared
@@ -207,10 +213,10 @@ object DedupQueries {
         .distinct()
       // pair-participating docs, straight from the bucket structure (no
       // dependency on the self-join): any doc sharing a surviving bucket
-      // with at least one other doc
-      val bucketW = Window.partitionBy($"band_id", $"band_key")
+      // with at least one other doc. bucket_n rides the cached exploded
+      // frame (computed once in cappedBands) — this is a filter, not a
+      // second window shuffle over the same frame.
       val candIds = exploded
-        .withColumn("bucket_n", count(lit(1)).over(bucketW))
         .filter($"bucket_n" >= 2)
         .select($"doc_id").distinct()
       // shingle sets for the candidate docs ONLY — one codegen pass over
