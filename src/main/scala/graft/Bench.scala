@@ -26,6 +26,25 @@ object Bench {
     // The min is the standard steady-state latency estimator; per-run
     // numbers go to stderr for inspection.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Drift calibration anchor: a FIXED, corpus-independent workload —
+    // 200M-row in-memory range through a codegen projection and one
+    // hash-agg shuffle — timed exactly like the queries (min over
+    // `runs`, after one untimed codegen warmup). Byte-identical every
+    // round, it measures only the machine/JVM state the bench ran
+    // under; round-over-round query deltas are real only if they
+    // exceed the calib ratio between the rounds (this box drifts
+    // ±30-40% between sessions — see SURVEY.md "Reading BENCH files").
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("id % 1024 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // untimed: compiles the generated code
+    val calib = (1 to math.max(runs, 3)).map(_ => calibOnce()).min
+    System.err.println(f"[bench] calib anchor $calib%8.2f s")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -55,7 +74,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}","runs":$runs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}","runs":$runs}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} B " +
         "may overflow the driver's 2000-byte stdout tail capture")
