@@ -60,4 +60,36 @@ object DocumentIngest {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .partitionBy("lang")
+
+  /** Wire to the corpus AND maintain the d16 signature-table artifact
+    * (`sigDir`): each micro-batch appends its rows to the lake and its
+    * [[graft.queries.DedupQueries.signatureTable]] rows — (doc_id, fp,
+    * mh, bands), one codegen pass over JUST the batch — next to it. This
+    * is the producer side of incremental dedup: at 100 TB the corpus is
+    * never re-signed; `incrementalMatches(corpusSigs, batchSigs)` joins
+    * the maintained table, and the corpus TEXT is never re-read (the
+    * artifact carries no text column at all).
+    *
+    * Delivery: foreachBatch is at-least-once on crash-replay (two
+    * parquet appends cannot share one transaction log), vs the single
+    * file sink's exactly-once. Tolerable by construction for BOTH
+    * artifacts: signature consumers collapse duplicate rows (the
+    * `representatives` fp-groupBy / `incrementalMatches` distinct), and
+    * corpus replays are exact duplicates that d01/the fp state catch —
+    * dedup being the pipeline's first batch stage is what buys the
+    * relaxation. The batch is pinned so the two writes share one
+    * computation of the dedup exchange above. */
+  def writerWithSignatures(df: DataFrame, outDir: String, sigDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val pinned = batch.persist()
+        try {
+          pinned.write.mode("append").partitionBy("lang").parquet(outDir)
+          graft.queries.DedupQueries
+            .signatureTable(pinned.select(col("doc_id"), col("text")))
+            .write.mode("append").parquet(sigDir)
+        } finally { pinned.unpersist(); () }
+      }
 }

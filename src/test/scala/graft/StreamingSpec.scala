@@ -246,6 +246,59 @@ class StreamingSpec extends SparkSpec {
     assert(langs.toSeq == Seq("lang=de", "lang=en"))
   }
 
+  test("streaming ingest maintains the d16 signature table; incremental dedup never re-reads corpus text") {
+    import spark.implicits._
+    import graft.streaming.DocumentIngest
+    import graft.queries.DedupQueries
+    val tmp = Files.createTempDirectory("graft-sigtable").toString
+    val landing = s"$tmp/landing"; val out = s"$tmp/corpus"
+    val sigDir = s"$tmp/sigs"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(landing))
+    // 40-token base — the proven near-dup pair shape from OperatorsSpec
+    // d16 tests: `base + " tail"` estimates ≥0.5 and collides on a band
+    val base = (0 until 40).map(t => s"inc$t").mkString(" ")
+    val other = "wholly unrelated corpus doc " +
+      (0 until 30).map(t => s"c$t").mkString(" ")
+    val third = "exact twin text landed in batch two"
+    def doc(id: Long, text: String, t: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"crawl","event_ts":"$t"}"""
+    val run = () => {
+      val q = DocumentIngest.writerWithSignatures(
+        DocumentIngest.stream(spark, landing, watermarkDelay = "1 hour"),
+        out, sigDir, ckpt).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    writeBatch(landing, "b1.jsonl", Seq(
+      doc(1, base, "2024-01-01T10:00:00Z"),
+      doc(2, other, "2024-01-01T10:00:05Z")))
+    run()
+    // the table exists after batch one alone (appended per micro-batch,
+    // not recomputed at the end)
+    assert(spark.read.parquet(sigDir).count() == 2)
+    writeBatch(landing, "b2.jsonl", Seq(doc(3, third, "2024-01-01T10:10:00Z")))
+    run()
+    val corpusSigs = spark.read.parquet(sigDir)
+    assert(corpusSigs.count() == 3)
+    // the artifact carries NO text column: the incremental-dedup join
+    // physically cannot re-read corpus text — it isn't there to read
+    assert(corpusSigs.schema.fieldNames.toSet == Set("doc_id", "fp", "mh", "bands"),
+      s"unexpected signature schema: ${corpusSigs.schema.fieldNames.toSeq}")
+    // incoming ingest batch, deduped against the MAINTAINED table: the
+    // planted near-dup and exact dup are found; the novel doc is not
+    val incoming = Seq(
+      (100L, base + " tail"),  // near tier → doc 1
+      (101L, third),           // exact tier → doc 3
+      (102L, "completely novel document " +
+        (0 until 30).map(t => s"n$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = DedupQueries.incrementalMatches(
+        corpusSigs, DedupQueries.signatureTable(incoming))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(100L, 101L), s"got $got")
+    assert(got(100L)._1 == 1L && got(100L)._2 >= 0.5 && got(100L)._2 < 1.0)
+    assert(got(101L) == ((3L, 1.0)))
+  }
+
   test("late rows land as extra files in the same partition (ST5)") {
     val tmp = Files.createTempDirectory("graft-late").toString
     val landing = s"$tmp/landing"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
