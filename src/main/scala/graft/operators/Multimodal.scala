@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` media payloads with typed
   * metadata, batched feature extraction over partitions.
   *
-  * The decode step is REAL for the two formats a decoder can be written
-  * for without a codec library: binary PPM (P6) and uncompressed 24-bit
-  * BMP — header fields parsed byte-by-byte, raster length validated,
-  * malformed media rejected loudly. Payloads that aren't media take a
+  * The decode step is REAL for four formats: binary PPM (P6) and
+  * uncompressed 24-bit BMP with hand-written byte-level decoders (header
+  * fields parsed byte-by-byte, raster length validated), plus JPEG and
+  * PNG via the JDK-standard `javax.imageio` readers — all four repack to
+  * one canonical top-down RGB raster so they share the feature contract.
+  * Malformed media is rejected loudly. Payloads that aren't media take a
   * documented deterministic md5 fallback so the same operator runs over
   * arbitrary binary columns. Everything Spark-cares-about is equally
   * real: the binary column schema, the case-class Encoders, the
@@ -186,6 +188,42 @@ object Multimodal {
     Decoded(w, h, phash, averageHash(w, h, rgb))
   }
 
+  /** Real JPEG/PNG decode via `javax.imageio` (JDK-standard, no external
+    * codec library): the two formats every real crawl contains. The
+    * decoded pixels are repacked to the same top-down tightly-packed RGB
+    * raster the PPM/BMP decoders produce, so all four formats share one
+    * feature contract — a PNG and a PPM of the same image agree on ahash
+    * bit-for-bit (PNG is lossless), and phash is the md5 prefix of that
+    * canonical raster. Rejection is loud: an unreadable/truncated
+    * payload throws, never silently stubs (the dispatch contract above).
+    * `ImageIO` disk caching is off — executors must not spool image
+    * temp files per record. */
+  def decodeImageIO(bytes: Array[Byte]): Decoded = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: java.io.IOException => bad(s"imageio: ${e.getMessage}")
+        case e: RuntimeException => bad(s"imageio: ${e.getMessage}")
+      }
+    if (img == null) bad("imageio: no registered reader accepts the payload")
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) bad(s"imageio: bad dims ${w}x$h")
+    if (w.toLong * h * 3 > Int.MaxValue) bad(s"imageio: ${w}x$h raster too large")
+    // one bulk ARGB fetch (sRGB-converted by the reader), repacked to RGB
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val rgb = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < argb.length) {
+      val v = argb(p); val d = p * 3
+      rgb(d) = ((v >> 16) & 0xff).toByte
+      rgb(d + 1) = ((v >> 8) & 0xff).toByte
+      rgb(d + 2) = (v & 0xff).toByte
+      p += 1
+    }
+    Decoded(w, h, md5hex(rgb).substring(0, 8), averageHash(w, h, rgb))
+  }
+
   /** Declared-media mimes route to the real decoders (loud rejection on
     * malformed payloads). */
   private def isDeclaredMedia(mime: String): Boolean =
@@ -205,13 +243,19 @@ object Multimodal {
   def decode(bytes: Array[Byte], mime: String): Decoded = {
     def looksPpm = bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6'
     def looksBmp = bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M'
+    def looksPng = bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+    def looksJpeg = bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
     if (isDeclaredMedia(mime)) {
       if (looksPpm) decodePpm(bytes)
       else if (looksBmp) decodeBmp(bytes)
+      else if (looksPng || looksJpeg) decodeImageIO(bytes)
       else bad(s"declared media ($mime) with unrecognized magic")
     } else if (isDeclaredNonMedia(mime)) decodeStub(bytes)
     else if (looksPpm) decodePpm(bytes)
     else if (looksBmp) decodeBmp(bytes)
+    else if (looksPng || looksJpeg) decodeImageIO(bytes)
     else decodeStub(bytes)
   }
 

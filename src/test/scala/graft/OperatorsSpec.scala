@@ -461,6 +461,48 @@ class OperatorsSpec extends SparkSpec {
     assert(d2.width == 5 && d2.height == 3)
   }
 
+  test("PNG/JPEG decode via imageio shares the canonical raster contract (m01 path)") {
+    import spark.implicits._
+    val w = 6; val h = 4
+    val raster = Array.tabulate(w * h * 3)(i => (i * 7 % 251).toByte)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      img.setRGB(x, y, ((raster(p) & 0xff) << 16) |
+        ((raster(p + 1) & 0xff) << 8) | (raster(p + 2) & 0xff))
+    }
+    def encoded(fmt: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, buf), s"no $fmt writer")
+      buf.toByteArray
+    }
+    val png = encoded("png")
+    val d = Multimodal.decode(png, "image/png")
+    assert(d.width == w && d.height == h)
+    // PNG is lossless and repacks to the same canonical RGB raster as the
+    // byte-level decoders: the PPM of the same image agrees bit-for-bit
+    val viaPpm = Multimodal.decodePpm(ppm(w, h, raster))
+    assert(d.ahash == viaPpm.ahash && d.phash == viaPpm.phash)
+    // no-mime sniff routes by the PNG magic to the same decode
+    assert(Multimodal.decode(png) == d)
+    // JPEG is lossy: header dims are pinned, hashes are its own
+    val jpg = encoded("jpg")
+    val dj = Multimodal.decode(jpg, "image/jpeg")
+    assert(dj.width == w && dj.height == h)
+    // the m01 batch path consumes PNG records like any other media
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRecord(1L, png, "image/png")).toDS()).head()
+    assert(feats.width == w && feats.height == h && feats.ahash == d.ahash)
+    // truncated payloads reject loudly, never silently stub
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(png.take(20), "image/png")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(jpg.take(8), "image/jpeg")
+    }
+  }
+
   test("BMP size arithmetic is Long-width: crafted width rejects, never wraps") {
     // w = 0x55555556 makes Int w*3+3 wrap to 5 (stride 4): the Long math
     // must instead trip the raster bounds check loudly
