@@ -12,8 +12,9 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       line count — main.rs:55-59's `process_s3` path.
   *   aggregate local <input>...
   *       parse local files/dirs and report per-input line counts —
-  *       main.rs:60-90's `process_local` loop (a single directory arg is
-  *       expanded to its files, same as main.rs:61-78).
+  *       main.rs:60-90's `process_local` loop (every directory arg is
+  *       expanded to its files, same as main.rs:61-78, so the per-FILE
+  *       count contract holds for multi-arg invocations too).
   *   transform [-o <outDir>] [<input>...]
   *       the full batch pipeline ([[Transform.run]]): parse → conform →
   *       dedup → partitioned parquet. With no input it scans
@@ -72,26 +73,31 @@ object Main {
       case "aggregate" :: "s3" :: rest =>
         val opts = flags(rest)
         val (bucket, key) = (req(opts, "-b"), req(opts, "-k"))
-        // region rides the FS config (fs.s3a.endpoint.region), not the
-        // path; it is required for arg parity with main.rs:10-17
-        req(opts, "-r")
+        // the region flag is APPLIED, not just parsed for arg parity
+        // (main.rs:10-17): it rides the FS config, since an s3a:// path
+        // carries no region of its own
+        spark.sparkContext.hadoopConfiguration
+          .set("fs.s3a.endpoint.region", req(opts, "-r"))
         val n = aggregateCount(spark, s"s3a://$bucket/$key")
         Seq(s"$n of lines processed")
       case "aggregate" :: "local" :: inputs if inputs.nonEmpty =>
-        // one directory arg expands to its plain files (main.rs:61-78);
-        // everything else is processed as given
-        val expanded = inputs match {
-          case Seq(one) =>
-            val f = new java.io.File(one)
-            if (f.isDirectory)
-              f.listFiles.toSeq.filter(_.isFile).map(_.toString).sorted
-            else inputs
-          case _ => inputs
-        }
-        expanded.map { in =>
-          try s"${aggregateCount(spark, in)} of lines processed for input $in"
-          catch { case scala.util.control.NonFatal(_) =>
-            s"process failed input $in" } // main.rs:73,86 parity
+        // EVERY directory arg expands to its plain files (main.rs:60-90
+        // walks each input), preserving the per-FILE printed-count
+        // contract for multi-arg invocations; an unreadable directory
+        // (listFiles == null) reports the failure line, same as any
+        // other bad input
+        inputs.flatMap { in =>
+          def count(path: String): String =
+            try s"${aggregateCount(spark, path)} of lines processed for input $path"
+            catch { case scala.util.control.NonFatal(_) =>
+              s"process failed input $path" } // main.rs:73,86 parity
+          val f = new java.io.File(in)
+          if (f.isDirectory) Option(f.listFiles) match {
+            case Some(fs) =>
+              fs.toSeq.filter(_.isFile).map(_.toString).sorted.map(count)
+            case None => Seq(s"process failed input $in")
+          }
+          else Seq(count(in))
         }
       case "transform" :: rest =>
         val opts = flags(rest)

@@ -29,6 +29,22 @@ class MainSpec extends SparkSpec {
     assert(expanded == Seq(
       s"30 of lines processed for input $tmp/in/a.log",
       s"20 of lines processed for input $tmp/in/b.log"))
+    // EVERY directory arg expands (multi-arg invocations keep the
+    // reference's per-FILE printed-count contract, main.rs:60-90)
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in2"))
+    writeLines(s"$tmp/in2/c.log", 10, seed = 46)
+    val multiDir = Main.run(spark, Seq("aggregate", "local",
+      s"$tmp/in", s"$tmp/in2"), Map.empty)
+    assert(multiDir == Seq(
+      s"30 of lines processed for input $tmp/in/a.log",
+      s"20 of lines processed for input $tmp/in/b.log",
+      s"10 of lines processed for input $tmp/in2/c.log"))
+    // a dir arg mixed with a file arg expands too, in arg order
+    val mixed = Main.run(spark, Seq("aggregate", "local",
+      s"$tmp/in2", s"$tmp/in/a.log"), Map.empty)
+    assert(mixed == Seq(
+      s"10 of lines processed for input $tmp/in2/c.log",
+      s"30 of lines processed for input $tmp/in/a.log"))
     // unreadable input reports a failure line, not an exception
     val failed = Main.run(spark, Seq("aggregate", "local", s"$tmp/nope"),
       Map.empty)
