@@ -25,8 +25,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   *
   * Inputs must be same-length arrays with no null elements (embedding
   * vectors by construction); a length mismatch fails loudly rather than
-  * zip_with's silent null-padding — a dimension bug must not become a
-  * null similarity. */
+  * zip_with's silent null-padding, and a null ELEMENT fails equally
+  * loudly (an UnsafeArrayData would otherwise read it as 0.0) — a
+  * dimension or null bug must not become a wrong similarity. */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -62,7 +63,14 @@ object DotProductExpr {
         s"graft_dot: dimension mismatch ${n} vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      // loud, like the dimension contract: UnsafeArrayData would read a
+      // null element as 0.0 and yield a silently wrong dot product
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_dot: null element at position $i")
+      acc += a.getDouble(i) * b.getDouble(i); i += 1
+    }
     acc
   }
 

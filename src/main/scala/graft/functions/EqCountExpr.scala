@@ -58,6 +58,11 @@ object EqCountExpr {
     var acc = 0L
     var i = 0
     while (i < n) {
+      // loud, like the dimension contract: UnsafeArrayData would read a
+      // null element as 0 and count spurious agreements
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_eq_count: null element at position $i")
       if (a.getLong(i) == b.getLong(i)) acc += 1
       i += 1
     }

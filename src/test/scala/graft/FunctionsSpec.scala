@@ -155,4 +155,22 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("dimension mismatch") ||
       Option(err.getCause).exists(_.getMessage.contains("dimension mismatch")))
   }
+
+  test("null ARRAY ELEMENTS fail loudly in both kernels, never read as zero") {
+    import spark.implicits._
+    // built off a non-foldable column so the guard runs at execution, not
+    // during constant folding; an UnsafeArrayData would silently read the
+    // null element as 0.0/0 without the guard
+    def run(sql: String): Throwable = intercept[Throwable] {
+      Seq(Tuple1(1.0)).toDF("x").repartition(2).selectExpr(sql).collect()
+    }
+    def msg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        ++ Iterator.single("")).mkString(" | ")
+    val eDot = run("graft_dot(array(x, cast(null as double)), array(1.0d, 2.0d))")
+    assert(msg(eDot).contains("null element"), msg(eDot))
+    val eEq = run(
+      "graft_eq_count(array(cast(x as bigint), cast(null as bigint)), array(1L, 0L))")
+    assert(msg(eEq).contains("null element"), msg(eEq))
+  }
 }
