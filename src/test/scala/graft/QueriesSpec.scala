@@ -83,6 +83,78 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("every explicit broadcast hint builds a provably bounded side (100x audit)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit,
+      Join, LocalRelation, LogicalPlan}
+    // The inverse of the non-equi audit above. An AUTO-broadcast is
+    // stats-based and re-decided per deployment — a side that outgrows
+    // the threshold at 100x simply stops broadcasting. An EXPLICIT
+    // broadcast() hint overrides the size check FOREVER: a corpus-sized
+    // hinted side works at sf0.1 and OOMs every executor at scale. So
+    // every hinted build side must carry a provable bound — structural:
+    //   - an inline literal table (LocalRelation — q18's range bands),
+    //   - a scalar aggregate (no grouping keys → exactly one row),
+    //   - a global limit / top-k,
+    //   - a scan of a FIXED dimension table (region: 5 rows, nation: 25,
+    //     constant at every TPC-H scale factor),
+    // or a whitelisted per-query bound the planner cannot see:
+    val bounded = Map(
+      "s01_knn_bruteforce" -> "fixed ~100-row query set (intentional linear baseline)",
+      "s02_ann_lsh" -> "fixed query set, hamming-multiprobe bucket join",
+      "s04_ann_ivf" -> "<=16-row centroid table / nprobe probe set",
+      "q30_sliding_window" -> "<=6-row per-year boundary stitch")
+    def structurallyBounded(side: LogicalPlan): Boolean =
+      side.exists {
+        case _: LocalRelation => true
+        case a: Aggregate if a.groupingExpressions.isEmpty => true
+        case _: GlobalLimit => true
+        case _ => false
+      } || side.collectLeaves().forall { l =>
+        val s = l.toString
+        s.contains("region") || s.contains("nation")
+      }
+    def hintedSidesOf(plan: LogicalPlan): Seq[LogicalPlan] =
+      plan.collect { case j: Join =>
+        Seq(j.left -> j.hint.leftHint, j.right -> j.hint.rightHint).collect {
+          case (side, Some(h)) if h.strategy.isDefined => side
+        }
+      }.flatten
+    val hintedQueries = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val hintedSides =
+        hintedSidesOf(fn(spark, sfSmoke).queryExecution.optimizedPlan)
+      if (hintedSides.nonEmpty) hintedQueries += name
+      hintedSides.foreach { side =>
+        assert(structurallyBounded(side) || bounded.contains(name),
+          s"$name explicitly broadcasts a side with no provable bound " +
+            s"(works at sf0.1, OOMs at 100x):\n$side")
+      }
+    }
+    // the whitelist must not rot: every entry still plans >=1 hinted join
+    val stale = bounded.keySet -- hintedQueries
+    assert(stale.isEmpty, s"whitelist entries with no hinted join left: $stale")
+    // d06/d14's broadcast(candIds) hides twice over: the gate entries
+    // return eagerly localCheckpointed frames (truncated lineage), and
+    // inside the scope the optimizer swaps the persisted subtree for an
+    // InMemoryRelation, folding the hint away. The ANALYZED plan at the
+    // source still carries ResolvedHint: the hinted semi-join side must
+    // reference bucket_n — the MaxBandBucket cap is exactly what bounds
+    // this broadcast
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    graft.queries.DedupQueries.withDedupScope(
+        Tables(spark, sfSmoke, "documents").select("doc_id", "text")) { scope =>
+      val sides = scope.verifiedPairs.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h.child
+      }
+      assert(sides.nonEmpty,
+        "verifiedPairs no longer hints its candidate-id broadcast")
+      sides.foreach { side =>
+        assert(side.toString.contains("bucket_n"),
+          s"verifiedPairs broadcasts a side not tied to the bucket cap:\n$side")
+      }
+    }
+  }
+
   test("filters and projections reach the parquet scan (q01/q02 pushdown)") {
     // the 100 TB contract: a scan that reads all 16 lineitem columns for
     // a 7-column aggregate, or re-filters ship dates AFTER the scan, pays
