@@ -365,6 +365,10 @@ object RelationalQueries2 {
     },
 
     // ---- q22: HLL approximate distinct (no oracle — approximate) ---------
+    // The driver cannot hash an engine-specific HLL estimate, so the
+    // query checks ITSELF: approx_parts flows through the 3*rsd error
+    // bound against the same-pass exact count and the query throws if
+    // the estimate leaves it — a returned row IS a passed check.
     "q22_approx_distinct" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem")
@@ -372,8 +376,24 @@ object RelationalQueries2 {
         .agg(
           approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"))
+        .withColumn("approx_parts",
+          hllWithinBound($"approx_parts", $"exact_parts", rsd = 0.02))
         .orderBy($"l_returnflag")
     })
+
+  /** Self-checking HLL bound: passes `approx` through when
+    * `|approx - exact| <= 3*rsd*exact` (three standard errors of the
+    * sketch's relative standard deviation — an estimate outside it is an
+    * engine bug, not sketch noise), and raises otherwise. Applied to an
+    * OUTPUT column rather than a dropped assert_true projection so column
+    * pruning can never optimize the check away. */
+  def hllWithinBound(approx: org.apache.spark.sql.Column,
+      exact: org.apache.spark.sql.Column, rsd: Double): org.apache.spark.sql.Column =
+    when(abs(approx - exact) <= lit(3 * rsd) * exact, approx)
+      .otherwise(raise_error(concat(
+        lit(s"HLL estimate outside the 3*rsd bound (rsd=$rsd): approx="),
+        approx.cast("string"), lit(" exact="), exact.cast("string")))
+        .cast("long"))
 
   val oracleSql: ListMap[String, String] = ListMap(
     "q14_grouping_sets" ->

@@ -173,4 +173,23 @@ class FunctionsSpec extends SparkSpec {
       "graft_eq_count(array(cast(x as bigint), cast(null as bigint)), array(1L, 0L))")
     assert(msg(eEq).contains("null element"), msg(eEq))
   }
+
+  test("q22's HLL bound gate passes in-bound estimates and raises on violations") {
+    import spark.implicits._
+    import graft.queries.RelationalQueries2.hllWithinBound
+    def msg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")) ++ Iterator.single(""))
+        .mkString(" | ")
+    // 2% off with rsd=0.02: inside 3 sigma, flows through unchanged
+    val ok = Seq((102L, 100L)).toDF("a", "e").repartition(2)
+      .select(hllWithinBound(col("a"), col("e"), 0.02).as("v")).collect()
+    assert(ok.head.getLong(0) == 102L)
+    // 2x off: an engine bug, not sketch noise — the query itself throws
+    val err = intercept[Throwable] {
+      Seq((200L, 100L)).toDF("a", "e").repartition(2)
+        .select(hllWithinBound(col("a"), col("e"), 0.02)).collect()
+    }
+    assert(msg(err).contains("HLL estimate outside"), msg(err))
+  }
 }
