@@ -15,12 +15,14 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       main.rs:60-90's `process_local` loop (every directory arg is
   *       expanded to its files, same as main.rs:61-78, so the per-FILE
   *       count contract holds for multi-arg invocations too).
-  *   transform [-o <outDir>] [<input>...]
+  *   transform [-o <outDir>] [--loop <seconds> [--iterations <n>]] [<input>...]
   *       the full batch pipeline ([[Transform.run]]): parse → conform →
   *       dedup → partitioned parquet. With no input it scans
   *       $S3LOGS_STAGGING_ROOT_PATH, exactly like main.rs:97-101's
   *       `process_stagging_dir`. Prints "transform task ended, N lines
-  *       processed" (main.rs:99,106 parity).
+  *       processed" (main.rs:99,106 parity). `--loop` re-runs on a timer
+  *       over the age gate, moving processed files to `.processed/` —
+  *       the scripts/transform.sh daemon shape; see [[transformLoop]].
   *   stream [--once] <landingDir> <outDir> <checkpointDir>
   *       the streaming mode (s3logd-stream analog): continuous
   *       [[StreamingTransform]] query over a landing directory; `--once`
@@ -48,7 +50,7 @@ object Main {
     """usage:
       |  graft.Main aggregate s3 -r <region> -b <bucket> -k <key>
       |  graft.Main aggregate local <input>...
-      |  graft.Main transform [-o <outDir>] [<input>...]
+      |  graft.Main transform [-o <outDir>] [--loop <seconds> [--iterations <n>]] [<input>...]
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
       |  graft.Main ingest [--once] <dropDir> <corpusDir> <checkpointDir>
       |  graft.Main compact <lakeDir> [<partitionCol>...]""".stripMargin
@@ -109,8 +111,14 @@ object Main {
           if (opts.positional.nonEmpty) opts.positional
           else Seq(env.getOrElse("S3LOGS_STAGGING_ROOT_PATH",
             fail("transform needs input paths or $S3LOGS_STAGGING_ROOT_PATH")))
-        val stats = Transform.run(spark, inputs, out, cfg)
-        Seq(s"transform task ended, ${stats.inputLines} lines processed")
+        opts.named.get("--loop") match {
+          case None =>
+            val stats = Transform.run(spark, inputs, out, cfg)
+            Seq(s"transform task ended, ${stats.inputLines} lines processed")
+          case Some(secs) =>
+            transformLoop(spark, inputs, out, cfg, secs.toLong,
+              opts.named.get("--iterations").map(_.toInt))
+        }
       case "ingest" :: rest if rest.filterNot(_ == "--once").size == 3 =>
         // training-corpus ingestion: JSON-lines crawl drop → content-
         // fingerprint dedup within the watermark → lang-partitioned
@@ -156,6 +164,86 @@ object Main {
         query.awaitTermination()
         Seq("stream query terminated")
       case _ => fail(usage)
+    }
+  }
+
+  /** `transform --loop <seconds>`: the reference's ops runbook shape
+    * (scripts/transform.sh:19-26 re-invokes `s3logs transform` on a 60 s
+    * timer over the staging dir) as one daemon command.
+    *
+    * Each iteration selects the staging files that pass the age gate
+    * (quiet for >= jobIntervalSeconds — F3, the same mtime rule
+    * [[Transform.run]] applies), transforms EXACTLY those files, and
+    * moves them into a hidden `.processed/` sibling dir — the engine's
+    * analog of the reference's transform_cleanup
+    * (s3logs/src/utils.rs:1273-1294 archives + removes processed staging
+    * files). The move is what makes the loop idempotent AND
+    * restart-safe with no ledger: processed files are invisible to the
+    * next listing (and to Spark's hidden-path filter), whoever does it.
+    *
+    * SIGTERM exits cleanly: the JVM shutdown hook requests a stop and
+    * wakes the sleeper; the loop finishes the current iteration and
+    * returns (files are moved only AFTER their run commits, so a kill
+    * mid-iteration re-processes that batch on restart — append-mode
+    * duplicates, the reference's own crash semantics). `--iterations n`
+    * bounds the loop for tests and one-shot cron runs. */
+  private[graft] def transformLoop(spark: SparkSession, inputs: Seq[String],
+      out: String, cfg: EtlConfig, intervalSeconds: Long,
+      maxIterations: Option[Int]): Seq[String] = {
+    require(intervalSeconds >= 0, "--loop interval must be >= 0 seconds")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val wake = new java.util.concurrent.CountDownLatch(1)
+    val hook = new Thread(() => { stop.set(true); wake.countDown() })
+    Runtime.getRuntime.addShutdownHook(hook)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      var iter = 0
+      while (!stop.get && maxIterations.forall(iter < _)) {
+        iter += 1
+        val batch = quietFiles(inputs, cfg)
+        if (batch.isEmpty)
+          lines += "transform task ended, 0 lines processed"
+        else {
+          // the gate already ran in quietFiles — the run itself must not
+          // re-apply it against a LATER now() and drop selected files
+          val stats = Transform.run(spark, batch.map(_.toString), out,
+            cfg.copy(jobIntervalSeconds = 0))
+          lines += s"transform task ended, ${stats.inputLines} lines processed"
+          batch.foreach { f =>
+            val dest = new java.io.File(f.getParentFile, ".processed")
+            dest.mkdirs()
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(dest, f.getName).toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+        if (!stop.get && maxIterations.forall(iter < _))
+          wake.await(math.max(intervalSeconds, 1L),
+            java.util.concurrent.TimeUnit.SECONDS)
+      }
+      lines += s"transform loop ended after $iter iteration(s)"
+      lines.toSeq
+    } finally {
+      // no-op during an actual shutdown (the hook is already running)
+      try Runtime.getRuntime.removeShutdownHook(hook)
+      catch { case _: IllegalStateException => }
+    }
+  }
+
+  /** The F3 age-gate listing ([[Transform.run]]'s mtime rule) applied to
+    * loop inputs: plain, non-hidden files quiet for >= jobIntervalSeconds.
+    * Explicit file args pass through; hidden names (`.processed/` movees,
+    * in-flight `.tmp` drops, `_SUCCESS` markers) never enter a batch. */
+  private def quietFiles(inputs: Seq[String], cfg: EtlConfig): Seq[java.io.File] = {
+    val cutoff = System.currentTimeMillis - cfg.jobIntervalSeconds * 1000L
+    inputs.flatMap { in =>
+      val f = new java.io.File(in)
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(x => x.isFile && !x.getName.startsWith(".") &&
+            !x.getName.startsWith("_") && x.lastModified <= cutoff)
+          .sortBy(_.getName)
+      else Seq(f).filter(_.isFile)
     }
   }
 

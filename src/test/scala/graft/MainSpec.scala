@@ -128,6 +128,43 @@ class MainSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("lang=")).toSet == Set("lang=en", "lang=de"))
   }
 
+  test("transform --loop: two iterations over a growing staging dir, processed files moved") {
+    val tmp = Files.createTempDirectory("graft-cli-loop").toString
+    val env = Map("S3LOGS_TRANSFORM_JOB_INTERVAL" -> "0")
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/stage"))
+    def writeLines(path: String, n: Int, seed: Long): Unit =
+      Files.write(java.nio.file.Paths.get(path),
+        LogGen.lines(n, seed).mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeLines(s"$tmp/stage/a.log", 40, seed = 50)
+    // the dir GROWS between iterations: b.log lands after iteration 1's
+    // listing (1.5 s in) and before iteration 2's (first run + 2 s sleep)
+    val writer = new Thread(() => {
+      Thread.sleep(1500)
+      writeLines(s"$tmp/stage/b.log", 25, seed = 51)
+    })
+    writer.start()
+    val out = Main.run(spark, Seq("transform", "-o", s"$tmp/lake",
+      "--loop", "2", "--iterations", "2", s"$tmp/stage"), env)
+    writer.join()
+    assert(out == Seq(
+      "transform task ended, 40 lines processed",
+      "transform task ended, 25 lines processed",
+      "transform loop ended after 2 iteration(s)"))
+    assert(spark.read.parquet(s"$tmp/lake").count() == 65)
+    // processed staging files moved into the hidden .processed dir
+    assert(new java.io.File(s"$tmp/stage").listFiles.filter(_.isFile).isEmpty)
+    assert(new java.io.File(s"$tmp/stage/.processed").listFiles
+      .map(_.getName).toSet == Set("a.log", "b.log"))
+    // restart-safe with no ledger: a fresh loop over the same dir finds
+    // nothing to do and the lake does not double
+    val again = Main.run(spark, Seq("transform", "-o", s"$tmp/lake",
+      "--loop", "0", "--iterations", "1", s"$tmp/stage"), env)
+    assert(again == Seq("transform task ended, 0 lines processed",
+      "transform loop ended after 1 iteration(s)"))
+    assert(spark.read.parquet(s"$tmp/lake").count() == 65)
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))
