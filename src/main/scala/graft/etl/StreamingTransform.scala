@@ -11,7 +11,10 @@ import org.apache.spark.sql.Row
   * machine, receipts (ST1–ST6) — as ONE Structured Streaming query.
   *
   *   - ST1 notification source        → file source (`readStream.text`),
-  *     `maxFilesPerTrigger` ≈ max_sqs_messages batch size.
+  *     `maxFilesPerTrigger` ≈ max_sqs_messages batch size — or the REAL
+  *     queue-backed DSv2 source ([[graft.sources.QueueSourceProvider]],
+  *     [[queueNotificationPipeline]]) with leases, receipts, and
+  *     redelivery.
   *   - ST2 event-time partition router → the shuffle implied by the sink's
   *     partitionBy (no hand-rolled channel-per-partition BTreeMap).
   *   - ST4 rotation/idle-close        → trigger interval + maxRecordsPerFile;
@@ -131,6 +134,49 @@ object StreamingTransform {
         val objs = batch.select("bucket", "key").distinct().collect()
           .map(r => resolveKey(r.getString(0), r.getString(1)))
         if (objs.nonEmpty) Transform.run(spark, objs.toSeq, outDir, cfg)
+        ()
+      }
+  }
+
+  /** [[notificationPipeline]] fed by a REAL queue instead of the file
+    * source: notifications arrive through the `graft-queue` DSv2 source
+    * ([[graft.sources.QueueSourceProvider]]), so the receipts contract
+    * runs for real. Each micro-batch acks its messages — EVERY message:
+    * processed, event-gated, and undeserializable alike — only AFTER its
+    * transform lands, the reference's delete-after-staging order
+    * (s3log-lambda-aggregator/src/main.rs:68-109); a crash before the
+    * ack leaves the messages leased and the queue redelivers after the
+    * visibility timeout (at-least-once, s3logd/src/main.rs:29-207;
+    * effectively-once behind the pipeline's dedup). Register the queue
+    * implementation under `queueName` in
+    * [[graft.sources.QueueRegistry]] first; the bodies are S3 event
+    * JSON, gated and fetched exactly like the file-source path. */
+  def queueNotificationPipeline(
+      spark: SparkSession, queueName: String, outDir: String,
+      checkpointDir: String, resolveKey: (String, String) => String,
+      cfg: EtlConfig = EtlConfig(hourlyPartitions = false),
+      maxMessagesPerTrigger: Int = 10): DataStreamWriter[Row] = {
+    spark.readStream
+      .format("graft-queue")
+      .option("queue", queueName)
+      .option("maxMessagesPerTrigger", maxMessagesPerTrigger)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        // driver-side collect of NOTIFICATION records only — bounded by
+        // maxMessagesPerTrigger, like the reference's SQS receive
+        val rows = batch.select("body", "receipt_handle").collect()
+        val objs = s3EventKeys(
+            batch.sparkSession.createDataset(rows.map(_.getString(0)).toSeq)(
+              org.apache.spark.sql.Encoders.STRING).toDF("value"))
+          .select("bucket", "key").distinct().collect()
+          .map(r => resolveKey(r.getString(0), r.getString(1)))
+        if (objs.nonEmpty) Transform.run(spark, objs.toSeq, outDir, cfg)
+        // ack AFTER the work landed: receipt-scoped, so a redelivered
+        // message's newer lease survives a stale ack
+        graft.sources.QueueRegistry.lookup(queueName)
+          .delete(rows.map(_.getString(1)).toSeq)
         ()
       }
   }

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.etl.{LogGen, StreamingTransform}
+import graft.sources.{FileQueue, QueueRegistry}
+
+/** The runnable ST1 queue connector: [[graft.sources.FileQueue]] lease
+  * semantics (SQS visibility/receipt contract) and the `graft-queue` DSv2
+  * source end-to-end — checkpoint commit deletes messages, a crashed
+  * consumer's lease redelivers after the visibility timeout.
+  */
+class QueueSourceSpec extends SparkSpec {
+
+  private def event(name: String, key: String) =
+    s"""{"Records":[{"eventName":"$name","awsRegion":"us-east-1",""" +
+      s""""s3":{"bucket":{"name":"logs-bucket"},"object":{"key":"$key","size":123}}}]}"""
+
+  private def writeObj(dir: String, name: String, lines: Seq[String]): Unit = {
+    val tmp = Paths.get(dir, s".$name.tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, Paths.get(dir, name))
+  }
+
+  test("FileQueue: lease visibility, receipt-scoped delete, redelivery after expiry") {
+    var now = 1000000L
+    val dir = Files.createTempDirectory("graft-q").toString
+    val q = new FileQueue(dir, visibilityTimeoutSeconds = 60, clock = () => now)
+    q.enqueue("m1"); q.enqueue("m2"); q.enqueue("m3")
+    assert(q.size == 3 && q.visibleCount == 3)
+    val got = q.receive(10)
+    assert(got.size == 3 && got.forall(_.receiveCount == 1))
+    // leased messages are invisible to a second receive (in-flight)
+    assert(q.receive(10).isEmpty && q.visibleCount == 0 && q.size == 3)
+    // delete two by receipt; the third stays leased
+    q.delete(got.take(2).map(_.receiptHandle))
+    assert(q.size == 1)
+    // lease expiry: the undeleted message is REDELIVERED, count bumped
+    now += 61000
+    val redelivered = q.receive(10)
+    assert(redelivered.size == 1 && redelivered.head.receiveCount == 2)
+    assert(redelivered.head.messageId == got.last.messageId)
+    // a STALE receipt (the expired first delivery) must not delete the
+    // message now held by the second delivery
+    q.delete(Seq(got.last.receiptHandle))
+    assert(q.size == 1)
+    // the current delivery's receipt does
+    q.delete(redelivered.map(_.receiptHandle))
+    assert(q.size == 0)
+    // extendVisibility: the heartbeat keeps a lease alive past its
+    // original expiry; the extended lease still expires eventually
+    q.enqueue("m4")
+    val g4 = q.receive(10)
+    assert(g4.size == 1)
+    q.extendVisibility(g4.map(_.receiptHandle), 120)
+    now += 90000 // past the original 60 s, inside the 120 s extension
+    assert(q.receive(10).isEmpty)
+    now += 40000 // past the extension
+    assert(q.receive(10).size == 1)
+  }
+
+  test("queue-backed pipeline: batch ack empties the queue, AvailableNow drains, incremental runs") {
+    val tmp = Files.createTempDirectory("graft-qe2e").toString
+    val objects = s"$tmp/objects"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(objects))
+    writeObj(objects, "a.log", LogGen.lines(120, seed = 81))
+    writeObj(objects, "b.log", LogGen.lines(80, seed = 82))
+    writeObj(objects, "skip.log", LogGen.lines(40, seed = 83))
+    val q = new FileQueue(s"$tmp/queue", visibilityTimeoutSeconds = 600)
+    QueueRegistry.register("spec-e2e", q)
+    q.enqueue(event("ObjectCreated:Put", "a.log"))
+    q.enqueue(event("ObjectCreated:CompleteMultipartUpload", "b.log"))
+    q.enqueue(event("ObjectRemoved:Delete", "skip.log")) // F2-gated out
+    q.enqueue("not json at all") // undeserializable: warn-and-skip
+    val run = () => {
+      val query = StreamingTransform.queueNotificationPipeline(spark,
+          "spec-e2e", out, ckpt, (_, key) => s"$objects/$key",
+          maxMessagesPerTrigger = 2) // several micro-batches per drain
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination(120000)
+    }
+    run()
+    // gated objects landed; the deleted object never did
+    assert(spark.read.parquet(out).count() == 200)
+    // ST6 for real: EVERY message (processed, gated, undeserializable)
+    // was acked after its batch's transform landed — the queue is empty
+    assert(q.size == 0)
+    // incremental: a later notification processes alone off the same
+    // checkpoint (batch numbering continues across the restart)
+    writeObj(objects, "c.log", LogGen.lines(50, seed = 84))
+    q.enqueue(event("ObjectCreated:Put", "c.log"))
+    run()
+    assert(spark.read.parquet(out).count() == 250)
+    assert(q.size == 0)
+  }
+
+  test("a crashed consumer's leased message is redelivered after the visibility timeout") {
+    var now = System.currentTimeMillis()
+    val tmp = Files.createTempDirectory("graft-qredeliver").toString
+    val objects = s"$tmp/objects"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(objects))
+    writeObj(objects, "a.log", LogGen.lines(70, seed = 85))
+    val q = new FileQueue(s"$tmp/queue", visibilityTimeoutSeconds = 60,
+      clock = () => now)
+    QueueRegistry.register("spec-redeliver", q)
+    q.enqueue(event("ObjectCreated:Put", "a.log"))
+    // a consumer received the message and crashed before committing
+    assert(q.receive(10).size == 1)
+    val run = () => {
+      val query = StreamingTransform.queueNotificationPipeline(spark,
+          "spec-redeliver", out, ckpt, (_, key) => s"$objects/$key")
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination(120000)
+    }
+    // while the lease is live the message is invisible: nothing lands
+    run()
+    assert(!new java.io.File(out).exists())
+    // the lease expires -> the queue redelivers -> the pipeline processes
+    now += 61000
+    run()
+    assert(spark.read.parquet(out).count() == 70)
+    assert(q.size == 0)
+  }
+}
