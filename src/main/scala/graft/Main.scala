@@ -28,6 +28,11 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       [[StreamingTransform]] query over a landing directory; `--once`
   *       drains the backlog and exits (the timer-driven
   *       s3log-lambda-transformer shape, Trigger.AvailableNow).
+  *   stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
+  *       the queue-fed streaming mode (s3logd's SQS poll shape):
+  *       notifications arrive through the `graft-queue` connector over a
+  *       [[graft.sources.FileQueue]] at `queueDir` — leases, sink-side
+  *       ack after the transform lands, redelivery on crash.
   *   ingest [--once] <dropDir> <corpusDir> <checkpointDir>
   *       training-corpus ingestion ([[graft.streaming.DocumentIngest]]):
   *       JSON-lines crawl drop → watermarked content-fingerprint dedup →
@@ -52,6 +57,7 @@ object Main {
       |  graft.Main aggregate local <input>...
       |  graft.Main transform [-o <outDir>] [--loop <seconds> [--iterations <n>]] [<input>...]
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
+      |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
       |  graft.Main ingest [--once] <dropDir> <corpusDir> <checkpointDir>
       |  graft.Main compact <lakeDir> [<partitionCol>...]""".stripMargin
 
@@ -147,15 +153,44 @@ object Main {
           compression = cfg.compression)
         Seq(s"compact task ended, ${st.rows} rows kept, " +
           s"${st.files0} -> ${st.files1} files")
-      case "stream" :: rest if rest.filterNot(_ == "--once").size == 3 =>
+      case "stream" :: rest if {
+          val opts = flags(rest.filterNot(_ == "--once"))
+          opts.positional.size == 3 ||
+            (opts.named.contains("--queue-dir") && opts.positional.size == 2)
+        } =>
         // --once = Trigger.AvailableNow: process the backlog, checkpoint,
         // exit — the reference's timer-driven lambda transformer shape
         // (s3log-lambda-transformer on an EventBridge schedule); without
-        // it the query runs continuously like s3logd-stream
-        val Seq(landing, out, checkpoint) = rest.filterNot(_ == "--once")
-        val writer = StreamingTransform
-          .writer(StreamingTransform.stream(spark, landing, cfg), out,
-            checkpoint, cfg)
+        // it the query runs continuously like s3logd-stream.
+        //
+        // Two source modes, mirroring the reference's two daemons:
+        //   stream <landingDir> <outDir> <ckpt>       — raw log files land
+        //     in a dir (s3logd-stream's staging shape);
+        //   stream --queue-dir <q> [--objects <dir>] <outDir> <ckpt>
+        //     — S3 event notifications arrive through the graft-queue
+        //     connector (s3logd's SQS poll shape): leases, sink-side ack
+        //     after the transform lands, redelivery on crash. --objects
+        //     maps keys to a local dir; without it keys resolve to
+        //     s3a://bucket/key.
+        val opts = flags(rest.filterNot(_ == "--once"))
+        val writer = opts.named.get("--queue-dir") match {
+          case Some(qdir) =>
+            val Seq(out, checkpoint) = opts.positional
+            graft.sources.QueueRegistry.register("cli",
+              new graft.sources.FileQueue(qdir))
+            val resolve: (String, String) => String =
+              opts.named.get("--objects") match {
+                case Some(dir) => (_, key) => s"$dir/$key"
+                case None => (bucket, key) => s"s3a://$bucket/$key"
+              }
+            StreamingTransform.queueNotificationPipeline(spark, "cli", out,
+              checkpoint, resolve, cfg)
+          case None =>
+            val Seq(landing, out, checkpoint) = opts.positional
+            StreamingTransform.writer(
+              StreamingTransform.stream(spark, landing, cfg), out,
+              checkpoint, cfg)
+        }
         val query =
           if (rest.contains("--once"))
             writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

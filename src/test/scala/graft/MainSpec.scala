@@ -107,6 +107,26 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() == 60)
   }
 
+  test("stream --once --queue-dir: notifications drive the transform, acks empty the queue") {
+    val tmp = Files.createTempDirectory("graft-cli-q").toString
+    val objects = s"$tmp/objects"
+    Files.createDirectories(java.nio.file.Paths.get(objects))
+    import spark.implicits._
+    LogGen.lines(90, seed = 47).toDF("value").write.text(s"$objects/a.log")
+    val q = new graft.sources.FileQueue(s"$tmp/queue")
+    q.enqueue(
+      s"""{"Records":[{"eventName":"ObjectCreated:Put","awsRegion":"r",""" +
+        s""""s3":{"bucket":{"name":"b"},"object":{"key":"a.log","size":1}}}]}""")
+    // the fixture object was written milliseconds ago — disable the
+    // env-default 600 s age gate, as the transform tests do
+    val out = Main.run(spark, Seq("stream", "--once",
+      "--queue-dir", s"$tmp/queue", "--objects", objects,
+      s"$tmp/lake", s"$tmp/ckpt"), Map("S3LOGS_TRANSFORM_JOB_INTERVAL" -> "0"))
+    assert(out == Seq("stream query terminated"))
+    assert(spark.read.parquet(s"$tmp/lake").count() == 90)
+    assert(q.size == 0) // acked after the transform landed
+  }
+
   test("ingest --once dedups the crawl drop into a lang-partitioned corpus") {
     val tmp = Files.createTempDirectory("graft-cli-ing").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$tmp/drop"))
