@@ -242,7 +242,44 @@ object DocumentQueries {
              (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS BIGINT))"""))
         .select($"doc_id", $"n_ws", $"n_bpe", $"n_chunks")
         .orderBy($"doc_id")
+    },
+
+    // d20 PII scrubbing: email/IPv4 redaction, the training-data hygiene
+    // pass every corpus pipeline runs before tokenization. The corpus
+    // text is augmented with deterministic doc_id-derived PII so the
+    // redaction paths are EXERCISED on every row, not vacuously green on
+    // a PII-free synthetic corpus; per-row redaction counts come from
+    // the replace-length identity (dialect-portable, no regexp_count).
+    // Patterns are RE2-compatible (no backrefs/lookaround), so Spark's
+    // Java regex and DuckDB's RE2 agree. One codegen pass, zero shuffle.
+    "d20_pii_scrub" -> { (s, dir) =>
+      import s.implicits._
+      DocumentQueries.scrubPii(
+        Tables(s, dir, "documents")
+          .select($"doc_id", concat($"text",
+            lit(" contact user"), $"doc_id", lit("@example.com or 10."),
+            pmod($"doc_id", lit(256)), lit(".0.1 today")).as("text")))
+        .orderBy($"doc_id")
     })
+
+  /** d20's redaction patterns — RE2-compatible (shared verbatim with the
+    * DuckDB oracle, which compiles them under RE2). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** d20 as a reusable operator over any (doc_id, text) frame: redact
+    * emails/IPv4s and count the redactions (replace-length identity — no
+    * second regex pass). One codegen projection, zero shuffle. */
+  def scrubPii(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text"), EmailPattern, "[EMAIL]"),
+          Ipv4Pattern, "[IP]"))
+      .withColumn("n_emails", expr(
+        "CAST((length(scrubbed) - length(replace(scrubbed, '[EMAIL]', ''))) / 7 AS BIGINT)"))
+      .withColumn("n_ips", expr(
+        "CAST((length(scrubbed) - length(replace(scrubbed, '[IP]', ''))) / 4 AS BIGINT)"))
+      .select(col("doc_id"), col("scrubbed"), col("n_emails"), col("n_ips"))
 
   val oracleSql: ListMap[String, String] = ListMap(
     "d01_dedup_exact" ->
@@ -340,5 +377,25 @@ object DocumentQueries {
          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
          CAST(list_sum(list_transform(string_split(text, ' '),
               t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_chunks
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    // d20: same augmentation, patterns, and replace-length counts; DuckDB
+    // regexp_replace needs the explicit 'g' flag (Spark replaces all by
+    // default)
+    "d20_pii_scrub" ->
+      s"""WITH a AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+               '.0.1 today' AS augmented
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(augmented,
+               '$EmailPattern', '[EMAIL]', 'g'),
+               '$Ipv4Pattern', '[IP]', 'g') AS scrubbed
+           FROM a)
+         SELECT doc_id, scrubbed,
+           CAST((length(scrubbed) - length(replace(scrubbed, '[EMAIL]', ''))) / 7 AS BIGINT) AS n_emails,
+           CAST((length(scrubbed) - length(replace(scrubbed, '[IP]', ''))) / 4 AS BIGINT) AS n_ips
+         FROM s ORDER BY doc_id""")
 }

@@ -306,6 +306,54 @@ object EmbeddingQueries {
           (floor($"hi" * 10000) / 10000.0).as("hi"),
           $"max_err")
         .orderBy($"vec_id")
+    },
+
+    // ---- s06: quantized coarse scan + exact rerank (two-stage retrieval) --
+    // The standard billion-vector serving shape: the corpus-wide scan
+    // reads only the int8 representation (s05's exact scheme — 4x less
+    // memory bandwidth than float32, 16x less than the double working
+    // form), reconstructing vectors on the fly for a coarse top-20; the
+    // full-precision vectors are touched ONLY for the <=20×Q candidate
+    // rows the coarse stage kept, via an equi-join back to the corpus.
+    // Everything is deterministic (dequantization is s05's oracle-proven
+    // formula; both stages rank on rounded sims + id tie-breaks), so the
+    // oracle replays it exactly; OperatorsSpec asserts recall vs s01.
+    "s06_quantized_rerank" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir)
+        .withColumn("lo", expr("array_min(v)"))
+        .withColumn("hi", expr("array_max(v)"))
+        .withColumn("scale",
+          when($"hi" === $"lo", lit(1.0)).otherwise(($"hi" - $"lo") / lit(255.0)))
+        .withColumn("qv8", expr(
+          "transform(v, x -> least(CAST(floor((x - lo) / scale) AS BIGINT), CAST(255 AS BIGINT)))"))
+        // coarse stage data: reconstructed from (qv8, lo, scale) alone —
+        // at scale this is all the corpus-wide scan materializes
+        .withColumn("deq", expr(
+          "transform(qv8, qi -> lo + (CAST(qi AS DOUBLE) + 0.5) * scale)"))
+        .withColumn("dnrm", expr("sqrt(graft_dot(deq, deq))"))
+      val cand = e.select($"vec_id".as("c_id"), $"deq".as("cd"), $"dnrm".as("cdn"))
+      val qs = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"deq".as("qd"), $"dnrm".as("qdn"))
+      val coarseW = Window.partitionBy($"q_id").orderBy($"coarse_sim".desc, $"c_id")
+      val coarse = cand.join(broadcast(qs), $"q_id" =!= $"c_id")
+        .withColumn("coarse_sim",
+          round(dot("qd", "cd") / ($"qdn" * $"cdn"), 4))
+        .withColumn("crnk", row_number().over(coarseW))
+        .filter($"crnk" <= 20)
+        .select($"q_id", $"c_id", $"coarse_sim")
+      val exact = vecs(s, dir)
+      val rnkW = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"c_id")
+      coarse
+        .join(exact.select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn")),
+          "c_id")
+        .join(broadcast(exact.filter($"vec_id" < 20)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))), "q_id")
+        .withColumn("cos_sim", round(dot("qv", "cv") / ($"qn" * $"cn"), 4))
+        .withColumn("rnk", row_number().over(rnkW).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"q_id", $"rnk", $"c_id", $"cos_sim", $"coarse_sim")
+        .orderBy($"q_id", $"rnk")
     })
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -412,6 +460,49 @@ object EmbeddingQueries {
                   i -> abs(deq[i] - v[i]))) / (hi - lo) * 1000000) / 1000000
            END AS max_err
          FROM d ORDER BY vec_id""",
+    // s06: both stages are deterministic (s05's dequantization formula,
+    // rounded sims + id tie-breaks), so the oracle replays coarse top-20
+    // and exact rerank verbatim
+    "s06_quantized_rerank" ->
+      """WITH n AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+         b AS (SELECT vec_id, v, nrm, list_min(v) AS lo, list_max(v) AS hi FROM m),
+         c AS (SELECT *, CASE WHEN hi = lo THEN 1.0
+                              ELSE (hi - lo) / 255.0 END AS scale FROM b),
+         q AS (SELECT *, list_transform(v,
+             x -> least(CAST(floor((x - lo) / scale) AS BIGINT), 255)) AS qv8
+           FROM c),
+         d AS (SELECT vec_id, v, nrm, list_transform(qv8,
+             qi -> lo + (CAST(qi AS DOUBLE) + 0.5) * scale) AS deq
+           FROM q),
+         dn AS (SELECT *, sqrt(list_dot_product(deq, deq)) AS dnrm FROM d),
+         coarse AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(list_dot_product(q.deq, c.deq) / (q.dnrm * c.dnrm), 4)
+               AS coarse_sim
+           FROM dn q JOIN dn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         ctop AS (
+           SELECT q_id, c_id, coarse_sim,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY coarse_sim DESC, c_id) AS crnk
+           FROM coarse),
+         rer AS (
+           SELECT t.q_id, t.c_id, t.coarse_sim,
+             round(list_dot_product(qq.v, cc.v) / (qq.nrm * cc.nrm), 4) AS cos_sim
+           FROM ctop t
+           JOIN dn qq ON qq.vec_id = t.q_id
+           JOIN dn cc ON cc.vec_id = t.c_id
+           WHERE t.crnk <= 20),
+         r AS (
+           SELECT q_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk,
+             c_id, cos_sim, coarse_sim
+           FROM rer)
+         SELECT q_id, rnk, c_id, cos_sim, coarse_sim FROM r WHERE rnk <= 5
+         ORDER BY q_id, rnk""",
     // s02: the approximation is DETERMINISTIC (fixed hyperplane literals,
     // fixed probe set, rounded-sim + c_id tie-breaks), so the oracle
     // replays it exactly; OperatorsSpec additionally asserts recall

@@ -65,6 +65,34 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall vs exact top-5 too low: $recall")
   }
 
+  test("quantized rerank recovers >=0.9 of the exact top-5 (s06 vs s01)") {
+    val exact = EmbeddingQueries.queries("s01_knn_bruteforce")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val reranked = EmbeddingQueries.queries("s06_quantized_rerank")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (reranked & exact).size.toDouble / exact.size
+    // int8 reconstruction error is bounded by half a quantization step
+    // (s05's 1/510 bound), so the coarse top-20 virtually always contains
+    // the true top-5 and the exact rerank restores it — near-total recall
+    // is the POINT of the two-stage shape, unlike the bucketed s02/s04
+    assert(recall >= 0.9, s"quantized-rerank recall vs exact too low: $recall")
+  }
+
+  test("PII scrubber redacts emails and IPv4s, counts them, leaves prose alone (d20)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail alice.smith+x@sub.example.co.uk and 192.168.1.254 now"),
+      (2L, "no pii here, just a version 1.2 and an at sign @ alone"),
+      (3L, "two mails a@b.io c@d.org and two hosts 10.0.0.1 8.8.8.8"))
+      .toDF("doc_id", "text")
+    val got = DocumentQueries.scrubPii(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("mail [EMAIL] and [IP] now", 1L, 1L)))
+    // dotted version numbers and bare @ must NOT be redacted
+    assert(got(2L) == (("no pii here, just a version 1.2 and an at sign @ alone", 0L, 0L)))
+    assert(got(3L) == (("two mails [EMAIL] [EMAIL] and two hosts [IP] [IP]", 2L, 2L)))
+  }
+
   test("dup clusters are consistent closures of the pair graph (d11)") {
     val docs = Tables(spark, sfSmoke, "documents")
     val pairs = DedupQueries.minhashPairs(docs)

@@ -51,7 +51,8 @@ class QueriesSpec extends SparkSpec {
     // else must carry equi-keys so it hash-partitions.
     // q30's stitch join: both sides are <=6 rows per year by filter
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
-      "s04_ann_ivf", "d17_tfidf_keywords", "q30_sliding_window")
+      "s04_ann_ivf", "s06_quantized_rerank", "d17_tfidf_keywords",
+      "q30_sliding_window")
     // top-level conjunct split: `a =!= b` CONTAINS an EqualTo node, so a
     // whole-tree search would miscount it as an equi-key
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -102,6 +103,7 @@ class QueriesSpec extends SparkSpec {
       "s01_knn_bruteforce" -> "fixed ~100-row query set (intentional linear baseline)",
       "s02_ann_lsh" -> "fixed query set, hamming-multiprobe bucket join",
       "s04_ann_ivf" -> "<=16-row centroid table / nprobe probe set",
+      "s06_quantized_rerank" -> "fixed query set (coarse scan + rerank sides)",
       "q30_sliding_window" -> "<=6-row per-year boundary stitch")
     def structurallyBounded(side: LogicalPlan): Boolean =
       side.exists {
