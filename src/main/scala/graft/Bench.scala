@@ -66,16 +66,26 @@ object Bench {
     // Compact JSON: the driver captures only the LAST ~2000 bytes of
     // stdout, and the [success] line sbt appends eats ~80 of them — with
     // 66 queries, 9-digit doubles pushed the line's HEAD out of the
-    // window (round 6's map lost q01–q07). At 67 queries the 3-decimal
-    // line measured 1892 B — inside the window by under 30 B — so
-    // per-query values are 2-decimal now (10 ms precision, still well
-    // below this box's run-to-run jitter); the headline total keeps 3.
-    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
+    // window (round 6's map lost q01–q07). At 72 queries + calib even the
+    // 2-decimal line measured 1930 B, so: per-query values are 2-decimal
+    // (10 ms precision, well below this box's jitter) with trailing zeros
+    // stripped ("0.2", not "0.20" — still valid JSON), and the non-
+    // contract "runs" field is gone (it is constant anyway; per-run
+    // numbers are on stderr). Headline total keeps 3 decimals.
+    def num(v: Double): String = {
+      var s = f"$v%.2f"
+      while (s.endsWith("0")) s = s.dropRight(1)
+      if (s.endsWith(".")) s.dropRight(1) else s
+    }
+    val qs = results.map { case (k, v) => s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}","runs":$runs}"""
-    if (line.length > 1900)
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    // budget arithmetic: 2000-byte tail − ~75 B sbt [success] line −
+    // 7 B "[info] " prefix ≈ 1918 usable; r10 measured 1904 at 72
+    // queries. The next query added must come with bytes found elsewhere.
+    if (line.length > 1910)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} B " +
         "may overflow the driver's 2000-byte stdout tail capture")
     println(line)
