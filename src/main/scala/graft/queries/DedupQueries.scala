@@ -196,14 +196,21 @@ object DedupQueries {
       // Everything below is LAZY + scope-owned-cached — ZERO eager
       // barriers. Rounds 6–8 checkpointed the candidate pair set first
       // because the shingle side seemed to need its ids; that serialized
-      // the stage behind two synchronous checkpoint jobs (the dominant
-      // d14/d06 constant factor: band join → barrier → broadcast →
-      // barrier → verify). The key fact that removes the chain: a doc
-      // participates in a candidate pair IFF it sits in a band bucket of
-      // size 2..MaxBandBucket, so the shingle side derives from the
-      // exploded bands directly and the one real job materializes the
-      // shared `exploded` cache once, then the self-join and the shingle
-      // pass read it in parallel.
+      // the stage behind two synchronous checkpoint jobs. The key fact
+      // that removes the chain: a doc participates in a candidate pair
+      // IFF it sits in a band bucket of size 2..MaxBandBucket, so the
+      // shingle side derives from the exploded bands directly and the
+      // one real job materializes the shared `exploded` cache once, then
+      // the self-join and the shingle pass read it in parallel.
+      //
+      // Measured reality (round-10 per-job profiling, Probe
+      // SPARK_GRAFT_JOBS): at test SF this stage's wall time is ~25 AQE
+      // stage-materialization jobs of 0.03-0.23 s each — plan depth ×
+      // scheduling latency, no single stage owning the clock. Both the
+      // round-9 barrier drop and the round-10 bucket_n window fold
+      // A/B-measured as nulls at sf0.1 for exactly that reason; they
+      // are kept because each removes a corpus-wide shuffle, which is
+      // what matters at lake scale where stages do real work.
       val exploded = owned(cappedBands(representatives(sigs)))
       val cand = exploded.as("x")
         .join(exploded.as("y"),
