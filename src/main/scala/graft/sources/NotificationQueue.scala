@@ -40,8 +40,14 @@ final case class QueueMessage(
   * sandbox-runnable queue (and a usable single-consumer queue on any
   * shared filesystem): each message is one `<id>.msg` file (atomic
   * tmp+move publish, like an S3 PUT), each lease one `.leases/<id>` file
-  * holding `expiryMillis count`. The clock is injectable so specs can
-  * expire leases deterministically instead of sleeping.
+  * holding `token expiryMillis count`. The token identifies the
+  * DELIVERY: a redelivery mints a new token (staling old receipts), but
+  * [[extendVisibility]] keeps the token and moves only the expiry — a
+  * receipt stays valid across heartbeats, exactly SQS's contract
+  * (ChangeMessageVisibility does not invalidate the receipt handle; a
+  * heartbeat that did would break every delete issued after it). The
+  * clock is injectable so specs can expire leases deterministically
+  * instead of sleeping.
   *
   * Single-process consumer by design (the reference runs one s3logd per
   * queue the same way); producers may be many — publish is atomic. */
@@ -65,35 +71,34 @@ final class FileQueue(
   }
 
   /** Messages currently receivable (no live lease) — spec/ops visibility. */
-  def visibleCount: Int = synchronized { listVisible().size }
+  def visibleCount: Int = synchronized { listVisible(clock()).size }
 
   /** All messages still in the queue, leased or not. */
   def size: Int = synchronized { listMessages().size }
 
   override def receive(max: Int): Seq[QueueMessage] = synchronized {
+    // one clock read for the whole call: visibility filtering and lease
+    // writing must agree on "now", or a lease expiring between two reads
+    // races the filter
     val now = clock()
-    listVisible().take(max).map { id =>
-      val (expiry0, count0) = readLease(id).getOrElse((0L, 0))
-      require(expiry0 <= now, s"lease race on $id") // listVisible filtered
-      val count = count0 + 1
-      val expiry = now + visibilityTimeoutSeconds * 1000L
-      // the receipt encodes the lease generation: a redelivery writes a
-      // new expiry, so receipts from earlier deliveries stop matching
-      writeLease(id, expiry, count)
-      QueueMessage(id, s"$id:$expiry", body(id), count,
+    listVisible(now).take(max).map { id =>
+      val count = readLease(id).map(_.count).getOrElse(0) + 1
+      val token = java.util.UUID.randomUUID().toString
+      writeLease(id, Lease(token, now + visibilityTimeoutSeconds * 1000L, count))
+      QueueMessage(id, s"$id:$token", body(id), count,
         Files.getLastModifiedTime(root.resolve(s"$id.msg")).toMillis)
     }
   }
 
   override def delete(receiptHandles: Seq[String]): Unit = synchronized {
     receiptHandles.foreach { rh =>
-      val (id, expiry) = split(rh)
+      val (id, token) = split(rh)
       readLease(id) match {
-        case Some((cur, _)) if cur == expiry =>
+        case Some(l) if l.token == token =>
           Files.deleteIfExists(root.resolve(s"$id.msg"))
           Files.deleteIfExists(leasePath(id))
-        case _ => // stale receipt: this delivery's lease was superseded —
-                  // the message belongs to a newer delivery, leave it
+        case _ => // stale receipt: this delivery was superseded — the
+                  // message belongs to a newer delivery, leave it
       }
     }
   }
@@ -102,31 +107,25 @@ final class FileQueue(
     synchronized {
       val now = clock()
       receiptHandles.foreach { rh =>
-        val (id, expiry) = split(rh)
+        val (id, token) = split(rh)
         readLease(id) match {
-          case Some((cur, count)) if cur == expiry =>
-            writeLease(id, now + seconds * 1000L, count)
+          case Some(l) if l.token == token =>
+            // same token: the receipt REMAINS VALID after the heartbeat
+            writeLease(id, l.copy(expiryMillis = now + seconds * 1000L))
           case _ => // stale receipt — nothing to extend
         }
       }
     }
 
-  /** Receipts whose lease was renewed by [[extendVisibility]] change
-    * generation; callers holding old handles re-derive them from the
-    * current lease (single-consumer simplification). */
-  def currentReceipt(messageId: String): Option[String] = synchronized {
-    readLease(messageId).map { case (expiry, _) => s"$messageId:$expiry" }
-  }
+  private final case class Lease(token: String, expiryMillis: Long, count: Int)
 
   private def listMessages(): Seq[String] =
     Option(root.toFile.listFiles).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".msg"))
       .map(_.getName.stripSuffix(".msg")).sorted.toSeq
 
-  private def listVisible(): Seq[String] = {
-    val now = clock()
-    listMessages().filter(id => readLease(id).forall(_._1 <= now))
-  }
+  private def listVisible(now: Long): Seq[String] =
+    listMessages().filter(id => readLease(id).forall(_.expiryMillis <= now))
 
   private def body(id: String): String =
     new String(Files.readAllBytes(root.resolve(s"$id.msg")),
@@ -134,22 +133,22 @@ final class FileQueue(
 
   private def leasePath(id: String): Path = root.resolve(".leases").resolve(id)
 
-  private def readLease(id: String): Option[(Long, Int)] =
+  private def readLease(id: String): Option[Lease] =
     if (!Files.exists(leasePath(id))) None
     else {
-      val Array(expiry, count) =
+      val Array(token, expiry, count) =
         new String(Files.readAllBytes(leasePath(id)),
           StandardCharsets.UTF_8).trim.split(" ")
-      Some((expiry.toLong, count.toInt))
+      Some(Lease(token, expiry.toLong, count.toInt))
     }
 
-  private def writeLease(id: String, expiryMillis: Long, count: Int): Unit =
+  private def writeLease(id: String, l: Lease): Unit =
     Files.write(leasePath(id),
-      s"$expiryMillis $count".getBytes(StandardCharsets.UTF_8))
+      s"${l.token} ${l.expiryMillis} ${l.count}".getBytes(StandardCharsets.UTF_8))
 
-  private def split(rh: String): (String, Long) = {
+  private def split(rh: String): (String, String) = {
     val i = rh.lastIndexOf(':')
-    (rh.substring(0, i), rh.substring(i + 1).toLong)
+    (rh.substring(0, i), rh.substring(i + 1))
   }
 }
 

@@ -61,6 +61,25 @@ class QueueSourceSpec extends SparkSpec {
     assert(q.receive(10).size == 1)
   }
 
+  test("a receipt stays valid across heartbeats (SQS ChangeMessageVisibility contract)") {
+    // the failure this pins: if the heartbeat re-minted the receipt, every
+    // delete issued AFTER a visibility extension would silently no-op and
+    // the continuous-mode pipeline would never empty the queue
+    var now = 5000000L
+    val dir = Files.createTempDirectory("graft-q-hb").toString
+    val q = new FileQueue(dir, visibilityTimeoutSeconds = 60, clock = () => now)
+    q.enqueue("long batch message")
+    val got = q.receive(10)
+    assert(got.size == 1)
+    // two heartbeats while the batch runs, then the ack with the ORIGINAL
+    // receipt — it must still delete
+    q.extendVisibility(got.map(_.receiptHandle), 120)
+    now += 60000
+    q.extendVisibility(got.map(_.receiptHandle), 120)
+    q.delete(got.map(_.receiptHandle))
+    assert(q.size == 0, "delete after heartbeat no-opped: receipt went stale")
+  }
+
   test("queue-backed pipeline: batch ack empties the queue, AvailableNow drains, incremental runs") {
     val tmp = Files.createTempDirectory("graft-qe2e").toString
     val objects = s"$tmp/objects"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
