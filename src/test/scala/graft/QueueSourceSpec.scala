@@ -115,6 +115,30 @@ class QueueSourceSpec extends SparkSpec {
     assert(q.size == 0)
   }
 
+  test("continuous-mode trigger: per-batch acks drain the queue across micro-batches") {
+    // ProcessingTime is the production daemon mode: several one-message
+    // micro-batches in one run, the source heartbeating in-flight leases
+    // each trigger — the path where a heartbeat-staled receipt would
+    // leave the queue permanently full
+    val tmp = Files.createTempDirectory("graft-qcont").toString
+    val objects = s"$tmp/objects"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(objects))
+    writeObj(objects, "a.log", LogGen.lines(30, seed = 86))
+    writeObj(objects, "b.log", LogGen.lines(20, seed = 87))
+    writeObj(objects, "c.log", LogGen.lines(10, seed = 88))
+    val q = new FileQueue(s"$tmp/queue", visibilityTimeoutSeconds = 600)
+    QueueRegistry.register("spec-cont", q)
+    Seq("a.log", "b.log", "c.log")
+      .foreach(k => q.enqueue(event("ObjectCreated:Put", k)))
+    val query = StreamingTransform.queueNotificationPipeline(spark, "spec-cont",
+        out, ckpt, (_, key) => s"$objects/$key", maxMessagesPerTrigger = 1)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.read.parquet(out).count() == 60)
+    assert(q.size == 0)
+  }
+
   test("a crashed consumer's leased message is redelivered after the visibility timeout") {
     var now = System.currentTimeMillis()
     val tmp = Files.createTempDirectory("graft-qredeliver").toString
