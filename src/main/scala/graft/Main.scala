@@ -37,9 +37,11 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       training-corpus ingestion ([[graft.streaming.DocumentIngest]]):
   *       JSON-lines crawl drop → watermarked content-fingerprint dedup →
   *       lang-partitioned parquet corpus.
-  *   compact <lakeDir> [<partitionCol>...]
+  *   compact <lakeDir> [--flat | <partitionCol>...]
   *       small-file compaction ([[graft.etl.Compact]]); partition columns
-  *       auto-detected from the lake's hive directory names.
+  *       auto-detected from the lake's hive directory names. `--flat`
+  *       compacts an unpartitioned dir (e.g. the streaming signature
+  *       table) — explicit, never inferred.
   *
   * Config comes from the process environment via [[EtlConfig.fromEnv]] —
   * the reference's full env vocabulary, unknown S3LOGS_* keys rejected
@@ -59,7 +61,7 @@ object Main {
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
       |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
       |  graft.Main ingest [--once] <dropDir> <corpusDir> <checkpointDir>
-      |  graft.Main compact <lakeDir> [<partitionCol>...]""".stripMargin
+      |  graft.Main compact <lakeDir> [--flat | <partitionCol>...]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -146,8 +148,14 @@ object Main {
         // reference accepts per-rotation small files and leaves cleanup
         // to operations (scripts/transform.sh runbook); here it is one
         // engine command. Partition columns default to the lake's own
-        // hive layout, read from the directory names.
-        val partCols = if (cols.nonEmpty) cols else detectPartitionCols(spark, lake)
+        // hive layout, read from the directory names; `--flat` compacts
+        // an UNPARTITIONED dir (the per-micro-batch signature-table
+        // sidecar) — explicit, because silently treating a hive lake as
+        // flat would flatten its layout.
+        val partCols =
+          if (cols == Seq("--flat")) Seq.empty
+          else if (cols.nonEmpty) cols
+          else detectPartitionCols(spark, lake)
         val st = Compact.run(spark, lake, partCols,
           maxRecordsPerFile = cfg.maxRecordsPerFile,
           compression = cfg.compression)

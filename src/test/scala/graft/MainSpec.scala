@@ -87,6 +87,15 @@ class MainSpec extends SparkSpec {
     // a dir with no hive layout is refused, not flattened
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("compact", s"$tmp/in1"), env))
+    // ...unless --flat says so explicitly (the signature-table sidecar)
+    import spark.implicits._
+    (1 to 3).foreach { b =>
+      (1 to 20).map(i => (b * 100L + i, s"fp$b-$i")).toDF("doc_id", "fp")
+        .repartition(2).write.mode("append").parquet(s"$tmp/sigs")
+    }
+    val flat = Main.run(spark, Seq("compact", s"$tmp/sigs", "--flat"), env)
+    assert(flat.size == 1 && flat.head.startsWith("compact task ended, 60 rows kept"))
+    assert(spark.read.parquet(s"$tmp/sigs").count() == 60)
   }
 
   test("stream --once drains the landing backlog and terminates") {

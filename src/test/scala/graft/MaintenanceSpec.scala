@@ -83,6 +83,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(partDirs.nonEmpty && partDirs.forall(_.startsWith("year=")))
   }
 
+  test("compaction of an UNPARTITIONED lake (the streaming signature-table sidecar)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cmp-flat").toString
+    // the shape writerWithSignatures produces: one small parquet append
+    // per micro-batch, no partition columns
+    (1 to 4).foreach { b =>
+      (1 to 50).map(i => (b * 1000L + i, s"fp$b-$i"))
+        .toDF("doc_id", "fp").repartition(3)
+        .write.mode("append").parquet(s"$tmp/sigs")
+    }
+    val before = spark.read.parquet(s"$tmp/sigs")
+    val rows = before.collect().toSet
+    val st = Compact.run(spark, s"$tmp/sigs", Seq.empty)
+    assert(st.rows == 200 && st.files1 < st.files0,
+      s"no compaction happened: ${st.files0} -> ${st.files1}")
+    assert(spark.read.parquet(s"$tmp/sigs").collect().toSet == rows)
+  }
+
   test("bucketed tables co-locate the join: zero shuffle exchanges in the plan") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-bucket").toString
