@@ -33,10 +33,11 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       notifications arrive through the `graft-queue` connector over a
   *       [[graft.sources.FileQueue]] at `queueDir` — leases, sink-side
   *       ack after the transform lands, redelivery on crash.
-  *   ingest [--once] <dropDir> <corpusDir> <checkpointDir>
+  *   ingest [--once] [--sigs <sigDir>] <dropDir> <corpusDir> <checkpointDir>
   *       training-corpus ingestion ([[graft.streaming.DocumentIngest]]):
   *       JSON-lines crawl drop → watermarked content-fingerprint dedup →
-  *       lang-partitioned parquet corpus.
+  *       lang-partitioned parquet corpus. `--sigs` maintains the d16
+  *       signature-table artifact per micro-batch alongside the corpus.
   *   compact <lakeDir> [--flat | <partitionCol>...]
   *       small-file compaction ([[graft.etl.Compact]]); partition columns
   *       auto-detected from the lake's hive directory names. `--flat`
@@ -60,7 +61,7 @@ object Main {
       |  graft.Main transform [-o <outDir>] [--loop <seconds> [--iterations <n>]] [<input>...]
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
       |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
-      |  graft.Main ingest [--once] <dropDir> <corpusDir> <checkpointDir>
+      |  graft.Main ingest [--once] [--sigs <sigDir>] <dropDir> <corpusDir> <checkpointDir>
       |  graft.Main compact <lakeDir> [--flat | <partitionCol>...]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
@@ -127,15 +128,23 @@ object Main {
             transformLoop(spark, inputs, out, cfg, secs.toLong,
               opts.named.get("--iterations").map(_.toInt))
         }
-      case "ingest" :: rest if rest.filterNot(_ == "--once").size == 3 =>
+      case "ingest" :: rest
+          if flags(rest.filterNot(_ == "--once")).positional.size == 3 =>
         // training-corpus ingestion: JSON-lines crawl drop → content-
         // fingerprint dedup within the watermark → lang-partitioned
         // parquet corpus (graft.streaming.DocumentIngest); --once drains
-        // the backlog and exits like the stream command
-        val Seq(drop, corpus, checkpoint) = rest.filterNot(_ == "--once")
-        val writer = graft.streaming.DocumentIngest
-          .writer(graft.streaming.DocumentIngest.stream(spark, drop),
-            corpus, checkpoint)
+        // the backlog and exits like the stream command. --sigs <dir>
+        // additionally maintains the d16 signature-table artifact per
+        // micro-batch (the incremental-dedup producer).
+        val iOpts = flags(rest.filterNot(_ == "--once"))
+        val Seq(drop, corpus, checkpoint) = iOpts.positional
+        val ingestStream = graft.streaming.DocumentIngest.stream(spark, drop)
+        val writer = iOpts.named.get("--sigs") match {
+          case Some(sigDir) => graft.streaming.DocumentIngest
+            .writerWithSignatures(ingestStream, corpus, sigDir, checkpoint)
+          case None => graft.streaming.DocumentIngest
+            .writer(ingestStream, corpus, checkpoint)
+        }
         val query =
           if (rest.contains("--once"))
             writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

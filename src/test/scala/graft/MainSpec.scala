@@ -157,6 +157,25 @@ class MainSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("lang=")).toSet == Set("lang=en", "lang=de"))
   }
 
+  test("ingest --sigs maintains the signature-table sidecar per batch") {
+    val tmp = Files.createTempDirectory("graft-cli-sig").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/drop"))
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"crawl",""" +
+        s""""event_ts":"2024-01-01T00:0$id:00.000Z"}"""
+    Files.write(java.nio.file.Paths.get(s"$tmp/drop/b1.jsonl"),
+      Seq(doc(1, "first corpus document"), doc(2, "second corpus document"))
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = Main.run(spark, Seq("ingest", "--once", "--sigs", s"$tmp/sigs",
+      s"$tmp/drop", s"$tmp/corpus", s"$tmp/ckpt"), Map.empty)
+    assert(out == Seq("ingest query terminated"))
+    assert(spark.read.parquet(s"$tmp/corpus").count() == 2)
+    val sigs = spark.read.parquet(s"$tmp/sigs")
+    assert(sigs.count() == 2)
+    assert(sigs.schema.fieldNames.toSet == Set("doc_id", "fp", "mh", "bands"))
+  }
+
   test("transform --loop: two iterations over a growing staging dir, processed files moved") {
     val tmp = Files.createTempDirectory("graft-cli-loop").toString
     val env = Map("S3LOGS_TRANSFORM_JOB_INTERVAL" -> "0")
