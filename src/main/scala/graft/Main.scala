@@ -163,6 +163,12 @@ object Main {
         // flat would flatten its layout.
         val partCols =
           if (cols == Seq("--flat")) Seq.empty
+          else if (cols.exists(_.startsWith("--")))
+            // a flag mixed into (or typo'd among) the partition-column
+            // list must be a usage error, not a partitionBy("--flat")
+            // AnalysisException
+            fail(s"unexpected flag among partition columns: " +
+              s"${cols.filter(_.startsWith("--")).mkString(" ")}\n$usage")
           else if (cols.nonEmpty) cols
           else detectPartitionCols(spark, lake)
         val st = Compact.run(spark, lake, partCols,
@@ -247,20 +253,29 @@ object Main {
     val wake = new java.util.concurrent.CountDownLatch(1)
     val hook = new Thread(() => { stop.set(true); wake.countDown() })
     Runtime.getRuntime.addShutdownHook(hook)
+    // per-iteration lines are EMITTED LIVE on stderr (a daemon whose
+    // stdout is silent until SIGTERM is unobservable) and returned at
+    // exit for the CLI's printed contract; the returned buffer is capped
+    // so an unbounded daemon cannot grow one string per iteration forever
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var droppedLines = 0L
+    def emit(line: String): Unit = {
+      System.err.println(s"[transform-loop] $line")
+      if (lines.size < 10000) lines += line else droppedLines += 1
+    }
     try {
       var iter = 0
       while (!stop.get && maxIterations.forall(iter < _)) {
         iter += 1
         val batch = quietFiles(inputs, cfg)
         if (batch.isEmpty)
-          lines += "transform task ended, 0 lines processed"
+          emit("transform task ended, 0 lines processed")
         else {
           // the gate already ran in quietFiles — the run itself must not
           // re-apply it against a LATER now() and drop selected files
           val stats = Transform.run(spark, batch.map(_.toString), out,
             cfg.copy(jobIntervalSeconds = 0))
-          lines += s"transform task ended, ${stats.inputLines} lines processed"
+          emit(s"transform task ended, ${stats.inputLines} lines processed")
           batch.foreach { f =>
             val dest = new java.io.File(f.getParentFile, ".processed")
             dest.mkdirs()
@@ -273,7 +288,9 @@ object Main {
           wake.await(math.max(intervalSeconds, 1L),
             java.util.concurrent.TimeUnit.SECONDS)
       }
-      lines += s"transform loop ended after $iter iteration(s)"
+      emit(s"transform loop ended after $iter iteration(s)" +
+        (if (droppedLines > 0) s" ($droppedLines earlier lines on stderr only)"
+         else ""))
       lines.toSeq
     } finally {
       // no-op during an actual shutdown (the hook is already running)

@@ -133,7 +133,12 @@ object StreamingTransform {
         // receive) — bounded by maxFilesPerTrigger × records-per-message
         val objs = batch.select("bucket", "key").distinct().collect()
           .map(r => resolveKey(r.getString(0), r.getString(1)))
-        if (objs.nonEmpty) Transform.run(spark, objs.toSeq, outDir, cfg)
+        // age gate disabled: a notification fires after the PUT
+        // completed (see queueNotificationPipeline — gating here would
+        // skip fresh objects whose notification already committed)
+        if (objs.nonEmpty)
+          Transform.run(spark, objs.toSeq, outDir,
+            cfg.copy(jobIntervalSeconds = 0))
         ()
       }
   }
@@ -172,7 +177,15 @@ object StreamingTransform {
               org.apache.spark.sql.Encoders.STRING).toDF("value"))
           .select("bucket", "key").distinct().collect()
           .map(r => resolveKey(r.getString(0), r.getString(1)))
-        if (objs.nonEmpty) Transform.run(spark, objs.toSeq, outDir, cfg)
+        // the F3 age gate MUST NOT apply here: it exists for polling a
+        // staging dir (skip files still being written), but a
+        // notification is only sent after the PUT completed — gating a
+        // freshly-created object would read 0 lines and then ack the
+        // message, silently losing the object forever (no redelivery
+        // of a deleted message)
+        if (objs.nonEmpty)
+          Transform.run(spark, objs.toSeq, outDir,
+            cfg.copy(jobIntervalSeconds = 0))
         // ack AFTER the work landed: receipt-scoped, so a redelivered
         // message's newer lease survives a stale ack
         graft.sources.QueueRegistry.lookup(queueName)

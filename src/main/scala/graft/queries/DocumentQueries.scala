@@ -268,17 +268,22 @@ object DocumentQueries {
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** d20 as a reusable operator over any (doc_id, text) frame: redact
-    * emails/IPv4s and count the redactions (replace-length identity — no
-    * second regex pass). One codegen projection, zero shuffle. */
+    * emails/IPv4s and count the redactions PERFORMED (replace-length
+    * identity, differenced across each stage — occurrences of a literal
+    * '[EMAIL]'/'[IP]' already present in the input cancel out instead of
+    * inflating the counts; real crawl text does contain such literals,
+    * e.g. scraped docs about redaction). One codegen projection, zero
+    * shuffle. */
   def scrubPii(docs: DataFrame): DataFrame =
     docs
-      .withColumn("scrubbed",
-        regexp_replace(regexp_replace(col("text"), EmailPattern, "[EMAIL]"),
-          Ipv4Pattern, "[IP]"))
+      .withColumn("s1", regexp_replace(col("text"), EmailPattern, "[EMAIL]"))
+      .withColumn("scrubbed", regexp_replace(col("s1"), Ipv4Pattern, "[IP]"))
       .withColumn("n_emails", expr(
-        "CAST((length(scrubbed) - length(replace(scrubbed, '[EMAIL]', ''))) / 7 AS BIGINT)"))
+        """CAST(((length(s1) - length(replace(s1, '[EMAIL]', '')))
+           - (length(text) - length(replace(text, '[EMAIL]', '')))) / 7 AS BIGINT)"""))
       .withColumn("n_ips", expr(
-        "CAST((length(scrubbed) - length(replace(scrubbed, '[IP]', ''))) / 4 AS BIGINT)"))
+        """CAST(((length(scrubbed) - length(replace(scrubbed, '[IP]', '')))
+           - (length(s1) - length(replace(s1, '[IP]', '')))) / 4 AS BIGINT)"""))
       .select(col("doc_id"), col("scrubbed"), col("n_emails"), col("n_ips"))
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -389,13 +394,17 @@ object DocumentQueries {
                '.0.1 today' AS augmented
            FROM documents),
          s AS (
-           SELECT doc_id,
-             regexp_replace(regexp_replace(augmented,
-               '$EmailPattern', '[EMAIL]', 'g'),
-               '$Ipv4Pattern', '[IP]', 'g') AS scrubbed
-           FROM a)
+           SELECT doc_id, augmented,
+             regexp_replace(augmented, '$EmailPattern', '[EMAIL]', 'g') AS s1
+           FROM a),
+         s2 AS (
+           SELECT doc_id, augmented, s1,
+             regexp_replace(s1, '$Ipv4Pattern', '[IP]', 'g') AS scrubbed
+           FROM s)
          SELECT doc_id, scrubbed,
-           CAST((length(scrubbed) - length(replace(scrubbed, '[EMAIL]', ''))) / 7 AS BIGINT) AS n_emails,
-           CAST((length(scrubbed) - length(replace(scrubbed, '[IP]', ''))) / 4 AS BIGINT) AS n_ips
-         FROM s ORDER BY doc_id""")
+           CAST(((length(s1) - length(replace(s1, '[EMAIL]', '')))
+             - (length(augmented) - length(replace(augmented, '[EMAIL]', '')))) / 7 AS BIGINT) AS n_emails,
+           CAST(((length(scrubbed) - length(replace(scrubbed, '[IP]', '')))
+             - (length(s1) - length(replace(s1, '[IP]', '')))) / 4 AS BIGINT) AS n_ips
+         FROM s2 ORDER BY doc_id""")
 }

@@ -153,14 +153,21 @@ private[sources] class QueueMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     synchronized {
-      align(start.asInstanceOf[QueueOffset].batches)
+      val s = start.asInstanceOf[QueueOffset].batches
+      align(s)
       preparedDrain match {
-        case Some(batches) => // AvailableNow: pin the end once
+        case Some(batches) => // AvailableNow: pin the end once...
           if (drainEnd.isEmpty) {
             batches.foreach { b => pending.put(produced, b); produced += 1 }
             drainEnd = Some(produced)
           }
-          QueueOffset(drainEnd.get)
+          // ...but release ONE pending delivery per trigger: returning
+          // drainEnd directly would plan the entire backlog as a single
+          // micro-batch, and maxMessagesPerTrigger would bound nothing
+          // during exactly the drain that needs it most. The run still
+          // terminates: once start reaches drainEnd the offset stops
+          // advancing.
+          QueueOffset(math.min(s + 1, drainEnd.get))
         case None =>
           // heartbeat every in-flight delivery BEFORE receiving more, so
           // a long-running previous batch cannot lose its leases mid-run

@@ -96,6 +96,11 @@ class MainSpec extends SparkSpec {
     val flat = Main.run(spark, Seq("compact", s"$tmp/sigs", "--flat"), env)
     assert(flat.size == 1 && flat.head.startsWith("compact task ended, 60 rows kept"))
     assert(spark.read.parquet(s"$tmp/sigs").count() == 60)
+    // a flag mixed into the partition-column list is a usage error, not
+    // a partitionBy("--flat") AnalysisException
+    val e = intercept[IllegalArgumentException](
+      Main.run(spark, Seq("compact", s"$tmp/lake", "--flat", "year"), env))
+    assert(e.getMessage.contains("unexpected flag"))
   }
 
   test("stream --once drains the landing backlog and terminates") {
@@ -126,11 +131,14 @@ class MainSpec extends SparkSpec {
     q.enqueue(
       s"""{"Records":[{"eventName":"ObjectCreated:Put","awsRegion":"r",""" +
         s""""s3":{"bucket":{"name":"b"},"object":{"key":"a.log","size":1}}}]}""")
-    // the fixture object was written milliseconds ago — disable the
-    // env-default 600 s age gate, as the transform tests do
+    // DEFAULT env on purpose: a notification fires after the PUT
+    // completed, so the pipeline must process the milliseconds-old
+    // object without the caller disabling the 600 s staging age gate —
+    // the age-gate+ack combination would otherwise silently DELETE the
+    // notification for an object it never read
     val out = Main.run(spark, Seq("stream", "--once",
       "--queue-dir", s"$tmp/queue", "--objects", objects,
-      s"$tmp/lake", s"$tmp/ckpt"), Map("S3LOGS_TRANSFORM_JOB_INTERVAL" -> "0"))
+      s"$tmp/lake", s"$tmp/ckpt"), Map.empty)
     assert(out == Seq("stream query terminated"))
     assert(spark.read.parquet(s"$tmp/lake").count() == 90)
     assert(q.size == 0) // acked after the transform landed
@@ -185,15 +193,17 @@ class MainSpec extends SparkSpec {
         LogGen.lines(n, seed).mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     writeLines(s"$tmp/stage/a.log", 40, seed = 50)
-    // the dir GROWS between iterations: b.log lands after iteration 1's
-    // listing (1.5 s in) and before iteration 2's (first run + 2 s sleep)
+    // the dir GROWS between iterations: b.log lands 1 s after iteration
+    // 1's listing (which happens within ms of Main.run), while iteration
+    // 2's listing waits for iteration 1's full Transform.run (seconds)
+    // plus the 5 s sleep — wide margins on both sides of the race
     val writer = new Thread(() => {
-      Thread.sleep(1500)
+      Thread.sleep(1000)
       writeLines(s"$tmp/stage/b.log", 25, seed = 51)
     })
     writer.start()
     val out = Main.run(spark, Seq("transform", "-o", s"$tmp/lake",
-      "--loop", "2", "--iterations", "2", s"$tmp/stage"), env)
+      "--loop", "5", "--iterations", "2", s"$tmp/stage"), env)
     writer.join()
     assert(out == Seq(
       "transform task ended, 40 lines processed",

@@ -91,6 +91,15 @@ class OperatorsSpec extends SparkSpec {
     // dotted version numbers and bare @ must NOT be redacted
     assert(got(2L) == (("no pii here, just a version 1.2 and an at sign @ alone", 0L, 0L)))
     assert(got(3L) == (("two mails [EMAIL] [EMAIL] and two hosts [IP] [IP]", 2L, 2L)))
+    // literal sentinels ALREADY IN the text (scraped docs about redaction
+    // contain them) must not inflate the counts — they measure redactions
+    // performed, not sentinel occurrences
+    val literal = DocumentQueries.scrubPii(Seq(
+      (9L, "use the [EMAIL] placeholder and one real pair x@y.dev 1.2.3.4"))
+      .toDF("doc_id", "text")).collect().head
+    assert(literal.getString(1) ==
+      "use the [EMAIL] placeholder and one real pair [EMAIL] [IP]")
+    assert(literal.getLong(2) == 1L && literal.getLong(3) == 1L)
   }
 
   test("dup clusters are consistent closures of the pair graph (d11)") {

@@ -99,10 +99,15 @@ class QueueSourceSpec extends SparkSpec {
           maxMessagesPerTrigger = 2) // several micro-batches per drain
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination(120000)
+      query
     }
-    run()
+    val q1 = run()
     // gated objects landed; the deleted object never did
     assert(spark.read.parquet(out).count() == 200)
+    // the drain honored maxMessagesPerTrigger: 4 messages at 2 per
+    // trigger ran as >=2 data-carrying micro-batches, not one giant one
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 2,
+      s"drain planned as ${q1.recentProgress.count(_.numInputRows > 0)} batch(es)")
     // ST6 for real: EVERY message (processed, gated, undeserializable)
     // was acked after its batch's transform landed — the queue is empty
     assert(q.size == 0)
