@@ -251,7 +251,17 @@ object Main {
     require(intervalSeconds >= 0, "--loop interval must be >= 0 seconds")
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val wake = new java.util.concurrent.CountDownLatch(1)
-    val hook = new Thread(() => { stop.set(true); wake.countDown() })
+    // the hook must JOIN the loop thread, not just signal it: the JVM
+    // halts as soon as shutdown hooks return, so a signal-only hook
+    // would kill the current iteration mid-Transform (its parquet append
+    // may have committed while the .processed/ moves were skipped —
+    // restart would re-process the batch). Bounded join: a wedged
+    // iteration must not block SIGTERM forever.
+    val loopThread = Thread.currentThread()
+    val hook = new Thread(() => {
+      stop.set(true); wake.countDown()
+      loopThread.join(10 * 60 * 1000L)
+    })
     Runtime.getRuntime.addShutdownHook(hook)
     // per-iteration lines are EMITTED LIVE on stderr (a daemon whose
     // stdout is silent until SIGTERM is unobservable) and returned at

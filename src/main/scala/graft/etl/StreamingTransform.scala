@@ -118,6 +118,25 @@ object StreamingTransform {
     * deletes each message only after staging completes,
     * s3log-lambda-aggregator/src/main.rs:68-109); undeserializable
     * bodies drop with a warning (null Records → empty explode). */
+  /** Shared per-batch body for BOTH ST1 paths: resolve the batch's
+    * created objects from a (bucket, key) frame and run the full batch
+    * pipeline over them with the staging age gate OFF — a notification
+    * fires after the PUT completed, so the gate (a polling guard for
+    * files still being written) would skip fresh objects; on the queue
+    * path the ack would then DELETE their notifications unprocessed.
+    * Driver-side collect of NOTIFICATION records only (the SQS receive
+    * shape) — bounded by the per-trigger message cap. */
+  private def transformNotifiedObjects(
+      spark: SparkSession, keys: org.apache.spark.sql.Dataset[Row],
+      outDir: String, resolveKey: (String, String) => String,
+      cfg: EtlConfig): Unit = {
+    val objs = keys.select("bucket", "key").distinct().collect()
+      .map(r => resolveKey(r.getString(0), r.getString(1)))
+    if (objs.nonEmpty)
+      Transform.run(spark, objs.toSeq, outDir,
+        cfg.copy(jobIntervalSeconds = 0))
+  }
+
   def notificationPipeline(
       spark: SparkSession, notifDir: String, outDir: String,
       checkpointDir: String, resolveKey: (String, String) => String,
@@ -129,17 +148,7 @@ object StreamingTransform {
     s3EventKeys(notifs).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        // driver-side collect of NOTIFICATION records only (the SQS
-        // receive) — bounded by maxFilesPerTrigger × records-per-message
-        val objs = batch.select("bucket", "key").distinct().collect()
-          .map(r => resolveKey(r.getString(0), r.getString(1)))
-        // age gate disabled: a notification fires after the PUT
-        // completed (see queueNotificationPipeline — gating here would
-        // skip fresh objects whose notification already committed)
-        if (objs.nonEmpty)
-          Transform.run(spark, objs.toSeq, outDir,
-            cfg.copy(jobIntervalSeconds = 0))
-        ()
+        transformNotifiedObjects(spark, batch, outDir, resolveKey, cfg)
       }
   }
 
@@ -160,7 +169,8 @@ object StreamingTransform {
       spark: SparkSession, queueName: String, outDir: String,
       checkpointDir: String, resolveKey: (String, String) => String,
       cfg: EtlConfig = EtlConfig(hourlyPartitions = false),
-      maxMessagesPerTrigger: Int = 10): DataStreamWriter[Row] = {
+      maxMessagesPerTrigger: Int = 10,
+      maxReceives: Int = 5): DataStreamWriter[Row] = {
     spark.readStream
       .format("graft-queue")
       .option("queue", queueName)
@@ -169,29 +179,49 @@ object StreamingTransform {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        // driver-side collect of NOTIFICATION records only — bounded by
-        // maxMessagesPerTrigger, like the reference's SQS receive
-        val rows = batch.select("body", "receipt_handle").collect()
-        val objs = s3EventKeys(
-            batch.sparkSession.createDataset(rows.map(_.getString(0)).toSeq)(
-              org.apache.spark.sql.Encoders.STRING).toDF("value"))
-          .select("bucket", "key").distinct().collect()
-          .map(r => resolveKey(r.getString(0), r.getString(1)))
-        // the F3 age gate MUST NOT apply here: it exists for polling a
-        // staging dir (skip files still being written), but a
-        // notification is only sent after the PUT completed — gating a
-        // freshly-created object would read 0 lines and then ack the
-        // message, silently losing the object forever (no redelivery
-        // of a deleted message)
-        if (objs.nonEmpty)
-          Transform.run(spark, objs.toSeq, outDir,
-            cfg.copy(jobIntervalSeconds = 0))
-        // ack AFTER the work landed: receipt-scoped, so a redelivered
-        // message's newer lease survives a stale ack
+        val rows = batch
+          .select("body", "receipt_handle", "receive_count", "message_id")
+          .collect()
+        // poison-message guard (the reference's maxReceiveCount/DLQ
+        // shape): a message that keeps crashing its batch — object
+        // deleted before processing, unreadable path — would otherwise
+        // crash-loop the query forever (fail → leases redeliver → fail
+        // identically). After maxReceives deliveries it is written to
+        // <checkpoint>/deadletter/<message_id>.json and acked instead
+        // of processed.
+        val (poison, fresh) = rows.partition(_.getInt(2) > maxReceives)
+        poison.foreach { r =>
+          System.err.println(s"[graft-queue] dead-lettering message " +
+            s"${r.getString(3)} after ${r.getInt(2)} deliveries")
+          deadLetter(spark, checkpointDir, r.getString(3), r.getString(0))
+        }
+        transformNotifiedObjects(spark,
+          s3EventKeys(batch.sparkSession.createDataset(
+              fresh.map(_.getString(0)).toSeq)(
+              org.apache.spark.sql.Encoders.STRING).toDF("value")),
+          outDir, resolveKey, cfg)
+        // ack AFTER the work landed (fresh) / after dead-lettering
+        // (poison): receipt-scoped, so a redelivered message's newer
+        // lease survives a stale ack
         graft.sources.QueueRegistry.lookup(queueName)
           .delete(rows.map(_.getString(1)).toSeq)
         ()
       }
+  }
+
+  /** Dead-letter store: the message body lands under the query's own
+    * checkpoint (Hadoop FS API — works on file://, hdfs://, s3a://), so
+    * a poisoned notification is inspectable and replayable instead of
+    * silently dropped. */
+  private def deadLetter(spark: SparkSession, checkpointDir: String,
+      messageId: String, body: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir, "deadletter")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, s"$messageId.json"), true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** ST3 passthrough mode: when log objects are themselves named by event

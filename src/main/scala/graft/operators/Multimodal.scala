@@ -198,30 +198,52 @@ object Multimodal {
     * payload throws, never silently stubs (the dispatch contract above).
     * `ImageIO` disk caching is off — executors must not spool image
     * temp files per record. */
+  /** JVM-global ImageIO disk-cache off, set ONCE (lazy val, not a
+    * per-record write to static state from concurrent task threads). */
+  private lazy val imageIoInit: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImageIO(bytes: Array[Byte]): Decoded = {
-    javax.imageio.ImageIO.setUseCache(false)
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch {
-        case e: java.io.IOException => bad(s"imageio: ${e.getMessage}")
-        case e: RuntimeException => bad(s"imageio: ${e.getMessage}")
-      }
-    if (img == null) bad("imageio: no registered reader accepts the payload")
-    val w = img.getWidth; val h = img.getHeight
-    if (w <= 0 || h <= 0) bad(s"imageio: bad dims ${w}x$h")
-    if (w.toLong * h * 3 > Int.MaxValue) bad(s"imageio: ${w}x$h raster too large")
-    // one bulk ARGB fetch (sRGB-converted by the reader), repacked to RGB
-    val argb = img.getRGB(0, 0, w, h, null, 0, w)
-    val rgb = new Array[Byte](w * h * 3)
-    var p = 0
-    while (p < argb.length) {
-      val v = argb(p); val d = p * 3
-      rgb(d) = ((v >> 16) & 0xff).toByte
-      rgb(d + 1) = ((v >> 8) & 0xff).toByte
-      rgb(d + 2) = (v & 0xff).toByte
-      p += 1
+    imageIoInit
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          bad("imageio: no registered reader accepts the payload")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          // dimensions come from the HEADER probe — the size guard must
+          // fire BEFORE the full decode allocates w*h buffers, or a
+          // crafted huge-dimension image OOMs the executor ahead of the
+          // loud rejection
+          val w = reader.getWidth(0); val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0) bad(s"imageio: bad dims ${w}x$h")
+          if (w.toLong * h * 3 > Int.MaxValue)
+            bad(s"imageio: ${w}x$h raster too large")
+          val img = reader.read(0)
+          // one bulk ARGB fetch (sRGB-converted), repacked to the
+          // canonical top-down RGB raster
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < argb.length) {
+            val v = argb(p); val d = p * 3
+            rgb(d) = ((v >> 16) & 0xff).toByte
+            rgb(d + 1) = ((v >> 8) & 0xff).toByte
+            rgb(d + 2) = (v & 0xff).toByte
+            p += 1
+          }
+          Decoded(w, h, md5hex(rgb).substring(0, 8), averageHash(w, h, rgb))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.startsWith("malformed media") => throw e
+      case e: java.io.IOException => bad(s"imageio: ${e.getMessage}")
+      case e: RuntimeException => bad(s"imageio: ${e.getMessage}")
     }
-    Decoded(w, h, md5hex(rgb).substring(0, 8), averageHash(w, h, rgb))
   }
 
   /** Declared-media mimes route to the real decoders (loud rejection on

@@ -133,18 +133,30 @@ final class FileQueue(
 
   private def leasePath(id: String): Path = root.resolve(".leases").resolve(id)
 
+  /** An unparseable lease (torn write from a kill -9 before leases were
+    * written atomically, or manual tampering) reads as ABSENT — i.e. the
+    * message is immediately receivable again. Failing instead would
+    * wedge every queue operation behind one corrupt file, defeating the
+    * crash-redelivery guarantee the queue exists to provide. */
   private def readLease(id: String): Option[Lease] =
     if (!Files.exists(leasePath(id))) None
-    else {
-      val Array(token, expiry, count) =
-        new String(Files.readAllBytes(leasePath(id)),
-          StandardCharsets.UTF_8).trim.split(" ")
-      Some(Lease(token, expiry.toLong, count.toInt))
+    else new String(Files.readAllBytes(leasePath(id)),
+        StandardCharsets.UTF_8).trim.split(" ") match {
+      case Array(token, expiry, count)
+          if expiry.forall(_.isDigit) && count.forall(_.isDigit) =>
+        Some(Lease(token, expiry.toLong, count.toInt))
+      case _ => None
     }
 
-  private def writeLease(id: String, l: Lease): Unit =
-    Files.write(leasePath(id),
+  /** tmp + ATOMIC_MOVE like enqueue: a lease file is either the full
+    * previous generation or the full new one, never a torn write. */
+  private def writeLease(id: String, l: Lease): Unit = {
+    val tmp = root.resolve(s".lease-$id.tmp")
+    Files.write(tmp,
       s"${l.token} ${l.expiryMillis} ${l.count}".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, leasePath(id), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private def split(rh: String): (String, String) = {
     val i = rh.lastIndexOf(':')

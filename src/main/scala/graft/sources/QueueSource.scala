@@ -155,6 +155,13 @@ private[sources] class QueueMicroBatchStream(
     synchronized {
       val s = start.asInstanceOf[QueueOffset].batches
       align(s)
+      // heartbeat every in-flight delivery BEFORE anything else — in
+      // BOTH modes. A long drain leases the whole backlog up front, so
+      // its tail would otherwise sit leased far past the visibility
+      // timeout and become receivable by a second consumer mid-drain;
+      // already-acked receipts no-op (stale token / missing lease).
+      val inFlight = pending.values.flatten.map(_.receiptHandle).toSeq
+      if (inFlight.nonEmpty) queue.extendVisibility(inFlight, heartbeatSeconds)
       preparedDrain match {
         case Some(batches) => // AvailableNow: pin the end once...
           if (drainEnd.isEmpty) {
@@ -169,10 +176,6 @@ private[sources] class QueueMicroBatchStream(
           // advancing.
           QueueOffset(math.min(s + 1, drainEnd.get))
         case None =>
-          // heartbeat every in-flight delivery BEFORE receiving more, so
-          // a long-running previous batch cannot lose its leases mid-run
-          val inFlight = pending.values.flatten.map(_.receiptHandle).toSeq
-          if (inFlight.nonEmpty) queue.extendVisibility(inFlight, heartbeatSeconds)
           val got = queue.receive(maxPerTrigger)
           if (got.nonEmpty) {
             pending.put(produced, got)

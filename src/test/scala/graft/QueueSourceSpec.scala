@@ -144,6 +144,43 @@ class QueueSourceSpec extends SparkSpec {
     assert(q.size == 0)
   }
 
+  test("a poison notification is dead-lettered and acked after maxReceives deliveries") {
+    var now = 9000000L
+    val tmp = Files.createTempDirectory("graft-qpoison").toString
+    val objects = s"$tmp/objects"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(objects))
+    val q = new FileQueue(s"$tmp/queue", visibilityTimeoutSeconds = 60,
+      clock = () => now)
+    QueueRegistry.register("spec-poison", q)
+    q.enqueue(event("ObjectCreated:Put", "ghost.log")) // object never existed
+    val run = () => {
+      val query = StreamingTransform.queueNotificationPipeline(spark,
+          "spec-poison", out, ckpt, (_, key) => s"$objects/$key",
+          maxReceives = 1)
+        .trigger(Trigger.AvailableNow()).start()
+      try { query.awaitTermination(120000); true }
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => false
+      }
+    }
+    // delivery 1 (receive_count = 1 <= maxReceives): the transform fails
+    // on the missing object, the query crashes, the message stays queued
+    assert(!run(), "expected the poison batch to fail the query")
+    assert(q.size == 1)
+    // lease expires -> delivery 2 (count 2 > maxReceives): dead-lettered
+    // and acked instead of crash-looping forever
+    now += 61000
+    assert(run(), "expected the dead-letter path to complete the query")
+    assert(q.size == 0)
+    val dl = Option(new java.io.File(s"$ckpt/deadletter").listFiles)
+      .getOrElse(Array.empty)
+      .filterNot(_.getName.startsWith(".")) // local-FS .crc sidecars
+    assert(dl.length == 1 && dl.head.getName.endsWith(".json"), dl.toSeq)
+    // the body is preserved for inspection/replay
+    assert(Files.readString(dl.head.toPath).contains("ghost.log"))
+    assert(!new java.io.File(out).exists()) // the ghost produced no output
+  }
+
   test("a crashed consumer's leased message is redelivered after the visibility timeout") {
     var now = System.currentTimeMillis()
     val tmp = Files.createTempDirectory("graft-qredeliver").toString
