@@ -66,18 +66,27 @@ object Bench {
     // Compact JSON: the driver captures only the LAST ~2000 bytes of
     // stdout, and the [success] line sbt appends eats ~80 of them — with
     // 66 queries, 9-digit doubles pushed the line's HEAD out of the
-    // window (round 6's map lost q01–q07). At 72 queries + calib even the
-    // 2-decimal line measured 1930 B, so: per-query values are 2-decimal
-    // (10 ms precision, well below this box's jitter) with trailing zeros
-    // stripped ("0.2", not "0.20" — still valid JSON), and the non-
-    // contract "runs" field is gone (it is constant anyway; per-run
-    // numbers are on stderr). Headline total keeps 3 decimals.
+    // window (round 6's map lost q01–q07), and at 72 queries + calib the
+    // full-name 2-decimal line hit 1916 B against a ~1918 B budget.
+    // Two byte diets, both permanent:
+    //   - per-query KEYS are the short canonical ids (q01, d14, s06 —
+    //     the names VERDICT/SURVEY use for these queries everywhere;
+    //     the long form is the id plus a description suffix). Uniqueness
+    //     is asserted; a collision falls back to the full name.
+    //   - values are 2-decimal with trailing zeros stripped ("0.2" not
+    //     "0.20" — valid JSON, 10 ms precision, below this box's
+    //     jitter); the constant "runs" field is gone (per-run numbers
+    //     are on stderr).
+    // Measured after the diet: ~840 B. Headline total keeps 3 decimals.
     def num(v: Double): String = {
       var s = f"$v%.2f"
       while (s.endsWith("0")) s = s.dropRight(1)
       if (s.endsWith(".")) s.dropRight(1) else s
     }
-    val qs = results.map { case (k, v) => s""""$k":${num(v)}""" }
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    val unique = results.keys.groupBy(shortId).forall(_._2.size == 1)
+    val qs = results.map { case (k, v) =>
+      s""""${if (unique) shortId(k) else k}":${num(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
