@@ -28,8 +28,8 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     // Drift calibration anchor: a FIXED, corpus-independent workload —
     // 200M-row in-memory range through a codegen projection and one
-    // hash-agg shuffle — timed exactly like the queries (min over
-    // `runs`, after one untimed codegen warmup). Byte-identical every
+    // hash-agg shuffle — min over max(runs, 3) timed passes after one
+    // untimed codegen warmup. Byte-identical every
     // round, it measures only the machine/JVM state the bench ran
     // under; round-over-round query deltas are real only if they
     // exceed the calib ratio between the rounds (this box drifts
@@ -92,8 +92,9 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     // budget arithmetic: 2000-byte tail − ~75 B sbt [success] line −
-    // 7 B "[info] " prefix ≈ 1918 usable; r10 measured 1904 at 72
-    // queries. The next query added must come with bytes found elsewhere.
+    // 7 B "[info] " prefix ≈ 1918 usable. Short-id keys measured ~870 B
+    // at 72 queries (the full-name line had hit 1916 — the boundary), so
+    // there is >1 KB of headroom; the warning guards the budget anyway.
     if (line.length > 1910)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} B " +
         "may overflow the driver's 2000-byte stdout tail capture")

@@ -177,9 +177,12 @@ object Main {
         Seq(s"compact task ended, ${st.rows} rows kept, " +
           s"${st.files0} -> ${st.files1} files")
       case "stream" :: rest if {
+          // the two modes take different positional arities; an arity
+          // that matches NEITHER mode (e.g. --queue-dir plus a landing
+          // dir) must fall through to the usage error, not destructure
           val opts = flags(rest.filterNot(_ == "--once"))
-          opts.positional.size == 3 ||
-            (opts.named.contains("--queue-dir") && opts.positional.size == 2)
+          if (opts.named.contains("--queue-dir")) opts.positional.size == 2
+          else opts.positional.size == 3
         } =>
         // --once = Trigger.AvailableNow: process the backlog, checkpoint,
         // exit — the reference's timer-driven lambda transformer shape
@@ -298,10 +301,13 @@ object Main {
           wake.await(math.max(intervalSeconds, 1L),
             java.util.concurrent.TimeUnit.SECONDS)
       }
-      emit(s"transform loop ended after $iter iteration(s)" +
+      // the terminating summary bypasses the cap — it carries the very
+      // truncation disclosure the cap makes necessary
+      val fin = s"transform loop ended after $iter iteration(s)" +
         (if (droppedLines > 0) s" ($droppedLines earlier lines on stderr only)"
-         else ""))
-      lines.toSeq
+         else "")
+      System.err.println(s"[transform-loop] $fin")
+      (lines += fin).toSeq
     } finally {
       // no-op during an actual shutdown (the hook is already running)
       try Runtime.getRuntime.removeShutdownHook(hook)

@@ -11,16 +11,21 @@ object Probe {
     val spark = GraftSession.local(appName = "graft-probe")
     val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     if (sys.env.contains("SPARK_GRAFT_JOBS")) {
+      // durations come from the EVENTS' own time fields, not a clock read
+      // inside the listener callback: the listener bus is async and
+      // backlogs exactly when a query fires many jobs in quick succession
+      // — a bus-drain-time measurement would misattribute the wall clock
+      // the flag exists to attribute
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onJobStart(j: SparkListenerJobStart): Unit = {
           val site = j.stageInfos.headOption.map(_.name).getOrElse("?")
-          starts.put(j.jobId, (System.nanoTime(), site))
+          starts.put(j.jobId, (j.time, site))
         }
         override def onJobEnd(j: SparkListenerJobEnd): Unit = {
           Option(starts.remove(j.jobId)).foreach { case (t0, site) =>
             System.err.println(
-              f"[probe-job]   #${j.jobId}%-4d ${(System.nanoTime()-t0)/1e9}%7.2f s  $site")
+              f"[probe-job]   #${j.jobId}%-4d ${(j.time - t0)/1e3}%7.2f s  $site")
           }
         }
       })

@@ -198,6 +198,11 @@ object Multimodal {
     * payload throws, never silently stubs (the dispatch contract above).
     * `ImageIO` disk caching is off — executors must not spool image
     * temp files per record. */
+  /** Decode-size ceiling for the compressed formats (64M pixels ≈
+    * 8192×8192 ≈ 770 MB of decode buffers — generous for crawl media,
+    * far below an executor OOM). */
+  val MaxImagePixels: Long = 64L * 1000 * 1000
+
   /** JVM-global ImageIO disk-cache off, set ONCE (lazy val, not a
     * per-record write to static state from concurrent task threads). */
   private lazy val imageIoInit: Unit = javax.imageio.ImageIO.setUseCache(false)
@@ -217,11 +222,16 @@ object Multimodal {
           // dimensions come from the HEADER probe — the size guard must
           // fire BEFORE the full decode allocates w*h buffers, or a
           // crafted huge-dimension image OOMs the executor ahead of the
-          // loud rejection
+          // loud rejection. The bound is MaxImagePixels, NOT array-length
+          // overflow: a few-hundred-KB PNG can declare ~700M pixels and
+          // pass an Int.MaxValue check while still demanding ~8 GB of
+          // decode buffers (the decompression-bomb shape). PPM/BMP don't
+          // need this cap — their raster must physically exist in the
+          // payload.
           val w = reader.getWidth(0); val h = reader.getHeight(0)
           if (w <= 0 || h <= 0) bad(s"imageio: bad dims ${w}x$h")
-          if (w.toLong * h * 3 > Int.MaxValue)
-            bad(s"imageio: ${w}x$h raster too large")
+          if (w.toLong * h > MaxImagePixels)
+            bad(s"imageio: ${w}x$h exceeds $MaxImagePixels pixels")
           val img = reader.read(0)
           // one bulk ARGB fetch (sRGB-converted), repacked to the
           // canonical top-down RGB raster

@@ -193,12 +193,14 @@ class MainSpec extends SparkSpec {
         LogGen.lines(n, seed).mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     writeLines(s"$tmp/stage/a.log", 40, seed = 50)
-    // the dir GROWS between iterations: b.log lands 1 s after iteration
-    // 1's listing (which happens within ms of Main.run), while iteration
-    // 2's listing waits for iteration 1's full Transform.run (seconds)
-    // plus the 5 s sleep — wide margins on both sides of the race
+    // the dir GROWS between iterations, deterministically: the writer
+    // lands b.log when iteration 1's Transform has started writing the
+    // lake — by then iteration 1's listing is long past, and iteration
+    // 2's listing still waits for that Transform to finish plus the 5 s
+    // sleep. No fixed-sleep race on either side.
     val writer = new Thread(() => {
-      Thread.sleep(1000)
+      val lake = new java.io.File(s"$tmp/lake")
+      while (!lake.exists()) Thread.sleep(50)
       writeLines(s"$tmp/stage/b.log", 25, seed = 51)
     })
     writer.start()
@@ -230,5 +232,9 @@ class MainSpec extends SparkSpec {
       Main.run(spark, Seq("nonsense"), Map.empty))
     intercept[IllegalArgumentException](Main.run(spark,
       Seq("aggregate", "s3", "-r", "eu-west-1", "-b", "b"), Map.empty))
+    // mixing the stream modes (--queue-dir takes 2 positionals, file
+    // mode takes 3) is a usage error, not a MatchError
+    intercept[IllegalArgumentException](Main.run(spark,
+      Seq("stream", "--queue-dir", "/q", "landing", "out", "ckpt"), Map.empty))
   }
 }

@@ -538,6 +538,24 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.decode(jpg.take(8), "image/jpeg")
     }
+    // decompression-bomb guard: a tiny payload DECLARING ~700M pixels
+    // (would demand ~8 GB of decode buffers) rejects from the header
+    // probe, before any decode allocation
+    def pngHeader(pw: Int, ph: Int): Array[Byte] = {
+      val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(pw).putInt(ph)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .array()
+      val typeAndData = "IHDR".getBytes("US-ASCII") ++ ihdr
+      val crc = new java.util.zip.CRC32(); crc.update(typeAndData)
+      sig ++ java.nio.ByteBuffer.allocate(4).putInt(13).array() ++
+        typeAndData ++
+        java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    }
+    val bomb = intercept[IllegalArgumentException] {
+      Multimodal.decode(pngHeader(26500, 26500), "image/png")
+    }
+    assert(bomb.getMessage.contains("pixels"), bomb.getMessage)
   }
 
   test("BMP size arithmetic is Long-width: crafted width rejects, never wraps") {
