@@ -260,7 +260,33 @@ object DocumentQueries {
             lit(" contact user"), $"doc_id", lit("@example.com or 10."),
             pmod($"doc_id", lit(256)), lit(".0.1 today")).as("text")))
         .orderBy($"doc_id")
+    },
+
+    // d21 URL/domain statistics: the crawl-curation staple — the domain
+    // distribution is what drives allowlist/blocklist and per-source
+    // sampling decisions. Deterministic doc_id-derived URLs are planted
+    // (same discipline as d20: the synthetic corpus has none) so the
+    // extraction is exercised on every row. Scale shape: one extraction
+    // pass → explode → map-side-combined groupBy on the domain — the
+    // d18 vocabulary shape over a different token.
+    "d21_url_domains" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .withColumn("augmented", concat($"text",
+          lit(" see https://site"), pmod($"doc_id", lit(20)),
+          lit(".example.org/p/"), $"doc_id",
+          lit(" and http://cdn.example.net/asset"), pmod($"doc_id", lit(7))))
+        .select($"doc_id", explode(regexp_extract_all($"augmented",
+          lit(DocumentQueries.UrlDomainPattern), lit(1))).as("domain"))
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"n_occ".desc, $"domain")
     })
+
+  /** d21's URL-domain extraction pattern, group 1 = the host — RE2-safe,
+    * shared verbatim with the oracle. */
+  val UrlDomainPattern = "https?://([A-Za-z0-9.-]+)"
 
   /** d20's redaction patterns — RE2-compatible (shared verbatim with the
     * DuckDB oracle, which compiles them under RE2). */
@@ -406,5 +432,22 @@ object DocumentQueries {
              - (length(augmented) - length(replace(augmented, '[EMAIL]', '')))) / 7 AS BIGINT) AS n_emails,
            CAST(((length(scrubbed) - length(replace(scrubbed, '[IP]', '')))
              - (length(s1) - length(replace(s1, '[IP]', '')))) / 4 AS BIGINT) AS n_ips
-         FROM s2 ORDER BY doc_id""")
+         FROM s2 ORDER BY doc_id""",
+    // d21: same augmentation and extraction pattern; group-1 extraction
+    // (the host) in both dialects
+    "d21_url_domains" ->
+      s"""WITH a AS (
+           SELECT doc_id,
+             text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR) ||
+               '.example.org/p/' || CAST(doc_id AS VARCHAR) ||
+               ' and http://cdn.example.net/asset' ||
+               CAST(doc_id % 7 AS VARCHAR) AS augmented
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(augmented, '$UrlDomainPattern', 1))
+               AS domain
+           FROM a)
+         SELECT domain, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+         FROM u GROUP BY domain ORDER BY n_occ DESC, domain""")
 }
