@@ -282,6 +282,42 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_occ"),
           countDistinct($"doc_id").as("n_docs"))
         .orderBy($"n_occ".desc, $"domain")
+    },
+
+    // d22 boilerplate removal: segments appearing in more than half the
+    // corpus (nav bars, cookie banners, "subscribe" footers) are dropped
+    // and the document reconstructed in segment order — the CCNet/
+    // Gopher-family curation pass. Two segments are planted per doc
+    // (the d20/d21 discipline): a UNIVERSAL one (df = corpus → removed)
+    // and a 1-in-20 one (df = n/20 → kept), with the original text as
+    // the first segment (df = its exact-dup group size → kept). Scale
+    // shape: segment-df is a map-side-combined groupBy on the segment
+    // text; the corpus size rides a broadcast scalar (the d17 pattern);
+    // reconstruction is a per-doc collect_list sorted by position —
+    // state bounded per document, never corpus-wide.
+    "d22_boilerplate" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val segs = docs
+        .select($"doc_id", concat($"text",
+          lit(" | subscribe to the newsletter today | visit site"),
+          pmod($"doc_id", lit(20)), lit(".example.org")).as("augmented"))
+        .select($"doc_id",
+          posexplode(split($"augmented", " \\| ")).as(Seq("pos", "seg")))
+      val segDf = segs.groupBy($"seg")
+        .agg(countDistinct($"doc_id").as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      segs.join(segDf, "seg").crossJoin(broadcast(nDocs))
+        .withColumn("is_bp", $"df" * 2 > $"n_docs")
+        .groupBy($"doc_id")
+        .agg(
+          concat_ws(" | ", expr(
+            """transform(
+                 array_sort(collect_list(
+                   CASE WHEN NOT is_bp THEN struct(pos, seg) END)),
+                 p -> p.seg)""")).as("cleaned"),
+          sum(when($"is_bp", 1L).otherwise(0L)).as("n_removed"))
+        .orderBy($"doc_id")
     })
 
   /** d21's URL-domain extraction pattern, group 1 = the host — RE2-safe,
@@ -449,5 +485,30 @@ object DocumentQueries {
                AS domain
            FROM a)
          SELECT domain, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
-         FROM u GROUP BY domain ORDER BY n_occ DESC, domain""")
+         FROM u GROUP BY domain ORDER BY n_occ DESC, domain""",
+    // d22: parallel unnests zip in DuckDB, giving (pos, seg); string_agg
+    // with ORDER BY + FILTER reconstructs the kept segments in order
+    "d22_boilerplate" ->
+      """WITH a AS (
+           SELECT doc_id,
+             text || ' | subscribe to the newsletter today | visit site' ||
+               CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS augmented
+           FROM documents),
+         s AS (SELECT doc_id, string_split(augmented, ' | ') AS segs FROM a),
+         u AS (
+           SELECT doc_id,
+             unnest(range(1, len(segs) + 1)) AS pos,
+             unnest(segs) AS seg
+           FROM s),
+         d AS (SELECT seg, count(DISTINCT doc_id) AS df FROM u GROUP BY seg),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         f AS (
+           SELECT u.doc_id, u.pos, u.seg, (d.df * 2 > n.n_docs) AS is_bp
+           FROM u JOIN d USING (seg), n)
+         SELECT doc_id,
+           coalesce(string_agg(seg, ' | ' ORDER BY pos)
+             FILTER (WHERE NOT is_bp), '') AS cleaned,
+           CAST(coalesce(sum(CASE WHEN is_bp THEN 1 END), 0) AS BIGINT)
+             AS n_removed
+         FROM f GROUP BY doc_id ORDER BY doc_id""")
 }

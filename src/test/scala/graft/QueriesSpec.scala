@@ -50,9 +50,11 @@ class QueriesSpec extends SparkSpec {
     // linear-scan; the bucketed variants are the scale path). Everything
     // else must carry equi-keys so it hash-partitions.
     // q30's stitch join: both sides are <=6 rows per year by filter
+    // d17/d22: a broadcast SCALAR aggregate (corpus size) cross-joined
+    // onto every row — one-row side by construction
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
       "s04_ann_ivf", "s06_quantized_rerank", "d17_tfidf_keywords",
-      "q30_sliding_window")
+      "d22_boilerplate", "q30_sliding_window")
     // top-level conjunct split: `a =!= b` CONTAINS an EqualTo node, so a
     // whole-tree search would miscount it as an equi-key
     def conjuncts(e: Expression): Seq[Expression] = e match {
