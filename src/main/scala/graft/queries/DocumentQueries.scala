@@ -284,6 +284,35 @@ object DocumentQueries {
         .orderBy($"n_occ".desc, $"domain")
     },
 
+    // d23 unigram log-probability: each doc scored by the average
+    // log-probability of its tokens under the corpus's OWN unigram
+    // distribution — the self-perplexity quality signal (a doc of rare/
+    // garbled tokens scores far below a doc of common prose; the
+    // Gopher-family filters threshold exactly this). Scale shape: one
+    // term-keyed map-side-combined frequency aggregate, a term equi-join
+    // back to the tokens, corpus token count as a broadcast scalar
+    // (d17's pattern). Cross-engine determinism: per-token ln() values
+    // (bit-equal doubles, the d17-proven operation) accumulate in
+    // DECIMAL(30,15) — exact and order-independent, like s04's Lloyd
+    // sums — so the per-doc average is a bit-equal function of the data.
+    "d23_unigram_logprob" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .filter($"term" =!= "")
+      val tf = toks.groupBy($"term").agg(count(lit(1)).as("tf"))
+      val total = toks.agg(count(lit(1)).as("n_tokens"))
+      toks.join(tf, "term").crossJoin(broadcast(total))
+        .withColumn("lp", expr(
+          "CAST(ln(tf / CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,15))"))
+        .groupBy($"doc_id")
+        .agg(
+          (floor(sum($"lp").cast("double") / count(lit(1)) * 10000) / 10000.0)
+            .as("avg_logprob"),
+          count(lit(1)).as("n_tokens_doc"))
+        .orderBy($"doc_id")
+    },
+
     // d22 boilerplate removal: segments appearing in more than half the
     // corpus (nav bars, cookie banners, "subscribe" footers) are dropped
     // and the document reconstructed in segment order — the CCNet/
@@ -510,5 +539,21 @@ object DocumentQueries {
              FILTER (WHERE NOT is_bp), '') AS cleaned,
            CAST(coalesce(sum(CASE WHEN is_bp THEN 1 END), 0) AS BIGINT)
              AS n_removed
-         FROM f GROUP BY doc_id ORDER BY doc_id""")
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // d23: identical ln()/DECIMAL(30,15) accumulation; floor is
+    // toward -inf in both dialects, exact on the negative log-probs
+    "d23_unigram_logprob" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         t2 AS (SELECT doc_id, term FROM t WHERE term <> ''),
+         tf AS (SELECT term, count(*) AS tf FROM t2 GROUP BY term),
+         n AS (SELECT count(*) AS n_tokens FROM t2)
+         SELECT doc_id,
+           floor(CAST(sum(CAST(ln(tf / CAST(n_tokens AS DOUBLE))
+               AS DECIMAL(30,15))) AS DOUBLE)
+             / count(*) * 10000) / 10000 AS avg_logprob,
+           CAST(count(*) AS BIGINT) AS n_tokens_doc
+         FROM t2 JOIN tf USING (term), n
+         GROUP BY doc_id ORDER BY doc_id""")
 }

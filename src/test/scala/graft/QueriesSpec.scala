@@ -54,7 +54,7 @@ class QueriesSpec extends SparkSpec {
     // onto every row — one-row side by construction
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
       "s04_ann_ivf", "s06_quantized_rerank", "d17_tfidf_keywords",
-      "d22_boilerplate", "q30_sliding_window")
+      "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window")
     // top-level conjunct split: `a =!= b` CONTAINS an EqualTo node, so a
     // whole-tree search would miscount it as an equi-key
     def conjuncts(e: Expression): Seq[Expression] = e match {
