@@ -288,28 +288,32 @@ object DocumentQueries {
     // log-probability of its tokens under the corpus's OWN unigram
     // distribution — the self-perplexity quality signal (a doc of rare/
     // garbled tokens scores far below a doc of common prose; the
-    // Gopher-family filters threshold exactly this). Scale shape: one
-    // term-keyed map-side-combined frequency aggregate, a term equi-join
-    // back to the tokens, corpus token count as a broadcast scalar
-    // (d17's pattern). Cross-engine determinism: per-token ln() values
-    // (bit-equal doubles, the d17-proven operation) accumulate in
-    // DECIMAL(30,15) — exact and order-independent, like s04's Lloyd
-    // sums — so the per-doc average is a bit-equal function of the data.
+    // Gopher-family filters threshold exactly this). Scale shape: the
+    // token stream collapses to (doc, term, count) grain BEFORE the term
+    // equi-join — Σ_tokens ln(p) = Σ_terms c·ln(p), so the join moves
+    // distinct per-doc terms, not every token; term frequencies are one
+    // map-side-combined aggregate and the corpus token count a broadcast
+    // scalar (d17's pattern). Cross-engine determinism: ln() doubles
+    // (bit-equal, d17-proven) scale by the exact integer c and
+    // accumulate in DECIMAL — exact and order-independent, like s04's
+    // Lloyd sums — so the per-doc average is a bit-equal function of
+    // the data on any partitioning.
     "d23_unigram_logprob" -> { (s, dir) =>
       import s.implicits._
       val toks = Tables(s, dir, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("term"))
         .filter($"term" =!= "")
-      val tf = toks.groupBy($"term").agg(count(lit(1)).as("tf"))
-      val total = toks.agg(count(lit(1)).as("n_tokens"))
-      toks.join(tf, "term").crossJoin(broadcast(total))
+      val perDoc = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      val tf = perDoc.groupBy($"term").agg(sum($"c").as("tf"))
+      val total = perDoc.agg(sum($"c").as("n_tokens"))
+      perDoc.join(tf, "term").crossJoin(broadcast(total))
         .withColumn("lp", expr(
-          "CAST(ln(tf / CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,15))"))
+          "CAST(ln(tf / CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,15)) * c"))
         .groupBy($"doc_id")
         .agg(
-          (floor(sum($"lp").cast("double") / count(lit(1)) * 10000) / 10000.0)
+          (floor(sum($"lp").cast("double") / sum($"c") * 10000) / 10000.0)
             .as("avg_logprob"),
-          count(lit(1)).as("n_tokens_doc"))
+          sum($"c").as("n_tokens_doc"))
         .orderBy($"doc_id")
     },
 
@@ -547,13 +551,15 @@ object DocumentQueries {
            SELECT doc_id, unnest(string_split(text, ' ')) AS term
            FROM documents),
          t2 AS (SELECT doc_id, term FROM t WHERE term <> ''),
-         tf AS (SELECT term, count(*) AS tf FROM t2 GROUP BY term),
-         n AS (SELECT count(*) AS n_tokens FROM t2)
+         pd AS (SELECT doc_id, term, count(*) AS c
+                FROM t2 GROUP BY doc_id, term),
+         tf AS (SELECT term, sum(c) AS tf FROM pd GROUP BY term),
+         n AS (SELECT sum(c) AS n_tokens FROM pd)
          SELECT doc_id,
            floor(CAST(sum(CAST(ln(tf / CAST(n_tokens AS DOUBLE))
-               AS DECIMAL(30,15))) AS DOUBLE)
-             / count(*) * 10000) / 10000 AS avg_logprob,
-           CAST(count(*) AS BIGINT) AS n_tokens_doc
-         FROM t2 JOIN tf USING (term), n
+               AS DECIMAL(30,15)) * c) AS DOUBLE)
+             / sum(c) * 10000) / 10000 AS avg_logprob,
+           CAST(sum(c) AS BIGINT) AS n_tokens_doc
+         FROM pd JOIN tf USING (term), n
          GROUP BY doc_id ORDER BY doc_id""")
 }
