@@ -68,6 +68,15 @@ object DocumentQueries {
                 (a, b) -> (a * 31 + b) % ${graft.operators.TextHash.P}) % 100 AS bucket
             FROM documents))"""
 
+  /** The whitespace term stream (doc_id, term) shared by every
+    * token-grain operator (d17 TF-IDF, d18 vocabulary, d23 unigram LM):
+    * ONE definition, so a tokenization change cannot silently diverge
+    * their grains (and the DuckDB mirrors change in one review). */
+  private def termStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // Exact dedup: one representative (min doc_id) per distinct text.
     // At 100 TB, group on a fixed-width hash of the text instead of the
@@ -190,9 +199,7 @@ object DocumentQueries {
     "d17_tfidf_keywords" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      val terms = docs
-        .select($"doc_id", explode(split($"text", " ")).as("term"))
-        .filter($"term" =!= "")
+      val terms = DocumentQueries.termStream(docs)
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val docFreq = terms.select($"doc_id", $"term").distinct()
         .groupBy($"term").agg(count(lit(1)).as("df"))
@@ -216,9 +223,7 @@ object DocumentQueries {
     // rows), never a full sort of the vocabulary.
     "d18_vocab_topk" -> { (s, dir) =>
       import s.implicits._
-      Tables(s, dir, "documents")
-        .select($"doc_id", explode(split($"text", " ")).as("term"))
-        .filter($"term" =!= "")
+      DocumentQueries.termStream(Tables(s, dir, "documents"))
         .groupBy($"term")
         .agg(count(lit(1)).as("n_occ"),
           countDistinct($"doc_id").as("n_docs"))
@@ -300,15 +305,21 @@ object DocumentQueries {
     // the data on any partitioning.
     "d23_unigram_logprob" -> { (s, dir) =>
       import s.implicits._
-      val toks = Tables(s, dir, "documents")
-        .select($"doc_id", explode(split($"text", " ")).as("term"))
-        .filter($"term" =!= "")
+      val toks = DocumentQueries.termStream(Tables(s, dir, "documents"))
       val perDoc = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
       val tf = perDoc.groupBy($"term").agg(sum($"c").as("tf"))
       val total = perDoc.agg(sum($"c").as("n_tokens"))
       perDoc.join(tf, "term").crossJoin(broadcast(total))
+        // operand sizes chosen so the PRODUCT stays exact in both
+        // engines: DECIMAL(20,15) × DECIMAL(10,0) → (31,15), inside the
+        // 38-digit ceiling. A (30,15) operand would push Spark's result
+        // past 38 digits and its precision-loss rule silently RESCALES
+        // to (38,6) — 6 decimals vs DuckDB's 15, flipping floor bins on
+        // corpus-size-dependent rows (ln magnitudes < 100 and c < 1e10
+        // fit these widths with room)
         .withColumn("lp", expr(
-          "CAST(ln(tf / CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,15)) * c"))
+          """CAST(ln(tf / CAST(n_tokens AS DOUBLE)) AS DECIMAL(20,15))
+             * CAST(c AS DECIMAL(10,0))"""))
         .groupBy($"doc_id")
         .agg(
           (floor(sum($"lp").cast("double") / sum($"c") * 10000) / 10000.0)
@@ -337,10 +348,15 @@ object DocumentQueries {
           pmod($"doc_id", lit(20)), lit(".example.org")).as("augmented"))
         .select($"doc_id",
           posexplode(split($"augmented", " \\| ")).as(Seq("pos", "seg")))
-      val segDf = segs.groupBy($"seg")
+        // fixed-width shuffle keys (the d01b discipline): the df groupBy
+        // and the join back both key on the segment's md5, never the
+        // segment TEXT — one segment is the whole original document, and
+        // shipping it as a join key would shuffle the corpus twice
+        .withColumn("seg_fp", md5($"seg"))
+      val segDf = segs.groupBy($"seg_fp")
         .agg(countDistinct($"doc_id").as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      segs.join(segDf, "seg").crossJoin(broadcast(nDocs))
+      segs.join(segDf, "seg_fp").crossJoin(broadcast(nDocs))
         .withColumn("is_bp", $"df" * 2 > $"n_docs")
         .groupBy($"doc_id")
         .agg(
@@ -557,7 +573,7 @@ object DocumentQueries {
          n AS (SELECT sum(c) AS n_tokens FROM pd)
          SELECT doc_id,
            floor(CAST(sum(CAST(ln(tf / CAST(n_tokens AS DOUBLE))
-               AS DECIMAL(30,15)) * c) AS DOUBLE)
+               AS DECIMAL(20,15)) * CAST(c AS DECIMAL(10,0))) AS DOUBLE)
              / sum(c) * 10000) / 10000 AS avg_logprob,
            CAST(sum(c) AS BIGINT) AS n_tokens_doc
          FROM pd JOIN tf USING (term), n
