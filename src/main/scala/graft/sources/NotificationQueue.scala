@@ -37,11 +37,13 @@ final case class QueueMessage(
     receiveCount: Int, sentTsMillis: Long)
 
 /** Directory-backed [[NotificationQueue]] with real lease semantics — the
-  * sandbox-runnable queue (and a usable single-consumer queue on any
-  * shared filesystem): each message is one `<id>.msg` file (atomic
-  * tmp+move publish, like an S3 PUT), each lease one `.leases/<id>` file
-  * holding `token expiryMillis count`. The token identifies the
-  * DELIVERY: a redelivery mints a new token (staling old receipts), but
+  * sandbox-runnable queue (and a usable queue on any shared filesystem,
+  * including multiple consumer PROCESSES): each message is one `<id>.msg`
+  * file (atomic tmp+move publish, like an S3 PUT), each delivery one
+  * GENERATION-NUMBERED lease file `.leases/<id>.<gen>` holding
+  * `token expiryMillis gen`. The live lease is the highest generation;
+  * gen doubles as the receive count. The token identifies the DELIVERY:
+  * a redelivery mints a new token (staling old receipts), but
   * [[extendVisibility]] keeps the token and moves only the expiry — a
   * receipt stays valid across heartbeats, exactly SQS's contract
   * (ChangeMessageVisibility does not invalidate the receipt handle; a
@@ -49,8 +51,17 @@ final case class QueueMessage(
   * clock is injectable so specs can expire leases deterministically
   * instead of sleeping.
   *
-  * Single-process consumer by design (the reference runs one s3logd per
-  * queue the same way); producers may be many — publish is atomic. */
+  * Cross-process single delivery: a claim of expired generation `g` is
+  * an atomic CREATE of `<id>.<g+1>` via [[java.nio.file.Files.createLink]]
+  * (link(2) fails if the target exists — `Files.move` without
+  * REPLACE_EXISTING is NOT a safe substitute: POSIX rename(2) silently
+  * replaces). Two consumers racing for the same expired delivery compute
+  * the same next generation, collide on the same path, and exactly one
+  * wins; the loser just skips the message. Heartbeats rewrite the SAME
+  * generation in place (atomic replace), which never races a claim —
+  * claims only ever create a strictly higher generation. Producers may
+  * be many — publish is atomic. The in-process `synchronized` remains
+  * only to keep one instance's bookkeeping coherent across threads. */
 final class FileQueue(
     dir: String, visibilityTimeoutSeconds: Long = 300,
     clock: () => Long = () => System.currentTimeMillis) extends NotificationQueue {
@@ -81,24 +92,45 @@ final class FileQueue(
     // writing must agree on "now", or a lease expiring between two reads
     // races the filter
     val now = clock()
-    listVisible(now).take(max).map { id =>
-      val count = readLease(id).map(_.count).getOrElse(0) + 1
-      val token = java.util.UUID.randomUUID().toString
-      writeLease(id, Lease(token, now + visibilityTimeoutSeconds * 1000L, count))
-      QueueMessage(id, s"$id:$token", body(id), count,
-        Files.getLastModifiedTime(root.resolve(s"$id.msg")).toMillis)
+    val gens = leaseSnapshot()
+    val out = Seq.newBuilder[QueueMessage]
+    var taken = 0
+    val it = listMessages().iterator
+    while (it.hasNext && taken < max) {
+      val id = it.next()
+      val prior = gens.get(id).map(g => leaseAt(id, g))
+      if (prior.forall(_.expiryMillis <= now)) {
+        val gen = prior.map(_.count).getOrElse(0) + 1
+        val token = java.util.UUID.randomUUID().toString
+        val claimed = tryCreateLease(id, gen,
+          Lease(token, now + visibilityTimeoutSeconds * 1000L, gen))
+        if (claimed) {
+          // the message file can vanish between the snapshot and the
+          // claim (a racing delete with a then-valid receipt): drop the
+          // orphan lease rather than deliver a body-less message
+          val msg = root.resolve(s"$id.msg")
+          if (Files.exists(msg)) {
+            out += QueueMessage(id, s"$id:$token", body(id), gen,
+              Files.getLastModifiedTime(msg).toMillis)
+            taken += 1
+          } else deleteLeases(id)
+        } // else: another consumer process won this generation — skip
+      }
     }
+    out.result()
   }
 
   override def delete(receiptHandles: Seq[String]): Unit = synchronized {
+    val gens = leaseSnapshot()
     receiptHandles.foreach { rh =>
-      val (id, token) = split(rh)
-      readLease(id) match {
-        case Some(l) if l.token == token =>
-          Files.deleteIfExists(root.resolve(s"$id.msg"))
-          Files.deleteIfExists(leasePath(id))
-        case _ => // stale receipt: this delivery was superseded — the
-                  // message belongs to a newer delivery, leave it
+      split(rh).foreach { case (id, token) =>
+        gens.get(id).map(g => leaseAt(id, g)) match {
+          case Some(l) if l.token == token =>
+            Files.deleteIfExists(root.resolve(s"$id.msg"))
+            deleteLeases(id)
+          case _ => // stale receipt: this delivery was superseded — the
+                    // message belongs to a newer delivery, leave it
+        }
       }
     }
   }
@@ -106,13 +138,17 @@ final class FileQueue(
   override def extendVisibility(receiptHandles: Seq[String], seconds: Long): Unit =
     synchronized {
       val now = clock()
+      val gens = leaseSnapshot()
       receiptHandles.foreach { rh =>
-        val (id, token) = split(rh)
-        readLease(id) match {
-          case Some(l) if l.token == token =>
-            // same token: the receipt REMAINS VALID after the heartbeat
-            writeLease(id, l.copy(expiryMillis = now + seconds * 1000L))
-          case _ => // stale receipt — nothing to extend
+        split(rh).foreach { case (id, token) =>
+          gens.get(id).map(g => leaseAt(id, g)) match {
+            case Some(l) if l.token == token =>
+              // same token, SAME generation: the receipt REMAINS VALID
+              // after the heartbeat, and rewriting in place can never
+              // race a claim (claims only create higher generations)
+              overwriteLease(id, l.copy(expiryMillis = now + seconds * 1000L))
+            case _ => // stale receipt — nothing to extend
+          }
         }
       }
     }
@@ -124,43 +160,95 @@ final class FileQueue(
       .filter(f => f.isFile && f.getName.endsWith(".msg"))
       .map(_.getName.stripSuffix(".msg")).sorted.toSeq
 
-  private def listVisible(now: Long): Seq[String] =
-    listMessages().filter(id => readLease(id).forall(_.expiryMillis <= now))
+  private def listVisible(now: Long): Seq[String] = {
+    val gens = leaseSnapshot()
+    listMessages().filter(id =>
+      gens.get(id).map(g => leaseAt(id, g)).forall(_.expiryMillis <= now))
+  }
 
   private def body(id: String): String =
     new String(Files.readAllBytes(root.resolve(s"$id.msg")),
       StandardCharsets.UTF_8)
 
-  private def leasePath(id: String): Path = root.resolve(".leases").resolve(id)
+  private def leaseDir: Path = root.resolve(".leases")
 
-  /** An unparseable lease (torn write from a kill -9 before leases were
-    * written atomically, or manual tampering) reads as ABSENT — i.e. the
-    * message is immediately receivable again. Failing instead would
-    * wedge every queue operation behind one corrupt file, defeating the
-    * crash-redelivery guarantee the queue exists to provide. */
-  private def readLease(id: String): Option[Lease] =
-    if (!Files.exists(leasePath(id))) None
-    else new String(Files.readAllBytes(leasePath(id)),
-        StandardCharsets.UTF_8).trim.split(" ") match {
-      case Array(token, expiry, count)
-          if expiry.forall(_.isDigit) && count.forall(_.isDigit) =>
-        Some(Lease(token, expiry.toLong, count.toInt))
-      case _ => None
+  private def leasePath(id: String, gen: Int): Path =
+    leaseDir.resolve(s"$id.$gen")
+
+  /** One directory listing → highest lease generation per message id
+    * (ids are UUIDs, which contain no '.', so the last dot splits
+    * id from generation unambiguously; tmp claim files carry a
+    * non-numeric suffix and are filtered out). */
+  private def leaseSnapshot(): Map[String, Int] =
+    Option(leaseDir.toFile.list()).getOrElse(Array.empty).toSeq
+      .flatMap { n =>
+        val i = n.lastIndexOf('.')
+        val g = if (i > 0) n.substring(i + 1) else ""
+        if (g.nonEmpty && g.forall(_.isDigit)) Some(n.substring(0, i) -> g.toInt)
+        else None
+      }
+      .groupMapReduce(_._1)(_._2)(math.max)
+
+  /** An unparseable lease generation (manual tampering; atomic-create
+    * claims cannot tear) reads as EXPIRED AT ITS GENERATION — the message
+    * is immediately receivable again, but the generation counter stays
+    * monotone so the re-claim still goes through the atomic-create gate
+    * at gen+1. Failing instead would wedge every queue operation behind
+    * one corrupt file, defeating the crash-redelivery guarantee the
+    * queue exists to provide. */
+  private def leaseAt(id: String, gen: Int): Lease = {
+    val p = leasePath(id, gen)
+    (try new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
+         .split(" ")
+     catch { case _: java.io.IOException => Array.empty[String] }) match {
+      case Array(token, expiry, _) if expiry.forall(_.isDigit) =>
+        Lease(token, expiry.toLong, gen)
+      case _ => Lease("?", 0L, gen)
     }
+  }
 
-  /** tmp + ATOMIC_MOVE like enqueue: a lease file is either the full
-    * previous generation or the full new one, never a torn write. */
-  private def writeLease(id: String, l: Lease): Unit = {
-    val tmp = root.resolve(s".lease-$id.tmp")
+  /** The cross-process claim: full-content tmp file, then an atomic
+    * link(2) into place — fails (returns false) iff the generation was
+    * already claimed by someone else. NOT `Files.move` without
+    * REPLACE_EXISTING: POSIX rename silently replaces, so a move-based
+    * claim would let two processes both "win". */
+  private def tryCreateLease(id: String, gen: Int, l: Lease): Boolean = {
+    val tmp = leaseDir.resolve(s".claim-${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp,
       s"${l.token} ${l.expiryMillis} ${l.count}".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, leasePath(id), StandardCopyOption.ATOMIC_MOVE,
+    try { Files.createLink(leasePath(id, gen), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Heartbeat rewrite of an EXISTING generation: tmp + ATOMIC_MOVE with
+    * replace — a lease file is either the full previous content or the
+    * full new one, never a torn write. Only ever called for a generation
+    * this consumer holds the token of. */
+  private def overwriteLease(id: String, l: Lease): Unit = {
+    val tmp = leaseDir.resolve(s".claim-${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp,
+      s"${l.token} ${l.expiryMillis} ${l.count}".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, leasePath(id, l.count), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def split(rh: String): (String, String) = {
+  /** Remove every lease generation of a deleted message (old generations
+    * accumulate one file per redelivery until the message is acked). */
+  private def deleteLeases(id: String): Unit =
+    Option(leaseDir.toFile.list()).getOrElse(Array.empty)
+      .filter { n =>
+        val i = n.lastIndexOf('.')
+        i > 0 && n.substring(0, i) == id && n.substring(i + 1).forall(_.isDigit)
+      }
+      .foreach(n => Files.deleteIfExists(leaseDir.resolve(n)))
+
+  /** A receipt handle is `<id>:<token>`; a handle with no ':' cannot have
+    * been issued by this queue — treat it as stale (skip) rather than
+    * crash the whole batch ack (ADVICE r10). */
+  private def split(rh: String): Option[(String, String)] = {
     val i = rh.lastIndexOf(':')
-    (rh.substring(0, i), rh.substring(i + 1))
+    if (i < 0) None else Some((rh.substring(0, i), rh.substring(i + 1)))
   }
 }
 

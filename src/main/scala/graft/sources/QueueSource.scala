@@ -176,7 +176,16 @@ private[sources] class QueueMicroBatchStream(
           // advancing.
           QueueOffset(math.min(s + 1, drainEnd.get))
         case None =>
-          val got = queue.receive(maxPerTrigger)
+          // honor the ENGINE-side admission control when it is row-based
+          // (today it echoes getDefaultReadLimit, but a user-composed
+          // limit must not be silently ignored); anything non-row-based
+          // falls back to the configured per-trigger cap
+          val cap = limit match {
+            case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+              math.min(r.maxRows(), maxPerTrigger.toLong).toInt
+            case _ => maxPerTrigger
+          }
+          val got = queue.receive(cap)
           if (got.nonEmpty) {
             pending.put(produced, got)
             produced += 1

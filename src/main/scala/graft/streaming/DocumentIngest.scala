@@ -72,24 +72,29 @@ object DocumentIngest {
     *
     * Delivery: foreachBatch is at-least-once on crash-replay (two
     * parquet appends cannot share one transaction log), vs the single
-    * file sink's exactly-once. Tolerable by construction for BOTH
-    * artifacts: signature consumers collapse duplicate rows (the
-    * `representatives` fp-groupBy / `incrementalMatches` distinct), and
-    * corpus replays are exact duplicates that d01/the fp state catch —
-    * dedup being the pipeline's first batch stage is what buys the
-    * relaxation. The batch is pinned so the two writes share one
-    * computation of the dedup exchange above. */
+    * file sink's exactly-once. The SIGNATURE artifact is nevertheless
+    * idempotent under replay: each micro-batch lands in its own
+    * `batch=<id>` partition dir with mode=overwrite, so a replayed batch
+    * REPLACES its previous attempt instead of appending a duplicate —
+    * repeated crash loops cannot grow the artifact (ADVICE r10). Readers
+    * see one table at `sigDir` (partition discovery adds a `batch`
+    * column; every signature consumer selects its columns explicitly).
+    * The CORPUS append stays at-least-once, tolerable by construction:
+    * replays are exact duplicates that d01/the fp state catch — dedup
+    * being the pipeline's first batch stage is what buys the relaxation.
+    * The batch is pinned so the two writes share one computation of the
+    * dedup exchange above. */
   def writerWithSignatures(df: DataFrame, outDir: String, sigDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val pinned = batch.persist()
         try {
           pinned.write.mode("append").partitionBy("lang").parquet(outDir)
           graft.queries.DedupQueries
             .signatureTable(pinned.select(col("doc_id"), col("text")))
-            .write.mode("append").parquet(sigDir)
+            .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
         } finally { pinned.unpersist(); () }
       }
 }

@@ -181,7 +181,10 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/corpus").count() == 2)
     val sigs = spark.read.parquet(s"$tmp/sigs")
     assert(sigs.count() == 2)
-    assert(sigs.schema.fieldNames.toSet == Set("doc_id", "fp", "mh", "bands"))
+    // `batch` is the idempotency partition (one overwrite-dir per
+    // micro-batch, so crash-replays replace rather than append)
+    assert(sigs.schema.fieldNames.toSet ==
+      Set("doc_id", "fp", "mh", "bands", "batch"))
   }
 
   test("transform --loop: two iterations over a growing staging dir, processed files moved") {

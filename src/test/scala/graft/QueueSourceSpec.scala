@@ -61,6 +61,60 @@ class QueueSourceSpec extends SparkSpec {
     assert(q.receive(10).size == 1)
   }
 
+  test("two consumer processes on one directory: no message delivered twice while a lease is live") {
+    // two FileQueue INSTANCES share nothing but the directory (separate
+    // monitors — the in-process `synchronized` does not serialize them),
+    // so racing them from two threads exercises exactly the cross-process
+    // claim path: the atomic createLink on the generation-numbered lease
+    // file must let exactly one side win each message
+    val dir = Files.createTempDirectory("graft-q-xproc").toString
+    val now = new java.util.concurrent.atomic.AtomicLong(1000000L)
+    val qa = new FileQueue(dir, visibilityTimeoutSeconds = 600, clock = () => now.get)
+    val qb = new FileQueue(dir, visibilityTimeoutSeconds = 600, clock = () => now.get)
+    val n = 40
+    (1 to n).foreach(i => qa.enqueue(s"m$i"))
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val dups = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    def consume(q: FileQueue): Thread = {
+      val t = new Thread(() => {
+        start.await()
+        var got = q.receive(3)
+        while (got.nonEmpty) {
+          got.foreach(m => if (!seen.add(m.messageId)) dups.incrementAndGet())
+          got = q.receive(3)
+        }
+      })
+      t.start(); t
+    }
+    val (ta, tb) = (consume(qa), consume(qb))
+    start.countDown()
+    ta.join(30000); tb.join(30000)
+    assert(dups.get == 0,
+      s"${dups.get} messages delivered to both consumers while leased")
+    assert(seen.size == n, s"only ${seen.size}/$n messages delivered")
+    // every message is now leased once; after expiry BOTH consumers race
+    // the redelivery generation — still single delivery
+    now.addAndGet(601000L)
+    seen.clear()
+    val (ta2, tb2) = (consume(qa), consume(qb))
+    ta2.join(30000); tb2.join(30000)
+    assert(dups.get == 0, "expired-lease reclaim double-delivered")
+    assert(seen.size == n)
+  }
+
+  test("malformed receipt handles are stale, not crashes (batch ack survives)") {
+    val dir = Files.createTempDirectory("graft-q-badrh").toString
+    val q = new FileQueue(dir, visibilityTimeoutSeconds = 600)
+    q.enqueue("keep"); val got = q.receive(10)
+    // a handle with no ':' cannot have been issued by the queue — the
+    // whole batch ack must still process the valid receipts around it
+    q.delete(Seq("garbage-without-colon", got.head.receiptHandle))
+    assert(q.size == 0, "valid receipt in the same batch as a malformed one did not delete")
+    q.extendVisibility(Seq("also-garbage"), 60) // must not throw
+  }
+
   test("a receipt stays valid across heartbeats (SQS ChangeMessageVisibility contract)") {
     // the failure this pins: if the heartbeat re-minted the receipt, every
     // delete issued AFTER a visibility extension would silently no-op and

@@ -280,8 +280,11 @@ class StreamingSpec extends SparkSpec {
     val corpusSigs = spark.read.parquet(sigDir)
     assert(corpusSigs.count() == 3)
     // the artifact carries NO text column: the incremental-dedup join
-    // physically cannot re-read corpus text — it isn't there to read
-    assert(corpusSigs.schema.fieldNames.toSet == Set("doc_id", "fp", "mh", "bands"),
+    // physically cannot re-read corpus text — it isn't there to read.
+    // `batch` is the per-micro-batch idempotency partition (replays
+    // overwrite their own dir instead of appending duplicates).
+    assert(corpusSigs.schema.fieldNames.toSet ==
+      Set("doc_id", "fp", "mh", "bands", "batch"),
       s"unexpected signature schema: ${corpusSigs.schema.fieldNames.toSeq}")
     // incoming ingest batch, deduped against the MAINTAINED table: the
     // planted near-dup and exact dup are found; the novel doc is not
