@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: same-JVM A/B harness for perf experiments. Alternates
+  * SparkSessions built with one config key set to value A vs value B,
+  * runs the named gate queries in each, several interleaved rounds, and
+  * prints per-variant min/median. Interleaving inside ONE JVM is the
+  * point: this box drifts ±30-40% between sbt sessions (SURVEY "Reading
+  * BENCH files"), so cross-session deltas are unreadable — only
+  * same-JVM interleaved runs count as evidence.
+  *
+  * {{{
+  * SPARK_GRAFT_AB_KEY=spark.sql.adaptive.enabled \
+  * SPARK_GRAFT_AB_A=true SPARK_GRAFT_AB_B=false \
+  * sbt "runMain graft.PerfAB d14_contamination"
+  * }}}
+  *
+  * Code-change A/Bs: gate the experimental path on a custom conf key
+  * (`spark.conf.get("graft.exp.<name>", "false")`) and A/B that key. */
+object PerfAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val key = sys.env("SPARK_GRAFT_AB_KEY")
+    val vals = Seq(sys.env("SPARK_GRAFT_AB_A"), sys.env("SPARK_GRAFT_AB_B"))
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "3").toInt
+    val warm = sys.env.getOrElse("SPARK_GRAFT_AB_WARM", "2").toInt
+    val queries = args.toSeq
+
+    def mkSession(v: String): SparkSession = {
+      val spark = SparkSession.builder()
+        .master(s"local[${GraftSession.defaultCores}]")
+        .appName(s"graft-ab-$v")
+        .withExtensions(graft.functions.ParseS3LogExpr.register)
+        .withExtensions(graft.functions.TextSignatureExpr.register)
+        .withExtensions(graft.functions.DotProductExpr.register)
+        .withExtensions(graft.functions.EqCountExpr.register)
+        .config("spark.sql.shuffle.partitions", GraftSession.defaultCores)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config(key, v)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      spark
+    }
+
+    val acc = scala.collection.mutable.Map.empty[(String, String), List[Double]]
+      .withDefaultValue(Nil)
+    for (r <- 1 to rounds; v <- vals) {
+      val spark = mkSession(v)
+      for (q <- queries) {
+        // warm runs un-timed, then one timed run per round
+        (1 to warm).foreach(_ => SparkEntry.queries(q)(spark, sfDir).count())
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        acc((q, v)) = dt :: acc((q, v))
+        System.err.println(f"[ab] round $r $key=$v $q%-26s $dt%6.2f s")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+      }
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+    for (q <- queries; v <- vals) {
+      val ts = acc((q, v))
+      System.err.println(f"[ab-summary] $key=$v%-6s $q%-26s min=${ts.min}%6.2f" +
+        f" med=${ts.sorted.apply(ts.size / 2)}%6.2f  (${ts.reverse.map(t => f"$t%.2f").mkString(" ")})")
+    }
+  }
+}

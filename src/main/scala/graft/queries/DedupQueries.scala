@@ -211,6 +211,21 @@ object DedupQueries {
       // A/B-measured as nulls at sf0.1 for exactly that reason; they
       // are kept because each removes a corpus-wide shuffle, which is
       // what matters at lake scale where stages do real work.
+      //
+      // Round-11 same-JVM A/Bs (graft.PerfAB, 3 interleaved rounds each)
+      // closed out the remaining candidate levers, all nulls at sf0.1:
+      //   - adaptive.coalescePartitions.parallelismFirst=false
+      //     (d14 2.00/2.22, d06 1.18/1.30 — task count is not the cost);
+      //   - eager exploded.count() before the consumers
+      //     (d14 2.50/2.16, d06 1.21/1.17 — within noise);
+      //   - adaptive.enabled=false is the ONE positive (d14 3.05→2.35,
+      //     ~-23%) but is rejected: at 100 TB the signature-volume
+      //     stages (representatives' fp groupBy, the band window) are
+      //     exactly where AQE's coalesce/skew re-planning earns its
+      //     keep, so trading it for test-SF job-scheduling latency is
+      //     backwards. The per-stage latency floor is the cost of a
+      //     deep plan on an idle scheduler; SCALE.md measures how it
+      //     amortizes with data volume.
       val exploded = owned(cappedBands(representatives(sigs)))
       val cand = exploded.as("x")
         .join(exploded.as("y"),
