@@ -1,0 +1,84 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Dev tool: the scaling measurement behind SCALE.md. Runs the dedup-scope
+  * queries (d03/d06/d11/d14/d16) over ScaleGen corpora at SEVERAL sizes in
+  * ONE session — same JVM, same JIT state, interleaving-free warmup — so
+  * the wall-time ratios between scales are real rather than session drift
+  * (SURVEY "Reading BENCH files": this box drifts ±30-40% across
+  * sessions).
+  *
+  * Per (query, scale): min wall over `SPARK_GRAFT_BENCH_RUNS` (default 3)
+  * timed runs, plus the Spark-job count and summed job wall of the LAST
+  * run — job count ≈ plan-materialization overhead (scale-invariant by
+  * design), so `wall(10×)/wall(1×)` under 10/`jobs` constant is the
+  * measured form of "the micro-job latency amortizes with data volume".
+  *
+  * Usage: `runMain graft.ScaleBench <label>=<dir> [<label>=<dir> ...]`
+  */
+object ScaleBench {
+  private val Queries = Seq("d03_minhash_dedup_pairs", "d06_ngram_jaccard_dups",
+    "d11_dup_clusters", "d14_contamination", "d16_incremental_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.toSeq.map { a =>
+      val Array(label, dir) = a.split("=", 2); (label, dir)
+    }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val spark = GraftSession.local(appName = "graft-scale-bench")
+    // job accounting for the overhead-amortization read-out; durations
+    // from the events' own time fields (the listener bus is async)
+    val jobCount = new AtomicInteger(0)
+    val jobNanos = new AtomicLong(0L)
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        starts.put(j.jobId, j.time)
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        Option(starts.remove(j.jobId)).foreach { t0 =>
+          jobCount.incrementAndGet()
+          jobNanos.addAndGet((j.time - t0) * 1000000L)
+        }
+    })
+    val results = scala.collection.mutable.ListBuffer
+      .empty[(String, String, Double, Int, Double, Long)]
+    for ((label, dir) <- scales) {
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      for (q <- Queries) {
+        val fn = SparkEntry.queries(q)
+        var lastJobs = 0
+        var lastJobSec = 0.0
+        val times = (1 to runs).map { _ =>
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache()
+          jobCount.set(0); jobNanos.set(0L)
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          // the listener bus is async and its drain API is private; poll
+          // until the job tally stops moving (tallies are advisory)
+          var prev = -1
+          while (prev != jobCount.get()) {
+            prev = jobCount.get(); Thread.sleep(100)
+          }
+          lastJobs = jobCount.get(); lastJobSec = jobNanos.get() / 1e9
+          dt
+        }
+        System.err.println(f"[scale] $label%-6s $q%-26s min=${times.min}%7.2f s" +
+          f"  jobs=$lastJobs%3d jobSec=$lastJobSec%7.2f" +
+          f"  (${times.map(t => f"$t%.2f").mkString(" ")})")
+        results += ((label, q, times.min, lastJobs, lastJobSec, nDocs))
+      }
+    }
+    println("scale,query,min_wall_s,jobs,job_sum_s,n_docs")
+    results.foreach { case (l, q, w, j, js, n) =>
+      println(String.format(java.util.Locale.ROOT, "%s,%s,%.2f,%d,%.2f,%d",
+        l, q, Double.box(w), Int.box(j), Double.box(js), Long.box(n)))
+    }
+    spark.stop()
+  }
+}

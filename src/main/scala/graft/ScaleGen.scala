@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Dev tool: deterministic synthetic `documents` corpus generator for the
+  * scaling measurement (SCALE.md). Mirrors the driver testdata's
+  * structure (TESTDATA.md seed-42 corpus, sf0.1 = 5,000 docs) so the
+  * dedup operators see the same workload SHAPE at any size:
+  *
+  *   - a small hot vocabulary (31 words — every 3-gram shingle is shared
+  *     by ~1% of docs, the degenerate-band-bucket stressor);
+  *   - doc lengths ~U[10, 100] words (sf0.1: 44-577 chars);
+  *   - ~5% near-duplicates: a mutated copy of an earlier doc (~10% of
+  *     token positions re-rolled — lands in the 0.5..1.0 Jaccard band);
+  *   - ~0.3% exact duplicates of an earlier doc;
+  *   - one VIRAL exact-dup group at 1% of the corpus (the skew case the
+  *     exact-dup collapse + band cap exist for; the driver corpus caps
+  *     groups at 2, so this is strictly harsher);
+  *   - lang/source columns with the driver corpus's cardinalities.
+  *
+  * Everything is a pure function of (seed, doc_id) via splitmix64 (public
+  * constant from Steele et al., JDK SplittableRandom), so any scale
+  * regenerates bit-identically, in parallel, with no driver-side state.
+  * Near-dup/exact-dup sources point BACKWARD (doc_id - k) so the dup-pair
+  * density per doc is scale-invariant: 10× the docs ⇒ ~10× the pairs,
+  * which is what makes wall-time ratios between scales interpretable.
+  *
+  * Usage: `runMain graft.ScaleGen <outDir> <nDocs>` — writes
+  * `<outDir>/documents.parquet`.
+  */
+object ScaleGen {
+  private val Vocab: Array[String] = Array(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+  private val Langs = Array("en", "en", "zh", "es", "fr", "de")
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  /** k-th draw for doc `id`, uniform in [0, bound). */
+  private def draw(id: Long, k: Long, bound: Int): Int =
+    (Math.floorMod(mix64(id * 1000003L + k), bound.toLong)).toInt
+
+  /** Base (pre-dup) text of a doc: pure function of doc_id. */
+  private def baseText(id: Long): Array[String] = {
+    val n = 10 + draw(id, 0, 91)
+    Array.tabulate(n)(i => Vocab(draw(id, 100 + i, Vocab.length)))
+  }
+
+  def textOf(id: Long, nDocs: Long): String = {
+    val viralSize = math.max(2L, nDocs / 100)
+    val words: Array[String] =
+      if (id < viralSize) baseText(0) // the viral exact-dup group
+      else {
+        val roll = draw(id, 1, 1000)
+        if (roll < 3 && id > viralSize) // ~0.3% exact dup of an earlier doc
+          baseText(id - 1 - draw(id, 2, math.min(id - 1, 500L).toInt))
+        else if (roll < 53 && id > viralSize) { // ~5% near dup
+          val src = id - 1 - draw(id, 3, math.min(id - 1, 500L).toInt)
+          val w = baseText(src)
+          // re-roll ~10% of positions — stays above the 0.5 Jaccard bar
+          w.indices.foreach { i =>
+            if (draw(id, 200 + i, 10) == 0)
+              w(i) = Vocab(draw(id, 300 + i, Vocab.length))
+          }
+          w
+        } else baseText(id)
+      }
+    words.mkString(" ")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val n = args(1).toLong
+    val spark = GraftSession.local(appName = "graft-scale-gen")
+    import spark.implicits._
+    val nb = spark.sparkContext.broadcast(n)
+    spark.range(0L, n, 1L, 32)
+      .mapPartitions { ids =>
+        val total = nb.value
+        ids.map { id =>
+          val text = textOf(id, total)
+          (id, text, Langs(draw(id, 4, Langs.length)),
+            s"src${draw(id, 5, 20)}", text.length.toLong)
+        }
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    println(s"[scale-gen] wrote $n docs to $out/documents.parquet")
+    spark.stop()
+  }
+}
