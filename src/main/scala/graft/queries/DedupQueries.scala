@@ -304,14 +304,24 @@ object DedupQueries {
 
   /** The persistable signature artifact for incremental dedup — compute
     * once per ingestion batch (one codegen pass), store next to the
-    * lake: (doc_id, fp, mh, bands). At 100 TB the corpus is never
-    * re-signed; each new batch signs itself and joins this table. */
-  def signatureTable(docs: DataFrame): DataFrame =
+    * lake: (doc_id, fp, mh, bands[, split]). At 100 TB the corpus is
+    * never re-signed; each new batch signs itself and joins this table.
+    *
+    * `withSplit` folds the d13 train/val/test assignment into the SAME
+    * pass (the signature struct already carries the split bucket), which
+    * is what [[incrementalContamination]] consumes — the split gate then
+    * never needs the text either. */
+  def signatureTable(docs: DataFrame, withSplit: Boolean = false): DataFrame = {
+    val cols = Seq(col("doc_id"), md5(col("text")).as("fp"),
+      col("_sig.mh").as("mh"), col("_sig.bands").as("bands")) ++
+      (if (withSplit)
+         Seq(DocumentQueries.splitOfBucket(col("_sig.split_bucket")).as("split"))
+       else Nil)
     docs
       .withColumn("_sig",
         expr(s"${graft.functions.TextSignatureExpr.functionName}(text)"))
-      .select(col("doc_id"), md5(col("text")).as("fp"),
-        col("_sig.mh").as("mh"), col("_sig.bands").as("bands"))
+      .select(cols: _*)
+  }
 
   /** d16: incremental dedup — match an INCOMING batch against an
     * EXISTING corpus, both given as [[signatureTable]] artifacts, so the
@@ -364,6 +374,113 @@ object DedupQueries {
       exact.union(near)
         .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
         .select($"doc_id", $"match_id".as("match_doc_id"),
+          $"sim".as("similarity"))
+        .localCheckpoint(true)
+    } finally {
+      if (ownCorpus) corpus.unpersist(blocking = false)
+      if (ownBatch) batch.unpersist(blocking = false)
+    }
+  }
+
+  /** d24: INCREMENTAL train/test contamination — the per-ingest form of
+    * [[contamination]]: which train/test leaks does THIS batch introduce
+    * against the standing corpus? Both sides arrive as
+    * [[signatureTable]] artifacts WITH the split column
+    * (`withSplit = true` — the maintained `--sigs` lake artifact), so
+    * neither the corpus text nor the batch text is ever re-read: the
+    * artifact carries no text column at all, which makes "no corpus-text
+    * re-scan" true by construction, not by plan luck.
+    *
+    * Semantics: one row per TEST-side doc (batch or corpus) that gains a
+    * train-side near-duplicate through this ingest — a batch test doc
+    * near-dup of a corpus train doc, or a corpus test doc compromised by
+    * a batch train doc. Best partner per test doc (similarity desc, then
+    * min train doc_id), mirroring d14's convention. Exact duplicates
+    * cannot straddle the split (identical text ⇒ identical content hash
+    * ⇒ same bucket), so — exactly as in batch d14 — every possible leak
+    * flows through the near-dup band tier and no exact tier is needed.
+    *
+    * Divergence from batch d14, documented: similarity is the MinHash
+    * ESTIMATE (`graft_eq_count/K`, the d03/d16 statistic), not the exact
+    * n-gram Jaccard — exact verification needs shingle sets, i.e. text,
+    * which the incremental path by design does not have. Both thresholds
+    * are 0.5; a pair flagged here and absent from a subsequent batch d14
+    * audit is a signature-estimate false positive, the usual LSH
+    * contract. Batch-internal leaks (both sides inside the new batch)
+    * are out of scope here — they are corpus-internal the moment the
+    * batch lands, covered by the next full d14 audit.
+    *
+    * Scale shape: corpus-side work is the same as [[incrementalMatches]]
+    * — one fp groupBy over SIGNATURES plus capped band explode; the
+    * cross-split rep pairs are bounded (capped buckets), so the
+    * corpus-side member expansion joins a BROADCAST of the hit
+    * fingerprints back to the signature table instead of window-shuffling
+    * the whole corpus. Nothing that moves is wider than a signature row. */
+  def incrementalContamination(corpusSigs: DataFrame, batchSigs: DataFrame): DataFrame = {
+    val s = corpusSigs.sparkSession
+    import s.implicits._
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val ownCorpus = corpusSigs.storageLevel == none
+    val ownBatch = batchSigs.storageLevel == none
+    val corpus = if (ownCorpus) corpusSigs.persist() else corpusSigs
+    val batch = if (ownBatch) batchSigs.persist() else batchSigs
+    try {
+      // exact-dup representatives per side, split carried through the
+      // collapse (sound: an fp group is byte-identical text, and
+      // identical text has identical split bucket); fp retained for the
+      // member expansion below
+      def reps(sigs: DataFrame): DataFrame = sigs
+        .filter(element_at(col("mh"), 1) =!= P)
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("rep"), first($"mh").as("mh"),
+          first($"bands").as("bands"), first($"split").as("split"))
+      val cReps = reps(corpus)
+      val bReps = reps(batch)
+      // corpus bands capped (the d16 asymmetry: degenerate CORPUS buckets
+      // carry no selectivity); batch bands exploded plain — the batch is
+      // one ingest's docs
+      val cBands = cappedBands(
+        cReps.select($"rep".as("doc_id"), $"mh", $"bands", $"split"),
+        col("mh"), col("split"))
+      val bBands = bReps
+        .select($"rep".as("b_rep"), $"mh".as("b_mh"), $"split".as("b_split"),
+          posexplode_outer($"bands").as(Seq("b_band_id", "b_band_key")))
+      val repPairs = bBands
+        .join(cBands,
+          $"b_band_id" === $"band_id" && $"b_band_key" === $"band_key")
+        .select($"b_rep", $"b_split", $"doc_id".as("c_rep"),
+          $"split".as("c_split"),
+          round(expr("graft_eq_count(b_mh, mh)") / lit(K.toDouble), 4)
+            .as("sim"))
+        .distinct()
+        .filter($"sim" >= 0.5)
+        .filter(($"b_split" === "test" && $"c_split" === "train") ||
+          ($"b_split" === "train" && $"c_split" === "test"))
+      // member expansion. Corpus side: only fp groups that actually hit —
+      // a broadcast of the (bounded) hit fingerprints back onto the
+      // signature table, never a corpus-wide window. Batch side: plain
+      // fp-group join, batch-sized.
+      val cHitFps = repPairs.select($"c_rep").distinct()
+        .join(cReps.select($"rep".as("c_rep"), $"fp"), "c_rep")
+      val cMembers = corpus.select($"doc_id".as("c_member"), $"fp")
+        .join(broadcast(cHitFps), "fp")
+        .select($"c_member", $"c_rep")
+      val bMembers = batch.select($"doc_id".as("b_member"), $"fp")
+        .join(bReps.select($"fp", $"rep".as("b_rep")), "fp")
+        .select($"b_member", $"b_rep")
+      val memberPairs = repPairs
+        .join(bMembers, "b_rep")
+        .join(cMembers, "c_rep")
+        .select(
+          when($"b_split" === "test", $"b_member").otherwise($"c_member")
+            .as("test_id"),
+          when($"b_split" === "test", $"c_member").otherwise($"b_member")
+            .as("train_id"),
+          $"sim")
+      val w = Window.partitionBy($"test_id").orderBy($"sim".desc, $"train_id")
+      memberPairs
+        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"test_id".as("doc_id"), $"train_id".as("train_doc_id"),
           $"sim".as("similarity"))
         .localCheckpoint(true)
     } finally {
@@ -634,6 +751,22 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- d24: incremental contamination (batch ingest vs corpus) --------
+    // Odd doc_ids play the ingest batch (d16's %5 split yields an EMPTY
+    // cross-split pair set at sf0.01 — a vacuous gate check; the half
+    // split is the smallest modulus with leaks on this corpus); both
+    // sides as withSplit signature tables, so the check runs exactly the
+    // way the pipeline would — off the maintained artifact, never the
+    // text.
+    "d24_incr_contamination" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      incrementalContamination(
+        signatureTable(docs.filter(pmod($"doc_id", lit(2)) =!= 1), withSplit = true),
+        signatureTable(docs.filter(pmod($"doc_id", lit(2)) === 1), withSplit = true))
+        .orderBy($"doc_id")
+    },
+
     // ---- d19: within-document repetition ratio ---------------------------
     // The Gopher-family quality signal the near-dup operators don't
     // cover: how much of a document is the document repeating ITSELF —
@@ -783,6 +916,71 @@ object DedupQueries {
               row_number() OVER (PARTITION BY test_id
                 ORDER BY sim DESC, train_id) AS rk
             FROM hits)
+          WHERE rk = 1 ORDER BY doc_id""",
+    "d24_incr_contamination" ->
+      s"""WITH allsigs AS (
+            SELECT doc_id, md5(text) AS fp, sh, mh, ${duckBands("mh")} AS bands
+            FROM (SELECT doc_id, text, sh, ${duckMinhash("sh")} AS mh
+                  FROM (SELECT doc_id, text, ${duckShingles("th")} AS sh
+                        FROM (SELECT doc_id, text, ${duckTokenHashes("text")} AS th
+                              FROM documents)))),
+          ${DocumentQueries.duckSplits},
+          sigsp AS (
+            SELECT a.doc_id, a.fp, a.sh, a.mh, a.bands, s.split
+            FROM allsigs a JOIN splits s ON s.doc_id = a.doc_id),
+          e AS (SELECT * FROM sigsp WHERE doc_id % 2 <> 1),
+          i AS (SELECT * FROM sigsp WHERE doc_id % 2 = 1),
+          ereps AS (
+            SELECT fp, min(doc_id) AS rep, any_value(mh) AS mh,
+              any_value(bands) AS bands, any_value(split) AS split
+            FROM e WHERE len(sh) > 0 GROUP BY fp),
+          ireps AS (
+            SELECT fp, min(doc_id) AS rep, any_value(mh) AS mh,
+              any_value(bands) AS bands, any_value(split) AS split
+            FROM i WHERE len(sh) > 0 GROUP BY fp),
+          ecap AS (
+            SELECT * FROM (
+              SELECT rep, mh, split, b.band_id,
+                bands[b.band_id + 1] AS band_key,
+                count(*) OVER (PARTITION BY b.band_id,
+                  bands[b.band_id + 1]) AS bucket_n
+              FROM ereps, (SELECT unnest(range(${Bands})) AS band_id) b)
+            WHERE bucket_n <= $MaxBandBucket),
+          ibands AS (
+            SELECT rep, mh, split, b.band_id, bands[b.band_id + 1] AS band_key
+            FROM ireps, (SELECT unnest(range(${Bands})) AS band_id) b),
+          reppairs AS (
+            SELECT DISTINCT ib.rep AS b_rep, ib.split AS b_split,
+              ec.rep AS c_rep, ec.split AS c_split,
+              round(len(list_filter(range(1, ${K + 1}),
+                k -> ib.mh[k] = ec.mh[k])) / ${K}.0, 4) AS sim
+            FROM ibands ib JOIN ecap ec
+              ON ib.band_id = ec.band_id AND ib.band_key = ec.band_key
+            WHERE round(len(list_filter(range(1, ${K + 1}),
+                k -> ib.mh[k] = ec.mh[k])) / ${K}.0, 4) >= 0.5
+              AND ((ib.split = 'test' AND ec.split = 'train')
+                OR (ib.split = 'train' AND ec.split = 'test'))),
+          bmem AS (
+            SELECT i.doc_id AS b_member, r.rep AS b_rep
+            FROM i JOIN ireps r ON r.fp = i.fp),
+          cmem AS (
+            SELECT e.doc_id AS c_member, r.rep AS c_rep
+            FROM e JOIN ereps r ON r.fp = e.fp),
+          mp AS (
+            SELECT
+              CASE WHEN p.b_split = 'test' THEN bm.b_member
+                   ELSE cm.c_member END AS doc_id,
+              CASE WHEN p.b_split = 'test' THEN cm.c_member
+                   ELSE bm.b_member END AS train_id,
+              p.sim
+            FROM reppairs p
+            JOIN bmem bm ON bm.b_rep = p.b_rep
+            JOIN cmem cm ON cm.c_rep = p.c_rep)
+          SELECT doc_id, train_doc_id, similarity FROM (
+            SELECT doc_id, train_id AS train_doc_id, sim AS similarity,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY sim DESC, train_id) AS rk
+            FROM mp)
           WHERE rk = 1 ORDER BY doc_id""",
     "d16_incremental_dedup" ->
       s"""WITH allsigs AS (

@@ -68,7 +68,10 @@ object DocumentIngest {
     * is the producer side of incremental dedup: at 100 TB the corpus is
     * never re-signed; `incrementalMatches(corpusSigs, batchSigs)` joins
     * the maintained table, and the corpus TEXT is never re-read (the
-    * artifact carries no text column at all).
+    * artifact carries no text column at all). Since round 11 the
+    * artifact also carries the d13 `split` label (folded into the same
+    * signature pass), so `incrementalContamination` — the per-ingest
+    * train/test-leak check — runs off it text-free as well.
     *
     * Delivery: foreachBatch is at-least-once on crash-replay (two
     * parquet appends cannot share one transaction log), vs the single
@@ -93,7 +96,8 @@ object DocumentIngest {
         try {
           pinned.write.mode("append").partitionBy("lang").parquet(outDir)
           graft.queries.DedupQueries
-            .signatureTable(pinned.select(col("doc_id"), col("text")))
+            .signatureTable(pinned.select(col("doc_id"), col("text")),
+              withSplit = true)
             .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
         } finally { pinned.unpersist(); () }
       }

@@ -182,9 +182,10 @@ class MainSpec extends SparkSpec {
     val sigs = spark.read.parquet(s"$tmp/sigs")
     assert(sigs.count() == 2)
     // `batch` is the idempotency partition (one overwrite-dir per
-    // micro-batch, so crash-replays replace rather than append)
+    // micro-batch, so crash-replays replace rather than append); `split`
+    // feeds the per-ingest contamination check (d24)
     assert(sigs.schema.fieldNames.toSet ==
-      Set("doc_id", "fp", "mh", "bands", "batch"))
+      Set("doc_id", "fp", "mh", "bands", "split", "batch"))
   }
 
   test("transform --loop: two iterations over a growing staging dir, processed files moved") {

@@ -293,6 +293,47 @@ class OperatorsSpec extends SparkSpec {
     assert(trainId == 0L && sim >= 0.5, s"wrong partner/similarity: $got")
   }
 
+  test("incremental contamination flags the planted cross-split leak (d24)") {
+    import spark.implicits._
+    // same engineered straddle as the d14 test: base lands train, its
+    // near-dup variant lands test, a val-side variant must NOT be flagged
+    val body = (0 until 40).map(t => s"itok$t").mkString(" ")
+    val base = (0 until 1000).iterator
+      .map(i => s"$body salt$i").find(bucketOf(_) < 80).get
+    val leak = (0 until 1000).iterator
+      .map(i => s"$base tail$i").find(bucketOf(_) >= 90).get
+    val valSide = (0 until 1000).iterator
+      .map(i => s"$base val$i").find(t => bucketOf(t) >= 80 && bucketOf(t) < 90).get
+    val filler = (0 until 30).map(k =>
+      (200L + k, (0 until 30).map(t => s"g${k}_$t").mkString(" ")))
+    // the corpus holds the train doc; the ingest batch brings the test
+    // doc — both sides as withSplit signature tables, no text anywhere
+    val corpus = (Seq((0L, base)) ++ filler).toDF("doc_id", "text")
+    val batch = Seq((100L, leak), (101L, valSide)).toDF("doc_id", "text")
+    val got = DedupQueries.incrementalContamination(
+        DedupQueries.signatureTable(corpus, withSplit = true),
+        DedupQueries.signatureTable(batch, withSplit = true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == Set(100L), s"got ${got.toSeq}")
+    assert(got.head._2 == 0L && got.head._3 >= 0.5, s"got ${got.toSeq}")
+    // reverse orientation: a batch TRAIN doc compromises a corpus TEST
+    // doc — the corpus doc is the reported offender
+    val got2 = DedupQueries.incrementalContamination(
+        DedupQueries.signatureTable(
+          (Seq((0L, leak)) ++ filler).toDF("doc_id", "text"), withSplit = true),
+        DedupQueries.signatureTable(
+          Seq((100L, base)).toDF("doc_id", "text"), withSplit = true))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.toSet == Set((0L, 100L)), s"got ${got2.toSeq}")
+    // consistent with the batch audit: d14 over the union corpus flags
+    // the same test doc with the same train partner
+    val full = DedupQueries.contamination(corpus.union(batch)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((100L, 0L)), s"batch audit disagrees: $full")
+    // self-cleaning: both persisted signature tables released
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("incremental dedup matches new docs against the standing corpus (d16)") {
     import spark.implicits._
     spark.catalog.clearCache()

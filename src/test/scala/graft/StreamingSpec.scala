@@ -284,7 +284,7 @@ class StreamingSpec extends SparkSpec {
     // `batch` is the per-micro-batch idempotency partition (replays
     // overwrite their own dir instead of appending duplicates).
     assert(corpusSigs.schema.fieldNames.toSet ==
-      Set("doc_id", "fp", "mh", "bands", "batch"),
+      Set("doc_id", "fp", "mh", "bands", "split", "batch"),
       s"unexpected signature schema: ${corpusSigs.schema.fieldNames.toSeq}")
     // incoming ingest batch, deduped against the MAINTAINED table: the
     // planted near-dup and exact dup are found; the novel doc is not
@@ -300,6 +300,73 @@ class StreamingSpec extends SparkSpec {
     assert(got.keySet == Set(100L, 101L), s"got $got")
     assert(got(100L)._1 == 1L && got(100L)._2 >= 0.5 && got(100L)._2 < 1.0)
     assert(got(101L) == ((3L, 1.0)))
+  }
+
+  test("per-ingest contamination check runs off the maintained artifact (d24)") {
+    import spark.implicits._
+    import graft.streaming.DocumentIngest
+    import graft.queries.DedupQueries
+    // the d13 content-hash bucket, recomputed independently (same helper
+    // as OperatorsSpec's d14 fixtures)
+    def bucketOf(text: String): Long = {
+      val h = text.foldLeft(7L)((acc, c) =>
+        (acc * 31 + c.toLong) % graft.operators.TextHash.P)
+      (if (text.isEmpty) 7L else h) % 100
+    }
+    val tmp = Files.createTempDirectory("graft-d24").toString
+    val landing = s"$tmp/landing"; val out = s"$tmp/corpus"
+    val sigDir = s"$tmp/sigs"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(landing))
+    // engineer the straddle: batch ONE lands a train-side doc, batch TWO
+    // its near-dup on the test side. Same body as OperatorsSpec's d24
+    // fixture — a pair PROVEN to band-collide with estimate ≥ 0.5 (not
+    // every 40-token body + salt search lands one: minhash collision is
+    // text-dependent)
+    val body = (0 until 40).map(t => s"itok$t").mkString(" ")
+    val base = (0 until 1000).iterator
+      .map(i => s"$body salt$i").find(bucketOf(_) < 80).get
+    val leak = (0 until 1000).iterator
+      .map(i => s"$base tail$i").find(bucketOf(_) >= 90).get
+    def doc(id: Long, text: String, t: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"crawl","event_ts":"$t"}"""
+    val run = () => {
+      val q = DocumentIngest.writerWithSignatures(
+        DocumentIngest.stream(spark, landing, watermarkDelay = "1 hour"),
+        out, sigDir, ckpt).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    writeBatch(landing, "b1.jsonl", Seq(
+      doc(1, base, "2024-01-01T10:00:00Z"),
+      doc(2, "some unrelated standing corpus document body", "2024-01-01T10:00:05Z")))
+    run()
+    writeBatch(landing, "b2.jsonl", Seq(
+      doc(10, leak, "2024-01-01T10:10:00Z"),
+      doc(11, "a genuinely novel second-batch document", "2024-01-01T10:10:05Z")))
+    run()
+    // the per-ingest check, exactly as the pipeline runs it: standing
+    // corpus = the earlier batch partitions of the maintained artifact,
+    // incoming = the batch that just landed. NO side reads any text —
+    // the artifact has no text column to read (asserted above), so "no
+    // corpus-text re-scan" holds by construction.
+    // "the batch that just landed" = the max committed batch id (batch
+    // ids need not be contiguous: AvailableNow can commit a trailing
+    // empty batch, so the second file lands as batch 2 here)
+    val sigs = spark.read.parquet(sigDir)
+      .select($"doc_id", $"fp", $"mh", $"bands", $"split", $"batch")
+    val latest = sigs.agg(org.apache.spark.sql.functions.max($"batch"))
+      .head.getInt(0)
+    val gotLeaks = DedupQueries.incrementalContamination(
+        sigs.filter($"batch" < latest).drop("batch"),
+        sigs.filter($"batch" === latest).drop("batch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(gotLeaks.map(r => (r._1, r._2)).toSet == Set((10L, 1L)),
+      s"expected the planted leak (10 ← 1), got ${gotLeaks.toSeq}")
+    assert(gotLeaks.head._3 >= 0.5)
+    // consistent with the batch-mode d14 audit over the landed corpus
+    val full = DedupQueries.contamination(
+        spark.read.parquet(out).select($"doc_id", $"text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((10L, 1L)), s"batch audit disagrees: $full")
   }
 
   test("late rows land as extra files in the same partition (ST5)") {
