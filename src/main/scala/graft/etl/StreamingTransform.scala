@@ -194,6 +194,8 @@ object StreamingTransform {
           System.err.println(s"[graft-queue] dead-lettering message " +
             s"${r.getString(3)} after ${r.getInt(2)} deliveries")
           deadLetter(spark, checkpointDir, r.getString(3), r.getString(0))
+          graft.streaming.QueueMetrics.of(queueName)
+            .deadLettered.incrementAndGet()
         }
         transformNotifiedObjects(spark,
           s3EventKeys(batch.sparkSession.createDataset(

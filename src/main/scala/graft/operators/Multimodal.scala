@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` media payloads with typed
   * metadata, batched feature extraction over partitions.
   *
-  * The decode step is REAL for four formats: binary PPM (P6) and
+  * The decode step is REAL for five formats: binary PPM (P6) and
   * uncompressed 24-bit BMP with hand-written byte-level decoders (header
-  * fields parsed byte-by-byte, raster length validated), plus JPEG and
-  * PNG via the JDK-standard `javax.imageio` readers — all four repack to
-  * one canonical top-down RGB raster so they share the feature contract.
+  * fields parsed byte-by-byte, raster length validated), plus JPEG, PNG
+  * and GIF (87a/89a; frame 0 of animations) via the JDK-standard
+  * `javax.imageio` readers — all five repack to one canonical top-down
+  * RGB raster so they share the feature contract.
   * Malformed media is rejected loudly. Payloads that aren't media take a
   * documented deterministic md5 fallback so the same operator runs over
   * arbitrary binary columns. Everything Spark-cares-about is equally
@@ -188,8 +189,8 @@ object Multimodal {
     Decoded(w, h, phash, averageHash(w, h, rgb))
   }
 
-  /** Real JPEG/PNG decode via `javax.imageio` (JDK-standard, no external
-    * codec library): the two formats every real crawl contains. The
+  /** Real JPEG/PNG/GIF decode via `javax.imageio` (JDK-standard, no
+    * external codec library): the formats every real crawl contains. The
     * decoded pixels are repacked to the same top-down tightly-packed RGB
     * raster the PPM/BMP decoders produce, so all four formats share one
     * feature contract — a PNG and a PPM of the same image agree on ahash
@@ -279,15 +280,21 @@ object Multimodal {
       bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
     def looksJpeg = bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
+    // GIF87a / GIF89a — crawl corpora are full of them; the JDK ships a
+    // standard GIF reader, so they ride the same imageio path (frame 0
+    // of an animation, per reader.read(0))
+    def looksGif = bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8' &&
+      (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
     if (isDeclaredMedia(mime)) {
       if (looksPpm) decodePpm(bytes)
       else if (looksBmp) decodeBmp(bytes)
-      else if (looksPng || looksJpeg) decodeImageIO(bytes)
+      else if (looksPng || looksJpeg || looksGif) decodeImageIO(bytes)
       else bad(s"declared media ($mime) with unrecognized magic")
     } else if (isDeclaredNonMedia(mime)) decodeStub(bytes)
     else if (looksPpm) decodePpm(bytes)
     else if (looksBmp) decodeBmp(bytes)
-    else if (looksPng || looksJpeg) decodeImageIO(bytes)
+    else if (looksPng || looksJpeg || looksGif) decodeImageIO(bytes)
     else decodeStub(bytes)
   }
 

@@ -114,6 +114,9 @@ private[sources] class QueueMicroBatchStream(
   require(queueName != null,
     "graft-queue needs .option(\"queue\", <QueueRegistry name>)")
   private val queue = QueueRegistry.lookup(queueName)
+  // observability: receives/redeliveries/heartbeats surface through
+  // graft.streaming.QueueMetrics (mon-task parity for the queue path)
+  private val metrics = graft.streaming.QueueMetrics.of(queueName)
 
   // driver-side state, guarded by this: batches received but not yet
   // committed (batch id -> messages of that delivery)
@@ -145,6 +148,7 @@ private[sources] class QueueMicroBatchStream(
     val batches = List.newBuilder[Seq[QueueMessage]]
     var got = queue.receive(maxPerTrigger)
     while (got.nonEmpty) {
+      metrics.recordReceive(got.map(_.receiveCount))
       batches += got
       got = queue.receive(maxPerTrigger)
     }
@@ -161,7 +165,10 @@ private[sources] class QueueMicroBatchStream(
       // timeout and become receivable by a second consumer mid-drain;
       // already-acked receipts no-op (stale token / missing lease).
       val inFlight = pending.values.flatten.map(_.receiptHandle).toSeq
-      if (inFlight.nonEmpty) queue.extendVisibility(inFlight, heartbeatSeconds)
+      if (inFlight.nonEmpty) {
+        queue.extendVisibility(inFlight, heartbeatSeconds)
+        metrics.leaseExtensions.addAndGet(inFlight.size.toLong)
+      }
       preparedDrain match {
         case Some(batches) => // AvailableNow: pin the end once...
           if (drainEnd.isEmpty) {
@@ -187,6 +194,7 @@ private[sources] class QueueMicroBatchStream(
           }
           val got = queue.receive(cap)
           if (got.nonEmpty) {
+            metrics.recordReceive(got.map(_.receiveCount))
             pending.put(produced, got)
             produced += 1
           }

@@ -51,3 +51,42 @@ object Metrics {
     m
   }
 }
+
+/** Per-queue counters for the `graft-queue` connector path — the mon-task
+  * parity the engine's own progress events cannot provide (reference:
+  * s3logd-stream/src/mon.rs:131-173 logs receive/inflight rates next to
+  * lines/s). A stuck queue shows as `max_receive_count` climbing with
+  * `received` flat; a poison-heavy one as `dead_lettered` growing; a
+  * long-drain as `lease_extensions` accumulating. Counters are
+  * JVM-global per queue name (the same keying as
+  * [[graft.sources.QueueRegistry]]), incremented by the DSv2 source
+  * (receives, redeliveries, heartbeats) and the queue pipeline
+  * (dead-letters); monotone, never reset — readers diff snapshots. */
+final class QueueCounters {
+  import java.util.concurrent.atomic.AtomicLong
+  val received = new AtomicLong
+  val redelivered = new AtomicLong
+  val maxReceiveCount = new AtomicLong
+  val leaseExtensions = new AtomicLong
+  val deadLettered = new AtomicLong
+  private[graft] def recordReceive(counts: Seq[Int]): Unit = {
+    received.addAndGet(counts.size.toLong)
+    redelivered.addAndGet(counts.count(_ > 1).toLong)
+    counts.foreach(c => maxReceiveCount.getAndUpdate(m => math.max(m, c.toLong)))
+  }
+  def snapshot: Map[String, Long] = Map(
+    "received" -> received.get,
+    "redelivered" -> redelivered.get,
+    "max_receive_count" -> maxReceiveCount.get,
+    "lease_extensions" -> leaseExtensions.get,
+    "dead_lettered" -> deadLettered.get)
+}
+
+object QueueMetrics {
+  private val counters =
+    scala.collection.concurrent.TrieMap.empty[String, QueueCounters]
+  /** counters for `queue`, created on first touch */
+  def of(queue: String): QueueCounters =
+    counters.getOrElseUpdate(queue, new QueueCounters)
+  def snapshot(queue: String): Map[String, Long] = of(queue).snapshot
+}

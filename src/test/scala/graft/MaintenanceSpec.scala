@@ -165,4 +165,63 @@ class MaintenanceSpec extends SparkSpec {
       assert(m.snapshot.map(_.inputRows).sum == 500)
     } finally spark.streams.removeListener(m)
   }
+
+  test("queue counters surface receives, redeliveries, heartbeats and dead-letters") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.etl.StreamingTransform
+    import graft.sources.{FileQueue, QueueRegistry}
+    import graft.streaming.QueueMetrics
+    def event(key: String) =
+      s"""{"Records":[{"eventName":"ObjectCreated:Put","awsRegion":"us-east-1",""" +
+        s""""s3":{"bucket":{"name":"logs-bucket"},"object":{"key":"$key","size":123}}}]}"""
+    // --- drain path: receives + heartbeats -------------------------------
+    // two messages at one message per trigger: trigger 2's latestOffset
+    // runs while batch 1 is still uncommitted (the engine commits batch N
+    // when batch N+1 starts), so its in-flight receipt is heartbeated —
+    // deterministic lease_extensions >= 1
+    var now = 5000000L
+    val tmp = Files.createTempDirectory("graft-qmon").toString
+    val objects = s"$tmp/objects"
+    Files.createDirectories(Paths.get(objects))
+    for (n <- Seq("a.log", "b.log")) {
+      Files.writeString(Paths.get(objects, n),
+        LogGen.lines(20, seed = 91).mkString("", "\n", "\n"))
+    }
+    val q = new FileQueue(s"$tmp/queue", visibilityTimeoutSeconds = 60,
+      clock = () => now)
+    QueueRegistry.register("mon-drain", q)
+    q.enqueue(event("a.log")); q.enqueue(event("b.log"))
+    StreamingTransform.queueNotificationPipeline(spark, "mon-drain",
+        s"$tmp/out", s"$tmp/ckpt", (_, key) => s"$objects/$key",
+        maxMessagesPerTrigger = 1)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
+    val drain = QueueMetrics.snapshot("mon-drain")
+    assert(drain("received") == 2, drain)
+    assert(drain("redelivered") == 0 && drain("max_receive_count") == 1, drain)
+    assert(drain("lease_extensions") >= 1, drain)
+    assert(drain("dead_lettered") == 0, drain)
+    // --- poison path: redelivery counts + dead-letter --------------------
+    val q2 = new FileQueue(s"$tmp/queue2", visibilityTimeoutSeconds = 60,
+      clock = () => now)
+    QueueRegistry.register("mon-poison", q2)
+    q2.enqueue(event("ghost.log")) // the object never existed
+    val run = () => {
+      val query = StreamingTransform.queueNotificationPipeline(spark,
+          "mon-poison", s"$tmp/out2", s"$tmp/ckpt2",
+          (_, key) => s"$objects/$key", maxReceives = 1)
+        .trigger(Trigger.AvailableNow()).start()
+      try { query.awaitTermination(120000); true }
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => false
+      }
+    }
+    assert(!run()) // delivery 1 crashes the query; message stays queued
+    now += 61000   // lease expires
+    assert(run())  // delivery 2 > maxReceives: dead-lettered + acked
+    val poison = QueueMetrics.snapshot("mon-poison")
+    assert(poison("received") == 2, poison)
+    assert(poison("redelivered") == 1 && poison("max_receive_count") == 2, poison)
+    assert(poison("dead_lettered") == 1, poison)
+  }
 }

@@ -599,6 +599,48 @@ class OperatorsSpec extends SparkSpec {
     assert(bomb.getMessage.contains("pixels"), bomb.getMessage)
   }
 
+  test("GIF decode rides the imageio dispatch (m01 path)") {
+    import spark.implicits._
+    // few distinct colors: GIF palette-quantizes to 256, so a 4-color
+    // raster round-trips losslessly and the canonical-raster contract
+    // (same ahash/phash as the PPM of the same image) is exact.
+    // 8x8, not the PNG test's 6x4: the JDK's GIF LZW *encoder* corrupts
+    // rows of that particular tiny geometry (verified outside Spark —
+    // rows 2-3 come back palette-rotated), while 8x8/16x16/32x8 are
+    // byte-faithful. The DECODER contract under test is unaffected.
+    val w = 8; val h = 8
+    val palette = Array(0x102030, 0x405060, 0x708090, 0xa0b0c0)
+    val raster = new Array[Byte](w * h * 3)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = palette((y * w + x) % palette.length)
+      val p = (y * w + x) * 3
+      raster(p) = ((c >> 16) & 0xff).toByte
+      raster(p + 1) = ((c >> 8) & 0xff).toByte
+      raster(p + 2) = (c & 0xff).toByte
+      img.setRGB(x, y, c)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", buf), "no gif writer")
+    val gif = buf.toByteArray
+    assert(gif.take(3).map(_.toChar).mkString == "GIF")
+    val d = Multimodal.decode(gif, "image/gif")
+    assert(d.width == w && d.height == h)
+    val viaPpm = Multimodal.decodePpm(ppm(w, h, raster))
+    assert(d.ahash == viaPpm.ahash && d.phash == viaPpm.phash)
+    // no-mime sniff routes by the GIF magic to the same decode
+    assert(Multimodal.decode(gif) == d)
+    // the m01 batch path consumes GIF records like any other media
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRecord(1L, gif, "image/gif")).toDS()).head()
+    assert(feats.width == w && feats.height == h && feats.ahash == d.ahash)
+    // truncated payloads reject loudly, never silently stub
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(gif.take(10), "image/gif")
+    }
+  }
+
   test("BMP size arithmetic is Long-width: crafted width rejects, never wraps") {
     // w = 0x55555556 makes Int w*3+3 wrap to 5 (stride 4): the Long math
     // must instead trip the raster bounds check loudly
