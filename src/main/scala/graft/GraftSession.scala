@@ -17,10 +17,14 @@ object GraftSession {
     "SPARK_GRAFT_CPUS",
     math.min(32, Runtime.getRuntime.availableProcessors).toString)
 
+  /** `extraConf` lets a caller (PerfAB's A/B variants) layer config keys
+    * on TOP of the canonical session instead of copy-pasting the builder
+    * — the extension and config list lives here and only here. */
   def local(
       cores: String = defaultCores,
-      appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+      appName: String = "graft",
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -37,7 +41,9 @@ object GraftSession {
       // by Spark 4; read as long and convert in Tables().
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = extraConf.foldLeft(builder) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

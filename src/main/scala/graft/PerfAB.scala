@@ -27,24 +27,11 @@ object PerfAB {
     val warm = sys.env.getOrElse("SPARK_GRAFT_AB_WARM", "2").toInt
     val queries = args.toSeq
 
-    def mkSession(v: String): SparkSession = {
-      val spark = SparkSession.builder()
-        .master(s"local[${GraftSession.defaultCores}]")
-        .appName(s"graft-ab-$v")
-        .withExtensions(graft.functions.ParseS3LogExpr.register)
-        .withExtensions(graft.functions.TextSignatureExpr.register)
-        .withExtensions(graft.functions.DotProductExpr.register)
-        .withExtensions(graft.functions.EqCountExpr.register)
-        .config("spark.sql.shuffle.partitions", GraftSession.defaultCores)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
-        .config(key, v)
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      spark
-    }
+    // the CANONICAL session with one key layered on top — never a
+    // hand-copied builder, or the A/B would drift from the gate's
+    // session configuration the moment GraftSession gains an extension
+    def mkSession(v: String): SparkSession =
+      GraftSession.local(appName = s"graft-ab-$v", extraConf = Map(key -> v))
 
     val acc = scala.collection.mutable.Map.empty[(String, String), List[Double]]
       .withDefaultValue(Nil)

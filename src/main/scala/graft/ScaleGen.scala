@@ -58,11 +58,19 @@ object ScaleGen {
       if (id < viralSize) baseText(0) // the viral exact-dup group
       else {
         val roll = draw(id, 1, 1000)
+        // dup branches copy the source doc's ACTUAL text (textOf, not
+        // baseText): the source may itself be a viral or dup-rolled doc,
+        // and duplicating its base text would plant a text no corpus doc
+        // has — pair density would quietly undershoot the documented
+        // rates. Recursion is bounded: each source is strictly smaller
+        // and the chance it is itself a dup is ~5%, so chains are
+        // geometrically short (expected depth ~1.06).
         if (roll < 3 && id > viralSize) // ~0.3% exact dup of an earlier doc
-          baseText(id - 1 - draw(id, 2, math.min(id - 1, 500L).toInt))
+          textOf(id - 1 - draw(id, 2, math.min(id - 1, 500L).toInt), nDocs)
+            .split(" ")
         else if (roll < 53 && id > viralSize) { // ~5% near dup
           val src = id - 1 - draw(id, 3, math.min(id - 1, 500L).toInt)
-          val w = baseText(src)
+          val w = textOf(src, nDocs).split(" ")
           // re-roll ~10% of positions — stays above the 0.5 Jaccard bar
           w.indices.foreach { i =>
             if (draw(id, 200 + i, 10) == 0)

@@ -192,7 +192,7 @@ object Multimodal {
   /** Real JPEG/PNG/GIF decode via `javax.imageio` (JDK-standard, no
     * external codec library): the formats every real crawl contains. The
     * decoded pixels are repacked to the same top-down tightly-packed RGB
-    * raster the PPM/BMP decoders produce, so all four formats share one
+    * raster the PPM/BMP decoders produce, so all five formats share one
     * feature contract — a PNG and a PPM of the same image agree on ahash
     * bit-for-bit (PNG is lossless), and phash is the md5 prefix of that
     * canonical raster. Rejection is loud: an unreadable/truncated

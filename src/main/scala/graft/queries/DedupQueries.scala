@@ -144,15 +144,8 @@ object DedupQueries {
       * whole-stage-codegen subexpression elimination). `withSplit` folds
       * the d13 split hash into the same pass: the contamination check
       * then never rescans the corpus for its split side. */
-    private[queries] val sigs: DataFrame = {
-      val cols = Seq(col("doc_id"), md5(col("text")).as("fp"),
-        col("_sig.mh").as("mh"), col("_sig.bands").as("bands")) ++
-        (if (withSplit)
-           Seq(DocumentQueries.splitOfBucket(
-             col("_sig.split_bucket")).as("split"))
-         else Nil)
-      docs.withColumn("_sig", sigExpr).select(cols: _*).persist()
-    }
+    private[queries] val sigs: DataFrame =
+      signatureTable(docs, withSplit).persist()
 
     /** d03: LSH candidate pairs with signature-estimated similarity
       * ≥ 0.5, between exact-dup representatives. Lazy — reads the shared
@@ -419,11 +412,23 @@ object DedupQueries {
   def incrementalContamination(corpusSigs: DataFrame, batchSigs: DataFrame): DataFrame = {
     val s = corpusSigs.sparkSession
     import s.implicits._
+    // loud schema gate: an artifact written before the split column
+    // existed (pre-round-11 `--sigs` output) must fail HERE with a
+    // migration message, not as an unresolved-column error deep in the
+    // plan — and never as a silently-empty result (a mixed-schema sigDir
+    // read without mergeSchema can surface the column but null it for
+    // old partitions; see the DocumentIngest migration note)
+    for ((df, side) <- Seq((corpusSigs, "corpus"), (batchSigs, "batch")))
+      require(df.columns.contains("split"),
+        s"incrementalContamination: $side signature table has no 'split' " +
+          "column — it was written by a pre-split signatureTable; re-sign " +
+          "that corpus once with signatureTable(docs, withSplit = true)")
     val none = org.apache.spark.storage.StorageLevel.NONE
     val ownCorpus = corpusSigs.storageLevel == none
     val ownBatch = batchSigs.storageLevel == none
     val corpus = if (ownCorpus) corpusSigs.persist() else corpusSigs
     val batch = if (ownBatch) batchSigs.persist() else batchSigs
+    var ownedPairs: Option[DataFrame] = None
     try {
       // exact-dup representatives per side, split carried through the
       // collapse (sound: an fp group is byte-identical text, and
@@ -445,6 +450,11 @@ object DedupQueries {
       val bBands = bReps
         .select($"rep".as("b_rep"), $"mh".as("b_mh"), $"split".as("b_split"),
           posexplode_outer($"bands").as(Seq("b_band_id", "b_band_key")))
+      // cached: referenced twice below (hit-fp broadcast + member
+      // expansion) — without the persist the dominant stage chain (reps
+      // groupBy → capped-band window → band join → distinct) would plan
+      // and run twice inside the one checkpoint action, the same
+      // double-evaluation d14 caches its `nd` to avoid
       val repPairs = bBands
         .join(cBands,
           $"b_band_id" === $"band_id" && $"b_band_key" === $"band_key")
@@ -456,6 +466,8 @@ object DedupQueries {
         .filter($"sim" >= 0.5)
         .filter(($"b_split" === "test" && $"c_split" === "train") ||
           ($"b_split" === "train" && $"c_split" === "test"))
+        .persist()
+      ownedPairs = Some(repPairs)
       // member expansion. Corpus side: only fp groups that actually hit —
       // a broadcast of the (bounded) hit fingerprints back onto the
       // signature table, never a corpus-wide window. Batch side: plain
@@ -484,6 +496,7 @@ object DedupQueries {
           $"sim".as("similarity"))
         .localCheckpoint(true)
     } finally {
+      ownedPairs.foreach(_.unpersist(blocking = false))
       if (ownCorpus) corpus.unpersist(blocking = false)
       if (ownBatch) batch.unpersist(blocking = false)
     }

@@ -73,6 +73,17 @@ object DocumentIngest {
     * signature pass), so `incrementalContamination` — the per-ingest
     * train/test-leak check — runs off it text-free as well.
     *
+    * MIGRATION (pre-split artifacts): a sigDir whose batch partitions
+    * were written before the split column existed must be re-signed once
+    * (`signatureTable(corpusText, withSplit = true)` over the lake) —
+    * split is a pure function of the text, and the text is exactly what
+    * the artifact does not carry, so there is no in-place backfill. Do
+    * NOT mix old and new partitions under one sigDir: a plain parquet
+    * read resolves the schema from one sampled footer, so old rows
+    * either drop the column or read split=null (and a null split can
+    * never satisfy the cross-split filter — silently-empty d24 results).
+    * `incrementalContamination` rejects split-less inputs loudly.
+    *
     * Delivery: foreachBatch is at-least-once on crash-replay (two
     * parquet appends cannot share one transaction log), vs the single
     * file sink's exactly-once. The SIGNATURE artifact is nevertheless

@@ -261,22 +261,13 @@ class OperatorsSpec extends SparkSpec {
 
   // -- d14 train/test contamination -----------------------------------------
 
-  /** The d13 content-hash bucket, recomputed independently. */
-  private def bucketOf(text: String): Long = {
-    val h = text.foldLeft(7L)((acc, c) => (acc * 31 + c.toLong) % TextHash.P)
-    (if (text.isEmpty) 7L else h) % 100
-  }
-
   test("contamination flags planted cross-split near-dups (d14)") {
     import spark.implicits._
-    // engineer a near-dup pair that STRADDLES the split: vary a salt
-    // token until the base lands in train (bucket < 80) and its variant
-    // in test (bucket >= 90). Both searches are deterministic.
+    // engineer a near-dup pair that STRADDLES the split (shared
+    // SparkSpec.straddlePair: salt search against the independently
+    // recomputed d13 bucket)
     val body = (0 until 40).map(t => s"tok$t").mkString(" ")
-    val base = (0 until 1000).iterator
-      .map(i => s"$body salt$i").find(bucketOf(_) < 80).get
-    val leak = (0 until 1000).iterator
-      .map(i => s"$base tail$i").find(bucketOf(_) >= 90).get
+    val (base, leak) = straddlePair(body)
     // a val-side near-dup must NOT be reported (only train leaks matter)
     val valSide = (0 until 1000).iterator
       .map(i => s"$base val$i").find(t => bucketOf(t) >= 80 && bucketOf(t) < 90).get
@@ -298,10 +289,7 @@ class OperatorsSpec extends SparkSpec {
     // same engineered straddle as the d14 test: base lands train, its
     // near-dup variant lands test, a val-side variant must NOT be flagged
     val body = (0 until 40).map(t => s"itok$t").mkString(" ")
-    val base = (0 until 1000).iterator
-      .map(i => s"$body salt$i").find(bucketOf(_) < 80).get
-    val leak = (0 until 1000).iterator
-      .map(i => s"$base tail$i").find(bucketOf(_) >= 90).get
+    val (base, leak) = straddlePair(body)
     val valSide = (0 until 1000).iterator
       .map(i => s"$base val$i").find(t => bucketOf(t) >= 80 && bucketOf(t) < 90).get
     val filler = (0 until 30).map(k =>

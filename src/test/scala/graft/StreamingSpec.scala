@@ -306,27 +306,17 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import graft.streaming.DocumentIngest
     import graft.queries.DedupQueries
-    // the d13 content-hash bucket, recomputed independently (same helper
-    // as OperatorsSpec's d14 fixtures)
-    def bucketOf(text: String): Long = {
-      val h = text.foldLeft(7L)((acc, c) =>
-        (acc * 31 + c.toLong) % graft.operators.TextHash.P)
-      (if (text.isEmpty) 7L else h) % 100
-    }
     val tmp = Files.createTempDirectory("graft-d24").toString
     val landing = s"$tmp/landing"; val out = s"$tmp/corpus"
     val sigDir = s"$tmp/sigs"; val ckpt = s"$tmp/ckpt"
     Files.createDirectories(Paths.get(landing))
-    // engineer the straddle: batch ONE lands a train-side doc, batch TWO
-    // its near-dup on the test side. Same body as OperatorsSpec's d24
-    // fixture — a pair PROVEN to band-collide with estimate ≥ 0.5 (not
-    // every 40-token body + salt search lands one: minhash collision is
-    // text-dependent)
+    // engineer the straddle (shared SparkSpec.straddlePair): batch ONE
+    // lands a train-side doc, batch TWO its near-dup on the test side.
+    // Same body as OperatorsSpec's d24 fixture — a pair PROVEN to
+    // band-collide with estimate ≥ 0.5 (not every 40-token body + salt
+    // search lands one: minhash collision is text-dependent)
     val body = (0 until 40).map(t => s"itok$t").mkString(" ")
-    val base = (0 until 1000).iterator
-      .map(i => s"$body salt$i").find(bucketOf(_) < 80).get
-    val leak = (0 until 1000).iterator
-      .map(i => s"$base tail$i").find(bucketOf(_) >= 90).get
+    val (base, leak) = straddlePair(body)
     def doc(id: Long, text: String, t: String) =
       s"""{"doc_id":$id,"text":"$text","lang":"en","source":"crawl","event_ts":"$t"}"""
     val run = () => {
