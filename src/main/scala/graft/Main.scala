@@ -202,6 +202,10 @@ object Main {
         val writer = opts.named.get("--queue-dir") match {
           case Some(qdir) =>
             val Seq(out, checkpoint) = opts.positional
+            // fixed registry name: fine under the CLI's one-command-per-
+            // JVM contract; a second `stream --queue-dir` in the SAME JVM
+            // would re-register "cli" and silently swap the first
+            // stream's queue — embedders must register distinct names
             graft.sources.QueueRegistry.register("cli",
               new graft.sources.FileQueue(qdir))
             val resolve: (String, String) => String =

@@ -55,8 +55,14 @@ object PerfAB {
     }
     for (q <- queries; v <- vals) {
       val ts = acc((q, v))
+      // true median (mean of the middle two for even counts — upper-middle
+      // alone biases the comparison high by up to the middle gap)
+      val sorted = ts.sorted
+      val med =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       System.err.println(f"[ab-summary] $key=$v%-6s $q%-26s min=${ts.min}%6.2f" +
-        f" med=${ts.sorted.apply(ts.size / 2)}%6.2f  (${ts.reverse.map(t => f"$t%.2f").mkString(" ")})")
+        f" med=$med%6.2f  (${ts.reverse.map(t => f"$t%.2f").mkString(" ")})")
     }
   }
 }

@@ -33,15 +33,22 @@ object ScaleBench {
     // from the events' own time fields (the listener bus is async)
     val jobCount = new AtomicInteger(0)
     val jobNanos = new AtomicLong(0L)
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // java.lang.Long VALUES, deliberately: with a Scala Long value type,
+    // remove() on a missing key returns Java null which unboxes to 0L, so
+    // Option(…) is Some(0L) and a dropped JobStart event (the async bus
+    // sheds load under exactly the biggest runs) would tally the raw
+    // epoch timestamp as a duration instead of being skipped
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        starts.put(j.jobId, j.time)
-      override def onJobEnd(j: SparkListenerJobEnd): Unit =
-        Option(starts.remove(j.jobId)).foreach { t0 =>
+        starts.put(j.jobId, java.lang.Long.valueOf(j.time))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val t0 = starts.remove(j.jobId)
+        if (t0 != null) {
           jobCount.incrementAndGet()
-          jobNanos.addAndGet((j.time - t0) * 1000000L)
+          jobNanos.addAndGet((j.time - t0.longValue()) * 1000000L)
         }
+      }
     })
     val results = scala.collection.mutable.ListBuffer
       .empty[(String, String, Double, Int, Double, Long)]

@@ -423,11 +423,25 @@ object DedupQueries {
         s"incrementalContamination: $side signature table has no 'split' " +
           "column — it was written by a pre-split signatureTable; re-sign " +
           "that corpus once with signatureTable(docs, withSplit = true)")
+    // ...and the column-exists check alone cannot catch the MIXED dir
+    // (new-schema footer sampled, old partitions read split=null — the
+    // silently-empty shape): a per-row null trip riding the existing
+    // projection turns that into a loud error too. signatureTable never
+    // emits a null split, so any null here IS a pre-split partition.
+    def guarded(df: DataFrame, side: String): DataFrame =
+      df.withColumn("split",
+        when($"split".isNull, raise_error(lit(
+          s"incrementalContamination: null 'split' in the $side signature " +
+            "table — mixed pre-/post-split partitions under one sigDir; " +
+            "re-sign the corpus (see DocumentIngest migration note)")))
+          .otherwise($"split"))
     val none = org.apache.spark.storage.StorageLevel.NONE
     val ownCorpus = corpusSigs.storageLevel == none
     val ownBatch = batchSigs.storageLevel == none
-    val corpus = if (ownCorpus) corpusSigs.persist() else corpusSigs
-    val batch = if (ownBatch) batchSigs.persist() else batchSigs
+    val corpus = if (ownCorpus) guarded(corpusSigs, "corpus").persist()
+                 else guarded(corpusSigs, "corpus")
+    val batch = if (ownBatch) guarded(batchSigs, "batch").persist()
+                else guarded(batchSigs, "batch")
     var ownedPairs: Option[DataFrame] = None
     try {
       // exact-dup representatives per side, split carried through the
@@ -443,10 +457,13 @@ object DedupQueries {
       val bReps = reps(batch)
       // corpus bands capped (the d16 asymmetry: degenerate CORPUS buckets
       // carry no selectivity); batch bands exploded plain — the batch is
-      // one ingest's docs
+      // one ingest's docs. `fp` rides the explode (one md5 per band row)
+      // so the hit fingerprints fall out of repPairs directly — the
+      // alternative, joining hits back to cReps, would re-run the
+      // corpus-wide fp groupBy a second time inside the same action.
       val cBands = cappedBands(
-        cReps.select($"rep".as("doc_id"), $"mh", $"bands", $"split"),
-        col("mh"), col("split"))
+        cReps.select($"rep".as("doc_id"), $"mh", $"bands", $"split", $"fp"),
+        col("mh"), col("split"), col("fp"))
       val bBands = bReps
         .select($"rep".as("b_rep"), $"mh".as("b_mh"), $"split".as("b_split"),
           posexplode_outer($"bands").as(Seq("b_band_id", "b_band_key")))
@@ -459,7 +476,7 @@ object DedupQueries {
         .join(cBands,
           $"b_band_id" === $"band_id" && $"b_band_key" === $"band_key")
         .select($"b_rep", $"b_split", $"doc_id".as("c_rep"),
-          $"split".as("c_split"),
+          $"split".as("c_split"), $"fp".as("c_fp"),
           round(expr("graft_eq_count(b_mh, mh)") / lit(K.toDouble), 4)
             .as("sim"))
         .distinct()
@@ -470,10 +487,10 @@ object DedupQueries {
       ownedPairs = Some(repPairs)
       // member expansion. Corpus side: only fp groups that actually hit —
       // a broadcast of the (bounded) hit fingerprints back onto the
-      // signature table, never a corpus-wide window. Batch side: plain
+      // signature table, never a corpus-wide window (and never a second
+      // corpus groupBy: c_fp rode the band join). Batch side: plain
       // fp-group join, batch-sized.
-      val cHitFps = repPairs.select($"c_rep").distinct()
-        .join(cReps.select($"rep".as("c_rep"), $"fp"), "c_rep")
+      val cHitFps = repPairs.select($"c_rep", $"c_fp".as("fp")).distinct()
       val cMembers = corpus.select($"doc_id".as("c_member"), $"fp")
         .join(broadcast(cHitFps), "fp")
         .select($"c_member", $"c_rep")

@@ -322,6 +322,31 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("incremental contamination rejects pre-split and mixed artifacts loudly (d24)") {
+    import spark.implicits._
+    val docs = Seq((0L, (0 until 30).map(t => s"mx$t").mkString(" ")),
+      (1L, (0 until 30).map(t => s"my$t").mkString(" "))).toDF("doc_id", "text")
+    val withSplit = DedupQueries.signatureTable(docs, withSplit = true)
+    // column absent entirely (pre-round-11 artifact): rejected up front
+    val e = intercept[IllegalArgumentException] {
+      DedupQueries.incrementalContamination(
+        DedupQueries.signatureTable(docs), withSplit)
+    }
+    assert(e.getMessage.contains("re-sign"), e.getMessage)
+    // mixed dir shape (column present, null for old partitions): the
+    // per-row trip fires instead of a silently-empty result
+    val mixed = withSplit.withColumn("split",
+      org.apache.spark.sql.functions.when($"doc_id" === 0L,
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+        .otherwise($"split"))
+    val e2 = intercept[Throwable] {
+      DedupQueries.incrementalContamination(mixed, withSplit).count()
+    }
+    val messages = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("mixed pre-/post-split"), messages)
+  }
+
   test("incremental dedup matches new docs against the standing corpus (d16)") {
     import spark.implicits._
     spark.catalog.clearCache()
