@@ -53,7 +53,8 @@ object Bench {
     // them at least 3 runs so the reported min is steady-state-comparable
     // with every other query's warm number (see SURVEY "Reading BENCH
     // files").
-    val scopeIds = Set("d03", "d06", "d11", "d14", "d16", "d24")
+    val scopeIds =
+      graft.queries.DedupQueries.scopedQueryNames.map(_.takeWhile(_ != '_'))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val nRuns = if (scopeIds(name.takeWhile(_ != '_'))) math.max(runs, 3)
                   else runs

@@ -20,8 +20,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   * Usage: `runMain graft.ScaleBench <label>=<dir> [<label>=<dir> ...]`
   */
 object ScaleBench {
-  private val Queries = Seq("d03_minhash_dedup_pairs", "d06_ngram_jaccard_dups",
-    "d11_dup_clusters", "d14_contamination", "d16_incremental_dedup")
+  // derived from the one source of truth so a future scope query is
+  // automatically in the sweep (SCALE.md's recorded session predates d24)
+  private val Queries = graft.queries.DedupQueries.scopedQueryNames.toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val scales = args.toSeq.map { a =>

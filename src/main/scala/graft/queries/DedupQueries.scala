@@ -706,6 +706,20 @@ object DedupQueries {
             FROM expl)
           WHERE bucket_n <= $MaxBandBucket)"""
 
+  /** The gate queries whose execution materializes a per-invocation
+    * cache scope (eager signature-table persist + localCheckpoint):
+    * their first run pays cold parquet reads and first-materialization
+    * that later runs don't, so timing tools must give them extra runs
+    * to report steady-state (Bench) and scale sweeps target exactly
+    * this set (ScaleBench). ONE source of truth — QueriesSpec pins it
+    * to `queries.keySet` so a future scope query can't silently fall
+    * back to cold-skewed min-of-2 numbers (round-10's d06 "3.88 s"
+    * false alarm). */
+  val scopedQueryNames: Set[String] = Set(
+    "d03_minhash_dedup_pairs", "d06_ngram_jaccard_dups",
+    "d11_dup_clusters", "d14_contamination", "d16_incremental_dedup",
+    "d24_incr_contamination")
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // ---- d02: MinHash signatures + LSH band keys -------------------------
     // One codegen pass; each band key is already the '-'-joined run of 4

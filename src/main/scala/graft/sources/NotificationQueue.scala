@@ -37,8 +37,10 @@ final case class QueueMessage(
     receiveCount: Int, sentTsMillis: Long)
 
 /** Directory-backed [[NotificationQueue]] with real lease semantics — the
-  * sandbox-runnable queue (and a usable queue on any shared filesystem,
-  * including multiple consumer PROCESSES): each message is one `<id>.msg`
+  * sandbox-runnable queue (and a usable queue on any HARD-LINK-CAPABLE
+  * shared filesystem — POSIX local disks and NFS; claims fail loudly,
+  * never unsafely, on mounts without link(2) — including multiple
+  * consumer PROCESSES): each message is one `<id>.msg`
   * file (atomic tmp+move publish, like an S3 PUT), each delivery one
   * GENERATION-NUMBERED lease file `.leases/<id>.<gen>` holding
   * `token expiryMillis gen`. The live lease is the highest generation;
@@ -69,8 +71,42 @@ final class FileQueue(
   private val root: Path = {
     val p = Paths.get(dir)
     Files.createDirectories(p.resolve(".leases"))
+    migrateLegacyLeases(p.resolve(".leases"))
     p
   }
+
+  /** The pre-generation lease layout (one `.leases/<id>` file, no
+    * suffix) migrates in place on construction: the recorded count
+    * becomes the generation, so a queue directory carried across the
+    * upgrade keeps its in-flight deliveries leased (no premature
+    * redelivery) and its receive counts (the maxReceives dead-letter
+    * guard stays effective). Link-then-delete; two processes racing the
+    * migration may link different generations from differently-parsed
+    * reads, but the highest-generation rule keeps delivery single and
+    * stale generations are swept on ack. */
+  private def migrateLegacyLeases(ld: Path): Unit =
+    Option(ld.toFile.list()).getOrElse(Array.empty)
+      .filter(n => !n.startsWith(".") && !n.contains('.'))
+      .foreach { id =>
+        val legacy = ld.resolve(id)
+        val gen = (try new String(Files.readAllBytes(legacy),
+            StandardCharsets.UTF_8).trim.split(" ")
+          catch { case _: java.io.IOException => Array.empty[String] }) match {
+          case Array(_, _, c)
+            if c.nonEmpty && c.length <= 9 && c.forall(_.isDigit) =>
+            math.max(c.toInt, 1)
+          case _ => 1
+        }
+        val target = ld.resolve(s"$id.$gen")
+        try { Files.createLink(target, legacy); Files.delete(legacy) }
+        catch {
+          // raced by another process's migration, or a filesystem
+          // without hard links (where claims fail loudly anyway): drop
+          // the legacy file only if the migrated form exists
+          case _: java.io.IOException | _: UnsupportedOperationException =>
+            if (Files.exists(target)) Files.deleteIfExists(legacy)
+        }
+      }
 
   /** Producer side: publish one message body. */
   def enqueue(body: String): String = synchronized {
@@ -121,13 +157,19 @@ final class FileQueue(
   }
 
   override def delete(receiptHandles: Seq[String]): Unit = synchronized {
-    val gens = leaseSnapshot()
+    // ONE lease-dir listing for the whole batch: the per-id generation
+    // files to remove are derived from the same snapshot the token check
+    // reads, so a batch ack is O(listing + batch), not O(batch × listing)
+    val all = leaseGens()
+    val gens = all.groupMapReduce(_._1)(_._2)(math.max)
+    val byId = all.groupBy(_._1)
     receiptHandles.foreach { rh =>
       split(rh).foreach { case (id, token) =>
         gens.get(id).map(g => leaseAt(id, g)) match {
           case Some(l) if l.token == token =>
             Files.deleteIfExists(root.resolve(s"$id.msg"))
-            deleteLeases(id)
+            byId.getOrElse(id, Nil).foreach { case (_, g) =>
+              Files.deleteIfExists(leasePath(id, g)) }
           case _ => // stale receipt: this delivery was superseded — the
                     // message belongs to a newer delivery, leave it
         }
@@ -142,12 +184,19 @@ final class FileQueue(
       receiptHandles.foreach { rh =>
         split(rh).foreach { case (id, token) =>
           gens.get(id).map(g => leaseAt(id, g)) match {
-            case Some(l) if l.token == token =>
-              // same token, SAME generation: the receipt REMAINS VALID
-              // after the heartbeat, and rewriting in place can never
-              // race a claim (claims only create higher generations)
+            case Some(l) if l.token == token && l.expiryMillis > now =>
+              // same token, SAME generation, still live: the receipt
+              // REMAINS VALID after the heartbeat, and rewriting in
+              // place can never race a claim (claims only create higher
+              // generations)
               overwriteLease(id, l.copy(expiryMillis = now + seconds * 1000L))
-            case _ => // stale receipt — nothing to extend
+            case _ => // stale OR EXPIRED receipt — nothing to extend.
+              // SQS errors on a message not in flight; silently
+              // resurrecting an expired lease here would race another
+              // consumer's claim (it snapshots "expired", then this
+              // heartbeat rewrites "live", then its gen+1 create still
+              // succeeds → two consumers both believing they hold a
+              // live lease). Expired means expired: the next claim wins.
           }
         }
       }
@@ -175,19 +224,23 @@ final class FileQueue(
   private def leasePath(id: String, gen: Int): Path =
     leaseDir.resolve(s"$id.$gen")
 
-  /** One directory listing → highest lease generation per message id
+  /** One directory listing → every (message id, lease generation) pair
     * (ids are UUIDs, which contain no '.', so the last dot splits
     * id from generation unambiguously; tmp claim files carry a
     * non-numeric suffix and are filtered out). */
-  private def leaseSnapshot(): Map[String, Int] =
+  private def leaseGens(): Seq[(String, Int)] =
     Option(leaseDir.toFile.list()).getOrElse(Array.empty).toSeq
       .flatMap { n =>
         val i = n.lastIndexOf('.')
         val g = if (i > 0) n.substring(i + 1) else ""
-        if (g.nonEmpty && g.forall(_.isDigit)) Some(n.substring(0, i) -> g.toInt)
+        if (g.nonEmpty && g.length <= 9 && g.forall(_.isDigit))
+          Some(n.substring(0, i) -> g.toInt)
         else None
       }
-      .groupMapReduce(_._1)(_._2)(math.max)
+
+  /** Highest lease generation per message id — the LIVE lease. */
+  private def leaseSnapshot(): Map[String, Int] =
+    leaseGens().groupMapReduce(_._1)(_._2)(math.max)
 
   /** An unparseable lease generation (manual tampering; atomic-create
     * claims cannot tear) reads as EXPIRED AT ITS GENERATION — the message
@@ -217,7 +270,18 @@ final class FileQueue(
     Files.write(tmp,
       s"${l.token} ${l.expiryMillis} ${l.count}".getBytes(StandardCharsets.UTF_8))
     try { Files.createLink(leasePath(id, gen), tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: UnsupportedOperationException =>
+        // fail LOUDLY, not unsafely: falling back to move-based claims
+        // would silently break the cross-process single-delivery
+        // invariant (POSIX rename replaces)
+        throw new IllegalStateException(
+          s"queue dir '$dir' is on a filesystem without hard-link " +
+            "support — FileQueue's cross-process claim requires " +
+            "link(2); put the queue directory on a POSIX/NFS mount",
+          e)
+    }
     finally Files.deleteIfExists(tmp)
   }
 
@@ -236,12 +300,8 @@ final class FileQueue(
   /** Remove every lease generation of a deleted message (old generations
     * accumulate one file per redelivery until the message is acked). */
   private def deleteLeases(id: String): Unit =
-    Option(leaseDir.toFile.list()).getOrElse(Array.empty)
-      .filter { n =>
-        val i = n.lastIndexOf('.')
-        i > 0 && n.substring(0, i) == id && n.substring(i + 1).forall(_.isDigit)
-      }
-      .foreach(n => Files.deleteIfExists(leaseDir.resolve(n)))
+    leaseGens().filter(_._1 == id)
+      .foreach { case (_, g) => Files.deleteIfExists(leasePath(id, g)) }
 
   /** A receipt handle is `<id>:<token>`; a handle with no ':' cannot have
     * been issued by this queue — treat it as stale (skip) rather than

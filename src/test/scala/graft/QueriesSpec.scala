@@ -14,6 +14,17 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("the dedup-scope id set names real queries (Bench/ScaleBench derive from it)") {
+    // scopedQueryNames is the ONE source of truth for which gate queries
+    // pay first-run cache-scope materialization; a typo'd or dropped
+    // entry silently reverts that query to cold-skewed min-of-2 bench
+    // numbers (round-10's d06 false alarm)
+    val ghosts =
+      graft.queries.DedupQueries.scopedQueryNames -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty, s"scoped ids naming no gate query: $ghosts")
+    assert(graft.queries.DedupQueries.scopedQueryNames.nonEmpty)
+  }
+
   test("no gate query plans an unbounded unpartitioned window (single-task hazard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit,
       Window => LWindow, WindowGroupLimit}

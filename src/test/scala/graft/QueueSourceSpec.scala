@@ -104,6 +104,58 @@ class QueueSourceSpec extends SparkSpec {
     assert(seen.size == n)
   }
 
+  test("an expired lease cannot be resurrected by a late heartbeat") {
+    // the TOCTOU this pins: consumer B snapshots an expired lease, then
+    // A's delayed heartbeat rewrites it live, then B's claim succeeds →
+    // both sides believe they hold a live lease. Expired must mean
+    // expired: the late extendVisibility is a no-op (SQS errors on a
+    // message not in flight) and the next receive wins the redelivery.
+    var now = 1000000L
+    val dir = Files.createTempDirectory("graft-q-late-hb").toString
+    val q = new FileQueue(dir, visibilityTimeoutSeconds = 60, clock = () => now)
+    q.enqueue("m")
+    val got = q.receive(10)
+    assert(got.size == 1)
+    now += 61000 // past the visibility timeout: the lease is expired
+    q.extendVisibility(got.map(_.receiptHandle), 300)
+    assert(q.visibleCount == 1,
+      "late heartbeat resurrected an expired lease")
+    val re = q.receive(10)
+    assert(re.size == 1 && re.head.receiveCount == 2)
+    // the resurrection attempt also left the original receipt stale
+    q.delete(got.map(_.receiptHandle))
+    assert(q.size == 1, "stale receipt deleted a redelivered message")
+    q.delete(re.map(_.receiptHandle))
+    assert(q.size == 0)
+  }
+
+  test("pre-generation lease files migrate on construction (in-flight stays leased, counts survive)") {
+    // the upgrade gap this pins: the old layout is one `.leases/<id>`
+    // file holding `token expiry count`; if the new snapshot ignored it,
+    // an in-flight message would redeliver immediately with its receive
+    // count reset (defeating the dead-letter guard) and the orphan file
+    // would sit in .leases forever
+    var now = 1000000L
+    val dir = Files.createTempDirectory("graft-q-migrate")
+    val id = java.util.UUID.randomUUID().toString
+    Files.writeString(dir.resolve(s"$id.msg"), "carried-over body")
+    Files.createDirectories(dir.resolve(".leases"))
+    Files.writeString(dir.resolve(".leases").resolve(id),
+      s"old-token ${now + 60000} 2")
+    val q = new FileQueue(dir.toString, visibilityTimeoutSeconds = 60,
+      clock = () => now)
+    assert(q.visibleCount == 0,
+      "in-flight legacy lease was invisible: immediate redelivery")
+    assert(!Files.exists(dir.resolve(".leases").resolve(id)),
+      "legacy lease file not cleaned up by the migration")
+    now += 61000
+    val re = q.receive(10)
+    assert(re.size == 1 && re.head.receiveCount == 3,
+      s"receive count did not survive the migration: ${re.map(_.receiveCount)}")
+    q.delete(re.map(_.receiptHandle))
+    assert(q.size == 0)
+  }
+
   test("malformed receipt handles are stale, not crashes (batch ack survives)") {
     val dir = Files.createTempDirectory("graft-q-badrh").toString
     val q = new FileQueue(dir, visibilityTimeoutSeconds = 600)
