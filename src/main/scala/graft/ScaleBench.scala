@@ -5,7 +5,8 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 
 /** Dev tool: the scaling measurement behind SCALE.md. Runs the dedup-scope
-  * queries (d03/d06/d11/d14/d16) over ScaleGen corpora at SEVERAL sizes in
+  * queries ([[graft.queries.DedupQueries.scopedQueryNames]]) over
+  * ScaleGen corpora at SEVERAL sizes in
   * ONE session — same JVM, same JIT state, interleaving-free warmup — so
   * the wall-time ratios between scales are real rather than session drift
   * (SURVEY "Reading BENCH files": this box drifts ±30-40% across

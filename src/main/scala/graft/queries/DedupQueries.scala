@@ -62,16 +62,29 @@ object DedupQueries {
     * materialized cache: over the raw projections Catalyst re-inlines
     * the signature tree into every aggregate input (measured 5× slower
     * at 500 docs — and the join-back shape this replaces cost a
-    * broadcast exchange + join stage per use). */
+    * broadcast exchange + join stage per use).
+    *
+    * `extra` columns ride the collapse via first() — sound for the same
+    * byte-identical-group reason; `keepFp` retains the group key for
+    * callers that expand fp groups back to members (d24). ONE
+    * implementation of guards 1+2: d24's per-side collapse reuses this
+    * so a change to the sentinel rule can't leave a second copy behind. */
   private def representatives(sigs: DataFrame): DataFrame =
-    sigs
+    representatives(sigs, keepFp = false)
+
+  private def representatives(sigs: DataFrame, keepFp: Boolean,
+      extra: String*): DataFrame = {
+    val carried = Seq("mh", "bands") ++ extra
+    val grouped = sigs
       // sentinel exclusion: mh[1] == P ⇔ the shingle set is empty (mod-P
       // hashes land in [0, P-1]; P is exactly the empty-doc sentinel)
       .filter(element_at(col("mh"), 1) =!= P)
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"),
-        first(col("mh")).as("mh"), first(col("bands")).as("bands"))
-      .select(col("doc_id"), col("mh"), col("bands"))
+        carried.map(c => first(col(c)).as(c)): _*)
+    if (keepFp) grouped
+    else grouped.select(("doc_id" +: carried).map(col): _*)
+  }
 
   /** band-exploded representatives with degenerate buckets dropped
     * (guard 3). posexplode_outer, NOT posexplode: the non-outer Generate
@@ -444,15 +457,13 @@ object DedupQueries {
                 else guarded(batchSigs, "batch")
     var ownedPairs: Option[DataFrame] = None
     try {
-      // exact-dup representatives per side, split carried through the
-      // collapse (sound: an fp group is byte-identical text, and
-      // identical text has identical split bucket); fp retained for the
-      // member expansion below
-      def reps(sigs: DataFrame): DataFrame = sigs
-        .filter(element_at(col("mh"), 1) =!= P)
-        .groupBy($"fp")
-        .agg(min($"doc_id").as("rep"), first($"mh").as("mh"),
-          first($"bands").as("bands"), first($"split").as("split"))
+      // exact-dup representatives per side — the shared collapse, split
+      // carried through it (sound: an fp group is byte-identical text,
+      // and identical text has identical split bucket); fp retained for
+      // the member expansion below
+      def reps(sigs: DataFrame): DataFrame =
+        representatives(sigs, keepFp = true, "split")
+          .withColumnRenamed("doc_id", "rep")
       val cReps = reps(corpus)
       val bReps = reps(batch)
       // corpus bands capped (the d16 asymmetry: degenerate CORPUS buckets

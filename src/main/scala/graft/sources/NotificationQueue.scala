@@ -83,7 +83,15 @@ final class FileQueue(
     * guard stays effective). Link-then-delete; two processes racing the
     * migration may link different generations from differently-parsed
     * reads, but the highest-generation rule keeps delivery single and
-    * stale generations are swept on ack. */
+    * stale generations are swept on ack.
+    *
+    * The migration is one-shot at construction: STOP the old consumer
+    * before starting a new-format one. An old binary still running
+    * writes dot-less leases the new snapshot never sees, so a
+    * mixed-version pair would double-deliver — no loss vs. the old
+    * contract (the old layout was single-consumer-per-process and never
+    * cross-process-safe to begin with), but the new invariant only
+    * holds among new-format consumers. */
   private def migrateLegacyLeases(ld: Path): Unit =
     Option(ld.toFile.list()).getOrElse(Array.empty)
       .filter(n => !n.startsWith(".") && !n.contains('.'))
@@ -128,10 +136,27 @@ final class FileQueue(
     // writing must agree on "now", or a lease expiring between two reads
     // races the filter
     val now = clock()
-    val gens = leaseSnapshot()
+    val all = leaseGens()
+    val msgs = listMessages()
+    val msgSet = msgs.toSet
+    // sweep orphaned leases: a crash between a claim/ack's message
+    // delete and its lease cleanup leaves generations no ack will ever
+    // visit (receive iterates messages, not leases) — without the sweep
+    // they accumulate forever and slow every listing. Safe to remove:
+    // a lease for an id with no message file is either mid-ack (the
+    // acker is deleting the same files — deleteIfExists is idempotent)
+    // or a true orphan; enqueue publishes the message file before any
+    // lease can exist. Listing ORDER is load-bearing: leases first,
+    // messages second — a lease in the snapshot was created while its
+    // message existed, so a missing message in the LATER listing proves
+    // deletion (the reverse order could sweep a just-claimed live lease
+    // whose message arrived between the listings; ids are never reused).
+    all.filterNot(g => msgSet(g._1)).foreach { case (id, g) =>
+      Files.deleteIfExists(leasePath(id, g)) }
+    val gens = all.filter(g => msgSet(g._1)).groupMapReduce(_._1)(_._2)(math.max)
     val out = Seq.newBuilder[QueueMessage]
     var taken = 0
-    val it = listMessages().iterator
+    val it = msgs.iterator
     while (it.hasNext && taken < max) {
       val id = it.next()
       val prior = gens.get(id).map(g => leaseAt(id, g))

@@ -156,6 +156,21 @@ class QueueSourceSpec extends SparkSpec {
     assert(q.size == 0)
   }
 
+  test("orphaned lease files (message gone, lease cleanup crashed) are swept on receive") {
+    // a crash between a batch ack's message delete and its lease cleanup
+    // leaves generations for an id receive() never visits (it iterates
+    // messages, not leases); without the sweep they accumulate forever
+    val dir = Files.createTempDirectory("graft-q-orphan")
+    val q = new FileQueue(dir.toString, visibilityTimeoutSeconds = 60)
+    q.enqueue("live")
+    val ghost = java.util.UUID.randomUUID().toString
+    Files.writeString(dir.resolve(".leases").resolve(s"$ghost.3"), "tok 99 3")
+    val got = q.receive(10)
+    assert(got.size == 1, "sweep interfered with live delivery")
+    assert(!Files.exists(dir.resolve(".leases").resolve(s"$ghost.3")),
+      "orphaned lease survived the sweep")
+  }
+
   test("malformed receipt handles are stale, not crashes (batch ack survives)") {
     val dir = Files.createTempDirectory("graft-q-badrh").toString
     val q = new FileQueue(dir, visibilityTimeoutSeconds = 600)
