@@ -53,11 +53,13 @@ object Bench {
     // them at least 3 runs so the reported min is steady-state-comparable
     // with every other query's warm number (see SURVEY "Reading BENCH
     // files").
-    val scopeIds =
-      graft.queries.DedupQueries.scopedQueryNames.map(_.takeWhile(_ != '_'))
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val nRuns = if (scopeIds(name.takeWhile(_ != '_'))) math.max(runs, 3)
-                  else runs
+      // full-name membership, not id-prefix: QueriesSpec pins the set
+      // to exact query keys, and a prefix match would silently widen to
+      // any future query sharing a scoped id prefix
+      val nRuns =
+        if (graft.queries.DedupQueries.scopedQueryNames(name)) math.max(runs, 3)
+        else runs
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -38,16 +38,24 @@ object PerfAB {
     for (r <- 1 to rounds; v <- vals) {
       val spark = mkSession(v)
       for (q <- queries) {
-        // warm runs un-timed, then one timed run per round
-        (1 to warm).foreach(_ => SparkEntry.queries(q)(spark, sfDir).count())
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
+        // every run — warm or timed — releases its storage AFTER the
+        // clock stops, so the timed sample never executes under the
+        // warm runs' inherited localCheckpoint blocks (the exact
+        // storage-pressure skew Bench's per-run unpersist exists to
+        // prevent; round-3 bench measured it at 3-4×)
+        def runOnce(): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache()
+          dt
+        }
+        (1 to warm).foreach(_ => runOnce()) // warm runs un-timed
+        val dt = runOnce()                  // one timed run per round
         acc((q, v)) = dt :: acc((q, v))
         System.err.println(f"[ab] round $r $key=$v $q%-26s $dt%6.2f s")
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        spark.catalog.clearCache()
       }
       spark.stop()
       SparkSession.clearActiveSession()

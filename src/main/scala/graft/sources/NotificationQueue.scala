@@ -167,14 +167,19 @@ final class FileQueue(
           Lease(token, now + visibilityTimeoutSeconds * 1000L, gen))
         if (claimed) {
           // the message file can vanish between the snapshot and the
-          // claim (a racing delete with a then-valid receipt): drop the
-          // orphan lease rather than deliver a body-less message
+          // claim (a racing delete with a then-valid receipt) — or
+          // between any existence check and the reads themselves, so
+          // the reads ARE the check: NoSuchFile means the vanished-
+          // message case (drop the orphan lease, skip) rather than
+          // failing the whole poll and killing the streaming query
           val msg = root.resolve(s"$id.msg")
-          if (Files.exists(msg)) {
+          try {
             out += QueueMessage(id, s"$id:$token", body(id), gen,
               Files.getLastModifiedTime(msg).toMillis)
             taken += 1
-          } else deleteLeases(id)
+          } catch {
+            case _: java.nio.file.NoSuchFileException => deleteLeases(id)
+          }
         } // else: another consumer process won this generation — skip
       }
     }
@@ -182,6 +187,7 @@ final class FileQueue(
   }
 
   override def delete(receiptHandles: Seq[String]): Unit = synchronized {
+    val now = clock()
     // ONE lease-dir listing for the whole batch: the per-id generation
     // files to remove are derived from the same snapshot the token check
     // reads, so a batch ack is O(listing + batch), not O(batch × listing)
@@ -192,9 +198,24 @@ final class FileQueue(
       split(rh).foreach { case (id, token) =>
         gens.get(id).map(g => leaseAt(id, g)) match {
           case Some(l) if l.token == token =>
-            Files.deleteIfExists(root.resolve(s"$id.msg"))
-            byId.getOrElse(id, Nil).foreach { case (_, g) =>
-              Files.deleteIfExists(leasePath(id, g)) }
+            // the token check alone is check-then-act over the batch's
+            // one snapshot: if THIS receipt's lease expired mid-batch,
+            // another process can claim gen+1 and start processing
+            // between the snapshot and this unlink — deleting then would
+            // remove a message someone else now holds (LOST if that
+            // consumer crashes). Claiming gen+1 ourselves through the
+            // same atomic-create gate settles it: exactly one of {this
+            // ack, that redelivery claim} wins gen+1, and losing means
+            // the receipt is stale after all.
+            val gen = gens(id)
+            val claimed = tryCreateLease(id, gen + 1,
+              Lease(java.util.UUID.randomUUID().toString,
+                now + visibilityTimeoutSeconds * 1000L, gen + 1))
+            if (claimed) {
+              Files.deleteIfExists(root.resolve(s"$id.msg"))
+              (byId.getOrElse(id, Nil).map(_._2) :+ (gen + 1)).foreach { g =>
+                Files.deleteIfExists(leasePath(id, g)) }
+            } // else: superseded between snapshot and ack — stale, leave it
           case _ => // stale receipt: this delivery was superseded — the
                     // message belongs to a newer delivery, leave it
         }

@@ -156,6 +156,64 @@ class QueueSourceSpec extends SparkSpec {
     assert(q.size == 0)
   }
 
+  test("an ack racing a redelivery claim cannot delete the other consumer's message") {
+    // the check-then-act this pins: consumer A's batch ack verifies its
+    // receipts against ONE snapshot; if a lease expired mid-batch,
+    // consumer B can re-claim the message inside A's loop — A's delete
+    // must then lose (the ack claims gen+1 through the same atomic gate
+    // redelivery does), or B's in-flight message would be destroyed
+    val dir = Files.createTempDirectory("graft-q-ackrace")
+    val now = new java.util.concurrent.atomic.AtomicLong(1000000L)
+    val qa = new FileQueue(dir.toString, visibilityTimeoutSeconds = 60,
+      clock = () => now.get)
+    val qb = new FileQueue(dir.toString, visibilityTimeoutSeconds = 60,
+      clock = () => now.get)
+    val n = 30
+    (1 to n).foreach(i => qa.enqueue(s"m$i"))
+    val got = qa.receive(n)
+    assert(got.size == n)
+    now.addAndGet(61000L) // every lease expires while A still "works"
+    val bSeen = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val ta = new Thread(() => {
+      start.await(); qa.delete(got.map(_.receiptHandle)) })
+    val tb = new Thread(() => {
+      start.await()
+      var more = true
+      while (more) {
+        val g = qb.receive(3)
+        g.foreach(m => bSeen.add(m.messageId))
+        more = g.nonEmpty
+      }
+    })
+    ta.start(); tb.start(); start.countDown()
+    ta.join(30000); tb.join(30000)
+    // exactly B's re-claimed messages survive: one B holds was not
+    // deleted, and every message B did not take was acked away
+    val surviving = Option(dir.toFile.list()).getOrElse(Array.empty)
+      .filter(_.endsWith(".msg")).map(_.stripSuffix(".msg")).toSet
+    val bIds = { import scala.jdk.CollectionConverters._; bSeen.asScala.toSet }
+    assert(surviving == bIds,
+      s"ack/claim race: B re-claimed ${bIds.size}, queue kept " +
+        s"${surviving.size} — a re-claimed message was deleted or an " +
+        "unclaimed one survived its ack")
+  }
+
+  test("an expired-but-unreclaimed receipt still acks (SQS delete semantics)") {
+    // SQS deletes on a receipt whose visibility lapsed as long as the
+    // message was not received again; the atomic gen+1 supersede in
+    // delete() must preserve that, not turn every late ack into a no-op
+    var now = 1000000L
+    val dir = Files.createTempDirectory("graft-q-lateack").toString
+    val q = new FileQueue(dir, visibilityTimeoutSeconds = 60, clock = () => now)
+    q.enqueue("m")
+    val got = q.receive(10)
+    now += 61000 // lease expired, nobody re-received
+    q.delete(got.map(_.receiptHandle))
+    assert(q.size == 0, "late ack of an unreclaimed message no-opped")
+  }
+
   test("orphaned lease files (message gone, lease cleanup crashed) are swept on receive") {
     // a crash between a batch ack's message delete and its lease cleanup
     // leaves generations for an id receive() never visits (it iterates
