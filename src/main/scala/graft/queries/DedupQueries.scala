@@ -224,14 +224,17 @@ object DedupQueries {
       //     (d14 2.00/2.22, d06 1.18/1.30 — task count is not the cost);
       //   - eager exploded.count() before the consumers
       //     (d14 2.50/2.16, d06 1.21/1.17 — within noise);
-      //   - adaptive.enabled=false is the ONE positive (d14 3.05→2.35,
-      //     ~-23%) but is rejected: at 100 TB the signature-volume
-      //     stages (representatives' fp groupBy, the band window) are
-      //     exactly where AQE's coalesce/skew re-planning earns its
-      //     keep, so trading it for test-SF job-scheduling latency is
-      //     backwards. The per-stage latency floor is the cost of a
-      //     deep plan on an idle scheduler; SCALE.md measures how it
-      //     amortizes with data volume.
+      //   - adaptive.enabled=false initially read as -23% on d14, but
+      //     that was a PerfAB harness artifact (timed runs executed
+      //     under the warm runs' retained checkpoint blocks; fixed late
+      //     round 11) — re-measured with the fixed harness it is a
+      //     clean null with AQE ON slightly ahead (med 1.87 vs 2.02),
+      //     so the production-correct setting (AQE's coalesce/skew
+      //     re-planning is exactly what the signature-volume stages
+      //     want at 100 TB) costs nothing even at test SF. The
+      //     per-stage latency floor is the cost of a deep plan on an
+      //     idle scheduler; SCALE.md measures how it amortizes with
+      //     data volume.
       val exploded = owned(cappedBands(representatives(sigs)))
       val cand = exploded.as("x")
         .join(exploded.as("y"),
@@ -609,6 +612,45 @@ object DedupQueries {
       connectedComponents(scope.pairs.select(col("doc_a"), col("doc_b")))
     }
 
+  /** d25: APPLY the dedup decision — the disposition a training pipeline
+    * actually executes to emit its corpus: every document labeled
+    * `kept`, `exact_dup` (a byte-identical copy of an earlier doc), or
+    * `near_dup` (an exact-dup representative whose near-dup cluster
+    * keeps a smaller doc), with `canonical_id` = the kept document this
+    * one's content collapses to. Filtering to `status = 'kept'` (or
+    * `doc_id = canonical_id`) yields exactly one doc per content
+    * cluster; d01/d03/d11 DETECT, this DISPOSES.
+    *
+    * Composition (nothing new moves): exact stage = min doc_id per
+    * fingerprint over the scope's one signature pass (fixed-width fp
+    * shuffle keys — shingle-less docs participate here too, identical
+    * empty-ish texts are still exact dups); near-dup stage = the d11
+    * cluster labels over the capped rep-level pair graph; disposition =
+    * one rep-keyed left join of the corpus-size member table against
+    * the (pair-graph-bounded) label table. Canonical chase terminates
+    * in one step by construction: a cluster label IS the component's
+    * min doc, whose own label is itself. */
+  def dedupApply(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    withDedupScope(docs) { scope =>
+      val members = scope.sigs.select($"doc_id", $"fp")
+        .withColumn("rep", min($"doc_id").over(Window.partitionBy($"fp")))
+        .drop("fp")
+      val clusters =
+        connectedComponents(scope.pairs.select($"doc_a", $"doc_b"))
+          .select($"doc_id".as("rep"), $"cluster_id")
+      val canonical = coalesce($"cluster_id", $"rep")
+      members.join(clusters, Seq("rep"), "left")
+        .select($"doc_id",
+          canonical.as("canonical_id"),
+          when($"doc_id" === canonical, "kept")
+            .when($"doc_id" =!= $"rep", "exact_dup")
+            .otherwise("near_dup").as("status"))
+        .localCheckpoint(true)
+    }
+  }
+
   /** Connected components over an undirected pair graph (doc_a, doc_b):
     * every node labeled with the min doc_id reachable from it. */
   def connectedComponents(pairFrame: DataFrame): DataFrame = {
@@ -729,7 +771,7 @@ object DedupQueries {
   val scopedQueryNames: Set[String] = Set(
     "d03_minhash_dedup_pairs", "d06_ngram_jaccard_dups",
     "d11_dup_clusters", "d14_contamination", "d16_incremental_dedup",
-    "d24_incr_contamination")
+    "d24_incr_contamination", "d25_dedup_apply")
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // ---- d02: MinHash signatures + LSH band keys -------------------------
@@ -822,6 +864,12 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- d25: apply the dedup decision (corpus disposition) -------------
+    "d25_dedup_apply" -> { (s, dir) =>
+      import s.implicits._
+      dedupApply(Tables(s, dir, "documents")).orderBy($"doc_id")
+    },
+
     // ---- d19: within-document repetition ratio ---------------------------
     // The Gopher-family quality signal the near-dup operators don't
     // cover: how much of a document is the document repeating ITSELF —
@@ -900,6 +948,35 @@ object DedupQueries {
             SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
           SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
           FROM reach GROUP BY u ORDER BY doc_id""",
+    "d25_dedup_apply" ->
+      s"""WITH RECURSIVE $duckReps,
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+            WHERE round(len(list_filter(range(1, ${K + 1}), i -> a.mh[i] = b.mh[i]))
+                    / ${K}.0, 4) >= 0.5),
+          edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          labels AS (
+            SELECT u AS rep, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u),
+          fpg AS (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+            FROM documents)
+          SELECT f.doc_id,
+            CAST(coalesce(l.cluster_id, f.rep) AS BIGINT) AS canonical_id,
+            CASE WHEN f.doc_id = coalesce(l.cluster_id, f.rep) THEN 'kept'
+                 WHEN f.doc_id <> f.rep THEN 'exact_dup'
+                 ELSE 'near_dup' END AS status
+          FROM fpg f LEFT JOIN labels l ON l.rep = f.rep
+          ORDER BY doc_id""",
     "d04_simhash" ->
       s"""WITH th AS (SELECT doc_id, unnest(${duckTokenHashes("text")}) AS t
                       FROM documents),

@@ -142,6 +142,43 @@ class OperatorsSpec extends SparkSpec {
       s"text chain did not collapse: $textClusters")
   }
 
+  test("dedup apply keeps exactly one doc per content cluster (d25)") {
+    import spark.implicits._
+    // corpus exercising every disposition path: {1,2,3} byte-identical
+    // (exact stage), {11,12} identical to each other and a 2-token drift
+    // from doc 1's text (near-dup cluster whose canonical chases through
+    // BOTH stages), {30,31} identical shingle-less texts (sentinel docs
+    // never enter the band machinery but are still exact dups), and a
+    // unique doc 20
+    val base = (0 until 40).map(t => s"tok$t").mkString(" ")
+    val drift = ((0 until 40).map(t => s"tok$t") ++ Seq("padA", "padB"))
+      .drop(2).mkString(" ")
+    val docs = Seq(
+      1L -> base, 2L -> base, 3L -> base,
+      11L -> drift, 12L -> drift,
+      20L -> (0 until 30).map(t => s"uniq$t").mkString(" "),
+      30L -> "x", 31L -> "x").toDF("doc_id", "text")
+    val out = DedupQueries.dedupApply(docs)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupApply left cached tables behind")
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(m.size == 8, s"one disposition row per doc expected: $m")
+    assert(m(1L) == ((1L, "kept")))
+    assert(m(2L) == ((1L, "exact_dup")) && m(3L) == ((1L, "exact_dup")))
+    // 11 is {11,12}'s fp representative; its near-dup cluster keeps 1 —
+    // and 12's canonical chases through 11's cluster to 1 in one step
+    assert(m(11L) == ((1L, "near_dup")), s"got ${m(11L)}")
+    assert(m(12L) == ((1L, "exact_dup")), s"got ${m(12L)}")
+    assert(m(20L) == ((20L, "kept")))
+    assert(m(30L) == ((30L, "kept")) && m(31L) == ((30L, "exact_dup")))
+    // global invariants: every canonical_id references a kept doc, and
+    // filtering to kept yields exactly one doc per canonical
+    val kept = m.filter(_._2._2 == "kept").keySet
+    assert(m.values.map(_._1).toSet == kept,
+      "a canonical_id references a dropped doc")
+  }
+
   test("duplicate clusters on a dup-free corpus is empty, not an error") {
     import spark.implicits._
     // every text unique and dissimilar -> zero candidate pairs -> the
