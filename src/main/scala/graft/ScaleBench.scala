@@ -22,7 +22,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   */
 object ScaleBench {
   // derived from the one source of truth so a future scope query is
-  // automatically in the sweep (SCALE.md's recorded session predates d24)
+  // automatically in the sweep
   private val Queries = graft.queries.DedupQueries.scopedQueryNames.toSeq.sorted
 
   def main(args: Array[String]): Unit = {

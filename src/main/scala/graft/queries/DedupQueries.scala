@@ -86,6 +86,17 @@ object DedupQueries {
     else grouped.select(("doc_id" +: carried).map(col): _*)
   }
 
+  /** doc → its exact-dup representative (min doc_id per fingerprint) as
+    * a WINDOW over an already-materialized signature frame, `carry`
+    * columns riding along — the member-expansion twin of
+    * [[representatives]]' groupBy form, used where every member row must
+    * survive rather than one per group. ONE definition of the rep rule:
+    * d14, d16 and d25 all expand members through this. */
+  private def memberReps(sigs: DataFrame, carry: String*): DataFrame =
+    sigs.select((Seq("doc_id", "fp") ++ carry).map(col): _*)
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .drop("fp")
+
   /** band-exploded representatives with degenerate buckets dropped
     * (guard 3). posexplode_outer, NOT posexplode: the non-outer Generate
     * makes InferFiltersFromGenerate push a `size(bands)>0` filter to the
@@ -373,9 +384,7 @@ object DedupQueries {
             .as("sim"))
         .distinct()
         .filter($"sim" >= 0.5)
-      val batchRepOf = batch
-        .select($"doc_id", $"fp")
-        .withColumn("rep", min($"doc_id").over(Window.partitionBy($"fp")))
+      val batchRepOf = memberReps(batch)
       val near = batchRepOf
         .join(nearRep, $"rep" === $"b_id")
         .select($"doc_id", $"c_id".as("match_id"), $"sim")
@@ -560,14 +569,12 @@ object DedupQueries {
       // below references them twice, and the exact-Jaccard verify join is
       // the stage's dominant cost — computing it once halves the query
       val nd = scope.owned(scope.verifiedPairs)
-      // doc → its exact-dup representative (min doc_id per fingerprint):
-      // a window over the already-materialized sigs, which also carry
-      // the split label — no second pass over the corpus at all. Cached
+      // doc → its exact-dup representative: the shared memberReps window
+      // over the already-materialized sigs, which also carry the split
+      // label — no second pass over the corpus at all. Cached
       // (scope-owned): the test and train sides below would otherwise
       // each run the window shuffle.
-      val members = scope.owned(scope.sigs.select($"doc_id", $"fp", $"split")
-        .withColumn("rep", min($"doc_id").over(Window.partitionBy($"fp")))
-        .drop("fp"))
+      val members = scope.owned(memberReps(scope.sigs, "split"))
       val test = members.filter($"split" === "test")
         .select($"doc_id".as("test_id"), $"rep".as("rep_t"))
       val train = members.filter($"split" === "train")
@@ -634,12 +641,8 @@ object DedupQueries {
     val s = docs.sparkSession
     import s.implicits._
     withDedupScope(docs) { scope =>
-      val members = scope.sigs.select($"doc_id", $"fp")
-        .withColumn("rep", min($"doc_id").over(Window.partitionBy($"fp")))
-        .drop("fp")
-      val clusters =
-        connectedComponents(scope.pairs.select($"doc_a", $"doc_b"))
-          .select($"doc_id".as("rep"), $"cluster_id")
+      val members = memberReps(scope.sigs)
+      val clusters = scope.clusters.select($"doc_id".as("rep"), $"cluster_id")
       val canonical = coalesce($"cluster_id", $"rep")
       members.join(clusters, Seq("rep"), "left")
         .select($"doc_id",

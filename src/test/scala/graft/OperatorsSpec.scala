@@ -161,9 +161,13 @@ class OperatorsSpec extends SparkSpec {
     val out = DedupQueries.dedupApply(docs)
     assert(spark.sharedState.cacheManager.isEmpty,
       "dedupApply left cached tables behind")
-    val m = out.collect()
+    val rows = out.collect()
+    // length BEFORE the by-doc_id map: a fan-out regression (e.g. a
+    // non-unique clusters side) emits duplicate rows toMap would hide
+    assert(rows.length == 8, s"one disposition row per doc expected, " +
+      s"got ${rows.length}")
+    val m = rows
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
-    assert(m.size == 8, s"one disposition row per doc expected: $m")
     assert(m(1L) == ((1L, "kept")))
     assert(m(2L) == ((1L, "exact_dup")) && m(3L) == ((1L, "exact_dup")))
     // 11 is {11,12}'s fp representative; its near-dup cluster keeps 1 —
