@@ -43,6 +43,13 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       auto-detected from the lake's hive directory names. `--flat`
   *       compacts an unpartitioned dir (e.g. the streaming signature
   *       table) — explicit, never inferred.
+  *   dedup <corpusDir> <outDir>
+  *       corpus disposition ([[graft.queries.DedupQueries.dedupApply]],
+  *       d25): label every document kept / exact_dup / near_dup with its
+  *       canonical doc and write the disposition parquet — the step a
+  *       training pipeline runs between `ingest` and training-set
+  *       emission (filter the corpus to `status = 'kept'`, or join on
+  *       `canonical_id`).
   *
   * Config comes from the process environment via [[EtlConfig.fromEnv]] —
   * the reference's full env vocabulary, unknown S3LOGS_* keys rejected
@@ -62,7 +69,8 @@ object Main {
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
       |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
       |  graft.Main ingest [--once] [--sigs <sigDir>] <dropDir> <corpusDir> <checkpointDir>
-      |  graft.Main compact <lakeDir> [--flat | <partitionCol>...]""".stripMargin
+      |  graft.Main compact <lakeDir> [--flat | <partitionCol>...]
+      |  graft.Main dedup <corpusDir> <outDir>""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -176,6 +184,21 @@ object Main {
           compression = cfg.compression)
         Seq(s"compact task ended, ${st.rows} rows kept, " +
           s"${st.files0} -> ${st.files1} files")
+      case "dedup" :: corpus :: out :: Nil =>
+        // the d25 disposition as a pipeline command: one artifact write,
+        // decision counts on stdout. The groupBy below reads the
+        // checkpoint-backed disposition frame — the dedup pipeline runs
+        // once, not once per consumer.
+        val docs = spark.read.parquet(corpus)
+        val disp = graft.queries.DedupQueries.dedupApply(
+          docs.select("doc_id", "text"))
+        disp.write.mode("overwrite").parquet(out)
+        val counts = disp.groupBy("status").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val total = counts.values.sum
+        Seq(s"dedup task ended, ${counts.getOrElse("kept", 0L)} of $total " +
+          s"docs kept (${counts.getOrElse("exact_dup", 0L)} exact, " +
+          s"${counts.getOrElse("near_dup", 0L)} near duplicates dropped)")
       case "stream" :: rest if {
           // the two modes take different positional arities; an arity
           // that matches NEITHER mode (e.g. --queue-dir plus a landing

@@ -229,6 +229,28 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/lake").count() == 65)
   }
 
+  test("dedup: disposition artifact written, decision counts printed") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-dedup").toString
+    val base = (0 until 40).map(t => s"tok$t").mkString(" ")
+    val drift = ((0 until 40).map(t => s"tok$t") ++ Seq("pA", "pB"))
+      .drop(2).mkString(" ")
+    Seq(1L -> base, 2L -> base, 11L -> drift,
+      20L -> (0 until 30).map(t => s"cli$t").mkString(" "))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
+    val out = Main.run(spark, Seq("dedup", s"$tmp/corpus", s"$tmp/disp"))
+    assert(out == Seq("dedup task ended, 2 of 4 docs kept " +
+      "(1 exact, 1 near duplicates dropped)"), out.mkString("\n"))
+    // the artifact IS the printed decision: one row per doc, kept set =
+    // {1 (canonical of the near-dup cluster), 20 (unique)}
+    val disp = spark.read.parquet(s"$tmp/disp")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("canonical_id"), r.getAs[String]("status")))).toMap
+    assert(disp.size == 4)
+    assert(disp(1L) == ((1L, "kept")) && disp(20L) == ((20L, "kept")))
+    assert(disp(2L) == ((1L, "exact_dup")) && disp(11L) == ((1L, "near_dup")))
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))
