@@ -192,10 +192,24 @@ object Main {
         val docs = spark.read.parquet(corpus)
         val disp = graft.queries.DedupQueries.dedupApply(
           docs.select("doc_id", "text"))
-        disp.write.mode("overwrite").parquet(out)
+        // all reads below hit the checkpoint-backed disposition frame.
+        // Re-keyed/replayed corpora (same doc_id appearing twice, e.g.
+        // an ingest re-run against a lost checkpoint) would make the
+        // disposition ambiguous AND leave duplicates in the "kept" set —
+        // fail before writing, don't emit a dedup artifact that keeps
+        // duplicates.
         val counts = disp.groupBy("status").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val total = counts.values.sum
+        val distinctIds = disp.select("doc_id").distinct().count()
+        if (distinctIds != total)
+          fail(s"corpus has ${total - distinctIds} duplicate doc_id " +
+            "row(s) — doc ids must be unique; re-key or compact the " +
+            "corpus before disposition")
+        disp.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+          .parquet(out)
         Seq(s"dedup task ended, ${counts.getOrElse("kept", 0L)} of $total " +
           s"docs kept (${counts.getOrElse("exact_dup", 0L)} exact, " +
           s"${counts.getOrElse("near_dup", 0L)} near duplicates dropped)")

@@ -640,7 +640,36 @@ object DedupQueries {
   def dedupApply(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    withDedupScope(docs) { scope =>
+    // loud contract checks — this operator is CLI-reachable over
+    // arbitrary user parquet, where a schema deviation must fail, not
+    // silently disposition wrong:
+    //   - non-integral doc_id: connectedComponents' label cast("long")
+    //     would null every cluster_id and every near-dup would read
+    //     'kept';
+    //   - null text / null doc_id: md5(null) groups all null-text rows
+    //     into ONE fp "exact-dup" group of unrelated documents. The
+    //     null trips ride the existing projection (the d24 guard
+    //     pattern), costing nothing on a clean corpus.
+    docs.schema("doc_id").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"dedupApply: doc_id must be an integral type, got $other — " +
+          "re-key the corpus (e.g. monotonically increasing ids) before " +
+          "disposition")
+    }
+    val guarded = docs
+      .withColumn("doc_id", when($"doc_id".isNull,
+        raise_error(lit("dedupApply: null doc_id in the corpus")))
+        .otherwise($"doc_id"))
+      .withColumn("text", when($"text".isNull,
+        raise_error(lit("dedupApply: null text in the corpus — filter " +
+          "or repair extraction failures before disposition (ingest " +
+          "drops them at the door)")))
+        .otherwise($"text"))
+    withDedupScope(guarded) { scope =>
       val members = memberReps(scope.sigs)
       val clusters = scope.clusters.select($"doc_id".as("rep"), $"cluster_id")
       val canonical = coalesce($"cluster_id", $"rep")

@@ -249,6 +249,18 @@ class MainSpec extends SparkSpec {
     assert(disp.size == 4)
     assert(disp(1L) == ((1L, "kept")) && disp(20L) == ((20L, "kept")))
     assert(disp(2L) == ((1L, "exact_dup")) && disp(11L) == ((1L, "near_dup")))
+    // a replayed corpus (same doc_id twice) makes the disposition
+    // ambiguous and would leave duplicates in the kept set — the
+    // command must refuse before writing, not emit a dedup artifact
+    // that keeps duplicates
+    Seq(5L -> "replayed row text", 5L -> "replayed row text")
+      .toDF("doc_id", "text").write.parquet(s"$tmp/dupcorpus")
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("dedup", s"$tmp/dupcorpus", s"$tmp/dispdup"))
+    }
+    assert(e.getMessage.contains("duplicate doc_id"), e.getMessage)
+    assert(!new java.io.File(s"$tmp/dispdup").exists,
+      "refused disposition still wrote an artifact")
   }
 
   test("transform without -o or inputs fails loudly; bad flags too") {

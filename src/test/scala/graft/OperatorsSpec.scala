@@ -183,6 +183,27 @@ class OperatorsSpec extends SparkSpec {
       "a canonical_id references a dropped doc")
   }
 
+  test("dedup apply fails loudly on schema deviations (d25 CLI contract)") {
+    import spark.implicits._
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    // string doc_id: connectedComponents' label cast would null every
+    // cluster_id and silently pass all near-dups as kept
+    val e1 = intercept[IllegalArgumentException] {
+      DedupQueries.dedupApply(
+        Seq(("a", "words here now")).toDF("doc_id", "text"))
+    }
+    assert(e1.getMessage.contains("integral"))
+    // null text: md5(null) would collapse unrelated docs into one
+    // "exact-dup" group of the smallest null-text id
+    val e2 = intercept[Exception] {
+      DedupQueries.dedupApply(
+        Seq(1L -> "fine words here", 2L -> null.asInstanceOf[String])
+          .toDF("doc_id", "text"))
+    }
+    assert(msgs(e2).contains("null text"), msgs(e2))
+  }
+
   test("duplicate clusters on a dup-free corpus is empty, not an error") {
     import spark.implicits._
     // every text unique and dissimilar -> zero candidate pairs -> the
