@@ -189,23 +189,29 @@ object Main {
         // decision counts on stdout. The groupBy below reads the
         // checkpoint-backed disposition frame — the dedup pipeline runs
         // once, not once per consumer.
+        // overwrite guard: the disposition frame is checkpoint-backed,
+        // so Spark's own "cannot overwrite a path being read from"
+        // check never fires — an out == corpus typo would replace the
+        // documents with the 3-column disposition table.
+        def qualified(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (qualified(out) == qualified(corpus))
+          fail("dedup: the output dir must differ from the corpus dir " +
+            "— overwrite would destroy the corpus")
         val docs = spark.read.parquet(corpus)
+        // dedupApply itself refuses duplicate doc_ids (a replayed
+        // corpus), null ids/text, and non-integral id types — before
+        // the pipeline runs, so a refused corpus writes no artifact.
         val disp = graft.queries.DedupQueries.dedupApply(
           docs.select("doc_id", "text"))
-        // all reads below hit the checkpoint-backed disposition frame.
-        // Re-keyed/replayed corpora (same doc_id appearing twice, e.g.
-        // an ingest re-run against a lost checkpoint) would make the
-        // disposition ambiguous AND leave duplicates in the "kept" set —
-        // fail before writing, don't emit a dedup artifact that keeps
-        // duplicates.
+        // all reads below hit the checkpoint-backed disposition frame —
+        // the dedup pipeline runs once, not once per consumer.
         val counts = disp.groupBy("status").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val total = counts.values.sum
-        val distinctIds = disp.select("doc_id").distinct().count()
-        if (distinctIds != total)
-          fail(s"corpus has ${total - distinctIds} duplicate doc_id " +
-            "row(s) — doc ids must be unique; re-key or compact the " +
-            "corpus before disposition")
         disp.write.mode("overwrite")
           .option("compression", cfg.compression)
           .option("maxRecordsPerFile", cfg.maxRecordsPerFile)

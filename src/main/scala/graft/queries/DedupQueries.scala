@@ -660,6 +660,16 @@ object DedupQueries {
           "re-key the corpus (e.g. monotonically increasing ids) before " +
           "disposition")
     }
+    // fail fast on replayed corpora: a doc_id appearing twice (e.g. an
+    // ingest re-run against a lost checkpoint) gets rep = canonical =
+    // itself on BOTH rows and both read 'kept' — the "deduped" corpus
+    // keeps duplicates. One id-only shuffle (fixed-width keys,
+    // column-pruned scan) before the expensive pipeline runs.
+    val dup = docs.groupBy("doc_id").count()
+      .filter($"count" > 1).select("doc_id").head(1)
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"dedupApply: duplicate doc_id ${dup.head.get(0)} — doc ids must " +
+        "be unique; re-key or compact the corpus before disposition")
     val guarded = docs
       .withColumn("doc_id", when($"doc_id".isNull,
         raise_error(lit("dedupApply: null doc_id in the corpus")))

@@ -238,7 +238,8 @@ class MainSpec extends SparkSpec {
     Seq(1L -> base, 2L -> base, 11L -> drift,
       20L -> (0 until 30).map(t => s"cli$t").mkString(" "))
       .toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
-    val out = Main.run(spark, Seq("dedup", s"$tmp/corpus", s"$tmp/disp"))
+    val out = Main.run(spark, Seq("dedup", s"$tmp/corpus", s"$tmp/disp"),
+      Map.empty)
     assert(out == Seq("dedup task ended, 2 of 4 docs kept " +
       "(1 exact, 1 near duplicates dropped)"), out.mkString("\n"))
     // the artifact IS the printed decision: one row per doc, kept set =
@@ -256,11 +257,22 @@ class MainSpec extends SparkSpec {
     Seq(5L -> "replayed row text", 5L -> "replayed row text")
       .toDF("doc_id", "text").write.parquet(s"$tmp/dupcorpus")
     val e = intercept[IllegalArgumentException] {
-      Main.run(spark, Seq("dedup", s"$tmp/dupcorpus", s"$tmp/dispdup"))
+      Main.run(spark, Seq("dedup", s"$tmp/dupcorpus", s"$tmp/dispdup"),
+        Map.empty)
     }
     assert(e.getMessage.contains("duplicate doc_id"), e.getMessage)
     assert(!new java.io.File(s"$tmp/dispdup").exists,
       "refused disposition still wrote an artifact")
+    // out == corpus would overwrite the documents with the disposition
+    // table (the checkpoint-backed frame defeats Spark's own
+    // read-write-conflict check) — refuse before anything runs
+    val same = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("dedup", s"$tmp/corpus", s"$tmp/corpus"),
+        Map.empty)
+    }
+    assert(same.getMessage.contains("differ"), same.getMessage)
+    assert(spark.read.parquet(s"$tmp/corpus").count() == 4,
+      "refused same-dir disposition damaged the corpus")
   }
 
   test("transform without -o or inputs fails loudly; bad flags too") {

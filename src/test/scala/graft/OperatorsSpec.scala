@@ -202,6 +202,15 @@ class OperatorsSpec extends SparkSpec {
           .toDF("doc_id", "text"))
     }
     assert(msgs(e2).contains("null text"), msgs(e2))
+    // replayed corpus (same doc_id twice): both copies would get
+    // rep = canonical = self and read 'kept' — the guard must fire at
+    // the library level, not only in the CLI, and before the pipeline
+    val e3 = intercept[IllegalArgumentException] {
+      DedupQueries.dedupApply(
+        Seq(3L -> "same replayed text", 3L -> "same replayed text")
+          .toDF("doc_id", "text"))
+    }
+    assert(e3.getMessage.contains("duplicate doc_id"), e3.getMessage)
   }
 
   test("duplicate clusters on a dup-free corpus is empty, not an error") {
