@@ -77,6 +77,93 @@ object DocumentQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
 
+  /** d27's sampling bucket: the d13 rolling char hash with a DIFFERENT
+    * seed (13, not 7) and modulus (10000, not 100) — the sampling
+    * decision must not correlate with the train/val/test split (same
+    * hash, same seed would make `bucket % 100` the split bucket, so a
+    * sampled corpus would systematically over-draw from some split
+    * buckets). Same empty-text pin as [[splitBucketCol]]. */
+  private[queries] def sampleBucketCol: org.apache.spark.sql.Column =
+    (expr(
+      s"""CASE WHEN length(text) = 0 THEN CAST(13 AS BIGINT)
+          ELSE aggregate(transform(sequence(1, length(text)),
+            i -> ascii(substring(text, i, 1))),
+            CAST(13 AS BIGINT), (acc, c) -> (acc * 31 + c) % ${graft.operators.TextHash.P}) END""")
+      % 10000).cast("long")
+
+  /** d26 as a reusable operator: concat-and-chunk sequence packing —
+    * documents are laid end to end in doc_id order (whitespace tokens,
+    * empty tokens dropped — the [[termStream]] grain) and the stream cut
+    * into fixed `seqLen`-token training sequences. Output is one row per
+    * (document, sequence) slice: `doc_start` = the slice's first token
+    * within the DOCUMENT, `seq_start` = its first position within the
+    * SEQUENCE, `n_toks` = slice length. Filtering to one seq_id and
+    * sorting by seq_start reassembles that training sequence with full
+    * provenance; docs straddling a boundary appear once per sequence.
+    * Zero-token docs occupy no positions and emit no rows.
+    *
+    * Scale shape — the global running offset is the whole difficulty: a
+    * bare `Window.orderBy(doc_id)` funnels the corpus through ONE task
+    * (the q30 hazard, spec-banned). Distributed two-phase prefix sum
+    * instead: (1) docs range-bucket by doc_id into `nBuckets` contiguous
+    * id ranges (integer DIV arithmetic off a broadcast min/max scalar —
+    * value-based, so recomputation is self-consistent, no checkpoint
+    * needed); (2) within-bucket running sums are PARTITIONED windows;
+    * (3) the nBuckets bucket totals — metadata, not data — take their
+    * own prefix sum under an explicit `limit(nBuckets)` bound and
+    * broadcast back as an equi-join. Wall-clock: two narrow passes over
+    * (doc_id, n) pairs, never the text; the result is provably
+    * independent of nBuckets (spec-pinned), so a 1000-executor run just
+    * raises the bucket count. */
+  def packSequences(docs: DataFrame, seqLen: Long,
+      nBuckets: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(seqLen > 0 && nBuckets > 0,
+      s"packSequences: seqLen and nBuckets must be positive " +
+        s"(got $seqLen, $nBuckets)")
+    val counts = docs
+      .withColumn("n",
+        expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long"))
+      .select(col("doc_id"), col("n"))
+    val bounds = docs.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    // integer DIV, not floating floor: (doc_id-lo)*nBuckets as a double
+    // loses ulps past 2^52 and would misbucket huge ids
+    val bucketed = counts.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        expr(s"((doc_id - lo) * $nBuckets) DIV (hi - lo + 1)"))
+      .select($"doc_id", $"n", $"bkt")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bkt").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val local = bucketed
+      .withColumn("local_off", coalesce(sum($"n").over(wLocal), lit(0L)))
+    // the one unpartitioned window runs over the BUCKET TOTALS — at most
+    // nBuckets rows, bounded by the explicit limit (the spec-sanctioned
+    // GlobalLimit form), never the corpus
+    val wPrefix = org.apache.spark.sql.expressions.Window
+      .orderBy($"bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketed.groupBy($"bkt").agg(sum($"n").as("tot"))
+      .limit(nBuckets)
+      .withColumn("bkt_off", coalesce(sum($"tot").over(wPrefix), lit(0L)))
+      .select($"bkt", $"bkt_off")
+    local.join(broadcast(bucketOffsets), Seq("bkt"))
+      .withColumn("off", $"bkt_off" + $"local_off")
+      .filter($"n" > 0)
+      // n > 0 BEFORE the explode: sequence(a, b) with b < a (a zero-
+      // token doc exactly on a boundary) is Spark's DESCENDING sequence
+      // — the d13 trap — and would fabricate slices
+      .withColumn("seq_id", explode(sequence(
+        expr(s"off DIV $seqLen"), expr(s"(off + n - 1) DIV $seqLen"))))
+      .withColumn("seg_lo", greatest($"off", $"seq_id" * seqLen))
+      .withColumn("seg_hi", least($"off" + $"n", ($"seq_id" + 1) * seqLen))
+      .select($"seq_id", $"doc_id",
+        ($"seg_lo" - $"off").as("doc_start"),
+        ($"seg_lo" - $"seq_id" * seqLen).as("seq_start"),
+        ($"seg_hi" - $"seg_lo").as("n_toks"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // Exact dedup: one representative (min doc_id) per distinct text.
     // At 100 TB, group on a fixed-width hash of the text instead of the
@@ -367,7 +454,58 @@ object DocumentQueries {
                  p -> p.seg)""")).as("cleaned"),
           sum(when($"is_bp", 1L).otherwise(0L)).as("n_removed"))
         .orderBy($"doc_id")
+    },
+
+    // d26 sequence packing: concat-and-chunk into fixed 256-token
+    // training sequences with per-slice provenance (see packSequences
+    // for semantics + the distributed prefix-sum scale shape). The
+    // pretraining step between curation and the data loader: every
+    // pipeline that feeds a trainer fixed-length sequences runs exactly
+    // this concat-and-chunk.
+    "d26_pack_sequences" -> { (s, dir) =>
+      import s.implicits._
+      DocumentQueries.packSequences(
+        Tables(s, dir, "documents").select($"doc_id", $"text"),
+        seqLen = 256, nBuckets = 8)
+        .orderBy($"seq_id", $"doc_id")
+    },
+
+    // d27 temperature sampling: per-language keep-rates from the
+    // temperature-scaled corpus distribution (T = 0.5 — rate_l =
+    // sqrt(c_min / c_l), the multilingual-pretraining rebalance: the
+    // rarest language keeps everything, a language 4x its size keeps
+    // half), gated per doc by a deterministic content-hash bucket so
+    // the sample is stable across runs/engines and uncorrelated with
+    // the d13 split (different seed + modulus). Scale shape: language
+    // counts are one map-side-combined groupBy collapsed to a #langs-
+    // row broadcast rate table; the decision is a linear codegen pass.
+    // Cross-engine exactness: c_min/c_l is an exact-long double
+    // quotient and sqrt is IEEE-exact, so the floor'd basis points are
+    // bit-equal (the d17 ln discipline).
+    "d27_temperature_sample" -> { (s, dir) =>
+      import s.implicits._
+      DocumentQueries.temperatureSample(Tables(s, dir, "documents"))
+        .orderBy($"doc_id")
     })
+
+  /** d27 as a reusable operator over any (doc_id, lang, text) frame —
+    * see the gate-query comment for semantics and the scale shape. */
+  def temperatureSample(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val langCounts = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+    val cMin = langCounts.agg(min($"c").as("c_min"))
+    val rates = langCounts.crossJoin(broadcast(cMin))
+      .withColumn("rate_bp",
+        floor(sqrt($"c_min".cast("double") / $"c") * 10000).cast("long"))
+      .select($"lang", $"rate_bp")
+    docs
+      .withColumn("samp", sampleBucketCol)
+      .join(broadcast(rates), Seq("lang"))
+      .select($"doc_id", $"lang", $"rate_bp",
+        when($"samp" < $"rate_bp", "kept").otherwise("dropped")
+          .as("decision"))
+  }
 
   /** d21's URL-domain extraction pattern, group 1 = the host — RE2-safe,
     * shared verbatim with the oracle. */
@@ -577,5 +715,56 @@ object DocumentQueries {
              / sum(c) * 10000) / 10000 AS avg_logprob,
            CAST(sum(c) AS BIGINT) AS n_tokens_doc
          FROM pd JOIN tf USING (term), n
-         GROUP BY doc_id ORDER BY doc_id""")
+         GROUP BY doc_id ORDER BY doc_id""",
+    // d26: the oracle computes the SAME global token offsets with a
+    // plain cumulative window (the oracle needn't be scale-shaped) and
+    // the same slice arithmetic; `//` is BIGINT division like Spark's
+    // DIV, and range(a, b+1) mirrors the inclusive sequence()
+    "d26_pack_sequences" ->
+      """WITH n AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, n,
+             coalesce(CAST(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS off
+           FROM n),
+         e AS (
+           SELECT doc_id, n, off,
+             unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS seq_id
+           FROM c WHERE n > 0)
+         SELECT seq_id, doc_id,
+           greatest(off, seq_id * 256) - off AS doc_start,
+           greatest(off, seq_id * 256) - seq_id * 256 AS seq_start,
+           least(off + n, (seq_id + 1) * 256)
+             - greatest(off, seq_id * 256) AS n_toks
+         FROM e ORDER BY seq_id, doc_id""",
+    // d27: same rate formula (sqrt of an exact-long double quotient,
+    // floor'd basis points) and the same seed-13 rolling hash mod 10000;
+    // list_prepend(13, []) on empty text reduces to the seed, matching
+    // Spark's CASE pin
+    "d27_temperature_sample" ->
+      s"""WITH lc AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+          cm AS (SELECT min(c) AS c_min FROM lc),
+          r AS (
+            SELECT lang,
+              CAST(floor(sqrt(CAST(c_min AS DOUBLE) / c) * 10000) AS BIGINT)
+                AS rate_bp
+            FROM lc, cm),
+          b AS (
+            SELECT doc_id, lang,
+              list_reduce(
+                list_prepend(CAST(13 AS BIGINT),
+                  list_transform(range(1, len(text) + 1),
+                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                (a, x) -> (a * 31 + x) % ${graft.operators.TextHash.P}) % 10000
+                AS samp
+            FROM documents)
+          SELECT doc_id, lang, rate_bp,
+            CASE WHEN samp < rate_bp THEN 'kept' ELSE 'dropped' END
+              AS decision
+          FROM b JOIN r USING (lang) ORDER BY doc_id""")
 }

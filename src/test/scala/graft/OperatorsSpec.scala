@@ -213,6 +213,89 @@ class OperatorsSpec extends SparkSpec {
     assert(e3.getMessage.contains("duplicate doc_id"), e3.getMessage)
   }
 
+  test("sequence packing: conservation, full sequences, bucket independence (d26)") {
+    import spark.implicits._
+    // token counts 0..18 across 60 docs; i % 7 == 0 docs are EMPTY (zero
+    // tokens — must occupy no positions and emit no slices); several docs
+    // are longer than seqLen so slices straddle multiple sequences
+    val docs = (1L to 60L).map { i =>
+      i -> (0 until (i % 7).toInt * 3).map(t => s"w${i}_$t").mkString(" ")
+    }.toDF("doc_id", "text")
+    val S = 16L
+    val packed = DocumentQueries.packSequences(docs, seqLen = S, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // conservation: each non-empty doc's slices sum to its token count
+    // and tile the doc contiguously from token 0
+    val byDoc = packed.groupBy(_._2)
+    (1L to 60L).foreach { i =>
+      val n = (i % 7) * 3
+      if (n == 0) assert(!byDoc.contains(i), s"empty doc $i emitted slices")
+      else {
+        val slices = byDoc(i).sortBy(_._3)
+        assert(slices.map(_._5).sum == n, s"doc $i slices don't sum to $n")
+        assert(slices.head._3 == 0L, s"doc $i doesn't start at token 0")
+        slices.sliding(2).foreach {
+          case Array(a, b) => assert(a._3 + a._5 == b._3,
+            s"doc $i slices leave a gap")
+          case _ => ()
+        }
+      }
+    }
+    // every sequence except the last is exactly full, starts at position
+    // 0, and its slices tile [0, S) with no gaps
+    val bySeq = packed.groupBy(_._1)
+    val maxSeq = bySeq.keys.max
+    bySeq.foreach { case (seqId, slices) =>
+      val sorted = slices.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"seq $seqId doesn't start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4,
+          s"seq $seqId has a gap")
+        case _ => ()
+      }
+      if (seqId < maxSeq)
+        assert(sorted.map(_._5).sum == S, s"seq $seqId is not full")
+    }
+    // the distributed prefix sum is partitioning-independent: 1 bucket
+    // (the degenerate single-range case) and 4 buckets agree bit-for-bit
+    val oneBucket = DocumentQueries
+      .packSequences(docs, seqLen = S, nBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(oneBucket.sorted.sameElements(packed.sorted),
+      "packing depends on the bucket count")
+  }
+
+  test("temperature sampling keeps the rarest language whole (d27)") {
+    import spark.implicits._
+    // 4 'ra' docs, 16 'en' docs, 64 'xx' docs: rates 10000 / 5000 / 2500
+    // basis points (sqrt(4/16), sqrt(4/64))
+    val docs = ((1L to 4L).map(i => (i, "ra", s"rare doc $i words here")) ++
+      (11L to 26L).map(i => (i, "en", s"common doc $i words here")) ++
+      (31L to 94L).map(i => (i, "xx", s"bulk doc $i words here")))
+      .toDF("doc_id", "lang", "text")
+    val out = DocumentQueries.temperatureSample(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    val rates = out.map(r => r._2 -> r._3).toMap
+    assert(rates == Map("ra" -> 10000L, "en" -> 5000L, "xx" -> 2500L),
+      s"unexpected rates: $rates")
+    // the rarest language is kept in full (rate 10000 > any bucket)
+    assert(out.filter(_._2 == "ra").forall(_._4 == "kept"),
+      "a rarest-language doc was dropped")
+    // downsampled languages drop SOMETHING at these rates on this corpus
+    // (content-hash buckets spread; all-kept would mean the gate is dead)
+    assert(out.filter(_._2 == "xx").exists(_._4 == "dropped"),
+      "the 4x-downsampled language dropped nothing")
+    // decisions are a pure function of (text, lang counts): re-running
+    // agrees (stability is the whole point of hash-gated sampling)
+    val again = DocumentQueries.temperatureSample(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    assert(again.sorted.sameElements(out.sorted))
+  }
+
   test("duplicate clusters on a dup-free corpus is empty, not an error") {
     import spark.implicits._
     // every text unique and dissimilar -> zero candidate pairs -> the

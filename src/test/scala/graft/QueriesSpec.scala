@@ -63,9 +63,12 @@ class QueriesSpec extends SparkSpec {
     // q30's stitch join: both sides are <=6 rows per year by filter
     // d17/d22: a broadcast SCALAR aggregate (corpus size) cross-joined
     // onto every row — one-row side by construction
+    // d26: the min/max doc_id bounds scalar cross-joined for bucketing
+    // d27: the c_min scalar cross-joined onto the #langs-row rate table
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
       "s04_ann_ivf", "s06_quantized_rerank", "d17_tfidf_keywords",
-      "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window")
+      "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
+      "d26_pack_sequences", "d27_temperature_sample")
     // top-level conjunct split: `a =!= b` CONTAINS an EqualTo node, so a
     // whole-tree search would miscount it as an equi-key
     def conjuncts(e: Expression): Seq[Expression] = e match {
