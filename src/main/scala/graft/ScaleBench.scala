@@ -22,8 +22,13 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   */
 object ScaleBench {
   // derived from the one source of truth so a future scope query is
-  // automatically in the sweep
-  private val Queries = graft.queries.DedupQueries.scopedQueryNames.toSeq.sorted
+  // automatically in the sweep; d26 rides along because its distributed
+  // prefix sum is the one scale-critical shape OUTSIDE the dedup scope
+  // (count() collapses the gate entry's oracle orderBy, so the cell
+  // measures the two-phase offset machinery, not a global sort)
+  private val Queries =
+    graft.queries.DedupQueries.scopedQueryNames.toSeq.sorted :+
+      "d26_pack_sequences"
 
   def main(args: Array[String]): Unit = {
     val scales = args.toSeq.map { a =>

@@ -24,21 +24,34 @@ object DocumentQueries {
     * A corollary the contamination check (d14) relies on: byte-identical
     * texts always share a bucket, so EXACT duplicates can never straddle
     * the train/test boundary — only near-duplicates can leak. */
-  /** The split bucket of a `text` column as a Column (one interpreted-HOF
-    * pass — composable into an existing pass, e.g. the DedupScope
-    * signature table).
+  /** The shared rolling-char-hash bucket of a `text` column (one
+    * interpreted-HOF pass — composable into an existing pass, e.g. the
+    * DedupScope signature table). The cross-engine-exact expression
+    * lives HERE ONCE; [[splitBucketCol]] (d13) and [[sampleBucketCol]]
+    * (d27) differ only in (seed, modulus) — a hash-discipline fix lands
+    * in one place or the split and sample buckets silently diverge.
     *
     * Empty-text guard (same trap TextHash.sparkTokenHashes documents):
     * Spark's sequence(1, 0) is the DESCENDING [1, 0], which would fold
-    * twice and hash '' to 6727 while DuckDB's empty range yields the
-    * seed 7 — pin '' to the seed explicitly. */
+    * twice and hash '' to seed*31*31+... while DuckDB's empty range
+    * yields the bare seed — pin '' to the seed explicitly. NULL text is
+    * refused loudly (raise_error, distributed — no driver pass): the
+    * CASE would otherwise yield a NULL bucket that every consumer
+    * misreads silently (d13 would file the doc under 'test', d27 would
+    * always drop it — even from the rarest language). */
+  private def hashBucketCol(seed: Long, modulus: Long): org.apache.spark.sql.Column =
+    when(col("text").isNull, raise_error(lit(
+      "hash bucket: null text — filter or repair extraction failures " +
+        "first (dedupApply and ingest refuse them the same way)")))
+      .otherwise(expr(
+        s"""CASE WHEN length(text) = 0 THEN CAST($seed AS BIGINT)
+            ELSE aggregate(transform(sequence(1, length(text)),
+              i -> ascii(substring(text, i, 1))),
+              CAST($seed AS BIGINT), (acc, c) -> (acc * 31 + c) % ${graft.operators.TextHash.P}) END""")
+        % modulus).cast("long")
+
   private[queries] def splitBucketCol: org.apache.spark.sql.Column =
-    (expr(
-      s"""CASE WHEN length(text) = 0 THEN CAST(7 AS BIGINT)
-          ELSE aggregate(transform(sequence(1, length(text)),
-            i -> ascii(substring(text, i, 1))),
-            CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % ${graft.operators.TextHash.P}) END""")
-      % 100).cast("long")
+    hashBucketCol(seed = 7, modulus = 100)
 
   /** bucket → split label (80/10/10). */
   private[queries] def splitOfBucket(
@@ -82,14 +95,9 @@ object DocumentQueries {
     * decision must not correlate with the train/val/test split (same
     * hash, same seed would make `bucket % 100` the split bucket, so a
     * sampled corpus would systematically over-draw from some split
-    * buckets). Same empty-text pin as [[splitBucketCol]]. */
+    * buckets). Same empty/null-text discipline as [[hashBucketCol]]. */
   private[queries] def sampleBucketCol: org.apache.spark.sql.Column =
-    (expr(
-      s"""CASE WHEN length(text) = 0 THEN CAST(13 AS BIGINT)
-          ELSE aggregate(transform(sequence(1, length(text)),
-            i -> ascii(substring(text, i, 1))),
-            CAST(13 AS BIGINT), (acc, c) -> (acc * 31 + c) % ${graft.operators.TextHash.P}) END""")
-      % 10000).cast("long")
+    hashBucketCol(seed = 13, modulus = 10000)
 
   /** d26 as a reusable operator: concat-and-chunk sequence packing —
     * documents are laid end to end in doc_id order (whitespace tokens,
@@ -122,16 +130,33 @@ object DocumentQueries {
     require(seqLen > 0 && nBuckets > 0,
       s"packSequences: seqLen and nBuckets must be positive " +
         s"(got $seqLen, $nBuckets)")
+    // fail fast on replayed corpora (the dedupApply guard): the running
+    // offset is a window ordered by doc_id, so a doc_id appearing twice
+    // gets an ARBITRARY tie order — which copy receives the lower offset
+    // differs run to run, and both emit slices with colliding doc_start
+    // under one id, so provenance reassembly is garbage. One id-only
+    // shuffle (fixed-width keys, column-pruned scan) before the pipeline.
+    val dup = docs.groupBy("doc_id").count()
+      .filter($"count" > 1).select("doc_id").head(1)
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"packSequences: duplicate doc_id ${dup.head.get(0)} — doc ids " +
+        "must be unique; re-key or compact the corpus before packing")
     val counts = docs
       .withColumn("n",
         expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long"))
       .select(col("doc_id"), col("n"))
     val bounds = docs.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
-    // integer DIV, not floating floor: (doc_id-lo)*nBuckets as a double
-    // loses ulps past 2^52 and would misbucket huge ids
+    // bucket = (doc_id - lo) DIV width, width sized so bkt stays in
+    // [0, nBuckets): width > (hi-lo)/nBuckets ⇒ (hi-lo) DIV width <
+    // nBuckets. Division-only on purpose, twice over: a double floor
+    // loses ulps past 2^52, and the multiply-first integer form
+    // ((doc_id-lo)*nBuckets DIV range) wraps Long for id ranges past
+    // 2^63/nBuckets — ids drawn from a 63-bit hash space with the
+    // documented "1000 executors ⇒ raise the bucket count" would break
+    // bkt monotonicity and silently corrupt every global offset.
     val bucketed = counts.crossJoin(broadcast(bounds))
       .withColumn("bkt",
-        expr(s"((doc_id - lo) * $nBuckets) DIV (hi - lo + 1)"))
+        expr(s"(doc_id - lo) DIV ((hi - lo) DIV $nBuckets + 1)"))
       .select($"doc_id", $"n", $"bkt")
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy($"bkt").orderBy($"doc_id")
@@ -493,13 +518,24 @@ object DocumentQueries {
   def temperatureSample(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val langCounts = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+    // refuse NULL lang loudly, inside the count pass (raise_error —
+    // distributed, no extra driver action): a single null-lang row would
+    // otherwise form its own c=1 group, become c_min, and crush every
+    // real language's keep rate (sqrt(1/c_l)) — while the row itself
+    // vanished at the equi-join with no decision. Run language ID (d07)
+    // or filter unknowns before rebalancing.
+    val guarded = docs.withColumn("lang",
+      when($"lang".isNull, raise_error(lit(
+        "temperatureSample: null lang — assign a language (d07 lang ID) " +
+          "or filter unknown-language docs before rebalancing")))
+        .otherwise($"lang"))
+    val langCounts = guarded.groupBy($"lang").agg(count(lit(1)).as("c"))
     val cMin = langCounts.agg(min($"c").as("c_min"))
     val rates = langCounts.crossJoin(broadcast(cMin))
       .withColumn("rate_bp",
         floor(sqrt($"c_min".cast("double") / $"c") * 10000).cast("long"))
       .select($"lang", $"rate_bp")
-    docs
+    guarded
       .withColumn("samp", sampleBucketCol)
       .join(broadcast(rates), Seq("lang"))
       .select($"doc_id", $"lang", $"rate_bp",
@@ -745,7 +781,9 @@ object DocumentQueries {
     // d27: same rate formula (sqrt of an exact-long double quotient,
     // floor'd basis points) and the same seed-13 rolling hash mod 10000;
     // list_prepend(13, []) on empty text reduces to the seed, matching
-    // Spark's CASE pin
+    // Spark's CASE pin. Divergence the gate can't see (corpus has no
+    // nulls): Spark refuses null lang/text loudly (raise_error); SQL
+    // has no raise, so the oracle would silently drop such rows.
     "d27_temperature_sample" ->
       s"""WITH lc AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
           cm AS (SELECT min(c) AS c_min FROM lc),

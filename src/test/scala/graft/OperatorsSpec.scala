@@ -267,6 +267,64 @@ class OperatorsSpec extends SparkSpec {
       "packing depends on the bucket count")
   }
 
+  test("packing survives 63-bit doc_id ranges and refuses duplicates (d26)") {
+    import spark.implicits._
+    // ids spread across nearly the full positive Long range: the
+    // multiply-first bucket form ((doc_id-lo)*nBuckets DIV range) wraps
+    // negative here and scrambles the offsets; the width-DIV form must
+    // agree bit-for-bit with the single-bucket ground truth
+    val ids = Seq(3L, 1L << 40, 1L << 55, (1L << 60) + 17,
+      (1L << 62) + 5, Long.MaxValue - 2)
+    val docs = ids.zipWithIndex.map { case (id, i) =>
+      id -> (0 to i * 5).map(t => s"w${i}_$t").mkString(" ")
+    }.toDF("doc_id", "text")
+    val got8 = DocumentQueries.packSequences(docs, seqLen = 7, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted
+    val got1 = DocumentQueries.packSequences(docs, seqLen = 7, nBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted
+    assert(got8.sameElements(got1),
+      "huge-id bucketing diverges from the single-bucket ground truth")
+    assert(got8.map(_._5).sum == ids.indices.map(_ * 5 + 1).sum,
+      "token conservation broke on huge ids")
+    // duplicate doc_id: the window's tie order is arbitrary, so which
+    // copy gets the lower offset is nondeterministic — refuse loudly
+    // (the dedupApply contract)
+    val dup = Seq((5L, "a b c"), (5L, "d e"), (6L, "f")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      DocumentQueries.packSequences(dup, seqLen = 4, nBuckets = 2)
+    }
+    assert(e.getMessage.contains("duplicate doc_id"), e.getMessage)
+  }
+
+  test("temperature sampling refuses null lang and null text loudly (d27)") {
+    import spark.implicits._
+    // one malformed null-lang row would otherwise become its own c=1
+    // group, crush every real language's rate via c_min=1, and itself
+    // vanish at the equi-join with no decision row
+    val nullLang = Seq((1L, "en", "a doc"), (2L, null, "orphan"))
+      .toDF("doc_id", "lang", "text")
+    val e = intercept[Exception] {
+      DocumentQueries.temperatureSample(nullLang).collect()
+    }
+    assert(e.getMessage.contains("null lang"), e.getMessage)
+    // null TEXT would hash to a NULL sample bucket and read 'dropped'
+    // even in the rarest language — the shared hashBucketCol refuses it
+    // (same discipline for d13's split bucket)
+    val nullText = Seq((1L, "en", "a doc"), (2L, "en", null))
+      .toDF("doc_id", "lang", "text")
+    val e2 = intercept[Exception] {
+      DocumentQueries.temperatureSample(nullText).collect()
+    }
+    assert(e2.getMessage.contains("null text"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      DocumentQueries.splitAssign(nullText.select($"doc_id", $"text"))
+        .collect()
+    }
+    assert(e3.getMessage.contains("null text"), e3.getMessage)
+  }
+
   test("temperature sampling keeps the rarest language whole (d27)") {
     import spark.implicits._
     // 4 'ra' docs, 16 'en' docs, 64 'xx' docs: rates 10000 / 5000 / 2500
