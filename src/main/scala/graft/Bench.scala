@@ -8,7 +8,16 @@ object Bench {
     // code and primes the parquet reader paths, so timed numbers measure
     // steady-state query execution rather than first-query JIT latency.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset filter (comma-separated short ids, e.g.
+    // "q01,e03,d03"): times just those queries — the fast path for
+    // same-session A/B probes and for exercising the degraded-flag
+    // logic under deliberate stress without a 10-minute full sweep.
+    // The driver never sets it; an unset var times everything.
+    val onlyIds = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean =
+      onlyIds.forall(ids => ids(name.takeWhile(_ != '_')) || ids(name))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
@@ -45,6 +54,47 @@ object Bench {
     calibOnce() // untimed: compiles the generated code
     val calib = (1 to math.max(runs, 3)).map(_ => calibOnce()).min
     System.err.println(f"[bench] calib anchor $calib%8.2f s")
+    // Second calibration anchor, I/O-PATH-bound (round-11 lesson:
+    // BENCH_r11.json recorded a 5.4x-inflated total from driver-box
+    // contention that the CPU anchor provably could not see — it moved
+    // only 1.18x while parquet-reading queries inflated 5-80x). This
+    // anchor exercises exactly the path that inflated: a full-column
+    // parquet scan (decompress + decode every column of the FIXED sf0.1
+    // lineitem file — 11 MB, corpus-independent, byte-identical every
+    // round) folded into one hash agg. Min over max(runs, 3) passes
+    // after one untimed warmup, like the CPU anchor. If the fixed file
+    // is missing (non-standard sandbox), the anchor records -1 and the
+    // ratio check is skipped rather than tripping falsely.
+    val ioAnchorPath = sys.env.getOrElse(
+      "SPARK_GRAFT_IO_ANCHOR", "/root/testdata/sf0.1/lineitem.parquet")
+    def ioCalibOnce(): Double = {
+      val t0 = System.nanoTime()
+      val df = spark.read.parquet(ioAnchorPath)
+      val numCols = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col(f.name))
+      }
+      // select(*) before the agg so column pruning cannot narrow the
+      // scan: the anchor must decode EVERY column (string columns
+      // dominate the decode cost), folded through max(length) so the
+      // strings are materialized, not pruned.
+      val strCols = df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType =>
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col(f.name)))
+      }
+      df.agg((numCols ++ strCols).head, (numCols ++ strCols).tail: _*).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibIo =
+      if (new java.io.File(ioAnchorPath).exists()) {
+        ioCalibOnce() // untimed warmup
+        (1 to math.max(runs, 3)).map(_ => ioCalibOnce()).min
+      } else {
+        System.err.println(s"[bench] io anchor $ioAnchorPath missing; skipping")
+        -1.0
+      }
+    System.err.println(f"[bench] io-calib anchor $calibIo%8.2f s")
     // The dedup-scope queries (eager signature materialization inside a
     // per-invocation cache scope) converge to steady-state only by run
     // 2-3: run 1 pays cold parquet reads + first-materialization of the
@@ -53,7 +103,7 @@ object Bench {
     // them at least 3 runs so the reported min is steady-state-comparable
     // with every other query's warm number (see SURVEY "Reading BENCH
     // files").
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.filter(kv => selected(kv._1)).map { case (name, fn) =>
       // full-name membership, not id-prefix: QueriesSpec pins the set
       // to exact query keys, and a prefix match would silently widen to
       // any future query sharing a scoped id prefix
@@ -75,8 +125,38 @@ object Bench {
       }
       System.err.println(f"[bench] $name%-28s ${times.min}%8.2f s  (runs: ${
         times.map(t => f"$t%.2f").mkString(" ")})")
-      name -> times.min
+      name -> times
     }
+    // Contention self-diagnosis (round-11 lesson — see SURVEY "Reading
+    // BENCH files"). Two independent trips, either marks the artifact
+    // degraded so no tooling/round re-ingests poisoned numbers as real:
+    //  (a) anchor disagreement: the I/O anchor inflated >2x past its
+    //      healthy relation to the CPU anchor. Healthy io/cpu ratio on
+    //      this box measured ~0.32 (io 0.197 s vs cpu 0.618 s, quiet
+    //      round-12 session); external I/O/memory pressure inflates
+    //      the scan while the in-memory anchor stays flat — exactly the
+    //      round-11 signature the CPU anchor alone could not see.
+    //  (b) per-run variance: in a quiet session a query's max/min run
+    //      ratio sits well under 2 (steady-state after warmup); under
+    //      contention the recorded r11 session showed SECOND runs
+    //      slower than first, 3-80x spreads. Trip when >25% of queries
+    //      spread beyond 3x across their runs (single-query GC outliers
+    //      stay below the fraction; a contended session inflates most
+    //      parquet readers at once). Requires runs >= 2 (always true).
+    val healthyIoOverCpu = 0.32
+    val anchorDegraded =
+      calibIo > 0 && calib > 0 && (calibIo / calib) > 2.0 * healthyIoOverCpu
+    val spreads = results.map { case (_, ts) =>
+      if (ts.min > 0) ts.max / ts.min else 1.0 }
+    val wideFrac =
+      if (spreads.isEmpty) 0.0
+      else spreads.count(_ > 3.0).toDouble / spreads.size
+    val varianceDegraded = wideFrac > 0.25
+    val degraded = anchorDegraded || varianceDegraded
+    if (degraded) System.err.println(
+      f"[bench] DEGRADED session: anchorTrip=$anchorDegraded " +
+        f"(io/cpu ${if (calib > 0) calibIo / calib else -1.0}%.2f vs healthy $healthyIoOverCpu%.2f), " +
+        f"varianceTrip=$varianceDegraded (wide-spread frac $wideFrac%.2f)")
     // Compact JSON: the driver captures only the LAST ~2000 bytes of
     // stdout, and the [success] line sbt appends eats ~80 of them — with
     // 66 queries, 9-digit doubles pushed the line's HEAD out of the
@@ -103,13 +183,14 @@ object Bench {
     def shortId(name: String): String = name.takeWhile(_ != '_')
     val unique = results.keys.groupBy(shortId).forall(_._2.size == 1)
     val qs = results.map { case (k, v) =>
-      s""""${if (unique) shortId(k) else k}":${num(v)}""" }
+      s""""${if (unique) shortId(k) else k}":${num(v.min)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total =
+      if (results.nonEmpty) results.values.map(_.min).sum else 0.0
     def num3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val line =
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","calib":${num3(calib)},"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","calib":${num3(calib)},"calib_io":${num3(calibIo)},"degraded":$degraded,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     // budget arithmetic: 2000-byte tail − ~75 B sbt [success] line −
     // 7 B "[info] " prefix ≈ 1918 usable. Short-id keys measured ~870 B
     // at 72 queries (the full-name line had hit 1916 — the boundary), so

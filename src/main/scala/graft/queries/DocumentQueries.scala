@@ -511,7 +511,171 @@ object DocumentQueries {
       import s.implicits._
       DocumentQueries.temperatureSample(Tables(s, dir, "documents"))
         .orderBy($"doc_id")
+    },
+
+    // d28 paragraph-level (repeated-SPAN) dedup: a paragraph appearing
+    // in 2+ DISTINCT documents keeps exactly one canonical occurrence
+    // (globally first by (doc_id, pos)) and every other occurrence —
+    // including same-doc re-occurrences of that span — is dropped; the
+    // document is reconstructed from its kept paragraphs in order. The
+    // substring-dedup family (the pass doc-level dedup can't do:
+    // d01/d03/d25 act on WHOLE documents, d22 only on boilerplate with
+    // df > half the corpus — this removes spans with 2 <= df << corpus,
+    // the repeated quotes/chapters/licence blocks that survive both).
+    // Length-weighted: chars_dropped reports the volume each doc loses,
+    // the number span-dedup papers weight removal decisions by.
+    // Fixtures planted per doc (the d20/d21/d22 augmentation
+    // discipline): the original text as paragraph 0 (df = its exact-dup
+    // group size — doc-level dups collapse as a special case), a
+    // pair-shared passage keyed on doc_id DIV 2 (df = 2 — the minimum
+    // repeated span; the last odd doc is unpaired, df = 1, kept), a
+    // 1-in-25 "chapter header" (df ~ n/25 — repeated yet far from
+    // boilerplate), and the pair passage AGAIN (same-doc re-occurrence:
+    // dropped everywhere once the span is cross-doc repeated, canonical
+    // included — its doc keeps only the pos-minimal copy).
+    "d28_span_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val paras = docs
+        .select($"doc_id", concat(
+          $"text",
+          lit(" | repeated passage "), expr("doc_id DIV 2"),
+          lit(" shared across a pair of documents"),
+          lit(" | chapter header "), pmod($"doc_id", lit(25)),
+          lit(" common recurring block"),
+          lit(" | repeated passage "), expr("doc_id DIV 2"),
+          lit(" shared across a pair of documents")).as("augmented"))
+        .select($"doc_id",
+          posexplode(split($"augmented", " \\| ")).as(Seq("pos", "para")))
+      DocumentQueries.spanDedup(paras).orderBy($"doc_id")
+    },
+
+    // d29 BPE merge statistics: the first 10 byte-pair merges trained
+    // on the corpus's word-frequency table (see bpeMerges for the
+    // algorithm, determinism, and the corpus-once/vocab-iterate scale
+    // shape).
+    "d29_bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      DocumentQueries.bpeMerges(Tables(s, dir, "documents"), k = 10)
+        .orderBy($"merge_rank")
     })
+
+  /** d29 BPE merge statistics — the iterative pair-merge loop a
+    * tokenizer-training pipeline runs (d18 gives the unigram vocab;
+    * this is the byte-pair step above it). k rounds; each round counts
+    * adjacent symbol pairs over the word table (weighted by corpus word
+    * frequency), picks the argmax pair (count DESC, then lexicographic
+    * — fully deterministic), and greedily merges its non-overlapping
+    * occurrences left-to-right in every word. Output: one row per merge
+    * rank — the trained merge table.
+    *
+    * Scale shape: the CORPUS is touched exactly once (the word-frequency
+    * groupBy, map-side combined); every round after that runs on the
+    * distinct-word table, which Heaps' law keeps sublinear in corpus
+    * size — the same separation real BPE trainers exploit. Per round:
+    * one vocab-sized pair count + a TakeOrdered(1) argmax, broadcast
+    * back as a 1-row crossJoin (GlobalLimit-bounded — the audited
+    * form), then one codegen replace() projection. The word table is
+    * localCheckpoint'd each round (the d11 iterative discipline) so
+    * round i+1's plan doesn't re-derive rounds 1..i; the argmax frames
+    * stay UN-checkpointed so their GlobalLimit bound remains visible to
+    * the plan audit and the final union re-derives each from its
+    * round's checkpointed vocab (one cheap extra job per round).
+    *
+    * Symbol sequences ride as delimiter-wrapped strings
+    * ( sym  per symbol, no separator between symbols):
+    * merging pair (l, r) is then a plain string
+    * replace("<l><r>" -> "<lr>") whose left-to-right non-overlapping
+    * semantics are IDENTICAL in Spark and DuckDB — and identical to the
+    * reference BPE's regex-sub greedy pass ("aaaa" + (a,a) -> [aa,aa],
+    * "aaa" -> [aa, a]). The wrapping makes symbol boundaries explicit,
+    * so a merged symbol can never be half-matched by a later pattern.
+    * Divergence from Sennrich BPE, documented: no end-of-word marker
+    * symbol (</w>) — merges here may span what BPE would keep apart at
+    * word ends; the MERGE MECHANICS (count, argmax, greedy apply) are
+    * the algorithm's. Pair counts follow the standard overlapping
+    * convention ("aaa" counts (a,a) twice) — both engines count
+    * adjacent positions, not disjoint matches. */
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(k >= 1, s"bpeMerges: k must be >= 1 (got $k)")
+    val O = "" // symbol open
+    val C = "" // symbol close
+    var vocab = termStream(docs)
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+      .withColumn("seq", concat(lit(O),
+        array_join(expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"), C + O),
+        lit(C)))
+      .select($"c", $"seq")
+      .localCheckpoint(true)
+    val merges = (1 to k).map { rank =>
+      val pairs = vocab
+        .select($"c", split(expr("substring(seq, 2, length(seq) - 2)"), C + O).as("sa"))
+        .select($"c", explode(expr(
+          """zip_with(slice(sa, 1, size(sa) - 1), slice(sa, 2, size(sa) - 1),
+             (a, b) -> struct(a AS lhs, b AS rhs))""")).as("p"))
+        .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
+        .agg(sum($"c").as("pair_count"))
+      val best = pairs
+        .orderBy($"pair_count".desc, $"lhs", $"rhs").limit(1)
+      vocab = vocab.crossJoin(broadcast(best))
+        .withColumn("pat",
+          concat(lit(O), $"lhs", lit(C + O), $"rhs", lit(C)))
+        .withColumn("rep", concat(lit(O), $"lhs", $"rhs", lit(C)))
+        .select($"c", expr("replace(seq, pat, rep)").as("seq"))
+        .localCheckpoint(true)
+      best.select(lit(rank.toLong).as("merge_rank"), $"lhs", $"rhs",
+        concat($"lhs", $"rhs").as("merged"), $"pair_count")
+    }
+    merges.reduce(_.unionAll(_))
+  }
+
+  /** d28's per-occurrence disposition over any (doc_id, pos, para)
+    * frame: df (distinct docs containing the paragraph) and whether
+    * this occurrence is dropped (df >= 2 and not the canonical — the
+    * globally (doc_id, pos)-minimal — occurrence). Scale shape (the
+    * d22/d01b discipline): the df + canonical pass is ONE groupBy
+    * keyed on md5(para) — fixed-width shuffle keys, never paragraph
+    * TEXT (a paragraph can be a whole document); canonical selection
+    * is min(struct(doc_id, pos)) in the SAME aggregate, so no second
+    * shuffle and no window; the join back is md5-keyed. min-of-struct
+    * is lexicographic in both engines (field order pins doc before
+    * pos). State per group is O(1) — df counter + one (doc_id, pos)
+    * pair — regardless of how hot a span is. */
+  def spanDispositions(paras: DataFrame): DataFrame = {
+    val s = paras.sparkSession
+    import s.implicits._
+    val keyed = paras.withColumn("para_fp", md5($"para"))
+    val stats = keyed.groupBy($"para_fp").agg(
+      countDistinct($"doc_id").as("df"),
+      min(struct($"doc_id", $"pos")).as("canon"))
+    keyed.join(stats, "para_fp")
+      .withColumn("dropped", $"df" >= 2 &&
+        !($"doc_id" === $"canon.doc_id" && $"pos" === $"canon.pos"))
+      .select($"doc_id", $"pos", $"para", $"df", $"dropped")
+  }
+
+  /** d28 per-doc summary: paragraph counts, length-weighted removal
+    * volume, and the document reconstructed from kept paragraphs in
+    * position order (the d22 collect_list pattern — state bounded per
+    * document, never corpus-wide). */
+  def spanDedup(paras: DataFrame): DataFrame = {
+    val s = paras.sparkSession
+    import s.implicits._
+    spanDispositions(paras)
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when($"dropped", 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"dropped", length($"para")).otherwise(0L))
+          .as("chars_dropped"),
+        concat_ws(" | ", expr(
+          """transform(
+               array_sort(collect_list(
+                 CASE WHEN NOT dropped THEN struct(pos, para) END)),
+               p -> p.para)""")).as("cleaned"))
+  }
 
   /** d27 as a reusable operator over any (doc_id, lang, text) frame —
     * see the gate-query comment for semantics and the scale shape. */
@@ -570,6 +734,42 @@ object DocumentQueries {
         """CAST(((length(scrubbed) - length(replace(scrubbed, '[IP]', '')))
            - (length(s1) - length(replace(s1, '[IP]', '')))) / 4 AS BIGINT)"""))
       .select(col("doc_id"), col("scrubbed"), col("n_emails"), col("n_ips"))
+
+  /** The d29 oracle, generated: round i reads v{i-1}, counts adjacent
+    * pairs (u/p), picks the argmax (b), and rewrites the vocab (v). */
+  private def bpeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""s$i AS (SELECT c, string_split(substr(seq, 2, length(seq) - 2),
+               chr(30) || chr(31)) AS sa FROM v${i - 1}),
+         u$i AS (SELECT c, sa, unnest(range(1, len(sa))) AS j FROM s$i),
+         p$i AS (SELECT sa[j] AS lhs, sa[j + 1] AS rhs,
+               CAST(sum(c) AS BIGINT) AS pair_count
+             FROM u$i GROUP BY 1, 2),
+         b$i AS (SELECT lhs, rhs, pair_count FROM p$i
+             ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         v$i AS (SELECT c,
+               replace(seq, chr(31) || lhs || chr(30) || chr(31) || rhs || chr(30),
+                 chr(31) || lhs || rhs || chr(30)) AS seq
+             FROM v${i - 1}, b$i)"""
+    }.mkString(",\n         ")
+    val sel = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, " +
+        s"lhs || rhs AS merged, pair_count FROM b$i")
+      .mkString("\n         UNION ALL ")
+    s"""WITH w AS (
+           SELECT term, count(*) AS c FROM (
+             SELECT unnest(string_split(text, ' ')) AS term
+             FROM documents) t
+           WHERE term <> '' GROUP BY term),
+         v0 AS (
+           SELECT c, chr(31) || array_to_string(
+               list_transform(range(1, length(term) + 1),
+                 i -> substr(term, i, 1)), chr(30) || chr(31)) || chr(30)
+             AS seq
+           FROM w),
+         $rounds
+         $sel ORDER BY merge_rank"""
+  }
 
   val oracleSql: ListMap[String, String] = ListMap(
     "d01_dedup_exact" ->
@@ -804,5 +1004,53 @@ object DocumentQueries {
           SELECT doc_id, lang, rate_bp,
             CASE WHEN samp < rate_bp THEN 'kept' ELSE 'dropped' END
               AS decision
-          FROM b JOIN r USING (lang) ORDER BY doc_id""")
+          FROM b JOIN r USING (lang) ORDER BY doc_id""",
+    // d28: same augmentation, df + canonical in one grouped pass
+    // (min over a named struct is lexicographic like Spark's
+    // min(struct(doc_id, pos))); the oracle keys on paragraph text
+    // (it needn't be scale-shaped — the d22 precedent). pos is
+    // 1-based here vs posexplode's 0-based — only its ORDER matters
+    // (canonical choice + reconstruction), which offsets preserve.
+    "d28_span_dedup" ->
+      """WITH a AS (
+           SELECT doc_id,
+             text || ' | repeated passage ' || CAST(doc_id // 2 AS VARCHAR)
+               || ' shared across a pair of documents'
+               || ' | chapter header ' || CAST(doc_id % 25 AS VARCHAR)
+               || ' common recurring block'
+               || ' | repeated passage ' || CAST(doc_id // 2 AS VARCHAR)
+               || ' shared across a pair of documents' AS augmented
+           FROM documents),
+         s AS (SELECT doc_id, string_split(augmented, ' | ') AS paras
+               FROM a),
+         u AS (
+           SELECT doc_id,
+             unnest(range(1, len(paras) + 1)) AS pos,
+             unnest(paras) AS para
+           FROM s),
+         d AS (
+           SELECT para, count(DISTINCT doc_id) AS df,
+             min(struct_pack(d := doc_id, p := pos)) AS canon
+           FROM u GROUP BY para),
+         f AS (
+           SELECT u.doc_id, u.pos, u.para,
+             (d.df >= 2 AND NOT (u.doc_id = d.canon.d
+                                 AND u.pos = d.canon.p)) AS dropped
+           FROM u JOIN d USING (para))
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(coalesce(sum(CASE WHEN dropped THEN 1 END), 0) AS BIGINT)
+             AS n_dropped,
+           CAST(coalesce(sum(CASE WHEN dropped THEN length(para) END), 0)
+             AS BIGINT) AS chars_dropped,
+           coalesce(string_agg(para, ' | ' ORDER BY pos)
+             FILTER (WHERE NOT dropped), '') AS cleaned
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // d29: the identical loop, mechanically unrolled into k chained CTE
+    // rounds (recursive CTEs can't aggregate in the recursive term, and
+    // k is a fixed literal anyway). chr(31)/chr(30) are the same
+    // delimiter bytes; plain replace() has the same left-to-right
+    // non-overlapping semantics, so the merged sequences are
+    // byte-identical each round.
+    "d29_bpe_merges" -> bpeOracleSql(10))
 }

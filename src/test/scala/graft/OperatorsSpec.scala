@@ -267,6 +267,51 @@ class OperatorsSpec extends SparkSpec {
       "packing depends on the bucket count")
   }
 
+  test("packing provenance round-trips: slices + corpus reassemble every sequence token-exactly (d26)") {
+    import spark.implicits._
+    // the packing contract the conservation/tiling pins don't close:
+    // (doc_start, seq_start, n_toks) must let a data loader rebuild each
+    // training sequence from the raw corpus. Mixed lengths, a zero-token
+    // doc, and a doc longer than 2 sequences, under a bucket count that
+    // splits the id range mid-document-run.
+    val S = 8
+    val docTokens: Seq[(Long, Seq[String])] = Seq(
+      1L -> (0 until 3).map(t => s"a$t"),
+      2L -> (0 until 7).map(t => s"b$t"),
+      3L -> Seq.empty[String],                 // zero-token: no rows, no positions
+      5L -> (0 until 19).map(t => s"c$t"),     // straddles 3+ sequences
+      8L -> (0 until 5).map(t => s"d$t"),
+      9L -> Seq("solo"))
+    val docs = docTokens
+      .map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    // ground truth: global token stream in doc_id order, cut every S
+    val stream = docTokens.sortBy(_._1).flatMap(_._2)
+    val expected = stream.grouped(S).zipWithIndex
+      .map { case (toks, i) => i.toLong -> toks }.toMap
+    val byDoc = docTokens.toMap
+    val slices = DocumentQueries.packSequences(docs, seqLen = S, nBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val rebuilt = slices.groupBy(_._1).map { case (seqId, rows) =>
+      val ordered = rows.sortBy(_._4)
+      // slices must tile the sequence exactly: each starts where the
+      // previous ended
+      ordered.foldLeft(0L) { case (at, (_, _, _, seqStart, n)) =>
+        assert(seqStart == at, s"seq $seqId: slice at $seqStart, expected $at")
+        at + n
+      }
+      seqId -> ordered.flatMap { case (_, docId, docStart, _, n) =>
+        byDoc(docId).slice(docStart.toInt, (docStart + n).toInt)
+      }.toSeq
+    }
+    assert(rebuilt.keySet == expected.keySet,
+      s"sequence ids diverge: ${rebuilt.keySet} vs ${expected.keySet}")
+    expected.foreach { case (seqId, toks) =>
+      assert(rebuilt(seqId) == toks,
+        s"seq $seqId reassembles to ${rebuilt(seqId)} not $toks")
+    }
+  }
+
   test("packing survives 63-bit doc_id ranges and refuses duplicates (d26)") {
     import spark.implicits._
     // ids spread across nearly the full positive Long range: the
@@ -296,6 +341,71 @@ class OperatorsSpec extends SparkSpec {
       DocumentQueries.packSequences(dup, seqLen = 4, nBuckets = 2)
     }
     assert(e.getMessage.contains("duplicate doc_id"), e.getMessage)
+  }
+
+  test("span dedup drops cross-doc repeats, keeps the canonical, ignores df=1 (d28)") {
+    import spark.implicits._
+    // planted repeated-paragraph corpus, every disposition known:
+    //   SHARED A in docs 1,2,3 (df=3; doc 3 carries it TWICE) —
+    //     canonical (1,1); (2,0), (3,1), (3,2) dropped
+    //   SHARED B in docs 2,3 (df=2) — canonical (2,2); (3,0) dropped
+    //   doc 4 repeats "delta unique" twice WITHIN itself (df=1) —
+    //     cross-doc dedup must keep BOTH copies
+    val paras = Seq(
+      (1L, 0, "alpha unique one"), (1L, 1, "SHARED A"), (1L, 2, "beta unique"),
+      (2L, 0, "SHARED A"), (2L, 1, "gamma unique"), (2L, 2, "SHARED B"),
+      (3L, 0, "SHARED B"), (3L, 1, "SHARED A"), (3L, 2, "SHARED A"),
+      (4L, 0, "delta unique"), (4L, 1, "delta unique"))
+      .toDF("doc_id", "pos", "para")
+    val disp = DocumentQueries.spanDispositions(paras).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(disp((1L, 1)) == (3L, false), "canonical SHARED A occurrence dropped")
+    assert(disp((2L, 0)) == (3L, true))
+    assert(disp((3L, 1)) == (3L, true) && disp((3L, 2)) == (3L, true),
+      "same-doc re-occurrences of a cross-doc span must drop")
+    assert(disp((2L, 2)) == (2L, false), "canonical SHARED B occurrence dropped")
+    assert(disp((3L, 0)) == (2L, true))
+    assert(disp((4L, 0)) == (1L, false) && disp((4L, 1)) == (1L, false),
+      "within-doc-only repetition (df=1) is not this operator's business")
+    assert(disp((1L, 0)) == (1L, false) && disp((1L, 2)) == (1L, false))
+    val sums = DocumentQueries.spanDedup(paras).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    assert(sums(1L) == (3L, 0L, 0L, "alpha unique one | SHARED A | beta unique"))
+    assert(sums(2L) == (3L, 1L, 8L, "gamma unique | SHARED B"))
+    // doc 3 loses all three paragraphs (8 + 8 + 8 chars), reconstructs empty
+    assert(sums(3L) == (3L, 3L, 24L, ""))
+    assert(sums(4L) == (2L, 0L, 0L, "delta unique | delta unique"))
+  }
+
+  test("BPE merge loop: argmax order, greedy overlap, tie-break, exhaustion (d29)") {
+    import spark.implicits._
+    // word freqs: aaab x2, ab x1, cd x3 — every round hand-computable:
+    //   r1: (a,a)=4 (overlapping positions in aaab count twice) beats
+    //       (a,b)=3 and (c,d)=3 -> merge aa; aaab becomes [aa,a,b]
+    //       (GREEDY left-to-right: the 2nd+3rd 'a' do NOT re-merge)
+    //   r2: (a,b)=3 TIES (c,d)=3 -> lexicographic tie-break picks (a,b);
+    //       [aa,a,b] -> [aa,ab]
+    //   r3: (c,d)=3 -> cd
+    //   r4: (aa,ab)=2 -> aaab
+    //   r5+: no pairs left -> the loop exhausts gracefully, 4 rows only
+    val docs = Seq((1L, "aaab ab cd"), (2L, "aaab cd cd"))
+      .toDF("doc_id", "text")
+    val got = DocumentQueries.bpeMerges(docs, k = 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "c", "d", "cd", 3L),
+      (4L, "aa", "ab", "aaab", 2L)),
+      s"merge table diverges: ${got.mkString(", ")}")
+    // the per-round broadcast side is an explicit LIMIT 1 — the bound
+    // the gate plan audits can't see through the checkpointed rounds
+    // (asserted here at the source instead; see QueriesSpec note)
+    val best = DocumentQueries.bpeMerges(docs, k = 1)
+    assert(best.count() == 1L)
   }
 
   test("temperature sampling refuses null lang and null text loudly (d27)") {

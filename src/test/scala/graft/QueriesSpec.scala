@@ -65,6 +65,11 @@ class QueriesSpec extends SparkSpec {
     // onto every row — one-row side by construction
     // d26: the min/max doc_id bounds scalar cross-joined for bucketing
     // d27: the c_min scalar cross-joined onto the #langs-row rate table
+    // (d29's per-round crossJoin(broadcast(LIMIT 1)) never reaches these
+    // audits: the rounds are eagerly localCheckpoint'd at construction,
+    // so the returned plan is joins-free truncated lineage — the d06/d14
+    // situation. Its bound is asserted at the source instead: see
+    // OperatorsSpec "BPE merge loop".)
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
       "s04_ann_ivf", "s06_quantized_rerank", "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
