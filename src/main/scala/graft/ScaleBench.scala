@@ -25,10 +25,19 @@ object ScaleBench {
   // automatically in the sweep; d26 rides along because its distributed
   // prefix sum is the one scale-critical shape OUTSIDE the dedup scope
   // (count() collapses the gate entry's oracle orderBy, so the cell
-  // measures the two-phase offset machinery, not a global sort)
+  // measures the two-phase offset machinery, not a global sort); d28
+  // because its df+canonical groupBy joins back a corpus-sized segment
+  // table — the one post-round-11 dedup shape not already in the scope
   private val Queries =
     graft.queries.DedupQueries.scopedQueryNames.toSeq.sorted :+
-      "d26_pack_sequences"
+      "d26_pack_sequences" :+ "d28_span_dedup"
+
+  // dev subset filter (comma-separated ids, matched on the short prefix
+  // like Bench's): sweep just the named cells — unset sweeps everything
+  private def selected(name: String): Boolean =
+    sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .forall(ids => ids(name.takeWhile(_ != '_')) || ids(name))
 
   def main(args: Array[String]): Unit = {
     val scales = args.toSeq.map { a =>
@@ -61,7 +70,7 @@ object ScaleBench {
       .empty[(String, String, Double, Int, Double, Long)]
     for ((label, dir) <- scales) {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
-      for (q <- Queries) {
+      for (q <- Queries if selected(q)) {
         val fn = SparkEntry.queries(q)
         var lastJobs = 0
         var lastJobSec = 0.0

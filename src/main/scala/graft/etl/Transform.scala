@@ -251,9 +251,15 @@ object Transform {
 
     // ONE scan+parse of the input, cached; every side branch (counts,
     // archive, quarantine) and the main write read the cached frame —
-    // at 100 TB each avoided re-scan is a full-corpus read.
+    // at 100 TB each avoided re-scan is a full-corpus read. `_raw` (the
+    // original line, ~half the cached bytes — it duplicates every parsed
+    // field) rides the cache ONLY when a branch will actually read it:
+    // with no archive and no quarantine configured, caching it is pure
+    // memory-envelope waste (measured: the 10M-line ScaleEtl cell OOMs
+    // an 8 GB local[32] JVM with _raw cached, fits without).
+    val keepRaw = cfg.archiveDir.nonEmpty || cfg.quarantineDir.nonEmpty
     val parsedAll = AccessLogParser
-      .parse(lines, dropMalformed = false, keepRaw = true).cache()
+      .parse(lines, dropMalformed = false, keepRaw = keepRaw).cache()
     val inputLines = parsedAll.count() // parse is 1:1 with input lines
     val malformed = parsedAll.filter(col("ts").isNull).count()
 
