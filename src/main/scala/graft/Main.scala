@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{count, lit, sum}
 
 import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Transform}
 
@@ -70,7 +71,8 @@ object Main {
       |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
       |  graft.Main ingest [--once] [--sigs <sigDir>] <dropDir> <corpusDir> <checkpointDir>
       |  graft.Main compact <lakeDir> [--flat | <partitionCol>...]
-      |  graft.Main dedup <corpusDir> <outDir>""".stripMargin
+      |  graft.Main dedup <corpusDir> <outDir>
+      |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -219,6 +221,44 @@ object Main {
         Seq(s"dedup task ended, ${counts.getOrElse("kept", 0L)} of $total " +
           s"docs kept (${counts.getOrElse("exact_dup", 0L)} exact, " +
           s"${counts.getOrElse("near_dup", 0L)} near duplicates dropped)")
+      case "spandedup" :: rest =>
+        // the d28 span disposition as a pipeline command: documents are
+        // split on the LITERAL separator (default blank line — the
+        // paragraph convention of crawled text), cross-doc repeated
+        // spans collapse to their canonical occurrence, and each doc is
+        // rewritten from its kept paragraphs (same separator). Output:
+        // (doc_id, n_paras, n_dropped, chars_dropped, cleaned).
+        val opts = flags(rest)
+        val (corpus, out) = opts.positional match {
+          case Seq(c, o) => (c, o)
+          case _ => fail(s"spandedup needs <corpusDir> <outDir>\n$usage")
+        }
+        // same overwrite guard as dedup: an out == corpus typo would
+        // replace the documents with the summary table
+        def q2(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q2(out) == q2(corpus))
+          fail("spandedup: the output dir must differ from the corpus " +
+            "dir — overwrite would destroy the corpus")
+        val sep = opts.getOrElse("--sep", "\n\n")
+        val cleaned = graft.queries.DocumentQueries.spanDedupCorpus(
+          spark.read.parquet(corpus).select("doc_id", "text"), sep)
+        cleaned.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+          .parquet(out)
+        // one aggregate over the (already computed) summary — bounded
+        // driver fetch of four counters, not data
+        val st = spark.read.parquet(out)
+          .agg(count(lit(1)), sum("n_paras"), sum("n_dropped"),
+            sum("chars_dropped"))
+          .head
+        Seq(s"spandedup task ended, ${st.getLong(0)} docs, " +
+          s"${st.getLong(2)} of ${st.getLong(1)} paragraphs dropped " +
+          s"(${st.getLong(3)} chars)")
       case "stream" :: rest if {
           // the two modes take different positional arities; an arity
           // that matches NEITHER mode (e.g. --queue-dir plus a landing

@@ -27,10 +27,13 @@ object ScaleBench {
   // (count() collapses the gate entry's oracle orderBy, so the cell
   // measures the two-phase offset machinery, not a global sort); d28
   // because its df+canonical groupBy joins back a corpus-sized segment
-  // table — the one post-round-11 dedup shape not already in the scope
+  // table — the one post-round-11 dedup shape not already in the scope;
+  // d29 because its corpus-once/vocab-iterate separation is the scale
+  // CLAIM (ScaleGen's 31-word vocab is constant while the corpus grows
+  // 100x, so the iterate phase should be scale-flat by construction)
   private val Queries =
     graft.queries.DedupQueries.scopedQueryNames.toSeq.sorted :+
-      "d26_pack_sequences" :+ "d28_span_dedup"
+      "d26_pack_sequences" :+ "d28_span_dedup" :+ "d29_bpe_merges"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

@@ -558,6 +558,15 @@ object DocumentQueries {
       import s.implicits._
       DocumentQueries.bpeMerges(Tables(s, dir, "documents"), k = 10)
         .orderBy($"merge_rank")
+    },
+
+    // d29b the trained tokenizer applied: per-doc token counts under
+    // the k=10 merge table (see bpeTokenCounts — one broadcast lookup
+    // join over the term stream; the corpus is never rewritten).
+    "d29b_bpe_tokenize" -> { (s, dir) =>
+      import s.implicits._
+      DocumentQueries.bpeTokenCounts(Tables(s, dir, "documents"), k = 10)
+        .orderBy($"doc_id")
     })
 
   /** d29 BPE merge statistics — the iterative pair-merge loop a
@@ -596,18 +605,50 @@ object DocumentQueries {
     * the algorithm's. Pair counts follow the standard overlapping
     * convention ("aaa" counts (a,a) twice) — both engines count
     * adjacent positions, not disjoint matches. */
-  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame =
+    bpeTrain(docs, k)._2.reduce(_.unionAll(_))
+
+  /** The trained tokenizer APPLIED (d29b): per-doc token counts under
+    * the k-merge BPE table — the number a data loader budgets sequences
+    * by, and the apply side of the d29 trainer. The final vocab table
+    * of the merge loop IS the tokenization lookup (word -> merged
+    * symbol count), so application is one broadcast equi-join from the
+    * term stream plus a counting projection — the corpus is never
+    * rewritten. The broadcast side is the distinct-word table: bounded
+    * by Heaps’ law at tokenizer-vocab scale (the same table every BPE
+    * tokenizer ships), not by corpus size. */
+  def bpeTokenCounts(docs: DataFrame, k: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    require(k >= 1, s"bpeMerges: k must be >= 1 (got $k)")
-    val O = "" // symbol open
-    val C = "" // symbol close
+    val vocab = bpeTrain(docs, k)._1
+    val lookup = vocab.select($"term",
+      size(split(expr("substring(seq, 2, length(seq) - 2)"), SymC + SymO))
+        .cast("long").as("n_sym"))
+    termStream(docs).join(broadcast(lookup), Seq("term"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_sym").as("n_bpe_tokens"))
+  }
+
+  // d29’s symbol delimiters (ASCII unit/record separators — cannot
+  // occur in whitespace-tokenized words, so boundaries are unambiguous)
+  private val SymO = "" // symbol open
+  private val SymC = "" // symbol close
+
+  /** The d29 trainer loop: returns (final vocab as (term, c, seq),
+    * per-round merge rows). See bpeMerges’ gate scaladoc above for the
+    * algorithm, determinism, checkpoint discipline, and scale shape. */
+  private def bpeTrain(docs: DataFrame, k: Int): (DataFrame, Seq[DataFrame]) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(k >= 1, s"bpeTrain: k must be >= 1 (got $k)")
+    val O = SymO
+    val C = SymC
     var vocab = termStream(docs)
       .groupBy($"term").agg(count(lit(1)).as("c"))
       .withColumn("seq", concat(lit(O),
         array_join(expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"), C + O),
         lit(C)))
-      .select($"c", $"seq")
+      .select($"term", $"c", $"seq")
       .localCheckpoint(true)
     val merges = (1 to k).map { rank =>
       val pairs = vocab
@@ -623,12 +664,12 @@ object DocumentQueries {
         .withColumn("pat",
           concat(lit(O), $"lhs", lit(C + O), $"rhs", lit(C)))
         .withColumn("rep", concat(lit(O), $"lhs", $"rhs", lit(C)))
-        .select($"c", expr("replace(seq, pat, rep)").as("seq"))
+        .select($"term", $"c", expr("replace(seq, pat, rep)").as("seq"))
         .localCheckpoint(true)
       best.select(lit(rank.toLong).as("merge_rank"), $"lhs", $"rhs",
         concat($"lhs", $"rhs").as("merged"), $"pair_count")
     }
-    merges.reduce(_.unionAll(_))
+    (vocab, merges)
   }
 
   /** d28's per-occurrence disposition over any (doc_id, pos, para)
@@ -660,7 +701,7 @@ object DocumentQueries {
     * volume, and the document reconstructed from kept paragraphs in
     * position order (the d22 collect_list pattern — state bounded per
     * document, never corpus-wide). */
-  def spanDedup(paras: DataFrame): DataFrame = {
+  def spanDedup(paras: DataFrame, joinSep: String = " | "): DataFrame = {
     val s = paras.sparkSession
     import s.implicits._
     spanDispositions(paras)
@@ -670,11 +711,24 @@ object DocumentQueries {
         sum(when($"dropped", 1L).otherwise(0L)).as("n_dropped"),
         sum(when($"dropped", length($"para")).otherwise(0L))
           .as("chars_dropped"),
-        concat_ws(" | ", expr(
+        concat_ws(joinSep, expr(
           """transform(
                array_sort(collect_list(
                  CASE WHEN NOT dropped THEN struct(pos, para) END)),
                p -> p.para)""")).as("cleaned"))
+  }
+
+  /** [[spanDedup]] over a (doc_id, text) corpus: split each document on
+    * the LITERAL separator (regex-quoted — a "|" separator must not
+    * become a regex alternation), dedup spans, reconstruct with the
+    * same separator. The CLI `spandedup` entry point. */
+  def spanDedupCorpus(docs: DataFrame, sep: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val paras = docs.select($"doc_id",
+      posexplode(split($"text", java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    spanDedup(paras, joinSep = sep)
   }
 
   /** d27 as a reusable operator over any (doc_id, lang, text) frame —
@@ -737,7 +791,11 @@ object DocumentQueries {
 
   /** The d29 oracle, generated: round i reads v{i-1}, counts adjacent
     * pairs (u/p), picks the argmax (b), and rewrites the vocab (v). */
-  private def bpeOracleSql(k: Int): String = {
+  /** Shared CTE chain for the d29/d29b oracles: w = word frequencies,
+    * v0 = char-split symbol strings, then k rounds of (s u p b v) —
+    * pair grain, argmax, rewrite — carrying `term` through so the
+    * final vocab doubles as the d29b tokenization lookup. */
+  private def bpeOracleCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""s$i AS (SELECT c, string_split(substr(seq, 2, length(seq) - 2),
                chr(30) || chr(31)) AS sa FROM v${i - 1}),
@@ -747,29 +805,52 @@ object DocumentQueries {
              FROM u$i GROUP BY 1, 2),
          b$i AS (SELECT lhs, rhs, pair_count FROM p$i
              ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
-         v$i AS (SELECT c,
+         v$i AS (SELECT term, c,
                replace(seq, chr(31) || lhs || chr(30) || chr(31) || rhs || chr(30),
                  chr(31) || lhs || rhs || chr(30)) AS seq
              FROM v${i - 1}, b$i)"""
     }.mkString(",\n         ")
-    val sel = (1 to k).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, " +
-        s"lhs || rhs AS merged, pair_count FROM b$i")
-      .mkString("\n         UNION ALL ")
     s"""WITH w AS (
            SELECT term, count(*) AS c FROM (
              SELECT unnest(string_split(text, ' ')) AS term
              FROM documents) t
            WHERE term <> '' GROUP BY term),
          v0 AS (
-           SELECT c, chr(31) || array_to_string(
+           SELECT term, c, chr(31) || array_to_string(
                list_transform(range(1, length(term) + 1),
                  i -> substr(term, i, 1)), chr(30) || chr(31)) || chr(30)
              AS seq
            FROM w),
-         $rounds
-         $sel ORDER BY merge_rank"""
+         $rounds"""
   }
+
+  private def bpeOracleSql(k: Int): String = {
+    val sel = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, " +
+        s"lhs || rhs AS merged, pair_count FROM b$i")
+      .mkString("\n         UNION ALL ")
+    s"""${bpeOracleCtes(k)},
+         m AS ($sel)
+         SELECT * FROM m ORDER BY merge_rank"""
+  }
+
+  /** d29b: tokenize via the final vocab — symbol count per word from
+    * the trained seq, summed per doc over the same term stream. */
+  private def bpeTokenizeOracleSql(k: Int): String =
+    s"""${bpeOracleCtes(k)},
+         L AS (
+           SELECT term,
+             CAST(len(string_split(substr(seq, 2, length(seq) - 2),
+               chr(30) || chr(31))) AS BIGINT) AS n_sym
+           FROM v$k),
+         t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         t2 AS (SELECT doc_id, term FROM t WHERE term <> '')
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+         FROM t2 JOIN L USING (term)
+         GROUP BY doc_id ORDER BY doc_id"""
 
   val oracleSql: ListMap[String, String] = ListMap(
     "d01_dedup_exact" ->
@@ -1052,5 +1133,7 @@ object DocumentQueries {
     // delimiter bytes; plain replace() has the same left-to-right
     // non-overlapping semantics, so the merged sequences are
     // byte-identical each round.
-    "d29_bpe_merges" -> bpeOracleSql(10))
+    "d29_bpe_merges" -> bpeOracleSql(10),
+    // d29b: same CTE chain, final select = the tokenization lookup join
+    "d29b_bpe_tokenize" -> bpeTokenizeOracleSql(10))
 }

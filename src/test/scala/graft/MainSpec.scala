@@ -275,6 +275,37 @@ class MainSpec extends SparkSpec {
       "refused same-dir disposition damaged the corpus")
   }
 
+  test("spandedup: repeated paragraphs collapse to canonical, corpus rewritten") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-spandedup").toString
+    // --sep "|" exercises the regex-quoting path (an unquoted "|" split
+    // would explode every CHARACTER); the shared paragraph "LICENSE"
+    // appears in docs 1 and 2 (df=2 -> canonical in doc 1 survives,
+    // doc 2's copy drops), everything else is unique
+    Seq(1L -> "intro one|LICENSE|body one",
+        2L -> "LICENSE|body two",
+        3L -> "standalone")
+      .toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
+    val out = Main.run(spark,
+      Seq("spandedup", s"$tmp/corpus", s"$tmp/clean", "--sep", "|"),
+      Map.empty)
+    assert(out == Seq(
+      "spandedup task ended, 3 docs, 1 of 6 paragraphs dropped (7 chars)"),
+      out.mkString("\n"))
+    val cleaned = spark.read.parquet(s"$tmp/clean")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("cleaned")).toMap
+    assert(cleaned(1L) == "intro one|LICENSE|body one")
+    assert(cleaned(2L) == "body two")
+    assert(cleaned(3L) == "standalone")
+    // out == corpus refusal, same contract as dedup
+    val same = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("spandedup", s"$tmp/corpus", s"$tmp/corpus"),
+        Map.empty)
+    }
+    assert(same.getMessage.contains("differ"), same.getMessage)
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))

@@ -406,6 +406,13 @@ class OperatorsSpec extends SparkSpec {
     // (asserted here at the source instead; see QueriesSpec note)
     val best = DocumentQueries.bpeMerges(docs, k = 1)
     assert(best.count() == 1L)
+    // d29b apply: after 2 merges (aa, then ab) the vocab tokenizes
+    // aaab->[aa,ab]=2, ab->[ab]=1, cd->[c,d]=2 — counts per doc are
+    // hand-checkable sums over the SAME term stream
+    val toks = DocumentQueries.bpeTokenCounts(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(toks(1L) == (3L, 5L), s"doc 1 tokenized to ${toks(1L)}") // aaab ab cd
+    assert(toks(2L) == (3L, 6L), s"doc 2 tokenized to ${toks(2L)}") // aaab cd cd
   }
 
   test("temperature sampling refuses null lang and null text loudly (d27)") {

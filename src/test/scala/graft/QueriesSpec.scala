@@ -125,7 +125,11 @@ class QueriesSpec extends SparkSpec {
       "s02_ann_lsh" -> "fixed query set, hamming-multiprobe bucket join",
       "s04_ann_ivf" -> "<=16-row centroid table / nprobe probe set",
       "s06_quantized_rerank" -> "fixed query set (coarse scan + rerank sides)",
-      "q30_sliding_window" -> "<=6-row per-year boundary stitch")
+      "q30_sliding_window" -> "<=6-row per-year boundary stitch",
+      // the planner sees a checkpointed LogicalRDD (the trained vocab);
+      // the real bound is Heaps' law — the distinct-word table at
+      // tokenizer-vocab scale, the same table every BPE tokenizer ships
+      "d29b_bpe_tokenize" -> "Heaps-law distinct-word lookup (trained BPE vocab)")
     def structurallyBounded(side: LogicalPlan): Boolean =
       side.exists {
         case _: LocalRelation => true
