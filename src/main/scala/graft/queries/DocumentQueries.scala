@@ -683,7 +683,17 @@ object DocumentQueries {
     * shuffle and no window; the join back is md5-keyed. min-of-struct
     * is lexicographic in both engines (field order pins doc before
     * pos). State per group is O(1) — df counter + one (doc_id, pos)
-    * pair — regardless of how hot a span is. */
+    * pair — regardless of how hot a span is.
+    *
+    * Deliberate trade, like d22: the paragraph table is DERIVED TWICE
+    * (once for the stats groupBy — which ships only (fp, doc_id, pos),
+    * fixed-width — and once as the join's probe side, which must carry
+    * the text anyway because reconstruction emits it). Re-deriving from
+    * the columnar scan beats materializing a corpus-sized exploded text
+    * table the way the dedup scope materializes its NARROW signature
+    * table; no explicit broadcast hint, so the stats side auto-
+    * broadcasts at small SF and degrades to a sort-merge join on the
+    * fixed-width fp at corpus scale. */
   def spanDispositions(paras: DataFrame): DataFrame = {
     val s = paras.sparkSession
     import s.implicits._
