@@ -72,7 +72,8 @@ object Main {
       |  graft.Main ingest [--once] [--sigs <sigDir>] <dropDir> <corpusDir> <checkpointDir>
       |  graft.Main compact <lakeDir> [--flat | <partitionCol>...]
       |  graft.Main dedup <corpusDir> <outDir>
-      |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]""".stripMargin
+      |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
+      |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -259,6 +260,66 @@ object Main {
         Seq(s"spandedup task ended, ${st.getLong(0)} docs, " +
           s"${st.getLong(2)} of ${st.getLong(1)} paragraphs dropped " +
           s"(${st.getLong(3)} chars)")
+      case "curate" :: rest =>
+        // the end-to-end curation pipeline as ONE command: quality gate
+        // → language gate → full d25 dedup (exact + near) → d27
+        // temperature rebalancing → d13 split. Writes the per-doc
+        // disposition table to <out>/dispositions and the kept corpus,
+        // hive-partitioned by split, to <out>/corpus — the two
+        // artifacts a training run consumes (the manifest of record and
+        // the data itself).
+        val opts = flags(rest)
+        val (corpus, out) = opts.positional match {
+          case Seq(c, o) => (c, o)
+          case _ => fail(s"curate needs <corpusDir> <outDir>\n$usage")
+        }
+        def q3(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q3(out) == q3(corpus))
+          fail("curate: the output dir must differ from the corpus dir " +
+            "— overwrite would destroy the corpus")
+        val qmin = opts.named.get("--quality-min").map { v =>
+          val d = try v.toDouble catch {
+            case _: NumberFormatException =>
+              fail(s"curate: --quality-min must be a number, got '$v'")
+          }
+          if (d < 0.0 || d > 1.0)
+            fail(s"curate: --quality-min must be in [0, 1], got $v")
+          d
+        }.getOrElse(0.5)
+        val docs = spark.read.parquet(corpus)
+          .select("doc_id", "lang", "text")
+        // localCheckpoint: three consumers below (artifact write,
+        // counter aggregate, kept-corpus join) — the funnel + dedup
+        // pipeline must run once, not three times
+        val disp = graft.queries.DocumentQueries
+          .curateDispositions(docs, qmin).localCheckpoint(true)
+        disp.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+          .parquet(s"$out/dispositions")
+        val kept = docs.join(
+          disp.filter(org.apache.spark.sql.functions.col("disposition")
+            .isin("train", "val", "test"))
+            .selectExpr("doc_id", "disposition AS split"),
+          Seq("doc_id"))
+        kept.write.mode("overwrite").partitionBy("split")
+          .option("compression", cfg.compression)
+          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+          .parquet(s"$out/corpus")
+        val counts = disp.groupBy("disposition").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        def n(k: String) = counts.getOrElse(k, 0L)
+        val keptN = n("train") + n("val") + n("test")
+        val total = counts.values.sum
+        Seq(s"curate task ended, $keptN of $total docs kept " +
+          s"(train ${n("train")}, val ${n("val")}, test ${n("test")}; " +
+          s"dropped: ${n("low_quality")} low quality, " +
+          s"${n("unknown_lang")} unknown lang, ${n("exact_dup")} exact, " +
+          s"${n("near_dup")} near dup, ${n("sampled_out")} sampled out)")
       case "stream" :: rest if {
           // the two modes take different positional arities; an arity
           // that matches NEITHER mode (e.g. --queue-dir plus a landing

@@ -90,6 +90,46 @@ object DocumentQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
 
+  /** d07's marker-scored language prediction, added as columns (en_n /
+    * de_n / fr_n hit counts + pred_lang argmax, deterministic tie order,
+    * 'und' when nothing matches). ONE definition shared by the d07 gate
+    * and the d31 funnel's language stage — a marker-list change lands in
+    * both or the funnel's language gate silently diverges. */
+  private[queries] def withLangPred(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    def hits(markers: Seq[String]) =
+      size(filter(toks, t => t.isInCollection(markers))).cast("long")
+    docs
+      .withColumn("en_n", hits(Seq("the", "a", "of")))
+      .withColumn("de_n", hits(Seq("der", "die", "und")))
+      .withColumn("fr_n", hits(Seq("le", "la", "et")))
+      .withColumn("pred_lang",
+        when(col("en_n") >= greatest(col("de_n"), col("fr_n"))
+          && col("en_n") > 0, "en")
+          .when(col("de_n") >= col("fr_n") && col("de_n") > 0, "de")
+          .when(col("fr_n") > 0, "fr")
+          .otherwise("und"))
+  }
+
+  /** d09's quality columns (n_tok / avg_tok_len / stop_ratio / the
+    * bounded composite quality score), added to any text frame. ONE
+    * definition shared by the d09 gate and the d31 funnel's quality
+    * stage. Pure codegen arithmetic, no shuffle. */
+  private[queries] def withQuality(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("avg_tok_len",
+        round((length(col("text")) - col("n_tok") + 1) / col("n_tok"), 4))
+      .withColumn("stop_ratio",
+        round(size(filter(toks, t => t.isInCollection(Seq("the", "a"))))
+          / col("n_tok"), 4))
+      .withColumn("quality",
+        round(lit(0.4) * least(col("n_tok") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - abs(col("avg_tok_len") - 4.5) / 4.5) +
+          lit(0.3) * least(col("stop_ratio") * 10.0, lit(1.0)), 4))
+  }
+
   /** d27's sampling bucket: the d13 rolling char hash with a DIFFERENT
     * seed (13, not 7) and modulus (10000, not 100) — the sampling
     * decision must not correlate with the train/val/test split (same
@@ -226,42 +266,23 @@ object DocumentQueries {
     // Language-ID by stopword-marker scoring (n-gram heuristic family):
     // per-language marker-token hit counts → argmax with deterministic
     // tie order, 'und' when nothing matches. Emitted as a label-vs-
-    // prediction confusion matrix.
+    // prediction confusion matrix. Formula lives in [[withLangPred]]
+    // (shared with the d31 funnel's language gate).
     "d07_lang_id" -> { (s, dir) =>
       import s.implicits._
-      val toks = split($"text", " ")
-      def hits(markers: Seq[String]) =
-        size(filter(toks, t => t.isInCollection(markers))).cast("long")
-      Tables(s, dir, "documents")
-        .withColumn("en_n", hits(Seq("the", "a", "of")))
-        .withColumn("de_n", hits(Seq("der", "die", "und")))
-        .withColumn("fr_n", hits(Seq("le", "la", "et")))
-        .withColumn("pred_lang",
-          when($"en_n" >= greatest($"de_n", $"fr_n") && $"en_n" > 0, "en")
-            .when($"de_n" >= $"fr_n" && $"de_n" > 0, "de")
-            .when($"fr_n" > 0, "fr")
-            .otherwise("und"))
+      withLangPred(Tables(s, dir, "documents"))
         .groupBy($"lang", $"pred_lang")
         .agg(count(lit(1)).as("n_docs"), sum($"en_n").as("en_hits"))
         .orderBy($"lang", $"pred_lang")
     },
 
     // Quality scoring: token count, mean token length, stopword ratio →
-    // bounded composite score. Pure arithmetic, replicated in the oracle.
+    // bounded composite score. Pure arithmetic, replicated in the
+    // oracle. Formula lives in [[withQuality]] (shared with the d31
+    // funnel's quality gate).
     "d09_quality_score" -> { (s, dir) =>
       import s.implicits._
-      val toks = split($"text", " ")
-      Tables(s, dir, "documents")
-        .withColumn("n_tok", size(toks).cast("long"))
-        .withColumn("avg_tok_len",
-          round((length($"text") - $"n_tok" + 1) / $"n_tok", 4))
-        .withColumn("stop_ratio",
-          round(size(filter(toks, t => t.isInCollection(Seq("the", "a"))))
-            / $"n_tok", 4))
-        .withColumn("quality",
-          round(lit(0.4) * least($"n_tok" / 100.0, lit(1.0)) +
-            lit(0.3) * (lit(1.0) - abs($"avg_tok_len" - 4.5) / 4.5) +
-            lit(0.3) * least($"stop_ratio" * 10.0, lit(1.0)), 4))
+      withQuality(Tables(s, dir, "documents"))
         .select($"doc_id", $"n_tok", $"avg_tok_len", $"stop_ratio", $"quality")
         .orderBy($"doc_id")
     },
@@ -567,6 +588,31 @@ object DocumentQueries {
       import s.implicits._
       DocumentQueries.bpeTokenCounts(Tables(s, dir, "documents"), k = 10)
         .orderBy($"doc_id")
+    },
+
+    // d30 exact n-gram decontamination: the GPT-3/PaLM-style benchmark
+    // decontamination check — which eval (val/test) documents share an
+    // EXACT 8-token n-gram with any train document. Complements d14,
+    // which finds whole-document NEAR-duplicates across the split via
+    // MinHash: d30 catches a quoted paragraph or copied answer span
+    // inside an otherwise-unrelated document, the leak profile
+    // benchmark-decontamination actually targets (see
+    // ngramDecontamination for the scale shape).
+    "d30_ngram_decontam" -> { (s, dir) =>
+      import s.implicits._
+      DocumentQueries.ngramDecontamination(Tables(s, dir, "documents"))
+        .orderBy($"doc_id")
+    },
+
+    // d31 curation funnel: per-doc disposition through the pipeline's
+    // ordered gates — quality, language, exact dedup among survivors,
+    // temperature sampling over the surviving corpus — kept docs
+    // labeled with their d13 split (see curationFunnel for stage
+    // semantics and the scale shape).
+    "d31_curation_funnel" -> { (s, dir) =>
+      import s.implicits._
+      DocumentQueries.curationFunnel(Tables(s, dir, "documents"))
+        .orderBy($"doc_id")
     })
 
   /** d29 BPE merge statistics — the iterative pair-merge loop a
@@ -741,6 +787,195 @@ object DocumentQueries {
     spanDedup(paras, joinSep = sep)
   }
 
+  /** d30 exact n-gram decontamination over any (doc_id, text) frame:
+    * per EVAL document (val/test under the d13 content-hash split), how
+    * many of its distinct word n-grams also occur in ANY train
+    * document. The exact-overlap method the GPT-3/PaLM decontamination
+    * writeups describe — it fires on a copied span inside an
+    * otherwise-unrelated document, which whole-document similarity
+    * (d14) structurally cannot see. Output per eval doc: distinct
+    * n-gram count, hit count, hit fraction, and the smallest train
+    * doc_id sharing any n-gram (-1 when clean — the columns stay
+    * non-null so the funnel can consume them directly).
+    *
+    * Scale shape — the one hazard is expanding eval x train PAIRS: a
+    * boilerplate n-gram present in millions of train docs would
+    * multiply every eval doc that contains it. The train side is
+    * therefore pre-aggregated to (fp, train_df, min_train_doc) — one
+    * map-side-combinable groupBy over fixed-width md5 keys — so the
+    * probe join's output is bounded by |eval n-grams| EXACTLY,
+    * regardless of how hot a span is on the train side. Everything
+    * that shuffles is (md5, long) rows: per-doc distinct n-gram
+    * fingerprints, never n-gram TEXT (an 8-gram can be most of a
+    * document) and never doc text. Consequence, documented: train_df
+    * is available per n-gram, but "distinct train docs over ALL
+    * colliding n-grams" is not — that number requires the pair
+    * expansion this shape exists to avoid; min_train_doc (min over
+    * hits' per-fp minima) is the stable witness the report ships.
+    * Docs shorter than n tokens carry no n-grams and emit no row (both
+    * engines agree; the corpus floor is 10 tokens, n = 8).
+    *
+    * Deliberate trade (the d28 precedent): the split filters push
+    * BELOW the per-doc distinct, so the train and eval branches each
+    * scan+fingerprint their own side of the corpus rather than sharing
+    * one full-corpus distinct — two pruned scans beat materializing
+    * the undivided fingerprint table, and each branch's shuffle then
+    * carries only its own side's rows. */
+  def ngramDecontamination(docs: DataFrame, n: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(n >= 1, s"ngramDecontamination: n must be >= 1 (got $n)")
+    // one codegen pass: tokens -> positional n-gram fingerprints,
+    // split bucket riding the same projection (null text refused
+    // loudly inside splitBucketCol, the d13 discipline)
+    val grams = docs
+      .withColumn("split", splitOfBucket(splitBucketCol))
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .filter(size($"toks") >= n) // also keeps sequence() ascending
+      .select($"doc_id", $"split", explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+            i -> md5(array_join(slice(toks, i, $n), ' ')))""")).as("fp"))
+      .distinct() // (doc_id, split, fp) — per-doc distinct n-grams
+    val eval_ = grams.filter($"split".isin("val", "test"))
+    val train = grams.filter($"split" === "train")
+      .groupBy($"fp").agg(count(lit(1)).as("train_df"),
+        min($"doc_id").as("min_train_doc"))
+    eval_.join(train, Seq("fp"), "left")
+      .groupBy($"doc_id", $"split")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        count($"train_df").as("n_hit"),
+        round(count($"train_df") / count(lit(1)), 4).as("hit_frac"),
+        coalesce(min($"min_train_doc"), lit(-1L)).as("min_train_doc"))
+      .select($"doc_id", $"split", $"n_ngrams", $"n_hit", $"hit_frac",
+        $"min_train_doc")
+  }
+
+  /** d27's rebalancing rate table over a lang column: rate_bp =
+    * floor(sqrt(c_min / c_lang) * 10000) basis points, one #langs-row
+    * broadcastable frame. The formula lives HERE ONCE — shared by the
+    * d27 sampler and the d31 funnel's sampling stage, whose rates are
+    * computed over the funnel's SURVIVOR corpus (the pipeline runs
+    * sampling after filtering/dedup, so the counts must be post-gate
+    * counts, not raw-corpus counts). */
+  private def temperatureRates(guarded: DataFrame): DataFrame = {
+    val s = guarded.sparkSession
+    import s.implicits._
+    val langCounts = guarded.groupBy($"lang").agg(count(lit(1)).as("c"))
+    val cMin = langCounts.agg(min($"c").as("c_min"))
+    langCounts.crossJoin(broadcast(cMin))
+      .withColumn("rate_bp",
+        floor(sqrt($"c_min".cast("double") / $"c") * 10000).cast("long"))
+      .select($"lang", $"rate_bp")
+  }
+
+  /** d31 curation funnel — the per-document disposition a curation
+    * pipeline executes, stages in pipeline order with FIRST-DROP-WINS
+    * attribution:
+    *   1. quality gate (d09 composite < qualityMin → 'low_quality');
+    *   2. language gate (d07 marker argmax = 'und' → 'unknown_lang');
+    *   3. exact dedup AMONG SURVIVORS (non-canonical copy →
+    *      'exact_dup'; canonical = min doc_id per md5(text) group —
+    *      dedup runs on the filtered corpus, as a pipeline would);
+    *   4. temperature sampling over the surviving corpus (d27 rates
+    *      from post-gate language counts; losing the draw →
+    *      'sampled_out');
+    *   5. kept docs land in their d13 split — disposition IS the split
+    *      ('train'/'val'/'test'), so one non-null column answers both
+    *      "did this doc survive" and "where did it go".
+    *
+    * Near-dup dedup (d25) is deliberately NOT a funnel stage: its
+    * MinHash estimate isn't ANSI-SQL-expressible, and this funnel is
+    * the exactly-oracle-checkable spine; the `curate` CLI composes the
+    * funnel's quality/language gates with the full d25 disposition for
+    * the production path.
+    *
+    * Scale shape: stages 1/2 and the per-doc hash columns are ONE
+    * codegen pass that immediately narrows to fixed-width columns —
+    * text never shuffles. Stage 3 is a groupBy + join keyed on
+    * md5(text) (the d01b discipline). Stage 4's rate table is a
+    * #langs-row broadcast. The final select is base LEFT JOIN canon
+    * (md5-keyed) LEFT JOIN broadcast(rates) — no corpus-wide window,
+    * no pair expansion. The narrow base is re-derived per consumer
+    * (scan-pruned; the d28/d30 trade) rather than checkpointed. */
+  def curationFunnel(docs: DataFrame, qualityMin: Double = 0.5): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val guarded = docs.withColumn("lang",
+      when($"lang".isNull, raise_error(lit(
+        "curationFunnel: null lang — the corpus label drives stage-4 " +
+          "rebalancing; assign or filter before curating")))
+        .otherwise($"lang"))
+    val base = withLangPred(withQuality(guarded))
+      .withColumn("fp", md5($"text"))
+      .withColumn("samp", sampleBucketCol)
+      .withColumn("bucket", splitBucketCol)
+      .select($"doc_id", $"lang", $"quality", $"pred_lang", $"fp",
+        $"samp", $"bucket")
+    val s12 = base.filter($"quality" >= qualityMin && $"pred_lang" =!= "und")
+    val canon = s12.groupBy($"fp").agg(min($"doc_id").as("canon_id"))
+    val survivors = s12.join(canon, Seq("fp"))
+      .filter($"doc_id" === $"canon_id")
+    val rates = temperatureRates(survivors)
+    // CASE order = stage order, so the canon/rate columns are only
+    // consulted for docs that reached their stage (they are non-null
+    // exactly there: canon covers every stage-1/2 survivor's fp, rates
+    // covers every surviving doc's lang)
+    base.join(canon, Seq("fp"), "left")
+      .join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("disposition",
+        when($"quality" < qualityMin, "low_quality")
+          .when($"pred_lang" === "und", "unknown_lang")
+          .when($"doc_id" =!= $"canon_id", "exact_dup")
+          .when($"samp" >= $"rate_bp", "sampled_out")
+          .otherwise(splitOfBucket($"bucket")))
+      .select($"doc_id", $"quality", $"pred_lang", $"disposition")
+  }
+
+  /** The production curation composition behind the `curate` CLI: the
+    * d31 funnel's quality/language gates, then the FULL d25 disposition
+    * (exact + MinHash near-dup with connected-component
+    * canonicalization) over the survivors, then d27 temperature
+    * sampling over the deduped corpus, then the d13 split. Differs from
+    * [[curationFunnel]] — the exactly-oracle-checkable spine — in stage
+    * 3 only: near-duplicates drop here too, so the disposition
+    * vocabulary gains 'near_dup'. Stage semantics, null-lang refusal,
+    * and the survivor-derived sampling rates are the funnel's; the
+    * dedup stage inherits dedupApply's loud contract checks (duplicate
+    * doc_id, null id/text, non-integral id). */
+  def curateDispositions(docs: DataFrame,
+      qualityMin: Double = 0.5): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val guarded = docs.withColumn("lang",
+      when($"lang".isNull, raise_error(lit(
+        "curate: null lang — the corpus label drives rebalancing; " +
+          "assign (d07) or filter before curating")))
+        .otherwise($"lang"))
+    val base = withLangPred(withQuality(guarded))
+      .withColumn("samp", sampleBucketCol)
+      .withColumn("bucket", splitBucketCol)
+      .select($"doc_id", $"lang", $"text", $"quality", $"pred_lang",
+        $"samp", $"bucket")
+    val s12 = base.filter($"quality" >= qualityMin && $"pred_lang" =!= "und")
+    // checkpoint-backed (dedupApply): the disposition pipeline runs
+    // once, not once per downstream consumer
+    val dedup = DedupQueries.dedupApply(s12.select($"doc_id", $"text"))
+    val survivors = s12.join(
+      dedup.filter($"status" === "kept").select($"doc_id"), Seq("doc_id"))
+    val rates = temperatureRates(survivors)
+    base
+      .join(dedup.select($"doc_id", $"status"), Seq("doc_id"), "left")
+      .join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("disposition",
+        when($"quality" < qualityMin, "low_quality")
+          .when($"pred_lang" === "und", "unknown_lang")
+          .when($"status" =!= "kept", $"status")
+          .when($"samp" >= $"rate_bp", "sampled_out")
+          .otherwise(splitOfBucket($"bucket")))
+      .select($"doc_id", $"quality", $"pred_lang", $"disposition")
+  }
+
   /** d27 as a reusable operator over any (doc_id, lang, text) frame —
     * see the gate-query comment for semantics and the scale shape. */
   def temperatureSample(docs: DataFrame): DataFrame = {
@@ -757,12 +992,7 @@ object DocumentQueries {
         "temperatureSample: null lang — assign a language (d07 lang ID) " +
           "or filter unknown-language docs before rebalancing")))
         .otherwise($"lang"))
-    val langCounts = guarded.groupBy($"lang").agg(count(lit(1)).as("c"))
-    val cMin = langCounts.agg(min($"c").as("c_min"))
-    val rates = langCounts.crossJoin(broadcast(cMin))
-      .withColumn("rate_bp",
-        floor(sqrt($"c_min".cast("double") / $"c") * 10000).cast("long"))
-      .select($"lang", $"rate_bp")
+    val rates = temperatureRates(guarded)
     guarded
       .withColumn("samp", sampleBucketCol)
       .join(broadcast(rates), Seq("lang"))
@@ -1145,5 +1375,108 @@ object DocumentQueries {
     // byte-identical each round.
     "d29_bpe_merges" -> bpeOracleSql(10),
     // d29b: same CTE chain, final select = the tokenization lookup join
-    "d29b_bpe_tokenize" -> bpeTokenizeOracleSql(10))
+    "d29b_bpe_tokenize" -> bpeTokenizeOracleSql(10),
+    // d30: same split hash (duckSplits), token 8-grams sliced off the
+    // filtered token list (DuckDB's tk[i:i+7] inclusive slice = Spark's
+    // slice(toks, i, 8)); md5 over the space-joined gram text on both
+    // sides, per-doc DISTINCT before any join, train side pre-aggregated
+    // to (fp, df, min doc) exactly like the Spark plan. BIGINT/BIGINT
+    // division is DOUBLE in both engines; -1 = clean (no NULLs ship).
+    "d30_ngram_decontam" ->
+      s"""WITH ${duckSplits},
+          tk AS (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents),
+          ng AS (
+            SELECT DISTINCT doc_id,
+              md5(array_to_string(toks[i:i+7], ' ')) AS fp
+            FROM (
+              SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+              FROM tk WHERE len(toks) >= 8)),
+          ev AS (
+            SELECT n.doc_id, n.fp, s.split
+            FROM ng n JOIN splits s USING (doc_id)
+            WHERE s.split IN ('val', 'test')),
+          tr AS (
+            SELECT fp, count(*) AS train_df, min(doc_id) AS min_train_doc
+            FROM ng n JOIN splits s USING (doc_id)
+            WHERE s.split = 'train' GROUP BY fp)
+          SELECT doc_id, split,
+            CAST(count(*) AS BIGINT) AS n_ngrams,
+            CAST(count(train_df) AS BIGINT) AS n_hit,
+            round(count(train_df) / count(*), 4) AS hit_frac,
+            coalesce(min(min_train_doc), CAST(-1 AS BIGINT))
+              AS min_train_doc
+          FROM ev LEFT JOIN tr USING (fp)
+          GROUP BY doc_id, split ORDER BY doc_id""",
+    // d31: the same staged CASE — d09 quality formula and d07 argmax
+    // verbatim from their own oracles, canon/rates computed over the
+    // same survivor sets, the seed-13 samp hash and seed-7 split hash
+    // from the d27/d13 oracles. CASE order = stage order, so the
+    // NULL canon_id/rate_bp of docs dropped upstream is never
+    // consulted (same null-skip semantics as Spark's when-chain).
+    "d31_curation_funnel" ->
+      s"""WITH ${duckSplits},
+          sb AS (
+            SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(13 AS BIGINT),
+                  list_transform(range(1, len(text) + 1),
+                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                (a, x) -> (a * 31 + x) % ${graft.operators.TextHash.P}) % 10000
+                AS samp
+            FROM documents),
+          raw AS (
+            SELECT doc_id, lang, md5(text) AS fp,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              round((len(text) - len(string_split(text, ' ')) + 1)
+                    / len(string_split(text, ' ')), 4) AS avg_tok_len,
+              round(len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the', 'a')))
+                    / len(string_split(text, ' ')), 4) AS stop_ratio,
+              CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of'))) AS BIGINT) AS en_n,
+              CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('der', 'die', 'und'))) AS BIGINT) AS de_n,
+              CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('le', 'la', 'et'))) AS BIGINT) AS fr_n
+            FROM documents),
+          base AS (
+            SELECT *,
+              round(0.4 * least(n_tok / 100.0, 1.0) +
+                    0.3 * (1.0 - abs(avg_tok_len - 4.5) / 4.5) +
+                    0.3 * least(stop_ratio * 10.0, 1.0), 4) AS quality,
+              CASE WHEN en_n >= greatest(de_n, fr_n) AND en_n > 0 THEN 'en'
+                   WHEN de_n >= fr_n AND de_n > 0 THEN 'de'
+                   WHEN fr_n > 0 THEN 'fr'
+                   ELSE 'und' END AS pred_lang
+            FROM raw),
+          s12 AS (
+            SELECT * FROM base
+            WHERE quality >= 0.5 AND pred_lang <> 'und'),
+          canon AS (
+            SELECT fp, min(doc_id) AS canon_id FROM s12 GROUP BY fp),
+          surv AS (
+            SELECT s.* FROM s12 s JOIN canon c USING (fp)
+            WHERE s.doc_id = c.canon_id),
+          lc AS (SELECT lang, count(*) AS c FROM surv GROUP BY lang),
+          cm AS (SELECT min(c) AS c_min FROM lc),
+          r AS (
+            SELECT lang,
+              CAST(floor(sqrt(CAST(c_min AS DOUBLE) / c) * 10000) AS BIGINT)
+                AS rate_bp
+            FROM lc, cm)
+          SELECT b.doc_id, b.quality, b.pred_lang,
+            CASE WHEN b.quality < 0.5 THEN 'low_quality'
+                 WHEN b.pred_lang = 'und' THEN 'unknown_lang'
+                 WHEN b.doc_id <> c.canon_id THEN 'exact_dup'
+                 WHEN h.samp >= r.rate_bp THEN 'sampled_out'
+                 ELSE sp.split END AS disposition
+          FROM base b
+          LEFT JOIN canon c USING (fp)
+          LEFT JOIN r USING (lang)
+          JOIN sb h ON h.doc_id = b.doc_id
+          JOIN splits sp ON sp.doc_id = b.doc_id
+          ORDER BY b.doc_id""")
 }

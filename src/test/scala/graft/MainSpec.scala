@@ -306,6 +306,71 @@ class MainSpec extends SparkSpec {
     assert(same.getMessage.contains("differ"), same.getMessage)
   }
 
+  test("curate: full pipeline writes dispositions + split-partitioned corpus") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-curate").toString
+    // one doc per drop reason + enough healthy docs that the kept set
+    // is non-empty: near-dup pair (1 canonical / 2 drops), an exact
+    // copy of 1 (drops), a low-quality doc, a no-marker doc, healthy
+    // fillers. Single surviving language => rate 10000 => nobody is
+    // sampled_out, so kept docs land in their d13 split.
+    val base = ("the a of" +: (0 until 37).map(t => s"cur$t")).mkString(" ")
+    val near = (("the a of" +: (0 until 37).map(t => s"cur$t")) :+ "tail")
+      .mkString(" ")
+    val fillers = (0 until 6).map(k =>
+      (10L + k, "en", ("the a of" +: (0 until 37).map(t => s"f${k}_$t"))
+        .mkString(" ")))
+    val docs = (Seq(
+      (1L, "en", base),
+      (2L, "en", near),
+      (3L, "en", base), // exact copy of 1
+      (4L, "en", "zz zz"), // low_quality
+      (5L, "en", (0 until 100).map(i => f"qx$i%02d").mkString(" "))) // unknown_lang
+      ++ fillers).toDF("doc_id", "lang", "text")
+    docs.write.parquet(s"$tmp/corpus")
+    val out = Main.run(spark, Seq("curate", s"$tmp/corpus", s"$tmp/cur"),
+      Map.empty)
+    val disp = spark.read.parquet(s"$tmp/cur/dispositions")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("disposition")).toMap
+    assert(disp.size == 11, s"conservation broke: $disp")
+    assert(disp(3L) == "exact_dup", s"doc 3: ${disp(3L)}")
+    assert(disp(2L) == "near_dup", s"doc 2: ${disp(2L)}")
+    assert(disp(4L) == "low_quality", s"doc 4: ${disp(4L)}")
+    assert(disp(5L) == "unknown_lang", s"doc 5: ${disp(5L)}")
+    assert(Set("train", "val", "test")(disp(1L)), s"doc 1: ${disp(1L)}")
+    // the kept corpus carries exactly the kept docs, hive-partitioned
+    // on split, with the text intact
+    val kept = spark.read.parquet(s"$tmp/cur/corpus")
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val expectKept = disp.filter(kv => Set("train", "val", "test")(kv._2))
+      .keySet
+    assert(keptIds == expectKept, s"kept $keptIds vs $expectKept")
+    assert(kept.columns.toSet == Set("doc_id", "lang", "text", "split"))
+    val doc1 = kept.filter($"doc_id" === 1L).select("text", "split")
+      .head
+    assert(doc1.getString(0) == base && doc1.getString(1) == disp(1L))
+    // the summary line is the disposition census
+    val keptN = expectKept.size
+    assert(out.head.startsWith(s"curate task ended, $keptN of 11 docs kept"),
+      out.mkString("\n"))
+    assert(out.head.contains("1 low quality") &&
+      out.head.contains("1 unknown lang") &&
+      out.head.contains("1 exact") && out.head.contains("1 near dup"),
+      out.mkString("\n"))
+    // out == corpus refusal; bad --quality-min refused before any work
+    val same = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("curate", s"$tmp/corpus", s"$tmp/corpus"),
+        Map.empty)
+    }
+    assert(same.getMessage.contains("differ"), same.getMessage)
+    val bad = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("curate", s"$tmp/corpus", s"$tmp/cur2",
+        "--quality-min", "1.5"), Map.empty)
+    }
+    assert(bad.getMessage.contains("[0, 1]"), bad.getMessage)
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))

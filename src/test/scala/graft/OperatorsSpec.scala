@@ -471,6 +471,138 @@ class OperatorsSpec extends SparkSpec {
     assert(again.sorted.sameElements(out.sorted))
   }
 
+  test("ngram decontamination flags planted cross-split span copies (d30)") {
+    import spark.implicits._
+    // an eval doc that copies a span from a train doc: straddlePair
+    // gives base (train bucket) and leak = base + tail (test bucket) —
+    // every 8-gram of base recurs verbatim in leak
+    val body = (0 until 20).map(t => s"sp$t").mkString(" ")
+    val (base, leak) = straddlePair(body)
+    val nBase = base.split(" ").length
+    val nLeak = leak.split(" ").length
+    // a clean eval doc (unique tokens) and a sub-8-token eval doc
+    val clean = (0 until 1000).iterator
+      .map(i => (0 until 12).map(t => s"cl${i}_$t").mkString(" "))
+      .find(bucketOf(_) >= 80).get
+    val short_ = (0 until 1000).iterator
+      .map(i => s"tiny$i one two").find(bucketOf(_) >= 80).get
+    // a viral train span shared by MANY train docs: the pre-aggregated
+    // train side must report min_train_doc over the whole group while
+    // the eval row count stays |eval docs| — no pair expansion
+    val viralSpan = (0 until 8).map(t => s"vs$t").mkString(" ")
+    val viralTrain = (0 until 20).map { k =>
+      val t = (0 until 1000).iterator
+        .map(i => s"$viralSpan v${k}_$i vpad vpadd")
+        .find(bucketOf(_) < 80).get
+      (300L + k, t)
+    }
+    val evalViral = (0 until 1000).iterator
+      .map(i => s"$viralSpan ev$i evpad evpadd")
+      .find(bucketOf(_) >= 80).get
+    val docs = (Seq((0L, base), (1L, leak), (2L, clean), (3L, short_),
+      (4L, evalViral)) ++ viralTrain).toDF("doc_id", "text")
+    val got = DocumentQueries.ngramDecontamination(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(5))).toMap
+    // exactly the >=8-token eval docs emit a row; train docs and the
+    // short doc do not
+    assert(got.keySet == Set(1L, 2L, 4L), s"rows for ${got.keySet}")
+    assert(got.values.forall(v => v._1 == "val" || v._1 == "test"))
+    // leak: all n_base-7 grams of base hit; the tail-overlapping grams
+    // (and any saltless new ones) do not
+    val (_, leakGrams, leakHits, leakMin) = got(1L)
+    assert(leakGrams == nLeak - 7L, s"leak grams $leakGrams")
+    assert(leakHits == nBase - 7L, s"leak hits $leakHits")
+    assert(leakMin == 0L, s"leak witness $leakMin")
+    val (_, cGrams, cHits, cMin) = got(2L)
+    assert(cGrams == 5L && cHits == 0L && cMin == -1L,
+      s"clean doc: ${got(2L)}")
+    // the viral eval doc: exactly ONE gram (the span itself) hits, and
+    // the witness is the smallest doc of the 20-strong train group
+    val (_, vGrams, vHits, vMin) = got(4L)
+    assert(vGrams == 4L && vHits == 1L && vMin == 300L,
+      s"viral eval: ${got(4L)}")
+  }
+
+  test("curation funnel: first-drop attribution, exact dedup, split routing (d31)") {
+    import spark.implicits._
+    def goodText(tag: String): String =
+      ("the a of" +: (0 until 97).map(i => f"$tag$i%03d")).mkString(" ")
+    val good = goodText("wx") // 100 toks, en markers, quality ~0.75
+    // fails quality AND has no language markers: low_quality must win
+    // (stage order), not unknown_lang
+    val lowQ = "zz zz zz"
+    // passes quality (100 4-char tokens) but matches no marker list
+    val noLang = (0 until 100).map(i => f"qv$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, "en", lowQ),
+      (2L, "en", noLang),
+      (10L, "en", good),
+      (11L, "en", good), // byte-identical: higher id is the exact_dup
+      (12L, "en", goodText("yz")))
+      .toDF("doc_id", "lang", "text")
+    val got = DocumentQueries.curationFunnel(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got.size == 5, s"conservation broke: $got")
+    assert(got(1L) == "low_quality", s"doc 1: ${got(1L)}")
+    assert(got(2L) == "unknown_lang", s"doc 2: ${got(2L)}")
+    assert(got(11L) == "exact_dup", s"doc 11: ${got(11L)}")
+    // single surviving language => rate_bp = 10000 > any samp bucket:
+    // every canonical survivor is KEPT, landing in its d13 split
+    def splitName(t: String): String = {
+      val b = bucketOf(t)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    assert(got(10L) == splitName(good), s"doc 10: ${got(10L)}")
+    assert(got(12L) == splitName(goodText("yz")), s"doc 12: ${got(12L)}")
+  }
+
+  test("curation funnel: sampling rates come from the SURVIVOR corpus (d31)") {
+    import spark.implicits._
+    def sampOf(text: String): Long = {
+      val h = text.foldLeft(13L)((acc, c) =>
+        (acc * 31 + c.toLong) % graft.operators.TextHash.P)
+      (if (text.isEmpty) 13L else h) % 10000
+    }
+    def goodEn(tag: String): String =
+      ("the a of" +: (0 until 97).map(i => f"$tag$i%03d")).mkString(" ")
+    // 25 surviving 'en' docs + 1 surviving 'de' doc: c_min = 1, so
+    // rate_en = floor(sqrt(1/25) * 10000) = 2000 bp — en docs with
+    // samp >= 2000 are sampled_out, the rare 'de' doc is always kept.
+    // A pile of low-quality 'de' docs rides along: they are dropped at
+    // stage 1, so they must NOT inflate c_de and dilute the en rate.
+    val en = (0 until 25).map(k => (100L + k, "en", goodEn(f"e$k%02dx")))
+    val de = (500L, "de",
+      ("der die und" +: (0 until 97).map(i => f"gr$i%03d")).mkString(" "))
+    val deJunk = (0 until 30).map(k => (600L + k, "de", s"kaput$k"))
+    val docs = (en ++ Seq(de) ++ deJunk).toDF("doc_id", "lang", "text")
+    val got = DocumentQueries.curationFunnel(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(500L) != "sampled_out" && got(500L) != "low_quality",
+      s"rare de doc: ${got(500L)}")
+    deJunk.foreach { case (id, _, _) =>
+      assert(got(id) == "low_quality", s"doc $id: ${got(id)}") }
+    // en decisions follow the independent samp recomputation at the
+    // survivor-derived 2000 bp rate — if rates were computed over the
+    // RAW corpus (c_de = 31), the rate would differ and some doc would
+    // flip
+    en.foreach { case (id, _, t) =>
+      val expectSampled = sampOf(t) >= 2000L
+      assert((got(id) == "sampled_out") == expectSampled,
+        s"doc $id samp=${sampOf(t)}: ${got(id)}")
+    }
+    // at least one en doc on each side of the draw, else the fixture
+    // proves nothing
+    assert(en.exists(e => sampOf(e._3) >= 2000L) &&
+      en.exists(e => sampOf(e._3) < 2000L), "degenerate fixture")
+    // null lang refused loudly (the d27 discipline)
+    val e = intercept[Exception] {
+      DocumentQueries.curationFunnel(Seq((1L, null: String, "the a doc"))
+        .toDF("doc_id", "lang", "text")).collect()
+    }
+    assert(e.getMessage.contains("null lang"), e.getMessage)
+  }
+
   test("duplicate clusters on a dup-free corpus is empty, not an error") {
     import spark.implicits._
     // every text unique and dissimilar -> zero candidate pairs -> the

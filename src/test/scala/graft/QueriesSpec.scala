@@ -64,7 +64,8 @@ class QueriesSpec extends SparkSpec {
     // d17/d22: a broadcast SCALAR aggregate (corpus size) cross-joined
     // onto every row — one-row side by construction
     // d26: the min/max doc_id bounds scalar cross-joined for bucketing
-    // d27: the c_min scalar cross-joined onto the #langs-row rate table
+    // d27/d31: the c_min scalar cross-joined onto the #langs-row rate
+    // table (d31 builds the same rate table over its survivor corpus)
     // (d29's per-round crossJoin(broadcast(LIMIT 1)) never reaches these
     // audits: the rounds are eagerly localCheckpoint'd at construction,
     // so the returned plan is joins-free truncated lineage — the d06/d14
@@ -73,7 +74,8 @@ class QueriesSpec extends SparkSpec {
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
       "s04_ann_ivf", "s06_quantized_rerank", "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
-      "d26_pack_sequences", "d27_temperature_sample")
+      "d26_pack_sequences", "d27_temperature_sample",
+      "d31_curation_funnel")
     // top-level conjunct split: `a =!= b` CONTAINS an EqualTo node, so a
     // whole-tree search would miscount it as an equi-key
     def conjuncts(e: Expression): Seq[Expression] = e match {
