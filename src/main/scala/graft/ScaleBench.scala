@@ -30,10 +30,15 @@ object ScaleBench {
   // table — the one post-round-11 dedup shape not already in the scope;
   // d29 because its corpus-once/vocab-iterate separation is the scale
   // CLAIM (ScaleGen's 31-word vocab is constant while the corpus grows
-  // 100x, so the iterate phase should be scale-flat by construction)
+  // 100x, so the iterate phase should be scale-flat by construction);
+  // d30 because its train-side pre-aggregation is the no-pair-expansion
+  // CLAIM (ScaleGen's near-dup groups make hot cross-split n-grams) and
+  // d31 because it composes a corpus-wide groupBy+join above the gates
+  // — the funnel must scale like its exact-dedup constituent, not worse
   private val Queries =
     graft.queries.DedupQueries.scopedQueryNames.toSeq.sorted :+
-      "d26_pack_sequences" :+ "d28_span_dedup" :+ "d29_bpe_merges"
+      "d26_pack_sequences" :+ "d28_span_dedup" :+ "d29_bpe_merges" :+
+      "d30_ngram_decontam" :+ "d31_curation_funnel"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

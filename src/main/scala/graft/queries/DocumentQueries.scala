@@ -604,6 +604,16 @@ object DocumentQueries {
         .orderBy($"doc_id")
     },
 
+    // d32 train-side decontamination: d30's actionable inverse — the
+    // keep/drop disposition over TRAIN docs that carry eval content
+    // (see trainDecontamination; eval side pre-aggregated, probe
+    // bounded by |train n-grams|).
+    "d32_train_decontam" -> { (s, dir) =>
+      import s.implicits._
+      DocumentQueries.trainDecontamination(Tables(s, dir, "documents"))
+        .orderBy($"doc_id")
+    },
+
     // d31 curation funnel: per-doc disposition through the pipeline's
     // ordered gates — quality, language, exact dedup among survivors,
     // temperature sampling over the surviving corpus — kept docs
@@ -824,18 +834,7 @@ object DocumentQueries {
   def ngramDecontamination(docs: DataFrame, n: Int = 8): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    require(n >= 1, s"ngramDecontamination: n must be >= 1 (got $n)")
-    // one codegen pass: tokens -> positional n-gram fingerprints,
-    // split bucket riding the same projection (null text refused
-    // loudly inside splitBucketCol, the d13 discipline)
-    val grams = docs
-      .withColumn("split", splitOfBucket(splitBucketCol))
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .filter(size($"toks") >= n) // also keeps sequence() ascending
-      .select($"doc_id", $"split", explode(expr(
-        s"""transform(sequence(1, size(toks) - ${n - 1}),
-            i -> md5(array_join(slice(toks, i, $n), ' ')))""")).as("fp"))
-      .distinct() // (doc_id, split, fp) — per-doc distinct n-grams
+    val grams = splitNgramFps(docs, n)
     val eval_ = grams.filter($"split".isin("val", "test"))
     val train = grams.filter($"split" === "train")
       .groupBy($"fp").agg(count(lit(1)).as("train_df"),
@@ -849,6 +848,58 @@ object DocumentQueries {
         coalesce(min($"min_train_doc"), lit(-1L)).as("min_train_doc"))
       .select($"doc_id", $"split", $"n_ngrams", $"n_hit", $"hit_frac",
         $"min_train_doc")
+  }
+
+  /** d32 — d30's actionable inverse: which TRAIN documents to DROP
+    * because they carry eval (val/test) content. d30 reports per eval
+    * doc how compromised its benchmark reading is; the remediation a
+    * pipeline then executes is on the OTHER side — remove the train
+    * docs sharing an exact n-gram with any eval doc and retrain, so
+    * the benchmark stays intact. Per train doc: distinct n-grams, hits,
+    * the smallest leaking eval doc_id (-1 = clean), and the
+    * keep/drop disposition the rewrite consumes.
+    *
+    * Same scale shape as d30 with the roles reversed: the EVAL side
+    * pre-aggregates to (fp, df, min doc) — at real scale eval corpora
+    * are orders of magnitude smaller than train, so the aggregated
+    * side here is the naturally small one — and the probe join's
+    * output is bounded by |train n-grams| exactly. */
+  def trainDecontamination(docs: DataFrame, n: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grams = splitNgramFps(docs, n)
+    val train = grams.filter($"split" === "train")
+    val eval_ = grams.filter($"split".isin("val", "test"))
+      .groupBy($"fp").agg(count(lit(1)).as("eval_df"),
+        min($"doc_id").as("min_eval_doc"))
+    train.join(eval_, Seq("fp"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        count($"eval_df").as("n_hit"),
+        coalesce(min($"min_eval_doc"), lit(-1L)).as("min_eval_doc"))
+      .withColumn("disposition",
+        when($"n_hit" > 0, "drop").otherwise("keep"))
+      .select($"doc_id", $"n_ngrams", $"n_hit", $"min_eval_doc",
+        $"disposition")
+  }
+
+  /** The d30/d32 shared n-gram pass: per-doc DISTINCT word-n-gram md5
+    * fingerprints with the d13 split riding the same projection (null
+    * text refused loudly inside splitBucketCol). ONE definition so the
+    * report (d30) and the remediation (d32) can never disagree on what
+    * an n-gram is. Docs under n tokens emit no rows; the size guard
+    * also keeps sequence() ascending (the sequence(1, 0) trap). */
+  private def splitNgramFps(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"ngram pass: n must be >= 1 (got $n)")
+    docs
+      .withColumn("split", splitOfBucket(splitBucketCol))
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("split"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+            i -> md5(array_join(slice(toks, i, $n), ' ')))""")).as("fp"))
+      .distinct()
   }
 
   /** d27's rebalancing rate table over a lang column: rate_bp =
@@ -1410,6 +1461,37 @@ object DocumentQueries {
               AS min_train_doc
           FROM ev LEFT JOIN tr USING (fp)
           GROUP BY doc_id, split ORDER BY doc_id""",
+    // d32: the same n-gram CTEs with the roles reversed — eval side
+    // aggregated, train side probed
+    "d32_train_decontam" ->
+      s"""WITH ${duckSplits},
+          tk AS (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents),
+          ng AS (
+            SELECT DISTINCT doc_id,
+              md5(array_to_string(toks[i:i+7], ' ')) AS fp
+            FROM (
+              SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+              FROM tk WHERE len(toks) >= 8)),
+          tr AS (
+            SELECT n.doc_id, n.fp
+            FROM ng n JOIN splits s USING (doc_id)
+            WHERE s.split = 'train'),
+          ev AS (
+            SELECT fp, count(*) AS eval_df, min(doc_id) AS min_eval_doc
+            FROM ng n JOIN splits s USING (doc_id)
+            WHERE s.split IN ('val', 'test') GROUP BY fp)
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_ngrams,
+            CAST(count(eval_df) AS BIGINT) AS n_hit,
+            coalesce(min(min_eval_doc), CAST(-1 AS BIGINT))
+              AS min_eval_doc,
+            CASE WHEN count(eval_df) > 0 THEN 'drop' ELSE 'keep' END
+              AS disposition
+          FROM tr LEFT JOIN ev USING (fp)
+          GROUP BY doc_id ORDER BY doc_id""",
     // d31: the same staged CASE — d09 quality formula and d07 argmax
     // verbatim from their own oracles, canon/rates computed over the
     // same survivor sets, the seed-13 samp hash and seed-7 split hash

@@ -471,7 +471,7 @@ class OperatorsSpec extends SparkSpec {
     assert(again.sorted.sameElements(out.sorted))
   }
 
-  test("ngram decontamination flags planted cross-split span copies (d30)") {
+  test("ngram decontamination: eval report + train remediation on planted span copies (d30/d32)") {
     import spark.implicits._
     // an eval doc that copies a span from a train doc: straddlePair
     // gives base (train bucket) and leak = base + tail (test bucket) —
@@ -499,8 +499,14 @@ class OperatorsSpec extends SparkSpec {
     val evalViral = (0 until 1000).iterator
       .map(i => s"$viralSpan ev$i evpad evpadd")
       .find(bucketOf(_) >= 80).get
+    // a clean train doc: unique tokens, must land train — the d32
+    // 'keep' witness
+    val cleanTrain = (0 until 1000).iterator
+      .map(i => (0 until 12).map(t => s"ct${i}_$t").mkString(" "))
+      .find(bucketOf(_) < 80).get
     val docs = (Seq((0L, base), (1L, leak), (2L, clean), (3L, short_),
-      (4L, evalViral)) ++ viralTrain).toDF("doc_id", "text")
+      (4L, evalViral), (5L, cleanTrain)) ++ viralTrain)
+      .toDF("doc_id", "text")
     val got = DocumentQueries.ngramDecontamination(docs).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(5))).toMap
@@ -522,6 +528,23 @@ class OperatorsSpec extends SparkSpec {
     val (_, vGrams, vHits, vMin) = got(4L)
     assert(vGrams == 4L && vHits == 1L && vMin == 300L,
       s"viral eval: ${got(4L)}")
+    // d32 over the SAME corpus — the remediation side: every train doc
+    // carrying an eval n-gram reads 'drop' with the leaking eval doc as
+    // witness; the clean train doc reads 'keep'; eval docs emit no row
+    val rem = DocumentQueries.trainDecontamination(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toMap
+    assert(rem.keySet == (Set(0L, 5L) ++ (300L until 320L)),
+      s"train rows for ${rem.keySet}")
+    // base: every one of its grams recurs in leak — fully compromised
+    assert(rem(0L) == ((nBase - 7L, nBase - 7L, 1L, "drop")),
+      s"base: ${rem(0L)}")
+    assert(rem(5L) == ((5L, 0L, -1L, "keep")), s"clean train: ${rem(5L)}")
+    (300L until 320L).foreach { id =>
+      val (g, h, w, d) = rem(id)
+      assert(g == 4L && h == 1L && w == 4L && d == "drop",
+        s"viral train $id: ${rem(id)}")
+    }
   }
 
   test("curation funnel: first-drop attribution, exact dedup, split routing (d31)") {
