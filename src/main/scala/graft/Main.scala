@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{count, lit, sum}
+import org.apache.spark.sql.functions.{col, count, lit, sum, when}
 
 import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Transform}
 
@@ -73,7 +73,8 @@ object Main {
       |  graft.Main compact <lakeDir> [--flat | <partitionCol>...]
       |  graft.Main dedup <corpusDir> <outDir>
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
-      |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>]""".stripMargin
+      |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>]
+      |  graft.Main decontam <corpusDir> <outDir>""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -302,7 +303,7 @@ object Main {
           .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
           .parquet(s"$out/dispositions")
         val kept = docs.join(
-          disp.filter(org.apache.spark.sql.functions.col("disposition")
+          disp.filter(col("disposition")
             .isin("train", "val", "test"))
             .selectExpr("doc_id", "disposition AS split"),
           Seq("doc_id"))
@@ -320,6 +321,53 @@ object Main {
           s"dropped: ${n("low_quality")} low quality, " +
           s"${n("unknown_lang")} unknown lang, ${n("exact_dup")} exact, " +
           s"${n("near_dup")} near dup, ${n("sampled_out")} sampled out)")
+      case "decontam" :: rest =>
+        // benchmark decontamination over a split corpus, both
+        // directions in one command: <out>/eval_report = d30 (how
+        // compromised each val/test doc's benchmark reading is) and
+        // <out>/train_dispositions = d32 (the keep/drop rewrite that
+        // makes the benchmark clean again). The split is the d13
+        // content-hash assignment, recomputed — no split column needs
+        // to exist in the corpus.
+        val opts = flags(rest)
+        val (corpus, out) = opts.positional match {
+          case Seq(c, o) => (c, o)
+          case _ => fail(s"decontam needs <corpusDir> <outDir>\n$usage")
+        }
+        def q4(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q4(out) == q4(corpus))
+          fail("decontam: the output dir must differ from the corpus " +
+            "dir — overwrite would destroy the corpus")
+        val corpusDf = spark.read.parquet(corpus).select("doc_id", "text")
+        val report = graft.queries.DocumentQueries
+          .ngramDecontamination(corpusDf)
+        report.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+          .parquet(s"$out/eval_report")
+        val remediation = graft.queries.DocumentQueries
+          .trainDecontamination(corpusDf)
+        remediation.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+          .parquet(s"$out/train_dispositions")
+        // bounded driver fetches over the written artifacts: four
+        // counters, not data
+        val ev = spark.read.parquet(s"$out/eval_report")
+          .agg(count(lit(1)),
+            sum(when(col("n_hit") > 0, 1L)
+              .otherwise(0L))).head
+        val tr = spark.read.parquet(s"$out/train_dispositions")
+          .agg(count(lit(1)),
+            sum(when(col("disposition") ===
+              "drop", 1L).otherwise(0L))).head
+        Seq(s"decontam task ended, ${ev.getLong(1)} of ${ev.getLong(0)} " +
+          s"eval docs compromised; drop ${tr.getLong(1)} of " +
+          s"${tr.getLong(0)} train docs to remediate")
       case "stream" :: rest if {
           // the two modes take different positional arities; an arity
           // that matches NEITHER mode (e.g. --queue-dir plus a landing

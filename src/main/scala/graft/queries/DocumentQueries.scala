@@ -614,6 +614,15 @@ object DocumentQueries {
         .orderBy($"doc_id")
     },
 
+    // d33 corpus card: the per-language datasheet a release ships —
+    // doc counts, exact-dup copies, token volume, mean quality (DECIMAL
+    // accumulation), URL/PII prevalence (see corpusCard).
+    "d33_corpus_card" -> { (s, dir) =>
+      import s.implicits._
+      DocumentQueries.corpusCard(Tables(s, dir, "documents"))
+        .orderBy($"lang")
+    },
+
     // d31 curation funnel: per-doc disposition through the pipeline's
     // ordered gates — quality, language, exact dedup among survivors,
     // temperature sampling over the surviving corpus — kept docs
@@ -882,6 +891,47 @@ object DocumentQueries {
         when($"n_hit" > 0, "drop").otherwise("keep"))
       .select($"doc_id", $"n_ngrams", $"n_hit", $"min_eval_doc",
         $"disposition")
+  }
+
+  /** d33 corpus card — the per-language datasheet a corpus release
+    * ships (the "Datasheets for Datasets" summary table): doc counts,
+    * exact-duplicate copies, token volume, mean quality, and URL/PII
+    * prevalence, one row per language. Composes the shared formula
+    * builders (withQuality; UrlDomainPattern/EmailPattern shared
+    * verbatim with d20/d21 and the oracle) so the card can never
+    * disagree with the operators it summarizes.
+    *
+    * Determinism note: mean_quality averages DOUBLES, and IEEE double
+    * summation is order-dependent — a plain avg() could hash-diverge
+    * between engines at the 4th decimal. The d23 discipline applies:
+    * accumulate in DECIMAL(18,4) (exact, order-independent — quality
+    * is already round(x,4)), divide as double once at the end.
+    *
+    * Scale shape: ONE codegen pass for quality/regex flags, one
+    * md5-keyed groupBy + join-back for the duplicate flag (the d01b
+    * fixed-width-key discipline — text never shuffles), one
+    * #langs-row final aggregate. Map-side combine everywhere. */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val q = withQuality(docs).withColumn("fp", md5($"text"))
+    val canon = q.groupBy($"fp").agg(min($"doc_id").as("canon_id"))
+    q.join(canon, Seq("fp"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"doc_id" =!= $"canon_id", 1L).otherwise(0L))
+          .as("n_dup_docs"),
+        sum($"n_tok").as("total_tokens"),
+        round(avg($"n_tok"), 2).as("avg_tokens"),
+        round(sum($"quality".cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 4).as("mean_quality"),
+        round(sum(when($"text".rlike(UrlDomainPattern), 1L).otherwise(0L))
+          / count(lit(1)), 4).as("url_doc_frac"),
+        round(sum(when($"text".rlike(EmailPattern), 1L).otherwise(0L))
+          / count(lit(1)), 4).as("pii_doc_frac"))
+      .select($"lang", $"n_docs", $"n_dup_docs", $"total_tokens",
+        $"avg_tokens", $"mean_quality", $"url_doc_frac", $"pii_doc_frac")
   }
 
   /** The d30/d32 shared n-gram pass: per-doc DISTINCT word-n-gram md5
@@ -1492,6 +1542,44 @@ object DocumentQueries {
               AS disposition
           FROM tr LEFT JOIN ev USING (fp)
           GROUP BY doc_id ORDER BY doc_id""",
+    // d33: d09's quality formula verbatim, duplicate flag via the same
+    // md5 canon groupBy, DECIMAL(18,4) quality accumulation (exact,
+    // order-independent — a plain avg() of doubles could hash-diverge
+    // at the 4th decimal), regex prevalence with the d20/d21 patterns
+    // shared verbatim (RE2-compatible)
+    "d33_corpus_card" ->
+      s"""WITH raw AS (
+            SELECT doc_id, lang, text, md5(text) AS fp,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              round((len(text) - len(string_split(text, ' ')) + 1)
+                    / len(string_split(text, ' ')), 4) AS avg_tok_len,
+              round(len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the', 'a')))
+                    / len(string_split(text, ' ')), 4) AS stop_ratio
+            FROM documents),
+          q AS (
+            SELECT *,
+              round(0.4 * least(n_tok / 100.0, 1.0) +
+                    0.3 * (1.0 - abs(avg_tok_len - 4.5) / 4.5) +
+                    0.3 * least(stop_ratio * 10.0, 1.0), 4) AS quality
+            FROM raw),
+          canon AS (SELECT fp, min(doc_id) AS canon_id FROM q GROUP BY fp)
+          SELECT lang,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(coalesce(sum(CASE WHEN q.doc_id <> c.canon_id THEN 1 END),
+              0) AS BIGINT) AS n_dup_docs,
+            CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+            round(avg(n_tok), 2) AS avg_tokens,
+            round(CAST(sum(CAST(quality AS DECIMAL(18, 4))) AS DOUBLE)
+              / count(*), 4) AS mean_quality,
+            round(coalesce(sum(CASE WHEN
+                regexp_matches(text, '$UrlDomainPattern') THEN 1 END), 0)
+              / count(*), 4) AS url_doc_frac,
+            round(coalesce(sum(CASE WHEN
+                regexp_matches(text, '$EmailPattern') THEN 1 END), 0)
+              / count(*), 4) AS pii_doc_frac
+          FROM q JOIN canon c USING (fp)
+          GROUP BY lang ORDER BY lang""",
     // d31: the same staged CASE — d09 quality formula and d07 argmax
     // verbatim from their own oracles, canon/rates computed over the
     // same survivor sets, the seed-13 samp hash and seed-7 split hash

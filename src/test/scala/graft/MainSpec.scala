@@ -371,6 +371,43 @@ class MainSpec extends SparkSpec {
     assert(bad.getMessage.contains("[0, 1]"), bad.getMessage)
   }
 
+  test("decontam: both report directions written, summary counts agree") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-decontam").toString
+    // the planted straddle: base lands train, leak (base + tail) lands
+    // test and shares every base 8-gram; one clean doc per side
+    val body = (0 until 20).map(t => s"dc$t").mkString(" ")
+    val (base, leak) = straddlePair(body)
+    val cleanTrain = (0 until 1000).iterator
+      .map(i => (0 until 12).map(t => s"ca${i}_$t").mkString(" "))
+      .find(bucketOf(_) < 80).get
+    val cleanEval = (0 until 1000).iterator
+      .map(i => (0 until 12).map(t => s"cb${i}_$t").mkString(" "))
+      .find(bucketOf(_) >= 80).get
+    Seq(0L -> base, 1L -> leak, 2L -> cleanTrain, 3L -> cleanEval)
+      .toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
+    val out = Main.run(spark,
+      Seq("decontam", s"$tmp/corpus", s"$tmp/dec"), Map.empty)
+    assert(out == Seq("decontam task ended, 1 of 2 eval docs " +
+      "compromised; drop 1 of 2 train docs to remediate"),
+      out.mkString("\n"))
+    val ev = spark.read.parquet(s"$tmp/dec/eval_report")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("min_train_doc")).toMap
+    assert(ev == Map(1L -> 0L, 3L -> -1L), s"eval report: $ev")
+    val tr = spark.read.parquet(s"$tmp/dec/train_dispositions")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("disposition"), r.getAs[Long]("min_eval_doc"))))
+      .toMap
+    assert(tr == Map(0L -> (("drop", 1L)), 2L -> (("keep", -1L))),
+      s"train dispositions: $tr")
+    val same = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("decontam", s"$tmp/corpus", s"$tmp/corpus"),
+        Map.empty)
+    }
+    assert(same.getMessage.contains("differ"), same.getMessage)
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))

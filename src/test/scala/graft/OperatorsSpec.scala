@@ -626,6 +626,52 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("null lang"), e.getMessage)
   }
 
+  test("corpus card agrees with the operators it summarizes (d33)") {
+    import spark.implicits._
+    val dir = sfSmoke
+    val card = DocumentQueries.queries("d33_corpus_card")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // doc counts and token volume per language == d05 token stats
+    val stats = DocumentQueries.queries("d05_token_stats")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(card.keySet == stats.keySet,
+      s"langs diverge: ${card.keySet} vs ${stats.keySet}")
+    card.foreach { case (lang, r) =>
+      assert(r.getLong(1) == stats(lang)._1, s"$lang n_docs vs d05")
+      assert(r.getLong(3) == stats(lang)._2, s"$lang total_tokens vs d05")
+    }
+    // exact-dup copies across languages == corpus size minus the d01
+    // distinct-text group count (every group keeps one canonical)
+    val groups = DocumentQueries.queries("d01_dedup_exact")(spark, dir)
+      .count()
+    val docs = graft.Tables(spark, dir, "documents")
+    val total = docs.count()
+    assert(card.values.map(_.getLong(2)).sum == total - groups,
+      "dup census vs d01")
+    // mean_quality: exact BigDecimal recompute from the d09 per-doc
+    // scores (the DECIMAL-accumulation contract — a float-order bug in
+    // the card would drift from this at the 4th decimal)
+    val q9 = DocumentQueries.queries("d09_quality_score")(spark, dir)
+      .select($"doc_id", $"quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val langOf = docs.select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    card.foreach { case (lang, r) =>
+      val qs = q9.collect {
+        case (id, q) if langOf(id) == lang =>
+          BigDecimal(q).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val expected = BigDecimal(qs.sum.toDouble / qs.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == expected,
+        s"$lang mean_quality ${r.getDouble(5)} vs recomputed $expected")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0 &&
+        r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0,
+        s"$lang prevalence fractions out of range")
+    }
+  }
+
   test("duplicate clusters on a dup-free corpus is empty, not an error") {
     import spark.implicits._
     // every text unique and dissimilar -> zero candidate pairs -> the
