@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
 
 import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Transform}
 
@@ -253,10 +253,13 @@ object Main {
           .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
           .parquet(out)
         // one aggregate over the (already computed) summary — bounded
-        // driver fetch of four counters, not data
+        // driver fetch of four counters, not data. coalesce: sum over
+        // an EMPTY summary (empty corpus) is NULL, and a primitive
+        // getLong on it would NPE the summary line
         val st = spark.read.parquet(out)
-          .agg(count(lit(1)), sum("n_paras"), sum("n_dropped"),
-            sum("chars_dropped"))
+          .agg(count(lit(1)), coalesce(sum("n_paras"), lit(0L)),
+            coalesce(sum("n_dropped"), lit(0L)),
+            coalesce(sum("chars_dropped"), lit(0L)))
           .head
         Seq(s"spandedup task ended, ${st.getLong(0)} docs, " +
           s"${st.getLong(2)} of ${st.getLong(1)} paragraphs dropped " +
@@ -356,15 +359,17 @@ object Main {
           .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
           .parquet(s"$out/train_dispositions")
         // bounded driver fetches over the written artifacts: four
-        // counters, not data
+        // counters, not data. coalesce: a corpus with no eval (or no
+        // train) docs yields an empty artifact, whose sum is NULL —
+        // a primitive getLong on it would NPE the summary line
         val ev = spark.read.parquet(s"$out/eval_report")
           .agg(count(lit(1)),
-            sum(when(col("n_hit") > 0, 1L)
-              .otherwise(0L))).head
+            coalesce(sum(when(col("n_hit") > 0, 1L)
+              .otherwise(0L)), lit(0L))).head
         val tr = spark.read.parquet(s"$out/train_dispositions")
           .agg(count(lit(1)),
-            sum(when(col("disposition") ===
-              "drop", 1L).otherwise(0L))).head
+            coalesce(sum(when(col("disposition") ===
+              "drop", 1L).otherwise(0L)), lit(0L))).head
         Seq(s"decontam task ended, ${ev.getLong(1)} of ${ev.getLong(0)} " +
           s"eval docs compromised; drop ${tr.getLong(1)} of " +
           s"${tr.getLong(0)} train docs to remediate")

@@ -626,6 +626,24 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("null lang"), e.getMessage)
   }
 
+  test("curation dispositions survive an all-dropped corpus (d31 edge)") {
+    import spark.implicits._
+    // every doc fails the quality gate: the survivor set is EMPTY, so
+    // the dedup stage, rate aggregation (min over zero rows = one NULL
+    // row), and all downstream joins run over empty frames — the
+    // composition must still label every doc, not throw
+    val docs = Seq((1L, "en", "zz"), (2L, "de", "xx yy"))
+      .toDF("doc_id", "lang", "text")
+    val funnel = DocumentQueries.curationFunnel(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(funnel == Map(1L -> "low_quality", 2L -> "low_quality"),
+      s"funnel: $funnel")
+    val prod = DocumentQueries.curateDispositions(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(prod == Map(1L -> "low_quality", 2L -> "low_quality"),
+      s"curate: $prod")
+  }
+
   test("corpus card agrees with the operators it summarizes (d33)") {
     import spark.implicits._
     val dir = sfSmoke
