@@ -637,48 +637,54 @@ object DedupQueries {
     * the (pair-graph-bounded) label table. Canonical chase terminates
     * in one step by construction: a cluster label IS the component's
     * min doc, whose own label is itself. */
-  def dedupApply(docs: DataFrame): DataFrame = {
+  /** The disposition operators' shared contract checks (loud — these
+    * are CLI-reachable over arbitrary user parquet, where a schema
+    * deviation must fail, not silently disposition wrong):
+    *   - non-integral doc_id: connectedComponents' label cast("long")
+    *     would null every cluster_id and every near-dup would read
+    *     'kept';
+    *   - duplicate doc_id (a replayed corpus): rep = canonical = itself
+    *     on BOTH rows and both read 'kept' — the "deduped" corpus keeps
+    *     duplicates. One id-only shuffle (fixed-width keys,
+    *     column-pruned scan) before the expensive pipeline runs;
+    *   - null text / null doc_id: md5(null) groups all null-text rows
+    *     into ONE fp "exact-dup" group of unrelated documents. The null
+    *     trips ride the existing projection (the d24 guard pattern),
+    *     costing nothing on a clean corpus.
+    * Returns the null-guarded frame. */
+  private def dispositionGuarded(docs: DataFrame, op: String): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // loud contract checks — this operator is CLI-reachable over
-    // arbitrary user parquet, where a schema deviation must fail, not
-    // silently disposition wrong:
-    //   - non-integral doc_id: connectedComponents' label cast("long")
-    //     would null every cluster_id and every near-dup would read
-    //     'kept';
-    //   - null text / null doc_id: md5(null) groups all null-text rows
-    //     into ONE fp "exact-dup" group of unrelated documents. The
-    //     null trips ride the existing projection (the d24 guard
-    //     pattern), costing nothing on a clean corpus.
     docs.schema("doc_id").dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.ByteType => ()
       case other => throw new IllegalArgumentException(
-        s"dedupApply: doc_id must be an integral type, got $other — " +
+        s"$op: doc_id must be an integral type, got $other — " +
           "re-key the corpus (e.g. monotonically increasing ids) before " +
           "disposition")
     }
-    // fail fast on replayed corpora: a doc_id appearing twice (e.g. an
-    // ingest re-run against a lost checkpoint) gets rep = canonical =
-    // itself on BOTH rows and both read 'kept' — the "deduped" corpus
-    // keeps duplicates. One id-only shuffle (fixed-width keys,
-    // column-pruned scan) before the expensive pipeline runs.
     val dup = docs.groupBy("doc_id").count()
       .filter($"count" > 1).select("doc_id").head(1)
     if (dup.nonEmpty) throw new IllegalArgumentException(
-      s"dedupApply: duplicate doc_id ${dup.head.get(0)} — doc ids must " +
+      s"$op: duplicate doc_id ${dup.head.get(0)} — doc ids must " +
         "be unique; re-key or compact the corpus before disposition")
-    val guarded = docs
+    docs
       .withColumn("doc_id", when($"doc_id".isNull,
-        raise_error(lit("dedupApply: null doc_id in the corpus")))
+        raise_error(lit(s"$op: null doc_id in the corpus")))
         .otherwise($"doc_id"))
       .withColumn("text", when($"text".isNull,
-        raise_error(lit("dedupApply: null text in the corpus — filter " +
+        raise_error(lit(s"$op: null text in the corpus — filter " +
           "or repair extraction failures before disposition (ingest " +
           "drops them at the door)")))
         .otherwise($"text"))
+  }
+
+  def dedupApply(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val guarded = dispositionGuarded(docs, "dedupApply")
     withDedupScope(guarded) { scope =>
       val members = memberReps(scope.sigs)
       val clusters = scope.clusters.select($"doc_id".as("rep"), $"cluster_id")
@@ -689,6 +695,54 @@ object DedupQueries {
           when($"doc_id" === canonical, "kept")
             .when($"doc_id" =!= $"rep", "exact_dup")
             .otherwise("near_dup").as("status"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** d34: best-representative dedup — d25's disposition with the
+    * canonical chosen by QUALITY, not by age: within each content group
+    * (the exact-dup fingerprint group chained through its near-dup
+    * cluster) the kept document is the member with the highest d09
+    * quality score, ties broken toward the smallest doc_id so the
+    * choice is total and deterministic. This is the selection a
+    * quality-aware pipeline actually runs: d25 keeps the OLDEST member
+    * (min doc_id — right for incremental stability), but when emitting
+    * a training corpus the cleanest capture of the content should win,
+    * and near-dup cluster members genuinely differ in quality (exact
+    * copies tie by construction — identical text, identical score —
+    * and fall back to the id order, so d34 ⊇ d25's exact stage).
+    * Output: every doc with its quality, the group's chosen
+    * canonical_id, and kept/dup.
+    *
+    * Scale shape (nothing new moves): membership = the same
+    * memberReps + rep-keyed cluster-label join as d25; quality is one
+    * codegen pass joined on doc_id (long keys); the argmax is ONE
+    * group aggregate of max(struct(quality, -doc_id, doc_id)) —
+    * fixed-width, map-side combinable, no window — joined back on the
+    * group id. The -doc_id field makes lexicographic max realize
+    * "quality DESC, doc_id ASC" in a single struct comparison (doc ids
+    * are non-negative, so the negation cannot overflow). */
+  def dedupBest(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val guarded = dispositionGuarded(docs, "dedupBest")
+    withDedupScope(guarded) { scope =>
+      val members = memberReps(scope.sigs)
+      val clusters = scope.clusters.select($"doc_id".as("rep"), $"cluster_id")
+      val grouped = members.join(clusters, Seq("rep"), "left")
+        .withColumn("group_id", coalesce($"cluster_id", $"rep"))
+        .select($"doc_id", $"group_id")
+      val quality = DocumentQueries.withQuality(guarded)
+        .select($"doc_id", $"quality")
+      val scored = grouped.join(quality, Seq("doc_id"))
+      val best = scored.groupBy($"group_id")
+        .agg(max(struct($"quality", (-$"doc_id").as("neg"),
+          $"doc_id".as("id"))).as("m"))
+        .select($"group_id", $"m.id".as("canonical_id"))
+      scored.join(best, Seq("group_id"))
+        .select($"doc_id", $"quality", $"canonical_id",
+          when($"doc_id" === $"canonical_id", "kept")
+            .otherwise("dup").as("status"))
         .localCheckpoint(true)
     }
   }
@@ -813,7 +867,7 @@ object DedupQueries {
   val scopedQueryNames: Set[String] = Set(
     "d03_minhash_dedup_pairs", "d06_ngram_jaccard_dups",
     "d11_dup_clusters", "d14_contamination", "d16_incremental_dedup",
-    "d24_incr_contamination", "d25_dedup_apply")
+    "d24_incr_contamination", "d25_dedup_apply", "d34_dedup_best")
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // ---- d02: MinHash signatures + LSH band keys -------------------------
@@ -910,6 +964,15 @@ object DedupQueries {
     "d25_dedup_apply" -> { (s, dir) =>
       import s.implicits._
       dedupApply(Tables(s, dir, "documents")).orderBy($"doc_id")
+    },
+
+    // ---- d34: best-representative dedup ---------------------------------
+    // d25 with the canonical chosen by d09 quality (ties toward the
+    // smaller doc_id) — the selection a quality-aware corpus emission
+    // runs; see dedupBest for semantics and the argmax-by-struct shape.
+    "d34_dedup_best" -> { (s, dir) =>
+      import s.implicits._
+      dedupBest(Tables(s, dir, "documents")).orderBy($"doc_id")
     },
 
     // ---- d19: within-document repetition ratio ---------------------------
@@ -1019,6 +1082,62 @@ object DedupQueries {
                  ELSE 'near_dup' END AS status
           FROM fpg f LEFT JOIN labels l ON l.rep = f.rep
           ORDER BY doc_id""",
+    // d34: d25's cluster CTEs + the d09 quality formula verbatim; the
+    // argmax is max over struct_pack(quality, -doc_id, doc_id) — the
+    // same lexicographic struct comparison Spark's max(struct(...))
+    // performs, realizing "quality DESC, doc_id ASC" in one aggregate
+    "d34_dedup_best" ->
+      s"""WITH RECURSIVE $duckReps,
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+            WHERE round(len(list_filter(range(1, ${K + 1}), i -> a.mh[i] = b.mh[i]))
+                    / ${K}.0, 4) >= 0.5),
+          edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          labels AS (
+            SELECT u AS rep, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u),
+          fpg AS (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+            FROM documents),
+          memb AS (
+            SELECT f.doc_id, coalesce(l.cluster_id, f.rep) AS group_id
+            FROM fpg f LEFT JOIN labels l ON l.rep = f.rep),
+          qraw AS (
+            SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              round((len(text) - len(string_split(text, ' ')) + 1)
+                    / len(string_split(text, ' ')), 4) AS avg_tok_len,
+              round(len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the', 'a')))
+                    / len(string_split(text, ' ')), 4) AS stop_ratio
+            FROM documents),
+          qual AS (
+            SELECT doc_id,
+              round(0.4 * least(n_tok / 100.0, 1.0) +
+                    0.3 * (1.0 - abs(avg_tok_len - 4.5) / 4.5) +
+                    0.3 * least(stop_ratio * 10.0, 1.0), 4) AS quality
+            FROM qraw),
+          scored AS (
+            SELECT m.doc_id, m.group_id, q.quality
+            FROM memb m JOIN qual q USING (doc_id)),
+          best AS (
+            SELECT group_id,
+              max(struct_pack(q := quality, n := -doc_id, i := doc_id)) AS m
+            FROM scored GROUP BY group_id)
+          SELECT s.doc_id, s.quality,
+            CAST(b.m.i AS BIGINT) AS canonical_id,
+            CASE WHEN s.doc_id = b.m.i THEN 'kept' ELSE 'dup' END AS status
+          FROM scored s JOIN best b USING (group_id)
+          ORDER BY s.doc_id""",
     "d04_simhash" ->
       s"""WITH th AS (SELECT doc_id, unnest(${duckTokenHashes("text")}) AS t
                       FROM documents),

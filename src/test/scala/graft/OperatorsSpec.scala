@@ -626,6 +626,38 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("null lang"), e.getMessage)
   }
 
+  test("best-representative dedup keeps the higher-quality cluster member (d34)") {
+    import spark.implicits._
+    val base = (0 until 40).map(t => s"bq$t").mkString(" ")
+    // near-dup of base (2 appended tokens, Jaccard ~0.9) whose appended
+    // tokens are STOPWORDS — the stop_ratio term lifts its d09 quality
+    // well above base's
+    val better = ((0 until 40).map(t => s"bq$t") ++ Seq("the", "a"))
+      .mkString(" ")
+    val ex = (0 until 30).map(t => s"bx$t").mkString(" ")
+    val docs = Seq(1L -> base, 2L -> better, 10L -> ex, 11L -> ex,
+      20L -> (0 until 25).map(t => s"solo$t").mkString(" "))
+      .toDF("doc_id", "text")
+    val got = DedupQueries.dedupBest(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // the near-dup cluster {1, 2}: doc 2 wins on quality despite the
+    // HIGHER id — exactly where the d25 min-id policy differs
+    assert(got(1L) == ((2L, "dup")) && got(2L) == ((2L, "kept")),
+      s"near-dup cluster: $got")
+    // exact copies tie on quality (identical text) -> id order
+    assert(got(10L) == ((10L, "kept")) && got(11L) == ((10L, "dup")),
+      s"exact group: $got")
+    assert(got(20L) == ((20L, "kept")), s"singleton: $got")
+    // d25 over the same corpus keeps doc 1: the two policies diverge
+    // only on the quality-divergent cluster, by design
+    val d25 = DedupQueries.dedupApply(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(d25(1L) == "kept" && d25(2L) == "near_dup",
+      s"d25 disposition: $d25")
+    // scope hygiene: both scoped runs released their caches
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("curation dispositions survive an all-dropped corpus (d31 edge)") {
     import spark.implicits._
     // every doc fails the quality gate: the survivor set is EMPTY, so
