@@ -74,7 +74,8 @@ object Main {
       |  graft.Main dedup <corpusDir> <outDir>
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
       |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>]
-      |  graft.Main decontam <corpusDir> <outDir>""".stripMargin
+      |  graft.Main decontam <corpusDir> <outDir>
+      |  graft.Main pack <corpusDir> <outDir> [--seq-len <tokens>]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -373,6 +374,54 @@ object Main {
         Seq(s"decontam task ended, ${ev.getLong(1)} of ${ev.getLong(0)} " +
           s"eval docs compromised; drop ${tr.getLong(1)} of " +
           s"${tr.getLong(0)} train docs to remediate")
+      case "pack" :: rest =>
+        // the d26 sequence packing as a pipeline command: the curated
+        // corpus laid end to end in doc_id order and cut into fixed
+        // seqLen-token training sequences, written as the provenance
+        // slice table a data loader consumes (seq_id, doc_id,
+        // doc_start, seq_start, n_toks). nBuckets follows the session's
+        // parallelism — the packing result is provably bucket-count-
+        // independent (spec-pinned), so this is a tuning knob only.
+        val opts = flags(rest)
+        val (corpus, out) = opts.positional match {
+          case Seq(c, o) => (c, o)
+          case _ => fail(s"pack needs <corpusDir> <outDir>\n$usage")
+        }
+        def q5(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q5(out) == q5(corpus))
+          fail("pack: the output dir must differ from the corpus dir " +
+            "— overwrite would destroy the corpus")
+        val seqLen = opts.named.get("--seq-len").map { v =>
+          val n = try v.toLong catch {
+            case _: NumberFormatException =>
+              fail(s"pack: --seq-len must be an integer, got '$v'")
+          }
+          if (n <= 0) fail(s"pack: --seq-len must be positive, got $v")
+          n
+        }.getOrElse(2048L)
+        val slices = graft.queries.DocumentQueries.packSequences(
+          spark.read.parquet(corpus).select("doc_id", "text"),
+          seqLen = seqLen,
+          nBuckets = spark.sparkContext.defaultParallelism)
+        slices.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+          .parquet(out)
+        // census off the written artifact (coalesce: empty corpus sums
+        // NULL, the spandedup/decontam lesson)
+        val pc = spark.read.parquet(out)
+          .agg(coalesce(org.apache.spark.sql.functions.countDistinct(
+            col("seq_id")), lit(0L)),
+            coalesce(org.apache.spark.sql.functions.countDistinct(
+              col("doc_id")), lit(0L)),
+            coalesce(sum("n_toks"), lit(0L))).head
+        Seq(s"pack task ended, ${pc.getLong(2)} tokens from " +
+          s"${pc.getLong(1)} docs packed into ${pc.getLong(0)} " +
+          s"sequences of $seqLen")
       case "stream" :: rest if {
           // the two modes take different positional arities; an arity
           // that matches NEITHER mode (e.g. --queue-dir plus a landing

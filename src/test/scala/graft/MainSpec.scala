@@ -408,6 +408,37 @@ class MainSpec extends SparkSpec {
     assert(same.getMessage.contains("differ"), same.getMessage)
   }
 
+  test("pack: slice table written with conservation census") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-pack").toString
+    // 10 + 6 = 16 tokens, seq-len 8 => exactly 2 full sequences; doc 1
+    // straddles the boundary
+    Seq(1L -> (0 until 10).map(t => s"p$t").mkString(" "),
+        2L -> (0 until 6).map(t => s"q$t").mkString(" "))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
+    val out = Main.run(spark, Seq("pack", s"$tmp/corpus", s"$tmp/packed",
+      "--seq-len", "8"), Map.empty)
+    assert(out == Seq(
+      "pack task ended, 16 tokens from 2 docs packed into 2 sequences of 8"),
+      out.mkString("\n"))
+    val slices = spark.read.parquet(s"$tmp/packed")
+      .collect().map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("doc_start"), r.getAs[Long]("seq_start"),
+        r.getAs[Long]("n_toks"))).sortBy(s => (s._1, s._4))
+    assert(slices.toSeq == Seq((0L, 1L, 0L, 0L, 8L), (1L, 1L, 8L, 0L, 2L),
+      (1L, 2L, 0L, 2L, 6L)), s"slices: ${slices.toSeq}")
+    // refusals: same-dir overwrite, malformed seq-len
+    val same = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("pack", s"$tmp/corpus", s"$tmp/corpus"), Map.empty)
+    }
+    assert(same.getMessage.contains("differ"), same.getMessage)
+    val bad = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("pack", s"$tmp/corpus", s"$tmp/p2",
+        "--seq-len", "0"), Map.empty)
+    }
+    assert(bad.getMessage.contains("positive"), bad.getMessage)
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))
