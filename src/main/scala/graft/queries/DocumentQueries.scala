@@ -461,6 +461,49 @@ object DocumentQueries {
         .orderBy($"doc_id")
     },
 
+    // d35 bigram log-probability: each doc scored by the average
+    // add-one-smoothed bigram log-prob under the corpus's own bigram
+    // distribution — the next-order LM signal above d23's unigram
+    // (fluency, not just vocabulary: a doc of common words in rare
+    // ORDER scores low here and fine there). P(w2|w1) = (c12 + 1) /
+    // (c1 + V); ln accumulates in DECIMAL(20,15) × DECIMAL(10,0)
+    // exactly like d23 (see that entry for the 38-digit width
+    // rationale), so the sum is order-independent and cross-engine
+    // exact; floor to 4 decimals. Docs under 2 tokens carry no bigrams
+    // and emit no row (corpus floor is 10). Scale shape: the bigram
+    // tables are Heaps-law sublinear in corpus size; V rides a
+    // broadcast scalar aggregate (the d17/d23 pattern); everything
+    // else is token-keyed equi-joins.
+    "d35_bigram_logprob" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val bg = docs
+        .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+                      slice(toks, 2, size(toks) - 1),
+             (a, b) -> struct(a AS w1, b AS w2))""")).as("p"))
+        .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+      val perDoc = bg.groupBy($"doc_id", $"w1", $"w2")
+        .agg(count(lit(1)).as("c"))
+      val bc = perDoc.groupBy($"w1", $"w2").agg(sum($"c").as("bc"))
+      val uc = bc.groupBy($"w1").agg(sum($"bc").as("uc"))
+      val vocab = DocumentQueries.termStream(docs)
+        .agg(countDistinct($"term").as("v"))
+      perDoc.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp", expr(
+          """CAST(ln((bc + 1) / CAST(uc + v AS DOUBLE)) AS DECIMAL(20,15))
+             * CAST(c AS DECIMAL(10,0))"""))
+        .groupBy($"doc_id")
+        .agg(
+          (floor(sum($"lp").cast("double") / sum($"c") * 10000) / 10000.0)
+            .as("avg_logprob"),
+          sum($"c").as("n_bigrams_doc"))
+        .orderBy($"doc_id")
+    },
+
     // d22 boilerplate removal: segments appearing in more than half the
     // corpus (nav bars, cookie banners, "subscribe" footers) are dropped
     // and the document reconstructed in segment order — the CCNet/
@@ -1373,6 +1416,34 @@ object DocumentQueries {
              / sum(c) * 10000) / 10000 AS avg_logprob,
            CAST(sum(c) AS BIGINT) AS n_tokens_doc
          FROM pd JOIN tf USING (term), n
+         GROUP BY doc_id ORDER BY doc_id""",
+    // d35: the d23 ln/DECIMAL recipe at bigram grain; add-one smoothing
+    // keeps every probability strictly inside (0, 1) so ln is finite;
+    // HUGEINT sums convert to DOUBLE identically to Spark's longs
+    "d35_bigram_logprob" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                 FROM tk WHERE len(toks) >= 2)),
+         pd AS (SELECT doc_id, w1, w2, count(*) AS c
+                FROM bg GROUP BY doc_id, w1, w2),
+         bc AS (SELECT w1, w2, sum(c) AS bc FROM pd GROUP BY w1, w2),
+         uc AS (SELECT w1, sum(bc) AS uc FROM bc GROUP BY w1),
+         v AS (
+           SELECT count(DISTINCT term) AS v FROM (
+             SELECT unnest(string_split(text, ' ')) AS term
+             FROM documents) t
+           WHERE term <> '')
+         SELECT doc_id,
+           floor(CAST(sum(CAST(ln((bc + 1) / CAST(uc + v AS DOUBLE))
+               AS DECIMAL(20,15)) * CAST(c AS DECIMAL(10,0))) AS DOUBLE)
+             / sum(c) * 10000) / 10000 AS avg_logprob,
+           CAST(sum(c) AS BIGINT) AS n_bigrams_doc
+         FROM pd JOIN bc USING (w1, w2) JOIN uc USING (w1), v
          GROUP BY doc_id ORDER BY doc_id""",
     // d26: the oracle computes the SAME global token offsets with a
     // plain cumulative window (the oracle needn't be scale-shaped) and

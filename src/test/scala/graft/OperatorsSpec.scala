@@ -626,6 +626,36 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("null lang"), e.getMessage)
   }
 
+  test("bigram logprob matches a hand computation; word order matters (d35)") {
+    import spark.implicits._
+    // corpus: "a b a b" + "b a". bigram counts: (a,b)=2 (doc 1 only),
+    // (b,a)=2 (one per doc). uc: a->2, b->2. V=2. Add-one:
+    // P(b|a) = (2+1)/(2+2) = 0.75 = P(a|b) — every bigram position
+    // scores ln(0.75), so both docs read floor(ln 0.75 * 1e4)/1e4
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val out = DocumentQueries.queries("d35_bigram_logprob")
+    val rows = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-d35").toString
+      docs.write.parquet(s"$tmp/documents.parquet")
+      out(spark, tmp).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    }
+    val expect = math.floor(math.log(0.75) * 10000) / 10000
+    assert(rows(1L) == ((expect, 3L)), s"doc 1: ${rows(1L)}")
+    assert(rows(2L) == ((expect, 1L)), s"doc 2: ${rows(2L)}")
+    // fluency, not vocabulary: same words, scrambled order -> rarer
+    // bigrams -> strictly lower score than the corpus-typical doc
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-d35b").toString
+    val base = "the cat sat on the mat"
+    Seq((1L, base), (2L, base), (3L, base),
+      (4L, "mat the on sat cat the")) // same tokens, scrambled
+      .toDF("doc_id", "text").write.parquet(s"$tmp2/documents.parquet")
+    val sc = out(spark, tmp2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc(4L) < sc(1L),
+      s"scrambled doc should score below typical: $sc")
+  }
+
   test("best-representative dedup keeps the higher-quality cluster member (d34)") {
     import spark.implicits._
     val base = (0 until 40).map(t => s"bq$t").mkString(" ")

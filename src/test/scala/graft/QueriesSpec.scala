@@ -63,6 +63,8 @@ class QueriesSpec extends SparkSpec {
     // q30's stitch join: both sides are <=6 rows per year by filter
     // d17/d22: a broadcast SCALAR aggregate (corpus size) cross-joined
     // onto every row — one-row side by construction
+    // d35: the vocab-size scalar aggregate cross-joined (the d23 shape
+    // one grain up)
     // d26: the min/max doc_id bounds scalar cross-joined for bucketing
     // d27/d31: the c_min scalar cross-joined onto the #langs-row rate
     // table (d31 builds the same rate table over its survivor corpus)
@@ -75,7 +77,7 @@ class QueriesSpec extends SparkSpec {
       "s04_ann_ivf", "s06_quantized_rerank", "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
       "d26_pack_sequences", "d27_temperature_sample",
-      "d31_curation_funnel")
+      "d31_curation_funnel", "d35_bigram_logprob")
     // top-level conjunct split: `a =!= b` CONTAINS an EqualTo node, so a
     // whole-tree search would miscount it as an equi-key
     def conjuncts(e: Expression): Seq[Expression] = e match {
