@@ -439,6 +439,47 @@ class MainSpec extends SparkSpec {
     assert(bad.getMessage.contains("positive"), bad.getMessage)
   }
 
+  test("the pipeline subcommands compose: curate -> decontam -> pack") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-chain").toString
+    // a corpus with one of everything: dup pair, junk, healthy docs
+    val mk = (tag: String) =>
+      ("the a of" +: (0 until 37).map(t => s"$tag$t")).mkString(" ")
+    val docs = (Seq(
+      (1L, "en", mk("ch")),
+      (2L, "en", mk("ch")), // exact dup of 1
+      (3L, "en", "zz zz")) // low quality
+      ++ (0 until 8).map(k => (10L + k, "en", mk(s"w$k")))) // healthy
+      .toDF("doc_id", "lang", "text")
+    docs.write.parquet(s"$tmp/corpus")
+    // stage 1: curate emits the kept corpus, hive-partitioned by split
+    Main.run(spark, Seq("curate", s"$tmp/corpus", s"$tmp/cur"), Map.empty)
+    val kept = spark.read.parquet(s"$tmp/cur/corpus")
+    val keptN = kept.count()
+    assert(keptN >= 2 && keptN <= 9, s"kept $keptN of 11")
+    // stage 2: decontam consumes the CURATED corpus directly (it
+    // recomputes the same content-hash split curate assigned, so the
+    // two stages agree on sides by construction)
+    val dec = Main.run(spark,
+      Seq("decontam", s"$tmp/cur/corpus", s"$tmp/dec"), Map.empty)
+    assert(dec.head.startsWith("decontam task ended"), dec.mkString("\n"))
+    assert(spark.read.parquet(s"$tmp/dec/eval_report").count() +
+      spark.read.parquet(s"$tmp/dec/train_dispositions").count() == keptN,
+      "decontam rows don't cover the curated corpus")
+    // stage 3: pack the curated corpus into sequences; the census
+    // conserves the kept docs' token volume exactly
+    val packOut = Main.run(spark, Seq("pack", s"$tmp/cur/corpus",
+      s"$tmp/packed", "--seq-len", "16"), Map.empty)
+    val keptTokens = kept
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.expr(
+          "filter(split(text, ' '), t -> t <> '')")).cast("long"))
+      .as[Long].collect().sum
+    assert(packOut.head.startsWith(
+      s"pack task ended, $keptTokens tokens from $keptN docs"),
+      s"${packOut.mkString("\n")} (expected $keptTokens tokens, $keptN docs)")
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))
