@@ -599,19 +599,28 @@ object DocumentQueries {
     // included — its doc keeps only the pos-minimal copy).
     "d28_span_dedup" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables(s, dir, "documents")
-      val paras = docs
-        .select($"doc_id", concat(
-          $"text",
-          lit(" | repeated passage "), expr("doc_id DIV 2"),
-          lit(" shared across a pair of documents"),
-          lit(" | chapter header "), pmod($"doc_id", lit(25)),
-          lit(" common recurring block"),
-          lit(" | repeated passage "), expr("doc_id DIV 2"),
-          lit(" shared across a pair of documents")).as("augmented"))
-        .select($"doc_id",
-          posexplode(split($"augmented", " \\| ")).as(Seq("pos", "para")))
-      DocumentQueries.spanDedup(paras).orderBy($"doc_id")
+      DocumentQueries
+        .spanDedup(DocumentQueries.augmentedParas(
+          Tables(s, dir, "documents")))
+        .orderBy($"doc_id")
+    },
+
+    // d36 incremental span dedup: the d16 artifact discipline at
+    // PARAGRAPH grain — a standing corpus maintains the span-signature
+    // table; a new batch's paragraphs disposition against it without
+    // the corpus text ever being re-read. Corpus = even doc_ids' spans
+    // (as the maintained artifact), batch = odd doc_ids (the d24
+    // even/odd convention), same planted-repetition augmentation as
+    // d28 so cross-side repeats exist by construction.
+    "d36_incr_span_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val paras = DocumentQueries.augmentedParas(
+        Tables(s, dir, "documents"))
+      val corpusSigs = DocumentQueries.spanSignatures(
+        paras.filter(pmod($"doc_id", lit(2)) === 0))
+      DocumentQueries.incrementalSpanDedup(corpusSigs,
+          paras.filter(pmod($"doc_id", lit(2)) === 1))
+        .orderBy($"doc_id", $"pos")
     },
 
     // d29 BPE merge statistics: the first 10 byte-pair merges trained
@@ -778,6 +787,107 @@ object DocumentQueries {
         concat($"lhs", $"rhs").as("merged"), $"pair_count")
     }
     (vocab, merges)
+  }
+
+  /** The d28/d36 gate fixture: each document split into paragraphs
+    * with deterministically repeated spans planted (the original text,
+    * a pair-shared passage keyed on doc_id DIV 2 — re-occurring in the
+    * same doc — and a 1-in-25 chapter header). ONE definition so the
+    * batch (d28) and incremental (d36) gates disposition the SAME
+    * paragraph stream. */
+  private def augmentedParas(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), concat(
+        col("text"),
+        lit(" | repeated passage "), expr("doc_id DIV 2"),
+        lit(" shared across a pair of documents"),
+        lit(" | chapter header "), pmod(col("doc_id"), lit(25)),
+        lit(" common recurring block"),
+        lit(" | repeated passage "), expr("doc_id DIV 2"),
+        lit(" shared across a pair of documents")).as("augmented"))
+      .select(col("doc_id"),
+        posexplode(split(col("augmented"), " \\| ")).as(Seq("pos", "para")))
+
+  /** d36's persistable artifact: the per-span signature table an
+    * incremental span dedup maintains — one fixed-width row per
+    * DISTINCT paragraph (md5 fingerprint, distinct-doc df, canonical
+    * (doc, pos) = the globally minimal occurrence). Paragraph TEXT is
+    * not in the artifact: disposition of future batches never re-reads
+    * the corpus (the d16 discipline at paragraph grain). Built with
+    * the same one-groupBy shape as [[spanDispositions]]' stats pass. */
+  def spanSignatures(paras: DataFrame): DataFrame = {
+    val s = paras.sparkSession
+    import s.implicits._
+    paras.withColumn("para_fp", md5($"para"))
+      .groupBy($"para_fp")
+      .agg(countDistinct($"doc_id").as("df"),
+        min(struct($"doc_id", $"pos")).as("canon"))
+      .select($"para_fp", $"df",
+        $"canon.doc_id".as("canon_doc"), $"canon.pos".as("canon_pos"))
+  }
+
+  /** d36: incremental span dedup — a new batch's paragraphs
+    * dispositioned against a standing [[spanSignatures]] artifact:
+    *   - 'corpus_dup': the span already exists in the corpus (ANY
+    *     corpus occurrence — the canonical lives there, so every batch
+    *     occurrence drops, df threshold irrelevant);
+    *   - 'batch_dup': the span is new to the corpus but repeated
+    *     across ≥2 batch docs — d28's within-batch semantics verbatim
+    *     (the (doc_id, pos)-minimal batch occurrence is kept, every
+    *     other — same-doc re-occurrences included — drops);
+    *   - 'kept': everything else (including a batch doc repeating its
+    *     OWN new span — df 1, kept, the d28 rule).
+    *
+    * Scale shape: the corpus side is the fp-keyed ARTIFACT (fixed
+    * width, no text); the batch stats are one md5-keyed groupBy over
+    * batch-sized input; the joins are fp-keyed. Corpus text volume
+    * never appears anywhere — the whole point of maintaining the
+    * signature table. A malformed artifact (missing columns) is
+    * refused loudly, the d24 migration-guard discipline. */
+  def incrementalSpanDedup(corpusSigs: DataFrame,
+      batchParas: DataFrame): DataFrame = {
+    val s = batchParas.sparkSession
+    import s.implicits._
+    val required = Seq("para_fp", "df", "canon_doc", "canon_pos")
+    val missing = required.filterNot(corpusSigs.columns.contains)
+    require(missing.isEmpty,
+      s"incrementalSpanDedup: corpus signature artifact is missing " +
+        s"column(s) ${missing.mkString(", ")} — rebuild it with " +
+        "spanSignatures (pre-d36 artifacts cannot disposition)")
+    val keyed = batchParas.withColumn("para_fp", md5($"para"))
+    val batchStats = keyed.groupBy($"para_fp").agg(
+      countDistinct($"doc_id").as("bdf"),
+      min(struct($"doc_id", $"pos")).as("bcanon"))
+    keyed
+      .join(batchStats, "para_fp")
+      .join(corpusSigs.select($"para_fp", $"df".as("corpus_df")),
+        Seq("para_fp"), "left")
+      .withColumn("disposition",
+        when($"corpus_df" >= 1, "corpus_dup")
+          .when($"bdf" >= 2 && !($"doc_id" === $"bcanon.doc_id" &&
+            $"pos" === $"bcanon.pos"), "batch_dup")
+          .otherwise("kept"))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"para",
+        coalesce($"corpus_df", lit(0L)).as("corpus_df"),
+        $"bdf".as("batch_df"), $"disposition")
+  }
+
+  /** The artifact maintenance step: fold a dispositioned batch's spans
+    * into the standing signature table (the `--sigs` shape at span
+    * grain). Exact under the ingest contract that doc_ids are globally
+    * unique across batches — df then sums without double-counting, and
+    * the canonical stays the global (doc, pos) minimum. */
+  def mergedSpanSignatures(corpusSigs: DataFrame,
+      batchParas: DataFrame): DataFrame = {
+    val s = batchParas.sparkSession
+    import s.implicits._
+    corpusSigs.unionByName(spanSignatures(batchParas))
+      .groupBy($"para_fp")
+      .agg(sum($"df").as("df"),
+        min(struct($"canon_doc".as("doc_id"), $"canon_pos".as("pos")))
+          .as("canon"))
+      .select($"para_fp", $"df",
+        $"canon.doc_id".as("canon_doc"), $"canon.pos".as("canon_pos"))
   }
 
   /** d28's per-occurrence disposition over any (doc_id, pos, para)
@@ -1539,6 +1649,49 @@ object DocumentQueries {
            coalesce(string_agg(para, ' | ' ORDER BY pos)
              FILTER (WHERE NOT dropped), '') AS cleaned
          FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // d36: the d28 augmentation split even (corpus artifact) / odd
+    // (batch); 0-based positions via zipped unnest(range(0, len)) to
+    // match posexplode; min(struct_pack) canonical like d28's; the
+    // corpus side enters ONLY as its fp-aggregated signature, mirroring
+    // the artifact contract
+    "d36_incr_span_dedup" ->
+      """WITH a AS (
+           SELECT doc_id,
+             text || ' | repeated passage ' || CAST(doc_id // 2 AS VARCHAR)
+               || ' shared across a pair of documents'
+               || ' | chapter header ' || CAST(doc_id % 25 AS VARCHAR)
+               || ' common recurring block'
+               || ' | repeated passage ' || CAST(doc_id // 2 AS VARCHAR)
+               || ' shared across a pair of documents' AS augmented
+           FROM documents),
+         s AS (SELECT doc_id, string_split(augmented, ' | ') AS paras
+               FROM a),
+         u AS (
+           SELECT doc_id,
+             unnest(range(0, len(paras))) AS pos,
+             unnest(paras) AS para
+           FROM s),
+         corpus AS (SELECT * FROM u WHERE doc_id % 2 = 0),
+         batch AS (SELECT * FROM u WHERE doc_id % 2 = 1),
+         csig AS (
+           SELECT md5(para) AS para_fp, count(DISTINCT doc_id) AS df
+           FROM corpus GROUP BY 1),
+         bstat AS (
+           SELECT md5(para) AS para_fp, count(DISTINCT doc_id) AS bdf,
+             min(struct_pack(d := doc_id, p := pos)) AS bcanon
+           FROM batch GROUP BY 1)
+         SELECT b.doc_id, CAST(b.pos AS BIGINT) AS pos, b.para,
+           CAST(coalesce(c.df, 0) AS BIGINT) AS corpus_df,
+           CAST(t.bdf AS BIGINT) AS batch_df,
+           CASE WHEN c.df >= 1 THEN 'corpus_dup'
+                WHEN t.bdf >= 2 AND NOT (b.doc_id = t.bcanon.d
+                                         AND b.pos = t.bcanon.p)
+                  THEN 'batch_dup'
+                ELSE 'kept' END AS disposition
+         FROM batch b
+         JOIN bstat t ON t.para_fp = md5(b.para)
+         LEFT JOIN csig c ON c.para_fp = md5(b.para)
+         ORDER BY b.doc_id, b.pos""",
     // d29: the identical loop, mechanically unrolled into k chained CTE
     // rounds (recursive CTEs can't aggregate in the recursive term, and
     // k is a fixed literal anyway). chr(31)/chr(30) are the same

@@ -547,6 +547,72 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("incremental span dedup against a standing artifact (d36)") {
+    import spark.implicits._
+    def paras(rows: (Long, Seq[String])*) = rows.toSeq
+      .flatMap { case (id, ps) =>
+        ps.zipWithIndex.map { case (p, i) => (id, i, p) } }
+      .toDF("doc_id", "pos", "para")
+    val corpusParas = paras(1L -> Seq("intro one", "LICENSE"),
+      2L -> Seq("LICENSE", "body two"))
+    val sigs = DocumentQueries.spanSignatures(corpusParas)
+    // the artifact is text-free and fp-keyed
+    assert(sigs.columns.toSet ==
+      Set("para_fp", "df", "canon_doc", "canon_pos"))
+    // batch: doc 10 carries LICENSE (already in the corpus), a NEW
+    // span shared with doc 11, one unique span it repeats itself
+    val batch = paras(
+      10L -> Seq("LICENSE", "new shared quote", "solo para", "solo para"),
+      11L -> Seq("new shared quote", "body eleven"))
+    val got = DocumentQueries.incrementalSpanDedup(sigs, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(5)).toMap
+    assert(got((10L, 0L)) == "corpus_dup", s"$got")
+    // the new shared span: doc 10's occurrence is the batch canonical,
+    // doc 11's copy drops
+    assert(got((10L, 1L)) == "kept" && got((11L, 0L)) == "batch_dup",
+      s"$got")
+    // a doc repeating its OWN new span keeps both (df 1 — the d28 rule)
+    assert(got((10L, 2L)) == "kept" && got((10L, 3L)) == "kept", s"$got")
+    assert(got((11L, 1L)) == "kept", s"$got")
+    // merge invariant: folding the batch into the artifact ==
+    // rebuilding from scratch over the union stream
+    def sigSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.get(2), r.get(3))).toSet
+    assert(sigSet(DocumentQueries.mergedSpanSignatures(sigs, batch)) ==
+      sigSet(DocumentQueries.spanSignatures(corpusParas.union(batch))),
+      "merged artifact diverges from the from-scratch rebuild")
+    // a malformed (pre-d36) artifact is refused loudly, not misread
+    val e = intercept[IllegalArgumentException] {
+      DocumentQueries.incrementalSpanDedup(sigs.drop("canon_pos"), batch)
+    }
+    assert(e.getMessage.contains("canon_pos"), e.getMessage)
+  }
+
+  test("d30 and d32 are referentially consistent on a real corpus") {
+    // the report and the remediation must agree: every d30 witness
+    // (min_train_doc) is a doc d32 says to DROP, and every d32 witness
+    // (min_eval_doc) is a doc d30 reports as compromised — on the
+    // driver corpus, not a planted fixture
+    val report = DocumentQueries.queries("d30_ngram_decontam")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(5)))
+    val remediation = DocumentQueries
+      .queries("d32_train_decontam")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val dropSet = remediation.filter(_._4 == "drop").map(_._1).toSet
+    val compromised = report.filter(_._2 > 0).map(_._1).toSet
+    assert(compromised.nonEmpty && dropSet.nonEmpty,
+      "degenerate corpus: no cross-split collisions to check")
+    report.filter(_._2 > 0).foreach { case (doc, _, witness) =>
+      assert(dropSet.contains(witness),
+        s"d30 witness $witness (for eval doc $doc) is not a d32 drop")
+    }
+    remediation.filter(_._4 == "drop").foreach { case (doc, _, witness, _) =>
+      assert(compromised.contains(witness),
+        s"d32 witness $witness (for train doc $doc) is not d30-compromised")
+    }
+  }
+
   test("curation funnel: first-drop attribution, exact dedup, split routing (d31)") {
     import spark.implicits._
     def goodText(tag: String): String =
