@@ -815,10 +815,22 @@ object DocumentQueries {
     * not in the artifact: disposition of future batches never re-reads
     * the corpus (the d16 discipline at paragraph grain). Built with
     * the same one-groupBy shape as [[spanDispositions]]' stats pass. */
+  /** The span-family md5 key with the loud null refusal: md5(NULL) is
+    * NULL, and a NULL key never equi-joins — a null paragraph would
+    * otherwise silently vanish from every disposition instead of
+    * failing (cannot arise from split(), but the span operators accept
+    * arbitrary (doc_id, pos, para) frames). */
+  private def paraFpCol: org.apache.spark.sql.Column =
+    when(col("para").isNull, raise_error(lit(
+      "span dedup: null paragraph — a null key never joins, so the " +
+        "occurrence would silently vanish from disposition; repair " +
+        "the paragraph frame first")))
+      .otherwise(md5(col("para")))
+
   def spanSignatures(paras: DataFrame): DataFrame = {
     val s = paras.sparkSession
     import s.implicits._
-    paras.withColumn("para_fp", md5($"para"))
+    paras.withColumn("para_fp", paraFpCol)
       .groupBy($"para_fp")
       .agg(countDistinct($"doc_id").as("df"),
         min(struct($"doc_id", $"pos")).as("canon"))
@@ -854,7 +866,7 @@ object DocumentQueries {
       s"incrementalSpanDedup: corpus signature artifact is missing " +
         s"column(s) ${missing.mkString(", ")} — rebuild it with " +
         "spanSignatures (pre-d36 artifacts cannot disposition)")
-    val keyed = batchParas.withColumn("para_fp", md5($"para"))
+    val keyed = batchParas.withColumn("para_fp", paraFpCol)
     val batchStats = keyed.groupBy($"para_fp").agg(
       countDistinct($"doc_id").as("bdf"),
       min(struct($"doc_id", $"pos")).as("bcanon"))
@@ -915,7 +927,7 @@ object DocumentQueries {
   def spanDispositions(paras: DataFrame): DataFrame = {
     val s = paras.sparkSession
     import s.implicits._
-    val keyed = paras.withColumn("para_fp", md5($"para"))
+    val keyed = paras.withColumn("para_fp", paraFpCol)
     val stats = keyed.groupBy($"para_fp").agg(
       countDistinct($"doc_id").as("df"),
       min(struct($"doc_id", $"pos")).as("canon"))
@@ -1067,7 +1079,15 @@ object DocumentQueries {
   def corpusCard(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // regex flags computed IN the first codegen pass, so the fp join
+    // below moves only fixed-width columns — a flag referenced after
+    // the join would drag the full text through the shuffle (column
+    // pruning cannot remove a column the aggregate still reads)
     val q = withQuality(docs).withColumn("fp", md5($"text"))
+      .withColumn("has_url", $"text".rlike(UrlDomainPattern))
+      .withColumn("has_pii", $"text".rlike(EmailPattern))
+      .select($"doc_id", $"lang", $"fp", $"n_tok", $"quality",
+        $"has_url", $"has_pii")
     val canon = q.groupBy($"fp").agg(min($"doc_id").as("canon_id"))
     q.join(canon, Seq("fp"))
       .groupBy($"lang")
@@ -1079,9 +1099,9 @@ object DocumentQueries {
         round(avg($"n_tok"), 2).as("avg_tokens"),
         round(sum($"quality".cast("decimal(18,4)")).cast("double")
           / count(lit(1)), 4).as("mean_quality"),
-        round(sum(when($"text".rlike(UrlDomainPattern), 1L).otherwise(0L))
+        round(sum(when($"has_url", 1L).otherwise(0L))
           / count(lit(1)), 4).as("url_doc_frac"),
-        round(sum(when($"text".rlike(EmailPattern), 1L).otherwise(0L))
+        round(sum(when($"has_pii", 1L).otherwise(0L))
           / count(lit(1)), 4).as("pii_doc_frac"))
       .select($"lang", $"n_docs", $"n_dup_docs", $"total_tokens",
         $"avg_tokens", $"mean_quality", $"url_doc_frac", $"pii_doc_frac")

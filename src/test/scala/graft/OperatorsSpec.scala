@@ -586,6 +586,19 @@ class OperatorsSpec extends SparkSpec {
       DocumentQueries.incrementalSpanDedup(sigs.drop("canon_pos"), batch)
     }
     assert(e.getMessage.contains("canon_pos"), e.getMessage)
+    // a null paragraph is refused loudly across the span family —
+    // md5(NULL) is a NULL key that never joins, so the occurrence
+    // would otherwise silently vanish from disposition
+    val nulls = Seq((1L, 0, "ok"), (2L, 0, null: String))
+      .toDF("doc_id", "pos", "para")
+    val e2 = intercept[Exception] {
+      DocumentQueries.spanSignatures(nulls).collect()
+    }
+    assert(e2.getMessage.contains("null paragraph"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      DocumentQueries.spanDispositions(nulls).collect()
+    }
+    assert(e3.getMessage.contains("null paragraph"), e3.getMessage)
   }
 
   test("d30 and d32 are referentially consistent on a real corpus") {
