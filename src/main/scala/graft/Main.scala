@@ -69,7 +69,7 @@ object Main {
       |  graft.Main transform [-o <outDir>] [--loop <seconds> [--iterations <n>]] [<input>...]
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
       |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
-      |  graft.Main ingest [--once] [--sigs <sigDir>] <dropDir> <corpusDir> <checkpointDir>
+      |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] <dropDir> <corpusDir> <checkpointDir>
       |  graft.Main compact <lakeDir> [--flat | <partitionCol>...]
       |  graft.Main dedup <corpusDir> <outDir>
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
@@ -148,16 +148,21 @@ object Main {
         // parquet corpus (graft.streaming.DocumentIngest); --once drains
         // the backlog and exits like the stream command. --sigs <dir>
         // additionally maintains the d16 signature-table artifact per
-        // micro-batch (the incremental-dedup producer).
+        // micro-batch (the incremental-dedup producer); --spansigs <dir>
+        // the d36 SPAN-signature sidecar (paragraphs on --span-sep,
+        // default blank line — the incremental span-dedup producer).
         val iOpts = flags(rest.filterNot(_ == "--once"))
         val Seq(drop, corpus, checkpoint) = iOpts.positional
         val ingestStream = graft.streaming.DocumentIngest.stream(spark, drop)
-        val writer = iOpts.named.get("--sigs") match {
-          case Some(sigDir) => graft.streaming.DocumentIngest
-            .writerWithSignatures(ingestStream, corpus, sigDir, checkpoint)
-          case None => graft.streaming.DocumentIngest
-            .writer(ingestStream, corpus, checkpoint)
-        }
+        val sigDir = iOpts.named.get("--sigs")
+        val spanSigDir = iOpts.named.get("--spansigs")
+        val writer =
+          if (sigDir.isEmpty && spanSigDir.isEmpty)
+            graft.streaming.DocumentIngest
+              .writer(ingestStream, corpus, checkpoint)
+          else graft.streaming.DocumentIngest.writerWithArtifacts(
+            ingestStream, corpus, sigDir, spanSigDir,
+            iOpts.getOrElse("--span-sep", "\n\n"), checkpoint)
         val query =
           if (rest.contains("--once"))
             writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -884,16 +884,16 @@ object DocumentQueries {
         $"bdf".as("batch_df"), $"disposition")
   }
 
-  /** The artifact maintenance step: fold a dispositioned batch's spans
-    * into the standing signature table (the `--sigs` shape at span
-    * grain). Exact under the ingest contract that doc_ids are globally
-    * unique across batches — df then sums without double-counting, and
-    * the canonical stays the global (doc, pos) minimum. */
-  def mergedSpanSignatures(corpusSigs: DataFrame,
-      batchParas: DataFrame): DataFrame = {
-    val s = batchParas.sparkSession
+  /** Fold per-batch [[spanSignatures]] rows into ONE standing table:
+    * df sums, the canonical stays the global (doc, pos) minimum. Exact
+    * under the ingest contract that doc_ids are globally unique across
+    * batches (df never double-counts a doc). This is also how a
+    * `batch=`-partitioned span-signature sidecar (ingest `--spansigs`)
+    * is read back for disposition. */
+  def foldSpanSignatures(sigs: DataFrame): DataFrame = {
+    val s = sigs.sparkSession
     import s.implicits._
-    corpusSigs.unionByName(spanSignatures(batchParas))
+    sigs
       .groupBy($"para_fp")
       .agg(sum($"df").as("df"),
         min(struct($"canon_doc".as("doc_id"), $"canon_pos".as("pos")))
@@ -901,6 +901,13 @@ object DocumentQueries {
       .select($"para_fp", $"df",
         $"canon.doc_id".as("canon_doc"), $"canon.pos".as("canon_pos"))
   }
+
+  /** The artifact maintenance step: fold a dispositioned batch's spans
+    * into the standing signature table (the `--sigs` shape at span
+    * grain). */
+  def mergedSpanSignatures(corpusSigs: DataFrame,
+      batchParas: DataFrame): DataFrame =
+    foldSpanSignatures(corpusSigs.unionByName(spanSignatures(batchParas)))
 
   /** d28's per-occurrence disposition over any (doc_id, pos, para)
     * frame: df (distinct docs containing the paragraph) and whether
@@ -958,18 +965,22 @@ object DocumentQueries {
                p -> p.para)""")).as("cleaned"))
   }
 
-  /** [[spanDedup]] over a (doc_id, text) corpus: split each document on
-    * the LITERAL separator (regex-quoted — a "|" separator must not
-    * become a regex alternation), dedup spans, reconstruct with the
-    * same separator. The CLI `spandedup` entry point. */
-  def spanDedupCorpus(docs: DataFrame, sep: String): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val paras = docs.select($"doc_id",
-      posexplode(split($"text", java.util.regex.Pattern.quote(sep)))
+  /** A (doc_id, text) corpus split into its (doc_id, pos, para)
+    * paragraph stream on the LITERAL separator (regex-quoted — a "|"
+    * separator must not become a regex alternation). Shared by
+    * [[spanDedupCorpus]] and the streaming ingest's span-signature
+    * maintenance, so the batch and incremental paths segment
+    * identically. */
+  def corpusParas(docs: DataFrame, sep: String): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
-    spanDedup(paras, joinSep = sep)
-  }
+
+  /** [[spanDedup]] over a (doc_id, text) corpus: split on the literal
+    * separator, dedup spans, reconstruct with the same separator. The
+    * CLI `spandedup` entry point. */
+  def spanDedupCorpus(docs: DataFrame, sep: String): DataFrame =
+    spanDedup(corpusParas(docs, sep), joinSep = sep)
 
   /** d30 exact n-gram decontamination over any (doc_id, text) frame:
     * per EVAL document (val/test under the d13 content-hash split), how

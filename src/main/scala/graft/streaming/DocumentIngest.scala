@@ -100,16 +100,43 @@ object DocumentIngest {
     * dedup exchange above. */
   def writerWithSignatures(df: DataFrame, outDir: String, sigDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
+    writerWithArtifacts(df, outDir, Some(sigDir), None, "\n\n",
+      checkpointDir)
+
+  /** The general artifact-maintaining writer: corpus append plus any
+    * combination of the d16 doc-signature sidecar (`sigDir`) and the
+    * d36 SPAN-signature sidecar (`spanSigDir`, documents segmented on
+    * the literal `spanSep` — [[graft.queries.DocumentQueries
+    * .corpusParas]], the same segmentation the batch spandedup uses).
+    * Each sidecar follows the same idempotency contract: one
+    * overwrite-mode `batch=<id>` partition dir per micro-batch, so a
+    * crash-replayed batch REPLACES its previous attempt. The span
+    * sidecar holds PER-BATCH [[graft.queries.DocumentQueries
+    * .spanSignatures]] rows; disposition readers fold them with
+    * `foldSpanSignatures` (df sums exactly under the unique-doc_id
+    * ingest contract). Both sidecars ride the one pinned computation
+    * of the dedup exchange above. */
+  def writerWithArtifacts(df: DataFrame, outDir: String,
+      sigDir: Option[String], spanSigDir: Option[String], spanSep: String,
+      checkpointDir: String): DataStreamWriter[Row] =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val pinned = batch.persist()
         try {
           pinned.write.mode("append").partitionBy("lang").parquet(outDir)
-          graft.queries.DedupQueries
-            .signatureTable(pinned.select(col("doc_id"), col("text")),
-              withSplit = true)
-            .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+          sigDir.foreach { d =>
+            graft.queries.DedupQueries
+              .signatureTable(pinned.select(col("doc_id"), col("text")),
+                withSplit = true)
+              .write.mode("overwrite").parquet(s"$d/batch=$batchId")
+          }
+          spanSigDir.foreach { d =>
+            graft.queries.DocumentQueries
+              .spanSignatures(graft.queries.DocumentQueries.corpusParas(
+                pinned.select(col("doc_id"), col("text")), spanSep))
+              .write.mode("overwrite").parquet(s"$d/batch=$batchId")
+          }
         } finally { pinned.unpersist(); () }
       }
 }

@@ -188,6 +188,45 @@ class MainSpec extends SparkSpec {
       Set("doc_id", "fp", "mh", "bands", "split", "batch"))
   }
 
+  test("ingest --spansigs maintains the span-signature sidecar per batch") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-spansig").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/drop"))
+    // paragraphs separated by "|" (--span-sep); LICENSE recurs across
+    // both docs
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"crawl",""" +
+        s""""event_ts":"2024-01-01T00:0$id:00.000Z"}"""
+    Files.write(java.nio.file.Paths.get(s"$tmp/drop/b1.jsonl"),
+      Seq(doc(1, "intro one|LICENSE"), doc(2, "LICENSE|body two"))
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = Main.run(spark, Seq("ingest", "--once",
+      "--spansigs", s"$tmp/spansigs", "--span-sep", "|",
+      s"$tmp/drop", s"$tmp/corpus", s"$tmp/ckpt"), Map.empty)
+    assert(out == Seq("ingest query terminated"))
+    val raw = spark.read.parquet(s"$tmp/spansigs")
+    // per-batch spanSignatures rows under the batch idempotency
+    // partition: 3 distinct paragraphs, LICENSE with df 2
+    assert(raw.schema.fieldNames.toSet ==
+      Set("para_fp", "df", "canon_doc", "canon_pos", "batch"))
+    val folded = graft.queries.DocumentQueries.foldSpanSignatures(
+      raw.select("para_fp", "df", "canon_doc", "canon_pos"))
+    val byFp = folded.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFp.size == 3 && byFp.values.toSeq.sorted == Seq(1L, 1L, 2L),
+      s"folded sidecar: $byFp")
+    // the sidecar IS the d36 corpus side: a later batch bringing
+    // LICENSE again dispositions corpus_dup without any corpus re-read
+    val batch2 = Seq((10L, 0, "LICENSE"), (10L, 1, "fresh para"))
+      .toDF("doc_id", "pos", "para")
+    val disp = graft.queries.DocumentQueries
+      .incrementalSpanDedup(folded, batch2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(5)).toMap
+    assert(disp == Map((10L, 0L) -> "corpus_dup", (10L, 1L) -> "kept"),
+      s"$disp")
+  }
+
   test("transform --loop: two iterations over a growing staging dir, processed files moved") {
     val tmp = Files.createTempDirectory("graft-cli-loop").toString
     val env = Map("S3LOGS_TRANSFORM_JOB_INTERVAL" -> "0")
