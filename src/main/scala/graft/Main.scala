@@ -71,10 +71,10 @@ object Main {
       |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
       |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] <dropDir> <corpusDir> <checkpointDir>
       |  graft.Main compact <lakeDir> [--flat | <partitionCol>...]
-      |  graft.Main dedup <corpusDir> <outDir>
+      |  graft.Main dedup <corpusDir> <outDir> [--best]
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
       |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>]
-      |  graft.Main decontam <corpusDir> <outDir>
+      |  graft.Main decontam <corpusDir> <outDir> [--n <tokens>]
       |  graft.Main pack <corpusDir> <outDir> [--seq-len <tokens>]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
@@ -194,15 +194,22 @@ object Main {
           compression = cfg.compression)
         Seq(s"compact task ended, ${st.rows} rows kept, " +
           s"${st.files0} -> ${st.files1} files")
-      case "dedup" :: corpus :: out :: Nil =>
-        // the d25 disposition as a pipeline command: one artifact write,
-        // decision counts on stdout. The groupBy below reads the
-        // checkpoint-backed disposition frame — the dedup pipeline runs
-        // once, not once per consumer.
+      case "dedup" :: rest =>
+        // the d25 (or, with --best, d34) disposition as a pipeline
+        // command: one artifact write, decision counts on stdout.
+        // --best chooses each content cluster's canonical by d09
+        // quality instead of min doc_id — the emission policy when the
+        // cleanest capture should win.
         // overwrite guard: the disposition frame is checkpoint-backed,
         // so Spark's own "cannot overwrite a path being read from"
         // check never fires — an out == corpus typo would replace the
-        // documents with the 3-column disposition table.
+        // documents with the disposition table.
+        val best = rest.contains("--best")
+        val (corpus, out) = flags(rest.filterNot(_ == "--best"))
+          .positional match {
+          case Seq(c, o) => (c, o)
+          case _ => fail(s"dedup needs <corpusDir> <outDir>\n$usage")
+        }
         def qualified(p: String) = {
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -212,11 +219,14 @@ object Main {
           fail("dedup: the output dir must differ from the corpus dir " +
             "— overwrite would destroy the corpus")
         val docs = spark.read.parquet(corpus)
-        // dedupApply itself refuses duplicate doc_ids (a replayed
+        // dedupApply/dedupBest refuse duplicate doc_ids (a replayed
         // corpus), null ids/text, and non-integral id types — before
         // the pipeline runs, so a refused corpus writes no artifact.
-        val disp = graft.queries.DedupQueries.dedupApply(
-          docs.select("doc_id", "text"))
+        val disp =
+          if (best) graft.queries.DedupQueries.dedupBest(
+            docs.select("doc_id", "text"))
+          else graft.queries.DedupQueries.dedupApply(
+            docs.select("doc_id", "text"))
         // all reads below hit the checkpoint-backed disposition frame —
         // the dedup pipeline runs once, not once per consumer.
         val counts = disp.groupBy("status").count().collect()
@@ -226,9 +236,14 @@ object Main {
           .option("compression", cfg.compression)
           .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
           .parquet(out)
-        Seq(s"dedup task ended, ${counts.getOrElse("kept", 0L)} of $total " +
-          s"docs kept (${counts.getOrElse("exact_dup", 0L)} exact, " +
-          s"${counts.getOrElse("near_dup", 0L)} near duplicates dropped)")
+        if (best)
+          Seq(s"dedup task ended, ${counts.getOrElse("kept", 0L)} of " +
+            s"$total docs kept (${counts.getOrElse("dup", 0L)} duplicates " +
+            "dropped, best-quality canonicals)")
+        else
+          Seq(s"dedup task ended, ${counts.getOrElse("kept", 0L)} of $total " +
+            s"docs kept (${counts.getOrElse("exact_dup", 0L)} exact, " +
+            s"${counts.getOrElse("near_dup", 0L)} near duplicates dropped)")
       case "spandedup" :: rest =>
         // the d28 span disposition as a pipeline command: documents are
         // split on the LITERAL separator (default blank line — the
@@ -351,15 +366,25 @@ object Main {
         if (q4(out) == q4(corpus))
           fail("decontam: the output dir must differ from the corpus " +
             "dir — overwrite would destroy the corpus")
+        // --n: the n-gram width (default 8; web-scale decontamination
+        // writeups use 13 — the knob exists for corpora long enough)
+        val nGram = opts.named.get("--n").map { v =>
+          val n = try v.toInt catch {
+            case _: NumberFormatException =>
+              fail(s"decontam: --n must be an integer, got '$v'")
+          }
+          if (n < 1) fail(s"decontam: --n must be >= 1, got $v")
+          n
+        }.getOrElse(8)
         val corpusDf = spark.read.parquet(corpus).select("doc_id", "text")
         val report = graft.queries.DocumentQueries
-          .ngramDecontamination(corpusDf)
+          .ngramDecontamination(corpusDf, nGram)
         report.write.mode("overwrite")
           .option("compression", cfg.compression)
           .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
           .parquet(s"$out/eval_report")
         val remediation = graft.queries.DocumentQueries
-          .trainDecontamination(corpusDf)
+          .trainDecontamination(corpusDf, nGram)
         remediation.write.mode("overwrite")
           .option("compression", cfg.compression)
           .option("maxRecordsPerFile", cfg.maxRecordsPerFile)

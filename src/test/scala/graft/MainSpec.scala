@@ -312,6 +312,22 @@ class MainSpec extends SparkSpec {
     assert(same.getMessage.contains("differ"), same.getMessage)
     assert(spark.read.parquet(s"$tmp/corpus").count() == 4,
       "refused same-dir disposition damaged the corpus")
+    // --best: the d34 quality-canonical policy over the same corpus —
+    // one kept doc per content cluster, every member pointing at it
+    val outBest = Main.run(spark,
+      Seq("dedup", s"$tmp/corpus", s"$tmp/dispBest", "--best"), Map.empty)
+    assert(outBest == Seq("dedup task ended, 2 of 4 docs kept " +
+      "(2 duplicates dropped, best-quality canonicals)"),
+      outBest.mkString("\n"))
+    val db = spark.read.parquet(s"$tmp/dispBest").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("canonical_id"), r.getAs[String]("status")))).toMap
+    val cluster = Seq(1L, 2L, 11L)
+    val keptC = cluster.filter(id => db(id)._2 == "kept")
+    assert(keptC.size == 1, s"cluster dispositions: $db")
+    assert(cluster.forall(id => db(id)._1 == keptC.head),
+      s"cluster members don't share the kept canonical: $db")
+    assert(db(20L) == ((20L, "kept")), s"singleton: $db")
   }
 
   test("spandedup: repeated paragraphs collapse to canonical, corpus rewritten") {
@@ -445,6 +461,18 @@ class MainSpec extends SparkSpec {
         Map.empty)
     }
     assert(same.getMessage.contains("differ"), same.getMessage)
+    // --n wider than any doc: BOTH artifacts are empty — pins the knob
+    // and the summary's empty-side coalesce path (not an NPE) at once
+    val out25 = Main.run(spark, Seq("decontam", s"$tmp/corpus",
+      s"$tmp/dec25", "--n", "25"), Map.empty)
+    assert(out25 == Seq("decontam task ended, 0 of 0 eval docs " +
+      "compromised; drop 0 of 0 train docs to remediate"),
+      out25.mkString("\n"))
+    val badN = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("decontam", s"$tmp/corpus", s"$tmp/decx",
+        "--n", "0"), Map.empty)
+    }
+    assert(badN.getMessage.contains(">= 1"), badN.getMessage)
   }
 
   test("pack: slice table written with conservation census") {
