@@ -666,6 +666,14 @@ object DocumentQueries {
         .orderBy($"doc_id")
     },
 
+    // d37 hot n-grams: the corpus-wide over-represented-span census —
+    // top-100 8-grams by distinct-doc df with text and example doc
+    // (see hotNgrams for the two-pass bounded shape).
+    "d37_hot_ngrams" -> { (s, dir) =>
+      import s.implicits._
+      DocumentQueries.hotNgrams(Tables(s, dir, "documents"))
+    },
+
     // d33 corpus card: the per-language datasheet a release ships —
     // doc counts, exact-dup copies, token volume, mean quality (DECIMAL
     // accumulation), URL/PII prevalence (see corpusCard).
@@ -1116,6 +1124,51 @@ object DocumentQueries {
           / count(lit(1)), 4).as("pii_doc_frac"))
       .select($"lang", $"n_docs", $"n_dup_docs", $"total_tokens",
         $"avg_tokens", $"mean_quality", $"url_doc_frac", $"pii_doc_frac")
+  }
+
+  /** d37: hot n-grams — the corpus-wide over-represented-span census
+    * that closes the n-gram family's loop: d30 reports eval
+    * contamination, d32 the train rewrite, d37 answers "which exact
+    * spans recur across the corpus AT ALL" — the memorization-risk /
+    * boilerplate report whose rows are what a span-dedup pass (d28) or
+    * a blocklist should target. Top-k n-grams by distinct-doc df
+    * (df >= 2; ties broken on the fingerprint so the cut is total),
+    * each with its text and smallest containing doc.
+    *
+    * Scale shape — two passes, both bounded: pass 1 ships only (md5,
+    * doc_id) rows into a map-side-combinable df aggregate and a
+    * TakeOrdered(k) — n-gram TEXT never enters the corpus-wide
+    * shuffle. Pass 2 re-derives grams but joins them against the
+    * BROADCAST k-row winner set — a map-side filter that forwards
+    * ~k rows of text total. The broadcast side carries a GlobalLimit,
+    * so the bound is structural, not statistical. */
+  def hotNgrams(docs: DataFrame, n: Int = 8, k: Int = 100): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(n >= 1 && k >= 1,
+      s"hotNgrams: n and k must be >= 1 (got $n, $k)")
+    def withToks(df: DataFrame) = df
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .filter(size(col("toks")) >= n)
+    val top = withToks(docs)
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+            i -> md5(array_join(slice(toks, i, $n), ' ')))""")).as("fp"))
+      .distinct()
+      .groupBy($"fp")
+      .agg(count(lit(1)).as("df"), min($"doc_id").as("example_doc"))
+      .filter($"df" >= 2)
+      .orderBy($"df".desc, $"fp").limit(k)
+    val gramText = withToks(docs)
+      .select(explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+            i -> array_join(slice(toks, i, $n), ' '))""")).as("gram"))
+      .withColumn("fp", md5($"gram"))
+      .join(broadcast(top.select($"fp")), Seq("fp"))
+      .groupBy($"fp").agg(min($"gram").as("gram")) // fp determines gram
+    top.join(broadcast(gramText), Seq("fp"))
+      .select($"gram", $"df", $"example_doc")
+      .orderBy($"df".desc, $"gram")
   }
 
   /** The d30/d32 shared n-gram pass: per-doc DISTINCT word-n-gram md5
@@ -1797,6 +1850,27 @@ object DocumentQueries {
               AS disposition
           FROM tr LEFT JOIN ev USING (fp)
           GROUP BY doc_id ORDER BY doc_id""",
+    // d37: same 8-gram slicing; the tie at the top-k cut breaks on
+    // md5(gram) exactly like Spark's fp ordering
+    "d37_hot_ngrams" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(toks[i:i+7], ' ') AS gram
+           FROM (
+             SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+             FROM tk WHERE len(toks) >= 8)),
+         st AS (
+           SELECT gram, count(*) AS df, min(doc_id) AS example_doc
+           FROM g GROUP BY gram),
+         top AS (
+           SELECT * FROM st WHERE df >= 2
+           ORDER BY df DESC, md5(gram) LIMIT 100)
+         SELECT gram, CAST(df AS BIGINT) AS df, example_doc
+         FROM top ORDER BY df DESC, gram""",
     // d33: d09's quality formula verbatim, duplicate flag via the same
     // md5 canon groupBy, DECIMAL(18,4) quality accumulation (exact,
     // order-independent — a plain avg() of doubles could hash-diverge

@@ -547,6 +547,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hot n-grams: top-k by distinct-doc df, bounded text join (d37)") {
+    import spark.implicits._
+    val spanA = (0 until 8).map(i => s"ha$i").mkString(" ")
+    val spanB = (0 until 8).map(i => s"hb$i").mkString(" ")
+    val spanC = (0 until 8).map(i => s"hc$i").mkString(" ")
+    // B docs share TWO 8-grams (the span and its bupad-shifted tail) —
+    // the census counts grams, not planted intentions; C's df stays 2
+    // although doc 31 contains the span twice (distinct docs, not
+    // occurrences)
+    val tailB = ((1 until 8).map(i => s"hb$i") :+ "bupad").mkString(" ")
+    val docs = (
+      (0 until 5).map(k => (10L + k, s"$spanA au$k aupad")) ++
+        (0 until 3).map(k => (20L + k, s"bu$k $spanB bupad")) ++
+        Seq((30L, s"$spanC cu0 x y"), (31L, s"$spanC cu1 $spanC")) ++
+        Seq((40L, (0 until 12).map(i => s"uq$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val all = DocumentQueries.hotNgrams(docs, n = 8, k = 100).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(all.toSet == Set((spanA, 5L, 10L), (spanB, 3L, 20L),
+      (tailB, 3L, 20L), (spanC, 2L, 30L)), s"census: ${all.toSeq}")
+    // ordering: df descending, and the df>=2 cut excluded every
+    // unique gram
+    assert(all.map(_._2).toSeq == all.map(_._2).sorted.reverse.toSeq)
+    // the k cut is deterministic: k=1 keeps exactly the df-5 span
+    val top1 = DocumentQueries.hotNgrams(docs, n = 8, k = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top1.toSeq == Seq((spanA, 5L)), s"k=1: ${top1.toSeq}")
+  }
+
   test("incremental span dedup against a standing artifact (d36)") {
     import spark.implicits._
     def paras(rows: (Long, Seq[String])*) = rows.toSeq
