@@ -40,7 +40,7 @@ object ScaleBench {
       "d26_pack_sequences" :+ "d28_span_dedup" :+ "d29_bpe_merges" :+
       "d30_ngram_decontam" :+ "d31_curation_funnel" :+
       "d32_train_decontam" :+ "d35_bigram_logprob" :+
-      "d36_incr_span_dedup"
+      "d36_incr_span_dedup" :+ "d37_hot_ngrams"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything
