@@ -1112,19 +1112,10 @@ object DedupQueries {
             SELECT f.doc_id, coalesce(l.cluster_id, f.rep) AS group_id
             FROM fpg f LEFT JOIN labels l ON l.rep = f.rep),
           qraw AS (
-            SELECT doc_id,
-              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-              round((len(text) - len(string_split(text, ' ')) + 1)
-                    / len(string_split(text, ' ')), 4) AS avg_tok_len,
-              round(len(list_filter(string_split(text, ' '),
-                      t -> t IN ('the', 'a')))
-                    / len(string_split(text, ' ')), 4) AS stop_ratio
+            SELECT doc_id, ${DocumentQueries.duckQualityCols}
             FROM documents),
           qual AS (
-            SELECT doc_id,
-              round(0.4 * least(n_tok / 100.0, 1.0) +
-                    0.3 * (1.0 - abs(avg_tok_len - 4.5) / 4.5) +
-                    0.3 * least(stop_ratio * 10.0, 1.0), 4) AS quality
+            SELECT doc_id, ${DocumentQueries.duckQualityExpr} AS quality
             FROM qraw),
           scored AS (
             SELECT m.doc_id, m.group_id, q.quality

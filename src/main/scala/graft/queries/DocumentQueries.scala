@@ -1430,6 +1430,50 @@ object DocumentQueries {
          FROM t2 JOIN L USING (term)
          GROUP BY doc_id ORDER BY doc_id"""
 
+  /** The d09 quality formula's DuckDB text — the oracle-side
+    * counterpart of [[withQuality]], shared by every oracle embedding
+    * it (d09, d31, d33, d34) so the formula exists exactly twice in
+    * the repo: once per engine. */
+  private[queries] val duckQualityCols: String =
+    """CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             round((len(text) - len(string_split(text, ' ')) + 1)
+                   / len(string_split(text, ' ')), 4) AS avg_tok_len,
+             round(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the', 'a')))
+                   / len(string_split(text, ' ')), 4) AS stop_ratio"""
+
+  private[queries] val duckQualityExpr: String =
+    """round(0.4 * least(n_tok / 100.0, 1.0) +
+                 0.3 * (1.0 - abs(avg_tok_len - 4.5) / 4.5) +
+                 0.3 * least(stop_ratio * 10.0, 1.0), 4)"""
+
+  /** The d30/d32 shared n-gram CTE text (tk/ng) — the oracle-side
+    * counterpart of [[splitNgramFps]]. */
+  private val duckNgramFps: String =
+    """tk AS (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents),
+          ng AS (
+            SELECT DISTINCT doc_id,
+              md5(array_to_string(toks[i:i+7], ' ')) AS fp
+            FROM (
+              SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+              FROM tk WHERE len(toks) >= 8))"""
+
+  /** The d28/d36 shared augmentation CTE text — the oracle-side
+    * counterpart of [[augmentedParas]]. */
+  private val duckAugmented: String =
+    """a AS (
+           SELECT doc_id,
+             text || ' | repeated passage ' || CAST(doc_id // 2 AS VARCHAR)
+               || ' shared across a pair of documents'
+               || ' | chapter header ' || CAST(doc_id % 25 AS VARCHAR)
+               || ' common recurring block'
+               || ' | repeated passage ' || CAST(doc_id // 2 AS VARCHAR)
+               || ' shared across a pair of documents' AS augmented
+           FROM documents)"""
+
   val oracleSql: ListMap[String, String] = ListMap(
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -1459,18 +1503,11 @@ object DocumentQueries {
            count(*) AS n_docs, CAST(sum(en_n) AS BIGINT) AS en_hits
          FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""",
     "d09_quality_score" ->
-      """WITH base AS (
-           SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-             round((len(text) - len(string_split(text, ' ')) + 1)
-                   / len(string_split(text, ' ')), 4) AS avg_tok_len,
-             round(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
-                   / len(string_split(text, ' ')), 4) AS stop_ratio
+      s"""WITH base AS (
+           SELECT doc_id, $duckQualityCols
            FROM documents)
          SELECT doc_id, n_tok, avg_tok_len, stop_ratio,
-           round(0.4 * least(n_tok / 100.0, 1.0) +
-                 0.3 * (1.0 - abs(avg_tok_len - 4.5) / 4.5) +
-                 0.3 * least(stop_ratio * 10.0, 1.0), 4) AS quality
+           $duckQualityExpr AS quality
          FROM base ORDER BY doc_id""",
     "d12_normalize" ->
       """SELECT doc_id,
@@ -1699,15 +1736,7 @@ object DocumentQueries {
     // 1-based here vs posexplode's 0-based — only its ORDER matters
     // (canonical choice + reconstruction), which offsets preserve.
     "d28_span_dedup" ->
-      """WITH a AS (
-           SELECT doc_id,
-             text || ' | repeated passage ' || CAST(doc_id // 2 AS VARCHAR)
-               || ' shared across a pair of documents'
-               || ' | chapter header ' || CAST(doc_id % 25 AS VARCHAR)
-               || ' common recurring block'
-               || ' | repeated passage ' || CAST(doc_id // 2 AS VARCHAR)
-               || ' shared across a pair of documents' AS augmented
-           FROM documents),
+      s"""WITH $duckAugmented,
          s AS (SELECT doc_id, string_split(augmented, ' | ') AS paras
                FROM a),
          u AS (
@@ -1739,15 +1768,7 @@ object DocumentQueries {
     // corpus side enters ONLY as its fp-aggregated signature, mirroring
     // the artifact contract
     "d36_incr_span_dedup" ->
-      """WITH a AS (
-           SELECT doc_id,
-             text || ' | repeated passage ' || CAST(doc_id // 2 AS VARCHAR)
-               || ' shared across a pair of documents'
-               || ' | chapter header ' || CAST(doc_id % 25 AS VARCHAR)
-               || ' common recurring block'
-               || ' | repeated passage ' || CAST(doc_id // 2 AS VARCHAR)
-               || ' shared across a pair of documents' AS augmented
-           FROM documents),
+      s"""WITH $duckAugmented,
          s AS (SELECT doc_id, string_split(augmented, ' | ') AS paras
                FROM a),
          u AS (
@@ -1793,16 +1814,7 @@ object DocumentQueries {
     // division is DOUBLE in both engines; -1 = clean (no NULLs ship).
     "d30_ngram_decontam" ->
       s"""WITH ${duckSplits},
-          tk AS (
-            SELECT doc_id,
-              list_filter(string_split(text, ' '), t -> t <> '') AS toks
-            FROM documents),
-          ng AS (
-            SELECT DISTINCT doc_id,
-              md5(array_to_string(toks[i:i+7], ' ')) AS fp
-            FROM (
-              SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
-              FROM tk WHERE len(toks) >= 8)),
+          $duckNgramFps,
           ev AS (
             SELECT n.doc_id, n.fp, s.split
             FROM ng n JOIN splits s USING (doc_id)
@@ -1823,16 +1835,7 @@ object DocumentQueries {
     // aggregated, train side probed
     "d32_train_decontam" ->
       s"""WITH ${duckSplits},
-          tk AS (
-            SELECT doc_id,
-              list_filter(string_split(text, ' '), t -> t <> '') AS toks
-            FROM documents),
-          ng AS (
-            SELECT DISTINCT doc_id,
-              md5(array_to_string(toks[i:i+7], ' ')) AS fp
-            FROM (
-              SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
-              FROM tk WHERE len(toks) >= 8)),
+          $duckNgramFps,
           tr AS (
             SELECT n.doc_id, n.fp
             FROM ng n JOIN splits s USING (doc_id)
@@ -1879,18 +1882,10 @@ object DocumentQueries {
     "d33_corpus_card" ->
       s"""WITH raw AS (
             SELECT doc_id, lang, text, md5(text) AS fp,
-              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-              round((len(text) - len(string_split(text, ' ')) + 1)
-                    / len(string_split(text, ' ')), 4) AS avg_tok_len,
-              round(len(list_filter(string_split(text, ' '),
-                      t -> t IN ('the', 'a')))
-                    / len(string_split(text, ' ')), 4) AS stop_ratio
+              $duckQualityCols
             FROM documents),
           q AS (
-            SELECT *,
-              round(0.4 * least(n_tok / 100.0, 1.0) +
-                    0.3 * (1.0 - abs(avg_tok_len - 4.5) / 4.5) +
-                    0.3 * least(stop_ratio * 10.0, 1.0), 4) AS quality
+            SELECT *, $duckQualityExpr AS quality
             FROM raw),
           canon AS (SELECT fp, min(doc_id) AS canon_id FROM q GROUP BY fp)
           SELECT lang,
@@ -1928,12 +1923,7 @@ object DocumentQueries {
             FROM documents),
           raw AS (
             SELECT doc_id, lang, md5(text) AS fp,
-              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-              round((len(text) - len(string_split(text, ' ')) + 1)
-                    / len(string_split(text, ' ')), 4) AS avg_tok_len,
-              round(len(list_filter(string_split(text, ' '),
-                      t -> t IN ('the', 'a')))
-                    / len(string_split(text, ' ')), 4) AS stop_ratio,
+              $duckQualityCols,
               CAST(len(list_filter(string_split(text, ' '),
                 t -> t IN ('the', 'a', 'of'))) AS BIGINT) AS en_n,
               CAST(len(list_filter(string_split(text, ' '),
@@ -1943,9 +1933,7 @@ object DocumentQueries {
             FROM documents),
           base AS (
             SELECT *,
-              round(0.4 * least(n_tok / 100.0, 1.0) +
-                    0.3 * (1.0 - abs(avg_tok_len - 4.5) / 4.5) +
-                    0.3 * least(stop_ratio * 10.0, 1.0), 4) AS quality,
+              $duckQualityExpr AS quality,
               CASE WHEN en_n >= greatest(de_n, fr_n) AND en_n > 0 THEN 'en'
                    WHEN de_n >= fr_n AND de_n > 0 THEN 'de'
                    WHEN fr_n > 0 THEN 'fr'
