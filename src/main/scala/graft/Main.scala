@@ -73,7 +73,7 @@ object Main {
       |  graft.Main compact <lakeDir> [--flat | <partitionCol>...]
       |  graft.Main dedup <corpusDir> <outDir> [--best]
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
-      |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>]
+      |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>] [--best]
       |  graft.Main decontam <corpusDir> <outDir> [--n <tokens>]
       |  graft.Main pack <corpusDir> <outDir> [--seq-len <tokens>]""".stripMargin
 
@@ -287,13 +287,14 @@ object Main {
           s"(${st.getLong(3)} chars)")
       case "curate" :: rest =>
         // the end-to-end curation pipeline as ONE command: quality gate
-        // → language gate → full d25 dedup (exact + near) → d27
-        // temperature rebalancing → d13 split. Writes the per-doc
-        // disposition table to <out>/dispositions and the kept corpus,
-        // hive-partitioned by split, to <out>/corpus — the two
-        // artifacts a training run consumes (the manifest of record and
-        // the data itself).
-        val opts = flags(rest)
+        // → language gate → full d25 dedup (exact + near; --best = the
+        // d34 quality-canonical policy) → d27 temperature rebalancing →
+        // d13 split. Writes the per-doc disposition table to
+        // <out>/dispositions and the kept corpus, hive-partitioned by
+        // split, to <out>/corpus — the two artifacts a training run
+        // consumes (the manifest of record and the data itself).
+        val curBest = rest.contains("--best")
+        val opts = flags(rest.filterNot(_ == "--best"))
         val (corpus, out) = opts.positional match {
           case Seq(c, o) => (c, o)
           case _ => fail(s"curate needs <corpusDir> <outDir>\n$usage")
@@ -321,7 +322,8 @@ object Main {
         // counter aggregate, kept-corpus join) — the funnel + dedup
         // pipeline must run once, not three times
         val disp = graft.queries.DocumentQueries
-          .curateDispositions(docs, qmin).localCheckpoint(true)
+          .curateDispositions(docs, qmin, bestCanonical = curBest)
+          .localCheckpoint(true)
         disp.write.mode("overwrite")
           .option("compression", cfg.compression)
           .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
@@ -340,11 +342,14 @@ object Main {
         def n(k: String) = counts.getOrElse(k, 0L)
         val keptN = n("train") + n("val") + n("test")
         val total = counts.values.sum
+        val dupCensus =
+          if (curBest) s"${n("dup")} dup (best-quality canonicals), "
+          else s"${n("exact_dup")} exact, ${n("near_dup")} near dup, "
         Seq(s"curate task ended, $keptN of $total docs kept " +
           s"(train ${n("train")}, val ${n("val")}, test ${n("test")}; " +
           s"dropped: ${n("low_quality")} low quality, " +
-          s"${n("unknown_lang")} unknown lang, ${n("exact_dup")} exact, " +
-          s"${n("near_dup")} near dup, ${n("sampled_out")} sampled out)")
+          s"${n("unknown_lang")} unknown lang, " + dupCensus +
+          s"${n("sampled_out")} sampled out)")
       case "decontam" :: rest =>
         // benchmark decontamination over a split corpus, both
         // directions in one command: <out>/eval_report = d30 (how

@@ -1282,7 +1282,7 @@ object DocumentQueries {
     * dedup stage inherits dedupApply's loud contract checks (duplicate
     * doc_id, null id/text, non-integral id). */
   def curateDispositions(docs: DataFrame,
-      qualityMin: Double = 0.5): DataFrame = {
+      qualityMin: Double = 0.5, bestCanonical: Boolean = false): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val guarded = docs.withColumn("lang",
@@ -1296,9 +1296,15 @@ object DocumentQueries {
       .select($"doc_id", $"lang", $"text", $"quality", $"pred_lang",
         $"samp", $"bucket")
     val s12 = base.filter($"quality" >= qualityMin && $"pred_lang" =!= "und")
-    // checkpoint-backed (dedupApply): the disposition pipeline runs
-    // once, not once per downstream consumer
-    val dedup = DedupQueries.dedupApply(s12.select($"doc_id", $"text"))
+    // checkpoint-backed (dedupApply/dedupBest): the disposition
+    // pipeline runs once, not once per downstream consumer.
+    // bestCanonical = the d34 policy — each content cluster keeps its
+    // highest-quality member instead of the oldest; the drop reason
+    // then reads 'dup' (d34's vocabulary) rather than
+    // exact_dup/near_dup
+    val dedup =
+      if (bestCanonical) DedupQueries.dedupBest(s12.select($"doc_id", $"text"))
+      else DedupQueries.dedupApply(s12.select($"doc_id", $"text"))
     val survivors = s12.join(
       dedup.filter($"status" === "kept").select($"doc_id"), Seq("doc_id"))
     val rates = temperatureRates(survivors)

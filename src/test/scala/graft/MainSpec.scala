@@ -413,6 +413,25 @@ class MainSpec extends SparkSpec {
       out.head.contains("1 unknown lang") &&
       out.head.contains("1 exact") && out.head.contains("1 near dup"),
       out.mkString("\n"))
+    // --best: the d34 policy rides the same funnel — the near-dup
+    // cluster's canonical becomes its higher-quality member (doc 2 =
+    // base + "tail", whose extra token nudges the d09 score) and the
+    // drop vocabulary is d34's single 'dup'
+    val outBest = Main.run(spark, Seq("curate", s"$tmp/corpus",
+      s"$tmp/curBest", "--best"), Map.empty)
+    assert(outBest.head.contains("dup (best-quality canonicals)"),
+      outBest.mkString("\n"))
+    val dispBest = spark.read.parquet(s"$tmp/curBest/dispositions")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("disposition")).toMap
+    assert(dispBest.size == 11, s"conservation broke: $dispBest")
+    val bestCluster = Seq(1L, 2L, 3L)
+    val bestKept = bestCluster.filterNot(id => dispBest(id) == "dup")
+    assert(bestKept.size == 1 &&
+      Set("train", "val", "test")(dispBest(bestKept.head)),
+      s"best cluster: $dispBest")
+    assert(dispBest(4L) == "low_quality" && dispBest(5L) == "unknown_lang",
+      s"gates unchanged under --best: $dispBest")
     // out == corpus refusal; bad --quality-min refused before any work
     val same = intercept[IllegalArgumentException] {
       Main.run(spark, Seq("curate", s"$tmp/corpus", s"$tmp/corpus"),
