@@ -547,6 +547,90 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("span dedup matches a reference model on randomized corpora (d28)") {
+    import spark.implicits._
+    // model-based check: a straight-line in-memory implementation of
+    // the d28 semantics, compared against the operator on seeded random
+    // corpora (phrase pool small enough to force df>=2 groups, plus
+    // unique fillers and same-doc re-occurrences by construction)
+    val rnd = new scala.util.Random(20260814)
+    val pool = (0 until 10).map(i => s"shared phrase number $i")
+    (0 until 3).foreach { round =>
+      val paras: Seq[(Long, Int, String)] = (0 until 25).flatMap { d =>
+        val n = 1 + rnd.nextInt(5)
+        (0 until n).map { p =>
+          val text =
+            if (rnd.nextBoolean()) pool(rnd.nextInt(pool.size))
+            else s"unique r${round}_d${d}_p$p"
+          (d.toLong, p, text)
+        }
+      }
+      // reference model: canonical = global (doc, pos) min per text;
+      // an occurrence drops iff its text spans >=2 DISTINCT docs and it
+      // is not the canonical
+      val byText = paras.groupBy(_._3)
+      val dropped = paras.map { case (d, p, t) =>
+        val occ = byText(t)
+        val df = occ.map(_._1).distinct.size
+        val canon = occ.map(o => (o._1, o._2)).min
+        (d, p) -> (df >= 2 && (d, p) != canon)
+      }.toMap
+      val df = paras.toDF("doc_id", "pos", "para")
+      val got = DocumentQueries.spanDispositions(df).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(4)).toMap
+      assert(got == dropped, s"round $round: dispositions diverge")
+      // the per-doc summary agrees with the model: counts, volume, and
+      // the reconstruction in position order
+      val summary = DocumentQueries.spanDedup(df).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+        .toMap
+      paras.groupBy(_._1).foreach { case (d, ps) =>
+        val (nP, nD, chD, cleaned) = summary(d)
+        val drops = ps.filter(p => dropped((p._1, p._2)))
+        assert(nP == ps.size && nD == drops.size &&
+          chD == drops.map(_._3.length).sum, s"round $round doc $d")
+        val expect = ps.sortBy(_._2)
+          .filterNot(p => dropped((p._1, p._2))).map(_._3)
+          .mkString(" | ")
+        assert(cleaned == expect, s"round $round doc $d reconstruction")
+      }
+    }
+  }
+
+  test("sequence packing matches a reference model on randomized sizes (d26)") {
+    import spark.implicits._
+    // random token counts (including zero-token docs) against the
+    // straightforward model: global stream in doc_id order, cut every S
+    val rnd = new scala.util.Random(48151623)
+    (0 until 3).foreach { round =>
+      val S = Seq(8L, 16L, 64L)(round)
+      val docTokens: Seq[(Long, Seq[String])] = (0 until 40).map { d =>
+        d.toLong -> (0 until rnd.nextInt(26)).map(t => s"r${round}t${d}_$t")
+      }
+      val docs = docTokens
+        .map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val stream = docTokens.sortBy(_._1).flatMap(_._2)
+      val expected = stream.grouped(S.toInt).zipWithIndex
+        .map { case (toks, i) => i.toLong -> toks }.toMap
+      val byDoc = docTokens.toMap
+      val rebuilt = DocumentQueries
+        .packSequences(docs, seqLen = S, nBuckets = 1 + rnd.nextInt(6))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .groupBy(_._1).map { case (seqId, rows) =>
+          seqId -> rows.sortBy(_._4).flatMap {
+            case (_, docId, docStart, _, n) =>
+              byDoc(docId).slice(docStart.toInt, (docStart + n).toInt)
+          }.toSeq
+        }
+      assert(rebuilt == expected,
+        s"round $round (S=$S): packed stream diverges from the model")
+    }
+  }
+
   test("hot n-grams: top-k by distinct-doc df, bounded text join (d37)") {
     import spark.implicits._
     val spanA = (0 until 8).map(i => s"ha$i").mkString(" ")
