@@ -318,6 +318,52 @@ object EmbeddingQueries {
     // Everything is deterministic (dequantization is s05's oracle-proven
     // formula; both stages rank on rounded sims + id tie-breaks), so the
     // oracle replays it exactly; OperatorsSpec asserts recall vs s01.
+    // ---- s07: truncated-dimension (matryoshka-style) rerank --------------
+    // The dimension-axis counterpart of s06's precision-axis two-stage:
+    // the corpus-wide scan scores only the FIRST 32 of 64 dimensions
+    // (2x cheaper dots and 2x less vector data touched — the layout
+    // matryoshka-trained embeddings exist to exploit; on THOSE a much
+    // shorter prefix suffices, but this corpus's vectors are isotropic,
+    // so half-width is the honest setting that still recalls most of
+    // the true top-5 — spec-pinned >= 0.6 vs s01), then exact
+    // full-dimension cosine reranks the <=20xQ survivors. Same
+    // determinism discipline as s01: rounded sims + id tie-breaks at
+    // BOTH stages.
+    "s07_truncated_rerank" -> { (s, dir) =>
+      import s.implicits._
+      val P = 32
+      val e = vecs(s, dir)
+        .withColumn("pv", expr(s"slice(v, 1, $P)"))
+        .withColumn("pn", expr("sqrt(graft_dot(pv, pv))"))
+      // coarse stage touches ONLY prefix vectors; the top-20 window
+      // shuffles narrow (q_id, c_id, pre_sim) rows — full vectors are
+      // rejoined by id for the bounded survivor set (the s06 shape at
+      // the dimension axis)
+      val qp = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"pv".as("qpv"), $"pn".as("qpn"))
+      val cp = e.select($"vec_id".as("c_id"), $"pv".as("cpv"),
+        $"pn".as("cpn"))
+      val preW = Window.partitionBy($"q_id").orderBy($"pre_sim".desc, $"c_id")
+      val coarse = cp.join(broadcast(qp), $"q_id" =!= $"c_id")
+        .withColumn("pre_sim", round(dot("qpv", "cpv") / ($"qpn" * $"cpn"), 4))
+        .withColumn("prnk", row_number().over(preW))
+        .filter($"prnk" <= 20)
+        .select($"q_id", $"c_id")
+      val exact = vecs(s, dir)
+      val rnkW = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"c_id")
+      coarse
+        .join(exact.select($"vec_id".as("c_id"), $"v".as("cv"),
+          $"nrm".as("cn")), "c_id")
+        .join(broadcast(exact.filter($"vec_id" < 20)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))),
+          "q_id")
+        .withColumn("cos_sim", round(dot("qv", "cv") / ($"qn" * $"cn"), 4))
+        .withColumn("rnk", row_number().over(rnkW).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"q_id", $"rnk", $"c_id", $"cos_sim")
+        .orderBy($"q_id", $"rnk")
+    },
+
     "s06_quantized_rerank" -> { (s, dir) =>
       import s.implicits._
       val e = vecs(s, dir)
@@ -502,6 +548,40 @@ object EmbeddingQueries {
              c_id, cos_sim, coarse_sim
            FROM rer)
          SELECT q_id, rnk, c_id, cos_sim, coarse_sim FROM r WHERE rnk <= 5
+         ORDER BY q_id, rnk""",
+    // s07: the s06 replay at the dimension axis — prefix slice v[1:32],
+    // rounded prefix sims + id tie-breaks, exact rerank of the top-20
+    "s07_truncated_rerank" ->
+      """WITH n AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             v[1:32] AS pv
+           FROM n),
+         m2 AS (SELECT *, sqrt(list_dot_product(pv, pv)) AS pn FROM m),
+         pre AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(list_dot_product(q.pv, c.pv) / (q.pn * c.pn), 4) AS pre_sim
+           FROM m2 q JOIN m2 c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         ptop AS (
+           SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY pre_sim DESC, c_id) AS prnk
+           FROM pre),
+         rer AS (
+           SELECT t.q_id, t.c_id,
+             round(list_dot_product(qq.v, cc.v) / (qq.nrm * cc.nrm), 4) AS cos_sim
+           FROM ptop t
+           JOIN m2 qq ON qq.vec_id = t.q_id
+           JOIN m2 cc ON cc.vec_id = t.c_id
+           WHERE t.prnk <= 20),
+         r AS (
+           SELECT q_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk,
+             c_id, cos_sim
+           FROM rer)
+         SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5
          ORDER BY q_id, rnk""",
     // s02: the approximation is DETERMINISTIC (fixed hyperplane literals,
     // fixed probe set, rounded-sim + c_id tie-breaks), so the oracle

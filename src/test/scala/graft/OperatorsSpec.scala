@@ -24,6 +24,28 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall vs exact top-5 too low: $recall")
   }
 
+  test("truncated-dim rerank recalls most of the exact top-5 (s07 vs s01)") {
+    val exact = EmbeddingQueries.queries("s01_knn_bruteforce")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = EmbeddingQueries.queries("s07_truncated_rerank")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    val recall = (pairs & exact).size.toDouble / exact.size
+    // a 16-of-64-dim prefilter keeping 20 candidates must recover most
+    // of the true top-5; a broken slice/norm would crater this
+    assert(recall >= 0.6, s"truncated-rerank recall too low: $recall")
+    // the rerank stage is EXACT: every returned similarity equals the
+    // s01 value for the same (query, candidate) pair
+    val exactSims = EmbeddingQueries
+      .queries("s01_knn_bruteforce")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    got.foreach { case (q, c, sim) =>
+      exactSims.get((q, c)).foreach(es =>
+        assert(es == sim, s"rerank sim diverges from exact for ($q,$c)"))
+    }
+  }
+
   test("LSH band joins stay bounded under pathological skew (hot-band guards)") {
     import spark.implicits._
     // 800 byte-identical docs + 100 sub-3-token docs (shared sentinel

@@ -74,7 +74,8 @@ class QueriesSpec extends SparkSpec {
     // situation. Its bound is asserted at the source instead: see
     // OperatorsSpec "BPE merge loop".)
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
-      "s04_ann_ivf", "s06_quantized_rerank", "d17_tfidf_keywords",
+      "s04_ann_ivf", "s06_quantized_rerank", "s07_truncated_rerank",
+      "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
       "d26_pack_sequences", "d27_temperature_sample",
       "d31_curation_funnel", "d35_bigram_logprob")
@@ -129,6 +130,7 @@ class QueriesSpec extends SparkSpec {
       "s02_ann_lsh" -> "fixed query set, hamming-multiprobe bucket join",
       "s04_ann_ivf" -> "<=16-row centroid table / nprobe probe set",
       "s06_quantized_rerank" -> "fixed query set (coarse scan + rerank sides)",
+      "s07_truncated_rerank" -> "fixed query set (prefix scan + rerank sides)",
       "q30_sliding_window" -> "<=6-row per-year boundary stitch",
       // the planner sees a checkpointed LogicalRDD (the trained vocab);
       // the real bound is Heaps' law — the distinct-word table at
