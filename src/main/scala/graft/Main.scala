@@ -44,13 +44,32 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       auto-detected from the lake's hive directory names. `--flat`
   *       compacts an unpartitioned dir (e.g. the streaming signature
   *       table) — explicit, never inferred.
-  *   dedup <corpusDir> <outDir>
+  *   dedup <corpusDir> <outDir> [--best]
   *       corpus disposition ([[graft.queries.DedupQueries.dedupApply]],
   *       d25): label every document kept / exact_dup / near_dup with its
   *       canonical doc and write the disposition parquet — the step a
   *       training pipeline runs between `ingest` and training-set
   *       emission (filter the corpus to `status = 'kept'`, or join on
-  *       `canonical_id`).
+  *       `canonical_id`). `--best` swaps in the d34 policy: each
+  *       cluster keeps its highest-quality member, not its oldest.
+  *   spandedup <corpusDir> <outDir> [--sep <s>]
+  *       cross-doc repeated-SPAN removal (d28): paragraphs on the
+  *       literal separator, canonical occurrence kept, docs rewritten.
+  *   curate <corpusDir> <outDir> [--quality-min <q>] [--best]
+  *       the end-to-end curation pipeline: quality/language gates →
+  *       full dedup (d25, or d34 under `--best`) → temperature
+  *       rebalancing → split; writes `<out>/dispositions` + the kept
+  *       corpus hive-partitioned by split.
+  *   decontam <corpusDir> <outDir> [--n <tokens>]
+  *       exact n-gram benchmark decontamination, both directions:
+  *       `<out>/eval_report` (d30) + `<out>/train_dispositions` (d32).
+  *   pack <corpusDir> <outDir> [--seq-len <n>]
+  *       d26 sequence packing: the provenance slice table a data
+  *       loader consumes.
+  *
+  * The subcommands compose into the full training-data path:
+  * ingest → spandedup → curate → decontam → pack (pinned end-to-end by
+  * MainSpec's composition test).
   *
   * Config comes from the process environment via [[EtlConfig.fromEnv]] —
   * the reference's full env vocabulary, unknown S3LOGS_* keys rejected
