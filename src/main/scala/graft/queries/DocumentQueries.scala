@@ -666,6 +666,15 @@ object DocumentQueries {
         .orderBy($"doc_id")
     },
 
+    // d38 mixing epochs: the upsampling dual of d27 — per-doc copy
+    // counts toward uniform language shares, integer-exact throughout
+    // (see mixEpochs).
+    "d38_mix_epochs" -> { (s, dir) =>
+      import s.implicits._
+      DocumentQueries.mixEpochs(Tables(s, dir, "documents"))
+        .orderBy($"doc_id")
+    },
+
     // d37 hot n-grams: the corpus-wide over-represented-span census —
     // top-100 8-grams by distinct-doc df with text and example doc
     // (see hotNgrams for the two-pass bounded shape).
@@ -1320,6 +1329,49 @@ object DocumentQueries {
       .select($"doc_id", $"quality", $"pred_lang", $"disposition")
   }
 
+  /** d38: mixing epochs — the UPSAMPLING dual of d27's drop-sampling.
+    * d27 rebalances by dropping from hot languages; a mixing step
+    * (Pile-style dataset weights) instead REPEATS documents so every
+    * language contributes its target share — here the uniform share
+    * 1/n_langs, derived from the data (no literal lang list to rot).
+    * Per doc: n_copies = base epochs + a fractional-epoch draw, so
+    * summed copies per language land within one rounding step of
+    * total/n_langs.
+    *
+    * Everything is INTEGER-exact: epochs_bp = (total * 10000) DIV
+    * (n_langs * c_lang) basis points (10000 = one epoch; rare
+    * languages exceed it, hot ones fall below), n_copies = epochs_bp
+    * DIV 10000 plus one iff the seed-13 content-hash bucket falls
+    * under epochs_bp % 10000 — the same deterministic draw d27 uses,
+    * so the fractional epoch is stable across runs and engines with no
+    * float division anywhere. Scale shape: one #langs-row aggregate
+    * crossed with a broadcast scalar (total, n_langs), joined back
+    * broadcast; one linear codegen pass for the draw. Null lang
+    * refused loudly (the d27 discipline). */
+  def mixEpochs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val guarded = docs.withColumn("lang",
+      when($"lang".isNull, raise_error(lit(
+        "mixEpochs: null lang — assign a language (d07 lang ID) or " +
+          "filter unknown-language docs before mixing")))
+        .otherwise($"lang"))
+    val langCounts = guarded.groupBy($"lang").agg(count(lit(1)).as("c"))
+    val totals = langCounts.agg(sum($"c").as("total"),
+      count(lit(1)).as("n_langs"))
+    val rates = langCounts.crossJoin(broadcast(totals))
+      .withColumn("epochs_bp",
+        expr("(total * 10000) DIV (n_langs * c)"))
+      .select($"lang", $"epochs_bp")
+    guarded
+      .withColumn("samp", sampleBucketCol)
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("n_copies",
+        expr("epochs_bp DIV 10000") +
+          when($"samp" < expr("epochs_bp % 10000"), 1L).otherwise(0L))
+      .select($"doc_id", $"lang", $"epochs_bp", $"n_copies")
+  }
+
   /** d27 as a reusable operator over any (doc_id, lang, text) frame —
     * see the gate-query comment for semantics and the scale shape. */
   def temperatureSample(docs: DataFrame): DataFrame = {
@@ -1859,6 +1911,31 @@ object DocumentQueries {
               AS disposition
           FROM tr LEFT JOIN ev USING (fp)
           GROUP BY doc_id ORDER BY doc_id""",
+    // d38: the same seed-13 samp hash as d27; `//` is BIGINT floor
+    // division like Spark's DIV, and all the mixing arithmetic is
+    // integer, so the copy counts are engine-exact by construction
+    "d38_mix_epochs" ->
+      s"""WITH lc AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+          t AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+                  count(*) AS n_langs FROM lc),
+          r AS (
+            SELECT lang,
+              CAST((total * 10000) // (n_langs * c) AS BIGINT) AS epochs_bp
+            FROM lc, t),
+          b AS (
+            SELECT doc_id, lang,
+              list_reduce(
+                list_prepend(CAST(13 AS BIGINT),
+                  list_transform(range(1, len(text) + 1),
+                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                (a, x) -> (a * 31 + x) % ${graft.operators.TextHash.P}) % 10000
+                AS samp
+            FROM documents)
+          SELECT doc_id, lang, epochs_bp,
+            CAST(epochs_bp // 10000
+              + CASE WHEN samp < epochs_bp % 10000 THEN 1 ELSE 0 END
+              AS BIGINT) AS n_copies
+          FROM b JOIN r USING (lang) ORDER BY doc_id""",
     // d37: same 8-gram slicing; the tie at the top-k cut breaks on
     // md5(gram) exactly like Spark's fp ordering
     "d37_hot_ngrams" ->

@@ -653,6 +653,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("mixing epochs: integer-exact copy counts toward uniform shares (d38)") {
+    import spark.implicits._
+    def sampOf(text: String): Long = {
+      val h = text.foldLeft(13L)((acc, c) =>
+        (acc * 31 + c.toLong) % graft.operators.TextHash.P)
+      (if (text.isEmpty) 13L else h) % 10000
+    }
+    // counts 1 / 3 / 6 over 3 langs (total 10): epochs_bp =
+    // 100000 DIV (3*c) = 33333 / 11111 / 5555 — the rare lang repeats
+    // >3x, the hot one subsamples to ~0.55 epochs
+    val rows = Seq((1L, "ra", "rare solo doc")) ++
+      (10L to 12L).map(i => (i, "mid", s"mid doc number $i")) ++
+      (20L to 25L).map(i => (i, "hot", s"hot doc number $i"))
+    val got = DocumentQueries.mixEpochs(rows.toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val bp = Map("ra" -> 33333L, "mid" -> 11111L, "hot" -> 5555L)
+    rows.foreach { case (id, lang, text) =>
+      val expectCopies = bp(lang) / 10000 +
+        (if (sampOf(text) < bp(lang) % 10000) 1L else 0L)
+      assert(got(id) == ((lang, bp(lang), expectCopies)),
+        s"doc $id: ${got(id)} (samp ${sampOf(text)})")
+    }
+    // the draw is a pure content function: re-running agrees
+    val again = DocumentQueries
+      .mixEpochs(rows.toDF("doc_id", "lang", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == got.map(kv => kv._1 -> kv._2._3), "unstable draw")
+    // null lang refused loudly (the d27 discipline)
+    val e = intercept[Exception] {
+      DocumentQueries.mixEpochs(Seq((1L, null: String, "doc"))
+        .toDF("doc_id", "lang", "text")).collect()
+    }
+    assert(e.getMessage.contains("null lang"), e.getMessage)
+  }
+
   test("hot n-grams: top-k by distinct-doc df, bounded text join (d37)") {
     import spark.implicits._
     val spanA = (0 until 8).map(i => s"ha$i").mkString(" ")

@@ -78,7 +78,8 @@ class QueriesSpec extends SparkSpec {
       "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
       "d26_pack_sequences", "d27_temperature_sample",
-      "d31_curation_funnel", "d35_bigram_logprob")
+      "d31_curation_funnel", "d35_bigram_logprob",
+      "d38_mix_epochs")
     // top-level conjunct split: `a =!= b` CONTAINS an EqualTo node, so a
     // whole-tree search would miscount it as an equi-key
     def conjuncts(e: Expression): Seq[Expression] = e match {
