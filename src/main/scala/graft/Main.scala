@@ -112,6 +112,13 @@ object Main {
   def run(spark: SparkSession, args: Seq[String],
       env: Map[String, String] = sys.env): Seq[String] = {
     val cfg = EtlConfig.fromEnv(env)
+    // $GRAFT_CHECKPOINT_DIR: reliable-checkpoint knob (see [[Materialize]])
+    // — on a real cluster the iterative/disposition commands (dedup,
+    // curate, the component loops) must survive executor loss, which
+    // localCheckpoint's executor-resident blocks cannot. Setting the dir
+    // routes every engine materialization through reliable checkpoint().
+    env.get("GRAFT_CHECKPOINT_DIR").filter(_.trim.nonEmpty)
+      .foreach(d => spark.conf.set(Materialize.DirKey, d))
     args.toList match {
       case "aggregate" :: "s3" :: rest =>
         val opts = flags(rest)
@@ -337,12 +344,12 @@ object Main {
         }.getOrElse(0.5)
         val docs = spark.read.parquet(corpus)
           .select("doc_id", "lang", "text")
-        // localCheckpoint: three consumers below (artifact write,
+        // materialized once: three consumers below (artifact write,
         // counter aggregate, kept-corpus join) — the funnel + dedup
-        // pipeline must run once, not three times
-        val disp = graft.queries.DocumentQueries
-          .curateDispositions(docs, qmin, bestCanonical = curBest)
-          .localCheckpoint(true)
+        // pipeline must run once, not three times. Materialize honors
+        // $GRAFT_CHECKPOINT_DIR → reliable checkpoint on a real cluster.
+        val disp = graft.Materialize(graft.queries.DocumentQueries
+          .curateDispositions(docs, qmin, bestCanonical = curBest))
         disp.write.mode("overwrite")
           .option("compression", cfg.compression)
           .option("maxRecordsPerFile", cfg.maxRecordsPerFile)

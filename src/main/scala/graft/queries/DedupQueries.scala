@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Materialize.Ops
 import graft.operators.TextHash._
 
 /** Near-duplicate detection over `documents` (the LLM-training-data
@@ -314,13 +315,13 @@ object DedupQueries {
     * retaining many results across corpora hold that storage, see the
     * Bench post-query unpersist.) */
   def minhashPairs(docs: DataFrame): DataFrame =
-    withDedupScope(docs)(_.pairs.localCheckpoint(true))
+    withDedupScope(docs)(_.pairs.materialize())
 
   /** d06 as a reusable operator: exact n-gram Jaccard ≥ 0.5 verified over
     * the LSH band candidates only (the scale-correct verify shape).
     * Eager + self-cleaning, same contract as [[minhashPairs]]. */
   def jaccardDups(docs: DataFrame): DataFrame =
-    withDedupScope(docs)(_.verifiedPairs.localCheckpoint(true))
+    withDedupScope(docs)(_.verifiedPairs.materialize())
 
   /** The persistable signature artifact for incremental dedup — compute
     * once per ingestion batch (one codegen pass), store next to the
@@ -393,7 +394,7 @@ object DedupQueries {
         .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
         .select($"doc_id", $"match_id".as("match_doc_id"),
           $"sim".as("similarity"))
-        .localCheckpoint(true)
+        .materialize()
     } finally {
       if (ownCorpus) corpus.unpersist(blocking = false)
       if (ownBatch) batch.unpersist(blocking = false)
@@ -534,7 +535,7 @@ object DedupQueries {
         .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
         .select($"test_id".as("doc_id"), $"train_id".as("train_doc_id"),
           $"sim".as("similarity"))
-        .localCheckpoint(true)
+        .materialize()
     } finally {
       ownedPairs.foreach(_.unpersist(blocking = false))
       if (ownCorpus) corpus.unpersist(blocking = false)
@@ -590,7 +591,7 @@ object DedupQueries {
       hits.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
         .select($"test_id".as("doc_id"), $"train_id".as("train_doc_id"),
           $"sim".as("similarity"))
-        .localCheckpoint(true)
+        .materialize()
     }
   }
 
@@ -695,7 +696,7 @@ object DedupQueries {
           when($"doc_id" === canonical, "kept")
             .when($"doc_id" =!= $"rep", "exact_dup")
             .otherwise("near_dup").as("status"))
-        .localCheckpoint(true)
+        .materialize()
     }
   }
 
@@ -743,7 +744,7 @@ object DedupQueries {
         .select($"doc_id", $"quality", $"canonical_id",
           when($"doc_id" === $"canonical_id", "kept")
             .otherwise("dup").as("status"))
-        .localCheckpoint(true)
+        .materialize()
     }
   }
 
@@ -759,7 +760,7 @@ object DedupQueries {
     // duplicateClusters) is partially re-triggered across its branches.
     // An eager localCheckpoint runs the upstream exactly once and the
     // loop then reads narrow materialized (doc_a, doc_b) blocks only.
-    val pairs = pairFrame.localCheckpoint(true)
+    val pairs = pairFrame.materialize()
     // edges is a cheap narrow view over the checkpointed blocks (scan +
     // column swap + union) — re-deriving it per round costs less than
     // pinning a second copy of the graph in storage.
@@ -777,7 +778,7 @@ object DedupQueries {
     var labels = edges
       .groupBy($"src").agg(min($"dst").as("nbr"))
       .select($"src".as("doc_id"), least($"src", $"nbr").as("label"))
-      .localCheckpoint(true)
+      .materialize()
     // convergence metric: labels only ever DECREASE, so the label sum is
     // strictly monotone until fixpoint — comparing sums is exact and
     // costs one single-stage aggregate over the just-materialized round
@@ -814,7 +815,7 @@ object DedupQueries {
       // storage is O(log diameter) narrow (doc_id,label) tables
       val merged = doubling.foldLeft(labels.union(nbrMin))(_ union _)
         .groupBy($"doc_id").agg(min($"label").as("label"))
-        .localCheckpoint(true)
+        .materialize()
       val mergedSum = labelSum(merged)
       labels = merged
       converged = mergedSum.compareTo(prevSum) == 0

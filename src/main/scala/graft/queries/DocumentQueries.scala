@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Materialize.Ops
 
 /** Text-pipeline queries over the `documents` table — the exactly-SQL-
   * expressible subset (exact dedup, token stats, fingerprinting). The
@@ -783,7 +784,7 @@ object DocumentQueries {
         array_join(expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"), C + O),
         lit(C)))
       .select($"term", $"c", $"seq")
-      .localCheckpoint(true)
+      .materialize()
     val merges = (1 to k).map { rank =>
       val pairs = vocab
         .select($"c", split(expr("substring(seq, 2, length(seq) - 2)"), C + O).as("sa"))
@@ -799,7 +800,7 @@ object DocumentQueries {
           concat(lit(O), $"lhs", lit(C + O), $"rhs", lit(C)))
         .withColumn("rep", concat(lit(O), $"lhs", $"rhs", lit(C)))
         .select($"term", $"c", expr("replace(seq, pat, rep)").as("seq"))
-        .localCheckpoint(true)
+        .materialize()
       best.select(lit(rank.toLong).as("merge_rank"), $"lhs", $"rhs",
         concat($"lhs", $"rhs").as("merged"), $"pair_count")
     }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Materialize.Ops
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -256,7 +257,7 @@ object EmbeddingQueries {
       // round: a second round moved recall not at all on this corpus
       // (the spherical means converge immediately) and cost a full extra
       // assign + re-center job chain.
-      val c1 = recenter(assign0).localCheckpoint(true)
+      val c1 = recenter(assign0).materialize()
       val corpus = assignTo(e, c1).filter($"rn" === 1)
         .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"), $"cell")
       // per-vector assignment is independent, so the probe side assigns

@@ -224,4 +224,46 @@ class MaintenanceSpec extends SparkSpec {
     assert(poison("redelivered") == 1 && poison("max_receive_count") == 2, poison)
     assert(poison("dead_lettered") == 1, poison)
   }
+
+  test("Materialize knob: reliable checkpoint under spark.graft.checkpoint.dir") {
+    import spark.implicits._
+    // The cluster-robustness knob (VERDICT r12 #1): with a checkpoint dir
+    // configured, the iterative/disposition operators' eager
+    // materializations must go through RELIABLE checkpoint() — files in
+    // the dir, NO executor-resident locally-checkpointed RDDs left in the
+    // persistence catalog — and produce the identical result.
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val docs = Tables(spark, sfSmoke, "documents")
+      .limit(200).select("doc_id", "text")
+    // baseline: default backend (localCheckpoint) result + its footprint.
+    // The returned frame's blocks stay registered (the documented
+    // lifecycle) — capture the catalog before/after diff per run.
+    val localResult = graft.queries.DedupQueries.dedupApply(docs)
+      .orderBy("doc_id").collect().toSeq
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    spark.conf.set(graft.Materialize.DirKey, dir)
+    try {
+      val disp = graft.queries.DedupQueries.dedupApply(docs)
+      val reliableResult = disp.orderBy("doc_id").collect().toSeq
+      // identical disposition under either backend
+      assert(reliableResult == localResult)
+      // checkpoint files actually landed in the configured dir
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        Iterator(f) ++ Option(f.listFiles).iterator.flatten.flatMap(walk)
+      assert(walk(new java.io.File(dir)).exists(_.isFile),
+        s"no checkpoint files under $dir")
+      // no locally-checkpointed RDD survives the operator: reliable
+      // checkpoints live as FILES, not as executor block-manager entries,
+      // so executor loss/decommission cannot strand the result
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+      // the component loop also runs reliably end-to-end (the deepest
+      // iterative consumer: per-round label checkpoints)
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val clusters = graft.queries.DedupQueries.connectedComponents(pairs)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(clusters.toSeq ==
+        Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    } finally spark.conf.unset(graft.Materialize.DirKey)
+  }
 }
