@@ -93,7 +93,21 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({got.num_rows} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    # oracle-less queries: Verify records them with their design reason in
+    # no_oracle.json — surface them as SKIP lines (an UNDECLARED reason is
+    # a gate gap and counts as a failure).
+    skip_path = Path(f"{out_dir}/no_oracle.json")
+    n_skip = 0
+    if skip_path.exists():
+        for name, info in sorted(json.loads(skip_path.read_text()).items()):
+            reason = info.get("reason", "")
+            if reason.startswith("UNDECLARED"):
+                print(f"FAIL {name}: no oracle and no declared design reason")
+                n_fail += 1
+            else:
+                print(f"SKIP {name}: {info.get('skipped')} — {reason[:80]}")
+                n_skip += 1
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_skip} skipped-by-design")
     return 1 if n_fail else 0
 
 

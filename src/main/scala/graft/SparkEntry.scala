@@ -34,4 +34,10 @@ object SparkEntry {
       DocumentQueries.oracleSql ++ EtlQueries.oracleSql ++
       DedupQueries.oracleSql ++ EmbeddingQueries.oracleSql ++
       MultimodalQueries.oracleSql
+
+  /** Queries that by design have no oracle (→ reason), dumped by Verify
+    * as no_oracle.json so the gate artifact distinguishes "cannot be
+    * cross-engine checked, self-checks instead" from "broken". */
+  def noOracleByDesign: Map[String, String] =
+    RelationalQueries2.noOracleByDesign
 }

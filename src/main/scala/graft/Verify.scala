@@ -30,6 +30,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // no_oracle.json: the oracle-less queries, each with its declared
+    // design reason — so a `no_oracle` row in the correctness artifact
+    // reads as "cannot be cross-engine checked (self-checks instead)",
+    // not "broken". A query missing from BOTH oracleSql and the declared
+    // map is recorded loudly as undeclared: that IS a gate gap.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val skipped = noOracle.toSeq.sorted.map { name =>
+      val reason = SparkEntry.noOracleByDesign.getOrElse(name,
+        "UNDECLARED — no oracle and no design reason; add one or the other")
+      s"${q(name)}: {${q("skipped")}: ${q("no_oracle_by_design")}, " +
+        s"${q("reason")}: ${q(reason)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/no_oracle.json"), skipped)
     spark.stop()
   }
 }

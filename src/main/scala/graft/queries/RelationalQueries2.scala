@@ -574,4 +574,16 @@ object RelationalQueries2 {
          FROM agg UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_items))
          ORDER BY l_returnflag, metric""")
     // q22_approx_distinct: no oracle — HLL estimates are engine-specific.
+
+  /** Gate queries that BY DESIGN carry no DuckDB oracle, with the reason
+    * the correctness artifact should record (Verify dumps these to
+    * no_oracle.json so a `no_oracle` row reads as a design decision, not
+    * a broken check). */
+  val noOracleByDesign: ListMap[String, String] = ListMap(
+    "q22_approx_distinct" ->
+      ("HLL estimates are engine-specific and cannot be cross-engine " +
+        "hashed; the query SELF-CHECKS: approx_parts flows through a " +
+        "3*rsd error bound against the same-pass exact count and the " +
+        "query raises if the estimate leaves it — a returned row is a " +
+        "passed check"))
 }
