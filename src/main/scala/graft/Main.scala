@@ -408,14 +408,24 @@ object Main {
           n
         }.getOrElse(8)
         val corpusDf = spark.read.parquet(corpus).select("doc_id", "text")
+        // ONE n-gram fingerprint pass feeds BOTH directions: d30 and d32
+        // each need the full (doc_id, split, fp) table, and the corpus
+        // scan + fingerprinting dominates each, so the one-command path
+        // materializes the narrow fp frame once (text never in it)
+        // instead of scanning + fingerprinting the corpus twice.
+        // Sharing the DEFINITION (splitNgramFps) keeps the directions
+        // agreeing; sharing the PASS halves the command. Spec-pinned:
+        // MainSpec asserts zero corpus re-scans in the write actions.
+        val grams = graft.Materialize(graft.queries.DocumentQueries
+          .splitNgramFps(corpusDf, nGram))
         val report = graft.queries.DocumentQueries
-          .ngramDecontamination(corpusDf, nGram)
+          .ngramDecontaminationFromFps(grams)
         report.write.mode("overwrite")
           .option("compression", cfg.compression)
           .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
           .parquet(s"$out/eval_report")
         val remediation = graft.queries.DocumentQueries
-          .trainDecontamination(corpusDf, nGram)
+          .trainDecontaminationFromFps(grams)
         remediation.write.mode("overwrite")
           .option("compression", cfg.compression)
           .option("maxRecordsPerFile", cfg.maxRecordsPerFile)

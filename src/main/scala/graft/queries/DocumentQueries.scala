@@ -1034,10 +1034,18 @@ object DocumentQueries {
     * one full-corpus distinct — two pruned scans beat materializing
     * the undivided fingerprint table, and each branch's shuffle then
     * carries only its own side's rows. */
-  def ngramDecontamination(docs: DataFrame, n: Int = 8): DataFrame = {
-    val s = docs.sparkSession
+  def ngramDecontamination(docs: DataFrame, n: Int = 8): DataFrame =
+    ngramDecontaminationFromFps(splitNgramFps(docs, n))
+
+  /** d30 over an already-computed [[splitNgramFps]] frame — the shape the
+    * one-command CLI path uses to feed BOTH decontamination directions
+    * from ONE materialized fingerprint pass (the corpus scan +
+    * fingerprinting is the dominant cost of each direction; sharing the
+    * pass halves the command). Semantics identical to
+    * [[ngramDecontamination]] by construction — this IS its body. */
+  private[graft] def ngramDecontaminationFromFps(grams: DataFrame): DataFrame = {
+    val s = grams.sparkSession
     import s.implicits._
-    val grams = splitNgramFps(docs, n)
     val eval_ = grams.filter($"split".isin("val", "test"))
     val train = grams.filter($"split" === "train")
       .groupBy($"fp").agg(count(lit(1)).as("train_df"),
@@ -1067,10 +1075,14 @@ object DocumentQueries {
     * are orders of magnitude smaller than train, so the aggregated
     * side here is the naturally small one — and the probe join's
     * output is bounded by |train n-grams| exactly. */
-  def trainDecontamination(docs: DataFrame, n: Int = 8): DataFrame = {
-    val s = docs.sparkSession
+  def trainDecontamination(docs: DataFrame, n: Int = 8): DataFrame =
+    trainDecontaminationFromFps(splitNgramFps(docs, n))
+
+  /** d32 over an already-computed [[splitNgramFps]] frame — see
+    * [[ngramDecontaminationFromFps]]. */
+  private[graft] def trainDecontaminationFromFps(grams: DataFrame): DataFrame = {
+    val s = grams.sparkSession
     import s.implicits._
-    val grams = splitNgramFps(docs, n)
     val train = grams.filter($"split" === "train")
     val eval_ = grams.filter($"split".isin("val", "test"))
       .groupBy($"fp").agg(count(lit(1)).as("eval_df"),
@@ -1187,7 +1199,7 @@ object DocumentQueries {
     * report (d30) and the remediation (d32) can never disagree on what
     * an n-gram is. Docs under n tokens emit no rows; the size guard
     * also keeps sequence() ascending (the sequence(1, 0) trap). */
-  private def splitNgramFps(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def splitNgramFps(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"ngram pass: n must be >= 1 (got $n)")
     docs
       .withColumn("split", splitOfBucket(splitBucketCol))

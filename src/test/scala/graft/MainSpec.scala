@@ -460,8 +460,44 @@ class MainSpec extends SparkSpec {
       .find(bucketOf(_) >= 80).get
     Seq(0L -> base, 1L -> leak, 2L -> cleanTrain, 3L -> cleanEval)
       .toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
-    val out = Main.run(spark,
-      Seq("decontam", s"$tmp/corpus", s"$tmp/dec"), Map.empty)
+    // ONE shared fingerprint pass: the ONLY tracked SQL action whose plan
+    // scans the corpus parquet must be the Materialize checkpoint of the
+    // shared (doc_id, split, fp) frame — the artifact writes and summary
+    // aggregates all read that one materialized table. Pre-share, the
+    // two write actions each scanned the corpus twice (each direction
+    // references the fp frame twice) for 4 re-scans.
+    val corpusActions = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val tracked = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = {
+        tracked.incrementAndGet()
+        if (qe.executedPlan.toString.contains(s"$tmp/corpus"))
+          corpusActions.add(f)
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val out = try {
+      val r = Main.run(spark,
+        Seq("decontam", s"$tmp/corpus", s"$tmp/dec"), Map.empty)
+      // the listener bus is async — wait for the command's actions
+      // (1 checkpoint + 2 writes + 2 summary aggregates)
+      val deadline = System.currentTimeMillis + 30000
+      while (tracked.get < 5 && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      r
+    } finally spark.listenerManager.unregister(listener)
+    assert(tracked.get >= 5, s"expected >= 5 tracked actions, saw $tracked")
+    val reScans = corpusActions.toArray(Array.empty[String])
+      .filterNot(f => f.contains("heckpoint")) // the one shared pass
+    assert(reScans.isEmpty,
+      s"corpus re-scanned by action(s) ${reScans.mkString(", ")} — the " +
+        "decontam command must feed both directions from ONE " +
+        "materialized fp pass")
     assert(out == Seq("decontam task ended, 1 of 2 eval docs " +
       "compromised; drop 1 of 2 train docs to remediate"),
       out.mkString("\n"))
