@@ -34,11 +34,15 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       notifications arrive through the `graft-queue` connector over a
   *       [[graft.sources.FileQueue]] at `queueDir` — leases, sink-side
   *       ack after the transform lands, redelivery on crash.
-  *   ingest [--once] [--sigs <sigDir>] <dropDir> <corpusDir> <checkpointDir>
+  *   ingest [--once] [--sigs <sigDir>] [--spansigs <dir>] [--decontam <dir>] <dropDir> <corpusDir> <checkpointDir>
   *       training-corpus ingestion ([[graft.streaming.DocumentIngest]]):
   *       JSON-lines crawl drop → watermarked content-fingerprint dedup →
   *       lang-partitioned parquet corpus. `--sigs` maintains the d16
-  *       signature-table artifact per micro-batch alongside the corpus.
+  *       signature-table artifact per micro-batch alongside the corpus;
+  *       `--spansigs` the d36 span-signature sidecar; `--decontam` the
+  *       d39 ingest gate (each batch's train-side docs dispositioned
+  *       against the standing eval n-gram artifact, report + artifact
+  *       fold per batch).
   *   compact <lakeDir> [--flat | <partitionCol>...]
   *       small-file compaction ([[graft.etl.Compact]]); partition columns
   *       auto-detected from the lake's hive directory names. `--flat`
@@ -88,7 +92,7 @@ object Main {
       |  graft.Main transform [-o <outDir>] [--loop <seconds> [--iterations <n>]] [<input>...]
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
       |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
-      |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] <dropDir> <corpusDir> <checkpointDir>
+      |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] [--decontam <dir>] <dropDir> <corpusDir> <checkpointDir>
       |  graft.Main compact <lakeDir> [--flat | <partitionCol>...]
       |  graft.Main dedup <corpusDir> <outDir> [--best]
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
@@ -182,13 +186,18 @@ object Main {
         val ingestStream = graft.streaming.DocumentIngest.stream(spark, drop)
         val sigDir = iOpts.named.get("--sigs")
         val spanSigDir = iOpts.named.get("--spansigs")
+        // --decontam <dir>: the d39 ingest gate — per micro-batch,
+        // disposition the batch's train-side docs against the standing
+        // eval n-gram artifact (<dir>/evalsigs) and fold the batch's
+        // eval side into it; reports land at <dir>/report/batch=<id>
+        val decontamDir = iOpts.named.get("--decontam")
         val writer =
-          if (sigDir.isEmpty && spanSigDir.isEmpty)
+          if (sigDir.isEmpty && spanSigDir.isEmpty && decontamDir.isEmpty)
             graft.streaming.DocumentIngest
               .writer(ingestStream, corpus, checkpoint)
           else graft.streaming.DocumentIngest.writerWithArtifacts(
             ingestStream, corpus, sigDir, spanSigDir,
-            iOpts.getOrElse("--span-sep", "\n\n"), checkpoint)
+            iOpts.getOrElse("--span-sep", "\n\n"), checkpoint, decontamDir)
         val query =
           if (rest.contains("--once"))
             writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -667,6 +667,21 @@ object DocumentQueries {
         .orderBy($"doc_id")
     },
 
+    // d39 incremental n-gram decontamination: odd doc_ids play the
+    // ingest batch, even the standing corpus whose EVAL-side n-gram
+    // artifact is maintained (the d16/d24/d36 half-split convention) —
+    // the batch's train-side docs dispositioned against the artifact
+    // exactly as ingest would, text-free on the corpus side.
+    "d39_incr_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      DocumentQueries.incrementalDecontamination(
+        DocumentQueries.evalNgramSignatures(
+          docs.filter(pmod($"doc_id", lit(2)) === 0)),
+        docs.filter(pmod($"doc_id", lit(2)) === 1))
+        .orderBy($"doc_id")
+    },
+
     // d38 mixing epochs: the upsampling dual of d27 — per-doc copy
     // counts toward uniform language shares, integer-exact throughout
     // (see mixEpochs).
@@ -1088,6 +1103,85 @@ object DocumentQueries {
       .groupBy($"fp").agg(count(lit(1)).as("eval_df"),
         min($"doc_id").as("min_eval_doc"))
     train.join(eval_, Seq("fp"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        count($"eval_df").as("n_hit"),
+        coalesce(min($"min_eval_doc"), lit(-1L)).as("min_eval_doc"))
+      .withColumn("disposition",
+        when($"n_hit" > 0, "drop").otherwise("keep"))
+      .select($"doc_id", $"n_ngrams", $"n_hit", $"min_eval_doc",
+        $"disposition")
+  }
+
+  /** d39's persistable artifact: the EVAL-side n-gram fingerprint table
+    * an incremental decontamination gate maintains — one fixed-width row
+    * per distinct val/test 8-gram: (fp, eval_df, min_eval_doc). This is
+    * exactly d32's pre-aggregated eval side, promoted to a standing
+    * artifact (the d16/d36 discipline at n-gram grain): eval corpora are
+    * orders of magnitude smaller than train at real scale — d32's own
+    * scale argument — so the artifact is the naturally small side, and
+    * n-gram TEXT is never in it (md5 fingerprints only), so disposition
+    * of future batches never re-reads the corpus. */
+  def evalNgramSignatures(docs: DataFrame, n: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    splitNgramFps(docs, n)
+      .filter($"split".isin("val", "test"))
+      .groupBy($"fp")
+      .agg(count(lit(1)).as("eval_df"), min($"doc_id").as("min_eval_doc"))
+  }
+
+  /** Fold per-batch [[evalNgramSignatures]] generations into ONE
+    * standing table: df sums, the witness doc stays the global minimum.
+    * Exact under the ingest contract that doc_ids are globally unique
+    * across batches (the d36 fold contract — a doc's n-grams are
+    * counted by exactly one generation). This is how a
+    * `batch=`-partitioned eval-n-gram sidecar is read for disposition. */
+  def foldEvalNgramSignatures(sigs: DataFrame): DataFrame = {
+    val s = sigs.sparkSession
+    import s.implicits._
+    sigs.groupBy($"fp")
+      .agg(sum($"eval_df").as("eval_df"),
+        min($"min_eval_doc").as("min_eval_doc"))
+  }
+
+  /** d39: incremental n-gram decontamination — an incoming batch's
+    * TRAIN-side documents dispositioned against the standing eval-side
+    * n-gram artifact AT INGEST TIME, so a train doc carrying benchmark
+    * content is caught before the batch lands instead of by the next
+    * full d32 audit. Per batch train doc: distinct n-grams, hits
+    * against the artifact, smallest leaking eval doc (-1 = clean), and
+    * the keep/drop disposition — d32's output shape exactly, computed
+    * without ever touching corpus text.
+    *
+    * Scope, mirroring d24's convention: the batch's OWN val/test docs
+    * are not probed (they are future eval members — the producer folds
+    * their n-grams INTO the artifact via [[evalNgramSignatures]] over
+    * the batch), and batch-internal leaks (batch train vs batch eval)
+    * are corpus-internal the moment the batch lands — covered by the
+    * next full d30/d32 audit.
+    *
+    * Scale shape: the artifact side is fixed-width (fp, long, long) and
+    * eval-sized; the batch side is one n-gram pass over JUST the batch;
+    * the probe is an fp equi-join whose output is bounded by the
+    * batch's train n-gram count exactly (the artifact is already
+    * per-fp aggregated — d30/d32's no-pair-explosion discipline). A
+    * malformed artifact is refused loudly (the d24/d36 guard). */
+  def incrementalDecontamination(evalSigs: DataFrame, batch: DataFrame,
+      n: Int = 8): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val required = Seq("fp", "eval_df", "min_eval_doc")
+    val missing = required.filterNot(evalSigs.columns.contains)
+    require(missing.isEmpty,
+      s"incrementalDecontamination: eval n-gram artifact is missing " +
+        s"column(s) ${missing.mkString(", ")} — rebuild it with " +
+        "evalNgramSignatures (pre-d39 artifacts cannot disposition)")
+    splitNgramFps(batch, n)
+      .filter($"split" === "train")
+      .join(evalSigs.select($"fp", $"eval_df", $"min_eval_doc"),
+        Seq("fp"), "left")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_ngrams"),
@@ -1923,6 +2017,30 @@ object DocumentQueries {
             CASE WHEN count(eval_df) > 0 THEN 'drop' ELSE 'keep' END
               AS disposition
           FROM tr LEFT JOIN ev USING (fp)
+          GROUP BY doc_id ORDER BY doc_id""",
+    // d39: d32's CTEs with the corpus/batch halves applied — artifact =
+    // even docs' eval-side n-grams aggregated, probe = odd docs' train
+    // side
+    "d39_incr_decontam" ->
+      s"""WITH ${duckSplits},
+          $duckNgramFps,
+          art AS (
+            SELECT fp, count(*) AS eval_df, min(doc_id) AS min_eval_doc
+            FROM ng n JOIN splits s USING (doc_id)
+            WHERE doc_id % 2 = 0 AND s.split IN ('val', 'test')
+            GROUP BY fp),
+          btr AS (
+            SELECT n.doc_id, n.fp
+            FROM ng n JOIN splits s USING (doc_id)
+            WHERE doc_id % 2 = 1 AND s.split = 'train')
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_ngrams,
+            CAST(count(eval_df) AS BIGINT) AS n_hit,
+            coalesce(min(min_eval_doc), CAST(-1 AS BIGINT))
+              AS min_eval_doc,
+            CASE WHEN count(eval_df) > 0 THEN 'drop' ELSE 'keep' END
+              AS disposition
+          FROM btr LEFT JOIN art USING (fp)
           GROUP BY doc_id ORDER BY doc_id""",
     // d38: the same seed-13 samp hash as d27; `//` is BIGINT floor
     // division like Spark's DIV, and all the mixing arithmetic is

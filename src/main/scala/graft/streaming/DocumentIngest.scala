@@ -101,7 +101,7 @@ object DocumentIngest {
   def writerWithSignatures(df: DataFrame, outDir: String, sigDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
     writerWithArtifacts(df, outDir, Some(sigDir), None, "\n\n",
-      checkpointDir)
+      checkpointDir, decontamDir = None)
 
   /** The general artifact-maintaining writer: corpus append plus any
     * combination of the d16 doc-signature sidecar (`sigDir`) and the
@@ -118,7 +118,8 @@ object DocumentIngest {
     * of the dedup exchange above. */
   def writerWithArtifacts(df: DataFrame, outDir: String,
       sigDir: Option[String], spanSigDir: Option[String], spanSep: String,
-      checkpointDir: String): DataStreamWriter[Row] =
+      checkpointDir: String,
+      decontamDir: Option[String] = None): DataStreamWriter[Row] =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -137,6 +138,46 @@ object DocumentIngest {
                 pinned.select(col("doc_id"), col("text")), spanSep))
               .write.mode("overwrite").parquet(s"$d/batch=$batchId")
           }
+          decontamDir.foreach(d => decontamBatch(pinned, d, batchId))
         } finally { pinned.unpersist(); () }
       }
+
+  /** The d39 ingest gate: disposition this micro-batch's TRAIN-side
+    * documents against the standing eval-side n-gram artifact
+    * (`<dir>/evalsigs`, folded over PRIOR generations), write the
+    * per-batch report to `<dir>/report/batch=<id>`, then fold the
+    * batch's own eval-side n-grams into the artifact
+    * (`<dir>/evalsigs/batch=<id>`) — contamination is caught as the
+    * batch lands, not by the next full d32 audit.
+    *
+    * Replay idempotency (the sidecar contract): both subdirs are
+    * overwrite-mode `batch=<id>` partitions, and the standing fold
+    * EXCLUDES the current batch id — a crash-replayed batch sees
+    * exactly the artifact its first attempt saw and REPLACES both its
+    * outputs. Scope: the batch's own eval docs are folded into the
+    * artifact, never probed (batch-internal leaks are corpus-internal
+    * the moment the batch lands — the d24 audit convention). */
+  private def decontamBatch(pinned: org.apache.spark.sql.Dataset[Row],
+      dir: String, batchId: Long): Unit = {
+    val sp = pinned.sparkSession
+    import sp.implicits._
+    val docs = pinned.select(col("doc_id"), col("text"))
+    val sigsPath = new org.apache.hadoop.fs.Path(s"$dir/evalsigs")
+    val fs = sigsPath.getFileSystem(sp.sessionState.newHadoopConf())
+    val hasGens = fs.exists(sigsPath) &&
+      fs.listStatus(sigsPath).exists(_.getPath.getName.startsWith("batch="))
+    val standing =
+      if (hasGens)
+        graft.queries.DocumentQueries.foldEvalNgramSignatures(
+          sp.read.parquet(sigsPath.toString)
+            .filter(col("batch") =!= batchId)
+            .select("fp", "eval_df", "min_eval_doc"))
+      else Seq.empty[(String, Long, Long)]
+        .toDF("fp", "eval_df", "min_eval_doc")
+    graft.queries.DocumentQueries
+      .incrementalDecontamination(standing, docs)
+      .write.mode("overwrite").parquet(s"$dir/report/batch=$batchId")
+    graft.queries.DocumentQueries.evalNgramSignatures(docs)
+      .write.mode("overwrite").parquet(s"$dir/evalsigs/batch=$batchId")
+  }
 }

@@ -227,6 +227,53 @@ class MainSpec extends SparkSpec {
       s"$disp")
   }
 
+  test("ingest --decontam gates each batch against the standing eval n-gram artifact (d39)") {
+    val tmp = Files.createTempDirectory("graft-cli-d39").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/drop"))
+    // base lands train, leak (= base + tail) lands test and contains
+    // every base 8-gram; a clean train doc stays unflagged
+    val body = (0 until 20).map(t => s"ig$t").mkString(" ")
+    val (base, leak) = straddlePair(body)
+    val clean = (0 until 1000).iterator
+      .map(i => (0 until 12).map(t => s"cl${i}_$t").mkString(" "))
+      .find(bucketOf(_) < 80).get
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"crawl",""" +
+        s""""event_ts":"2024-01-01T00:0${id % 10}:00.000Z"}"""
+    def ingest(): Seq[String] = Main.run(spark, Seq("ingest", "--once",
+      "--decontam", s"$tmp/dec",
+      s"$tmp/drop", s"$tmp/corpus", s"$tmp/ckpt"), Map.empty)
+    // run 1: the eval-side leak lands — nothing to probe yet, its
+    // n-grams seed the artifact. (Batch ids are per-QUERY, and each
+    // AvailableNow run also commits a trailing empty batch, so the
+    // reports are read as one batch=-partitioned table, never by id.)
+    Files.write(java.nio.file.Paths.get(s"$tmp/drop/b1.jsonl"),
+      (doc(2, leak) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(ingest() == Seq("ingest query terminated"))
+    assert(spark.read.parquet(s"$tmp/dec/report").count() == 0,
+      "eval-side docs must not be probed")
+    // run 2: a train doc carrying the leak's content + a clean one —
+    // the gate catches the contaminated doc AT INGEST, witnessing the
+    // standing artifact's eval doc, without re-reading the corpus
+    Files.write(java.nio.file.Paths.get(s"$tmp/drop/b2.jsonl"),
+      Seq(doc(11, base), doc(13, clean)).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(ingest() == Seq("ingest query terminated"))
+    val rep = spark.read.parquet(s"$tmp/dec/report")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("disposition"), r.getAs[Long]("min_eval_doc"))))
+      .toMap
+    assert(rep == Map(11L -> (("drop", 2L)), 13L -> (("keep", -1L))),
+      s"run-2 report: $rep")
+    // the artifact carries one generation per batch, fp-keyed, text-free
+    val sigs = spark.read.parquet(s"$tmp/dec/evalsigs")
+    assert(sigs.schema.fieldNames.toSet ==
+      Set("fp", "eval_df", "min_eval_doc", "batch"))
+    assert(sigs.count() == leak.split(" ").length - 7)
+  }
+
   test("transform --loop: two iterations over a growing staging dir, processed files moved") {
     val tmp = Files.createTempDirectory("graft-cli-loop").toString
     val env = Map("S3LOGS_TRANSFORM_JOB_INTERVAL" -> "0")

@@ -772,6 +772,58 @@ class OperatorsSpec extends SparkSpec {
     assert(e3.getMessage.contains("null paragraph"), e3.getMessage)
   }
 
+  test("incremental n-gram decontamination against a standing artifact (d39)") {
+    import spark.implicits._
+    // planted straddle: base lands train, leak (= base + tail salt)
+    // lands test and contains every base 8-gram. The corpus holds the
+    // eval-side leak; the incoming batch carries the train-side base.
+    val body = (0 until 20).map(t => s"ix$t").mkString(" ")
+    val (base, leak) = straddlePair(body)
+    def planted(prefix: String, want: Long => Boolean) =
+      (0 until 1000).iterator
+        .map(i => (0 until 12).map(t => s"$prefix${i}_$t").mkString(" "))
+        .find(t => want(bucketOf(t))).get
+    val corpusTrain = planted("ct", _ < 80)
+    val corpus = Seq(0L -> leak, 2L -> corpusTrain).toDF("doc_id", "text")
+    val art = DocumentQueries.evalNgramSignatures(corpus)
+    // the artifact is text-free, per-fp aggregated — only the corpus's
+    // EVAL side contributes (corpusTrain's n-grams are absent)
+    assert(art.columns.toSet == Set("fp", "eval_df", "min_eval_doc"))
+    val nLeak = leak.split(" ").length - 7
+    assert(art.count() == nLeak, "artifact must hold exactly the leak's 8-grams")
+    val cleanTrain = planted("bt", _ < 80)
+    val batchEval = planted("be", _ >= 80)
+    val batch = Seq(1L -> base, 3L -> cleanTrain, 5L -> batchEval)
+      .toDF("doc_id", "text")
+    val got = DocumentQueries.incrementalDecontamination(art, batch)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // base: every one of its 8-grams occurs in the leak -> full hit,
+    // witness = the leak's doc_id
+    val nBase = base.split(" ").length - 7
+    assert(got(1L) == ((nBase.toLong, nBase.toLong, 0L, "drop")), s"$got")
+    assert(got(3L) == ((12L - 7L, 0L, -1L, "keep")), s"$got")
+    // scope: the batch's OWN eval-side doc is a future artifact member,
+    // not a probe target (the d24 convention)
+    assert(!got.contains(5L), s"$got")
+    // merge invariant: folding the batch's eval n-grams into the
+    // standing artifact == rebuilding from scratch over the union
+    def sigSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sigSet(DocumentQueries.foldEvalNgramSignatures(
+        art.unionByName(DocumentQueries.evalNgramSignatures(batch)))) ==
+      sigSet(DocumentQueries.evalNgramSignatures(corpus.unionByName(batch))),
+      "merged artifact diverges from the from-scratch rebuild")
+    // a malformed (pre-d39) artifact is refused loudly, not misread
+    val e = intercept[IllegalArgumentException] {
+      DocumentQueries.incrementalDecontamination(
+        art.drop("min_eval_doc"), batch)
+    }
+    assert(e.getMessage.contains("min_eval_doc"), e.getMessage)
+  }
+
   test("d30 and d32 are referentially consistent on a real corpus") {
     // the report and the remediation must agree: every d30 witness
     // (min_train_doc) is a doc d32 says to DROP, and every d32 witness
