@@ -43,11 +43,15 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       d39 ingest gate (each batch's train-side docs dispositioned
   *       against the standing eval n-gram artifact, report + artifact
   *       fold per batch).
-  *   compact <lakeDir> [--flat | <partitionCol>...]
+  *   compact <lakeDir> [--flat | --sigs | --spansigs | --evalsigs | <partitionCol>...]
   *       small-file compaction ([[graft.etl.Compact]]); partition columns
   *       auto-detected from the lake's hive directory names. `--flat`
   *       compacts an unpartitioned dir (e.g. the streaming signature
-  *       table) — explicit, never inferred.
+  *       table) — explicit, never inferred. `--sigs`/`--spansigs`/
+  *       `--evalsigs` compact a `batch=`-partitioned signature SIDECAR's
+  *       generations into one via the artifact's own read-side fold
+  *       ([[graft.etl.Compact.sidecar]], conservation-checked) — run
+  *       while the producing ingest is stopped.
   *   dedup <corpusDir> <outDir> [--best]
   *       corpus disposition ([[graft.queries.DedupQueries.dedupApply]],
   *       d25): label every document kept / exact_dup / near_dup with its
@@ -93,7 +97,7 @@ object Main {
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
       |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
       |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] [--decontam <dir>] <dropDir> <corpusDir> <checkpointDir>
-      |  graft.Main compact <lakeDir> [--flat | <partitionCol>...]
+      |  graft.Main compact <lakeDir> [--flat | --sigs | --spansigs | --evalsigs | <partitionCol>...]
       |  graft.Main dedup <corpusDir> <outDir> [--best]
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
       |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>] [--best]
@@ -205,6 +209,39 @@ object Main {
           else writer.start()
         query.awaitTermination()
         Seq("ingest query terminated")
+      case "compact" :: lake :: cols
+          if Set(Seq("--sigs"), Seq("--spansigs"), Seq("--evalsigs"))(cols) =>
+        // sidecar GENERATION compaction: fold every batch= generation of
+        // a signature artifact into one, with the artifact's own read-
+        // side fold (identity for doc signatures — batches are doc-
+        // disjoint; the df-summing folds for span/eval-n-gram) and a
+        // conservation check before commit. Stops read-side fold cost
+        // and small-file count growing with ingest-batch count forever.
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.functions.countDistinct
+        def longs(df: DataFrame, aggs: Seq[org.apache.spark.sql.Column]) = {
+          val r = df.agg(aggs.head, aggs.tail: _*).head
+          (0 until r.length).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+        }
+        val (foldFn, conserveFn): (DataFrame => DataFrame, DataFrame => Seq[Long]) =
+          cols.head match {
+            case "--sigs" => (identity[DataFrame] _,
+              df => longs(df, Seq(count(lit(1)), countDistinct(col("doc_id")))))
+            case "--spansigs" =>
+              (graft.queries.DocumentQueries.foldSpanSignatures _,
+                df => longs(df, Seq(coalesce(sum(col("df")), lit(0L)),
+                  countDistinct(col("para_fp")))))
+            case _ =>
+              (graft.queries.DocumentQueries.foldEvalNgramSignatures _,
+                df => longs(df, Seq(coalesce(sum(col("eval_df")), lit(0L)),
+                  countDistinct(col("fp")))))
+          }
+        val sst = Compact.sidecar(spark, lake, foldFn, conserveFn,
+          maxRecordsPerFile = cfg.maxRecordsPerFile,
+          compression = cfg.compression)
+        Seq(s"compact task ended, ${sst.rows} rows kept, " +
+          s"${sst.generations0} -> 1 generations, " +
+          s"${sst.files0} -> ${sst.files1} files")
       case "compact" :: lake :: cols =>
         // maintenance pass for the streaming lake's small files — the
         // reference accepts per-rotation small files and leaves cleanup

@@ -98,4 +98,77 @@ object Compact {
     fs.delete(staged, true)
     CompactStats(before, dataFiles(fs, root).size.toLong, rows)
   }
+
+  final case class SidecarStats(files0: Long, files1: Long, rows: Long,
+      generations0: Long)
+
+  /** Generation compaction for the `batch=`-partitioned signature
+    * sidecars (the d16 `--sigs`, d36 `--spansigs`, d39 `--evalsigs`
+    * artifacts): fold every generation into ONE, so read-side fold cost
+    * and small-file count stop growing with ingest-batch count.
+    *
+    * `fold` is the artifact's own generation fold (identity for the
+    * doc-signature sidecar — batches are doc-disjoint; foldSpan/
+    * foldEvalNgramSignatures for the aggregated ones) — ONE definition
+    * shared with the read path, so compaction cannot disagree with what
+    * readers compute. `conserve` extracts the invariants the fold must
+    * preserve (df sums, distinct keys); the commit is refused if the
+    * staged fold breaks them.
+    *
+    * The folded table lands under the MAX existing batch id: a resumed
+    * ingest continues from its checkpoint's strictly-larger batch
+    * counter, so future generations never collide. Run it while the
+    * producing ingest is stopped — the same offline contract as lake
+    * compaction (a concurrently replayed latest batch would overwrite
+    * the folded generation with its own rows).
+    *
+    * Commit discipline mirrors [[run]]: staged write → conservation
+    * check against the staged footers → per-file reveal into the target
+    * generation → delete superseded files and stale generations. The
+    * artifact root is never renamed or absent. */
+  def sidecar(spark: SparkSession, dir: String,
+      fold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      conserve: org.apache.spark.sql.DataFrame => Seq[Long],
+      maxRecordsPerFile: Long = 10000000L,
+      compression: String = "snappy"): SidecarStats = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath).toSeq
+    require(gens.nonEmpty,
+      s"no batch= generations under $dir — not a signature sidecar " +
+        "(lake compaction is `compact <dir> [cols...]`)")
+    val before = dataFiles(fs, root).size.toLong
+    val all = spark.read.parquet(dir)
+    val dataCols = all.columns.filterNot(_ == "batch").toSeq
+    val flat = all.select(dataCols.map(col): _*)
+    val pre = conserve(flat)
+    val targetId = gens.map(_.getName.stripPrefix("batch=").toLong).max
+    val staged = new Path(dir.stripSuffix("/") + ".compact-staging")
+    fs.delete(staged, true) // stale staging from a crashed prior run
+    fold(flat)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(staged.toString)
+    val stagedDf = spark.read.parquet(staged.toString)
+    val post = conserve(stagedDf)
+    require(post == pre,
+      s"sidecar compaction would lose data: staged $post != source $pre")
+    val rows = stagedDf.count()
+    val target = new Path(root, s"batch=$targetId")
+    fs.mkdirs(target)
+    val superseded = dataFiles(fs, target)
+    dataFiles(fs, staged).foreach { f =>
+      require(fs.rename(f, new Path(target, f.getName)),
+        s"commit failed moving $f into $target")
+    }
+    superseded.foreach(f => fs.delete(f, false))
+    gens.filter(_.getName != s"batch=$targetId")
+      .foreach(p => fs.delete(p, true))
+    fs.delete(staged, true)
+    SidecarStats(before, dataFiles(fs, root).size.toLong, rows,
+      gens.size.toLong)
+  }
 }

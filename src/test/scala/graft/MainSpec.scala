@@ -227,6 +227,69 @@ class MainSpec extends SparkSpec {
       s"$disp")
   }
 
+  test("compact --spansigs/--sigs folds sidecar generations into one, disposition unchanged") {
+    import spark.implicits._
+    import graft.queries.{DedupQueries, DocumentQueries}
+    val tmp = Files.createTempDirectory("graft-cli-sidecompact").toString
+    def paras(rows: (Long, Seq[String])*) = rows.toSeq
+      .flatMap { case (id, ps) =>
+        ps.zipWithIndex.map { case (p, i) => (id, i, p) } }
+      .toDF("doc_id", "pos", "para")
+    // three ingest generations of the d36 span sidecar; LICENSE recurs
+    // across generations so the fold must SUM df across them
+    val gen = Seq(
+      paras(1L -> Seq("intro one", "LICENSE")),
+      paras(10L -> Seq("LICENSE", "body ten")),
+      paras(20L -> Seq("LICENSE", "body twenty", "intro one")))
+    gen.zipWithIndex.foreach { case (g, i) =>
+      DocumentQueries.spanSignatures(g)
+        .write.parquet(s"$tmp/spansigs/batch=$i")
+    }
+    def dispositions() = {
+      val folded = DocumentQueries.foldSpanSignatures(
+        spark.read.parquet(s"$tmp/spansigs")
+          .select("para_fp", "df", "canon_doc", "canon_pos"))
+      DocumentQueries.incrementalSpanDedup(folded,
+        paras(30L -> Seq("LICENSE", "fresh para"))).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(5)).toSet
+    }
+    val before = dispositions()
+    val out = Main.run(spark,
+      Seq("compact", s"$tmp/spansigs", "--spansigs"), Map.empty)
+    // 4 distinct (fp-folded) spans survive; one generation remains —
+    // the MAX batch id, so a resumed ingest can never collide
+    assert(out.head.startsWith("compact task ended, 4 rows kept, " +
+      "3 -> 1 generations"), out.mkString("\n"))
+    assert(new java.io.File(s"$tmp/spansigs").listFiles
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq ==
+      Seq("batch=2"))
+    // the disposition a reader computes is IDENTICAL over the compacted
+    // artifact, and df survived the fold (LICENSE df = 3)
+    assert(dispositions() == before)
+    val lic = spark.read.parquet(s"$tmp/spansigs")
+      .filter($"df" === 3).count()
+    assert(lic == 1L, "LICENSE generation-summed df lost in the fold")
+    // the d16 doc-signature sidecar: identity fold, rows conserved
+    val docs = Tables(spark, sfSmoke, "documents").limit(40)
+      .select("doc_id", "text")
+    DedupQueries.signatureTable(docs.filter($"doc_id" < 20), withSplit = true)
+      .write.parquet(s"$tmp/sigs/batch=0")
+    DedupQueries.signatureTable(docs.filter($"doc_id" >= 20), withSplit = true)
+      .write.parquet(s"$tmp/sigs/batch=7")
+    val out2 = Main.run(spark, Seq("compact", s"$tmp/sigs", "--sigs"),
+      Map.empty)
+    assert(out2.head.startsWith("compact task ended, 40 rows kept, " +
+      "2 -> 1 generations"), out2.mkString("\n"))
+    assert(spark.read.parquet(s"$tmp/sigs")
+      .select("doc_id").distinct().count() == 40)
+    // a non-sidecar dir is refused loudly, not flattened
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("compact", s"$tmp/sigs/batch=7", "--sigs"),
+        Map.empty)
+    }
+    assert(e.getMessage.contains("batch="), e.getMessage)
+  }
+
   test("ingest --decontam gates each batch against the standing eval n-gram artifact (d39)") {
     val tmp = Files.createTempDirectory("graft-cli-d39").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$tmp/drop"))
