@@ -66,7 +66,7 @@ object EmbeddingQueries {
       (0 until 64).map(i => cw(j, i)).mkString("[", ", ", "]")
     }.mkString("[", ", ", "]")
 
-  private def sparkIvfDots(v: String): String =
+  private[queries] def sparkIvfDots(v: String): String =
     s"""transform(array(${(0 until ivfCells).map { j =>
       s"array(${(0 until 64).map(i => s"CAST(${cw(j, i)} AS DOUBLE)").mkString(", ")})"
     }.mkString(", ")}),
@@ -74,13 +74,21 @@ object EmbeddingQueries {
 
   /** One Lloyd re-centering round: an assignment (vec_id, v, cell) →
     * learned centroids (cell, cv_sum, cnorm). Per-dimension member sums
-    * accumulate in DECIMAL(30,15) — exact and order-independent, so the
-    * learned centroid is a bit-equal function of the data on any engine
-    * (a double sum's value would depend on partial-aggregation order).
-    * The centroid is kept UN-normalized (sum vector + its norm): the
-    * member count cancels inside the cosine argmax, and the norm is a
-    * deterministic left-to-right fold of the exact sums. */
-  private def recenter(assign: DataFrame): DataFrame = {
+    * accumulate as exact FIXED-POINT integers — each member value
+    * floor-quantized to 1e-12 grain, summed in DECIMAL(38,0) (exact,
+    * order-independent, overflow-free past 1e25 members/cell), divided
+    * back once — so the learned centroid is a BIT-equal function of the
+    * data on any engine. (A double sum would depend on partial-
+    * aggregation order; the earlier DECIMAL(30,15) member cast was
+    * value-exact but not cast-exact: Spark and DuckDB round a double's
+    * 15th decimal digit differently at representation boundaries, and
+    * the resulting ULP drift — harmless under s04's round(·,4) — flips
+    * s08's int8 quantization codes at subvector-range boundaries. The
+    * floor-to-integer quantization has no rounding ambiguity on either
+    * engine.) The centroid is kept UN-normalized (sum vector + its
+    * norm): the member count cancels inside the cosine argmax, and the
+    * norm is a deterministic left-to-right fold of the exact sums. */
+  private[queries] def recenter(assign: DataFrame): DataFrame = {
     val s = assign.sparkSession
     import s.implicits._
     assign
@@ -90,7 +98,8 @@ object EmbeddingQueries {
       .select($"cell",
         posexplode(expr("transform(v, x -> x / nrm)")).as(Seq("i", "x")))
       .groupBy($"cell", $"i")
-      .agg(sum($"x".cast("decimal(30,15)")).cast("double").as("sx"))
+      .agg((sum(floor($"x" * lit(1e12)).cast("decimal(38,0)"))
+        .cast("double") / lit(1e12)).as("sx"))
       .groupBy($"cell")
       .agg(expr("transform(sort_array(collect_list(struct(i, sx))), p -> p.sx)")
         .as("cv_sum"))
@@ -101,7 +110,7 @@ object EmbeddingQueries {
     * every IVF build pays, with the ≤16-row centroid table broadcast.
     * Returns the input columns + (cell, dot, rn) where rn=1 is the home
     * cell and rn<=nprobe the probe set. */
-  private def assignTo(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private[queries] def assignTo(e: DataFrame, centroids: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     val argW = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
@@ -365,6 +374,112 @@ object EmbeddingQueries {
         .orderBy($"q_id", $"rnk")
     },
 
+    // ---- s08: IVF + PQ-style residual quantization + exact rerank --------
+    // The memory shape real 100 TB ANN deployments run: s04's TRAINED
+    // coarse quantizer prunes the scan to nprobe cells, and inside a
+    // cell the scan reads only the PRODUCT-QUANTIZED corpus — each
+    // vector stored as its cell id + 64 int8 codes + 8 per-subvector
+    // (lo, scale) pairs, never the float vector. Encoding is the
+    // RESIDUAL discipline of IVF-PQ: quantize (v/|v| − cell centroid)
+    // rather than the vector itself — the residual's dynamic range
+    // shrinks with quantizer quality, so the same 8 bits land tighter
+    // (per-subvector scalar int8 plays the role of the per-subspace
+    // codebook; s05's exact formula, applied per 8-dim block). Scoring
+    // is ADC-shaped: the query stays full precision and meets the
+    // reconstructed (centroid + dequantized residual) corpus vector.
+    // Survivors (top-20 coarse per query) are exactly reranked against
+    // the full vectors — the s06 two-stage contract at the IVF+PQ
+    // memory layout. nprobe is raised to 12 (of 16 cells): with cell
+    // pruning AND quantized scoring stacked, 8 probes cap recall below
+    // the two-stage bar; the probe count is the documented recall/cost
+    // knob and the corpus is weakly clustered (the s04 finding).
+    //
+    // Determinism (→ full SQL oracle): the trained centroids are s04's
+    // decimal-exact Lloyd round; residuals, min/max scales, codes and
+    // reconstructions are elementwise IEEE ops in identical order on
+    // both engines; every sum is either graft_dot (left-to-right, the
+    // s01-proven pairing) or sorted reassembly. Both stages rank on
+    // rounded sims + id tie-breaks.
+    //
+    // Scale shape: the encode pass is one subvector explode + groupBy
+    // (fixed-width (c_id, sidx) rows — an index-BUILD cost, paid once);
+    // the coarse scan joins the ≤16-row centroid broadcast and the
+    // nprobe-cell equi-join against the quantized table only; full
+    // vectors are touched for the ≤20×Q survivors via an id equi-join.
+    "s08_ivfpq_rerank" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir)
+      // --- the s04 trained coarse quantizer, shared machinery ---
+      val dotsArr = expr(sparkIvfDots("v"))
+      val arg0W = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
+      val assign0 = e
+        .select($"vec_id", $"v", $"nrm",
+          posexplode_outer(dotsArr).as(Seq("cell", "dot")))
+        .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
+        .select($"vec_id", $"v", $"nrm", $"cell")
+      val c1 = recenter(assign0).materialize()
+      val cu = c1.select($"cell",
+        expr("transform(cv_sum, x -> x / cnorm)").as("cunit"))
+      val corpus = assignTo(e, c1).filter($"rn" === 1)
+        .select($"vec_id".as("c_id"), $"v", $"nrm", $"cell")
+      // --- PQ encode: normalized residual, int8 per 8-dim subvector ---
+      val sub = corpus.join(broadcast(cu), "cell")
+        .withColumn("r", expr(
+          "zip_with(transform(v, x -> x / nrm), cunit, (x, c) -> x - c)"))
+        .select($"c_id", $"cell", posexplode(expr(
+          "transform(sequence(0, 7), sv -> slice(r, sv * 8 + 1, 8))"))
+          .as(Seq("sidx", "rs")))
+        .withColumn("lo", expr("array_min(rs)"))
+        .withColumn("hi", expr("array_max(rs)"))
+        .withColumn("scale", when($"hi" === $"lo", lit(1.0))
+          .otherwise(($"hi" - $"lo") / lit(255.0)))
+        // the stored representation: 8 int8 codes per subvector...
+        .withColumn("codes", expr("transform(rs, x -> " +
+          "least(CAST(floor((x - lo) / scale) AS BIGINT), CAST(255 AS BIGINT)))"))
+        // ...and the ADC reconstruction the coarse scan reads. The
+        // hi = lo guard reconstructs a constant subvector EXACTLY (a
+        // singleton cell's residual is all-zero; the generic formula
+        // would shift it by scale/2)
+        .withColumn("ds", expr("transform(codes, qi -> " +
+          "CASE WHEN hi = lo THEN lo " +
+          "ELSE lo + (CAST(qi AS DOUBLE) + 0.5) * scale END)"))
+      val recon = sub.groupBy($"c_id", $"cell")
+        .agg(expr("flatten(transform(sort_array(collect_list(" +
+          "struct(sidx, ds))), p -> p.ds))").as("rhat"))
+      val chat = recon.join(broadcast(cu), "cell")
+        .withColumn("vhat", expr("zip_with(cunit, rhat, (c, r) -> c + r)"))
+        .withColumn("hn", expr("sqrt(graft_dot(vhat, vhat))"))
+        .select($"c_id", $"cell", $"vhat", $"hn")
+      // --- query side: nprobe cells, ADC coarse scan, top-20 ---
+      val probes = assignTo(e.filter($"vec_id" < 20), c1)
+        .filter($"rn" <= 12)
+        .select($"vec_id".as("q_id"),
+          expr("transform(v, x -> x / nrm)").as("qu"), $"cell".as("q_cell"))
+      val coarseW = Window.partitionBy($"q_id")
+        .orderBy($"coarse_sim".desc, $"c_id")
+      val coarse = chat
+        .join(broadcast(probes), $"q_cell" === $"cell" && $"q_id" =!= $"c_id")
+        .withColumn("coarse_sim",
+          round(expr("graft_dot(qu, vhat)") / $"hn", 4))
+        .withColumn("crnk", row_number().over(coarseW))
+        .filter($"crnk" <= 20)
+        .select($"q_id", $"c_id", $"coarse_sim")
+      // --- exact rerank on the bounded survivor set (the s06 shape) ---
+      val exact = vecs(s, dir)
+      val rnkW = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"c_id")
+      coarse
+        .join(exact.select($"vec_id".as("c_id"), $"v".as("cv"),
+          $"nrm".as("cn")), "c_id")
+        .join(broadcast(exact.filter($"vec_id" < 20)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))),
+          "q_id")
+        .withColumn("cos_sim", round(dot("qv", "cv") / ($"qn" * $"cn"), 4))
+        .withColumn("rnk", row_number().over(rnkW).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"q_id", $"rnk", $"c_id", $"cos_sim", $"coarse_sim")
+        .orderBy($"q_id", $"rnk")
+    },
+
     "s06_quantized_rerank" -> { (s, dir) =>
       import s.implicits._
       val e = vecs(s, dir)
@@ -403,6 +518,50 @@ object EmbeddingQueries {
         .orderBy($"q_id", $"rnk")
     })
 
+  /** One Lloyd round in DuckDB: assignment CTE `prev` (vec_id, v, cell)
+    * → exact fixed-point integer sums (the recenter discipline — SUM of
+    * BIGINTs is HUGEINT in DuckDB, exact) → centroids{r} → cells{r}
+    * (every vector re-scored against the learned centroids). Shared by
+    * the s04 and s08 oracles so both replay the SAME trained
+    * quantizer. */
+  private def duckLloydCtes(r: Int, prev: String): String =
+    s"""sums$r AS (
+           SELECT cell, d.i AS i,
+             CAST(SUM(CAST(floor(v[d.i + 1] / nrm * 1000000000000.0)
+               AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS sx
+           FROM $prev, (SELECT unnest(range(64)) AS i) d
+           GROUP BY cell, d.i),
+         centroids$r AS (
+           SELECT cell, cv_sum,
+             sqrt(list_dot_product(cv_sum, cv_sum)) AS cnorm
+           FROM (SELECT cell, list(sx ORDER BY i) AS cv_sum
+                 FROM sums$r GROUP BY cell)),
+         cells$r AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dot DESC, cell) AS rn
+           FROM (
+             SELECT m.vec_id, m.v, m.nrm, c.cell,
+               list_dot_product(m.v, c.cv_sum) / c.cnorm AS dot
+             FROM m, centroids$r c))"""
+
+  /** The shared s04/s08 oracle prelude: typed vectors, norms, the fixed
+    * sign-seed assignment, and one trained Lloyd round. */
+  private def duckIvfPrelude: String =
+    s"""n AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+         assign0 AS (
+           SELECT vec_id, v, nrm, cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dot DESC, cell) AS rn
+             FROM (
+               SELECT vec_id, v, nrm, c.j AS cell,
+                 list_dot_product(v, ($centroidMatrix)[c.j + 1]) AS dot
+               FROM m, (SELECT unnest(range($ivfCells)) AS j) c))
+           WHERE rn = 1),
+         ${duckLloydCtes(1, "assign0")}"""
+
   val oracleSql: ListMap[String, String] = ListMap(
     "s01_knn_bruteforce" ->
       """WITH n AS (
@@ -431,42 +590,8 @@ object EmbeddingQueries {
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""",
-    "s04_ann_ivf" -> {
-      // one Lloyd round in DuckDB: assignment CTE `prev` (vec_id, v,
-      // cell) → decimal-exact sums → centroids{r} → cells{r} (every
-      // vector re-scored against the learned centroids)
-      def lloydCtes(r: Int, prev: String): String =
-        s"""sums$r AS (
-           SELECT cell, d.i AS i,
-             CAST(SUM(CAST(v[d.i + 1] / nrm AS DECIMAL(30,15))) AS DOUBLE) AS sx
-           FROM $prev, (SELECT unnest(range(64)) AS i) d
-           GROUP BY cell, d.i),
-         centroids$r AS (
-           SELECT cell, cv_sum,
-             sqrt(list_dot_product(cv_sum, cv_sum)) AS cnorm
-           FROM (SELECT cell, list(sx ORDER BY i) AS cv_sum
-                 FROM sums$r GROUP BY cell)),
-         cells$r AS (
-           SELECT *, row_number() OVER (PARTITION BY vec_id
-             ORDER BY dot DESC, cell) AS rn
-           FROM (
-             SELECT m.vec_id, m.v, m.nrm, c.cell,
-               list_dot_product(m.v, c.cv_sum) / c.cnorm AS dot
-             FROM m, centroids$r c))"""
-      s"""WITH n AS (
-           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
-         assign0 AS (
-           SELECT vec_id, v, nrm, cell FROM (
-             SELECT *, row_number() OVER (PARTITION BY vec_id
-               ORDER BY dot DESC, cell) AS rn
-             FROM (
-               SELECT vec_id, v, nrm, c.j AS cell,
-                 list_dot_product(v, ($centroidMatrix)[c.j + 1]) AS dot
-               FROM m, (SELECT unnest(range($ivfCells)) AS j) c))
-           WHERE rn = 1),
-         ${lloydCtes(1, "assign0")},
+    "s04_ann_ivf" ->
+      s"""WITH $duckIvfPrelude,
          corpus AS (
            SELECT vec_id AS c_id, v AS cv, nrm AS cn, cell
            FROM cells1 WHERE rn = 1),
@@ -484,8 +609,73 @@ object EmbeddingQueries {
                ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
            FROM p)
          SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5
-         ORDER BY q_id, rnk"""
-    },
+         ORDER BY q_id, rnk""",
+    // s08: the s04 prelude (same trained quantizer), then the PQ
+    // residual encode/reconstruct replayed elementwise and the two
+    // deterministic ranking stages
+    "s08_ivfpq_rerank" ->
+      s"""WITH $duckIvfPrelude,
+         corpus AS (
+           SELECT vec_id AS c_id, v, nrm, cell
+           FROM cells1 WHERE rn = 1),
+         cu AS (
+           SELECT cell, list_transform(cv_sum, x -> x / cnorm) AS cunit
+           FROM centroids1),
+         res AS (
+           SELECT c_id, corpus.cell AS cell,
+             list_transform(range(1, 65), i -> v[i] / nrm - cunit[i]) AS r
+           FROM corpus JOIN cu ON corpus.cell = cu.cell),
+         sub AS (
+           SELECT c_id, cell, sv.s AS sidx,
+             r[sv.s * 8 + 1 : sv.s * 8 + 8] AS rs
+           FROM res, (SELECT unnest(range(8)) AS s) sv),
+         sp AS (
+           SELECT *, CASE WHEN hi = lo THEN 1.0
+                          ELSE (hi - lo) / 255.0 END AS scale
+           FROM (SELECT *, list_min(rs) AS lo, list_max(rs) AS hi FROM sub)),
+         codes AS (
+           SELECT *, list_transform(rs, x ->
+             least(CAST(floor((x - lo) / scale) AS BIGINT), 255)) AS cs
+           FROM sp),
+         deq AS (
+           SELECT *, list_transform(cs, qi -> CASE WHEN hi = lo THEN lo
+             ELSE lo + (CAST(qi AS DOUBLE) + 0.5) * scale END) AS ds
+           FROM codes),
+         recon AS (
+           SELECT c_id, cell, flatten(list(ds ORDER BY sidx)) AS rhat
+           FROM deq GROUP BY c_id, cell),
+         chat AS (
+           SELECT c_id, recon.cell AS cell,
+             list_transform(range(1, 65), i -> cunit[i] + rhat[i]) AS vhat
+           FROM recon JOIN cu ON recon.cell = cu.cell),
+         chn AS (SELECT *, sqrt(list_dot_product(vhat, vhat)) AS hn FROM chat),
+         probes AS (
+           SELECT vec_id AS q_id, list_transform(v, x -> x / nrm) AS qu, cell
+           FROM cells1 WHERE rn <= 12 AND vec_id < 20),
+         coarse AS (
+           SELECT q_id, c_id,
+             round(list_dot_product(qu, vhat) / hn, 4) AS coarse_sim
+           FROM probes JOIN chn ON probes.cell = chn.cell AND q_id <> c_id),
+         ctop AS (
+           SELECT q_id, c_id, coarse_sim,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY coarse_sim DESC, c_id) AS crnk
+           FROM coarse),
+         rer AS (
+           SELECT t.q_id, t.c_id, t.coarse_sim,
+             round(list_dot_product(qq.v, cc.v) / (qq.nrm * cc.nrm), 4) AS cos_sim
+           FROM ctop t
+           JOIN m qq ON qq.vec_id = t.q_id
+           JOIN m cc ON cc.vec_id = t.c_id
+           WHERE t.crnk <= 20),
+         r AS (
+           SELECT q_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk,
+             c_id, cos_sim, coarse_sim
+           FROM rer)
+         SELECT q_id, rnk, c_id, cos_sim, coarse_sim FROM r WHERE rnk <= 5
+         ORDER BY q_id, rnk""",
     "s05_quantize_int8" ->
       """WITH n AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -73,8 +73,11 @@ class QueriesSpec extends SparkSpec {
     // so the returned plan is joins-free truncated lineage — the d06/d14
     // situation. Its bound is asserted at the source instead: see
     // OperatorsSpec "BPE merge loop".)
+    // s08: s04's cross-join assignment scan (<=16-row centroid side)
+    // reused for the PQ build + probe assignment
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
-      "s04_ann_ivf", "s06_quantized_rerank", "s07_truncated_rerank",
+      "s04_ann_ivf", "s08_ivfpq_rerank",
+      "s06_quantized_rerank", "s07_truncated_rerank",
       "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
       "d26_pack_sequences", "d27_temperature_sample",
@@ -130,6 +133,8 @@ class QueriesSpec extends SparkSpec {
       "s01_knn_bruteforce" -> "fixed ~100-row query set (intentional linear baseline)",
       "s02_ann_lsh" -> "fixed query set, hamming-multiprobe bucket join",
       "s04_ann_ivf" -> "<=16-row centroid table / nprobe probe set",
+      "s08_ivfpq_rerank" ->
+        "<=16-row centroid/cunit table; fixed query probe + rerank sets",
       "s06_quantized_rerank" -> "fixed query set (coarse scan + rerank sides)",
       "s07_truncated_rerank" -> "fixed query set (prefix scan + rerank sides)",
       "q30_sliding_window" -> "<=6-row per-year boundary stitch",
