@@ -71,6 +71,10 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *   decontam <corpusDir> <outDir> [--n <tokens>]
   *       exact n-gram benchmark decontamination, both directions:
   *       `<out>/eval_report` (d30) + `<out>/train_dispositions` (d32).
+  *   bpetrain <corpusDir> <outDir> [--merges <k>]
+  *       d29 tokenizer training on the production path (one distributed
+  *       corpus pass + driver-side merge loop over the Heaps-bounded
+  *       word table); writes the merge-table parquet d29b consumes.
   *   pack <corpusDir> <outDir> [--seq-len <n>]
   *       d26 sequence packing: the provenance slice table a data
   *       loader consumes.
@@ -102,6 +106,7 @@ object Main {
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
       |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>] [--best]
       |  graft.Main decontam <corpusDir> <outDir> [--n <tokens>]
+      |  graft.Main bpetrain <corpusDir> <outDir> [--merges <k>]
       |  graft.Main pack <corpusDir> <outDir> [--seq-len <tokens>]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
@@ -491,6 +496,47 @@ object Main {
         Seq(s"decontam task ended, ${ev.getLong(1)} of ${ev.getLong(0)} " +
           s"eval docs compromised; drop ${tr.getLong(1)} of " +
           s"${tr.getLong(0)} train docs to remediate")
+      case "bpetrain" :: rest =>
+        // d29 as a pipeline command, on the PRODUCTION path
+        // (DocumentQueries.bpeMergesDriver): ONE distributed
+        // word-frequency pass over the corpus, then the merge loop in
+        // driver memory over the Heaps-bounded distinct-word table —
+        // the SCALE.md-measured shape for real merge counts (the
+        // relational loop's ~0.2 s/round scheduling floor × 32k rounds
+        // would be hours; the driver loop trains a full table in
+        // seconds). Writes the merge table parquet: the artifact d29b
+        // tokenization and any BPE runtime consume.
+        val opts = flags(rest)
+        val (corpus, out) = opts.positional match {
+          case Seq(c, o) => (c, o)
+          case _ => fail(s"bpetrain needs <corpusDir> <outDir>\n$usage")
+        }
+        def q6(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q6(out) == q6(corpus))
+          fail("bpetrain: the output dir must differ from the corpus " +
+            "dir — overwrite would destroy the corpus")
+        val kMerges = opts.named.get("--merges").map { v =>
+          val k = try v.toInt catch {
+            case _: NumberFormatException =>
+              fail(s"bpetrain: --merges must be an integer, got '$v'")
+          }
+          if (k < 1) fail(s"bpetrain: --merges must be >= 1, got $v")
+          k
+        }.getOrElse(32000)
+        val table = graft.queries.DocumentQueries.bpeMergesDriver(
+          spark.read.parquet(corpus).select("doc_id", "text"), kMerges)
+        table.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .parquet(out)
+        val trained = spark.read.parquet(out).count()
+        val exhausted =
+          if (trained < kMerges) s" (pairs exhausted before $kMerges)"
+          else ""
+        Seq(s"bpetrain task ended, $trained merges trained$exhausted")
       case "pack" :: rest =>
         // the d26 sequence packing as a pipeline command: the curated
         // corpus laid end to end in doc_id order and cut into fixed

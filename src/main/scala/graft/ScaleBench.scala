@@ -35,12 +35,18 @@ object ScaleBench {
   // CLAIM (ScaleGen's near-dup groups make hot cross-split n-grams) and
   // d31 because it composes a corpus-wide groupBy+join above the gates
   // — the funnel must scale like its exact-dedup constituent, not worse
+  // d39 (round 13) because it is the n-gram family's incremental form —
+  // linear-by-necessity like d30/d32, artifact side bounded; s08 because
+  // its PQ build (subvector explode + reassembly groupBy) is the one new
+  // corpus-proportional vector shape (needs ScaleGen's embeddings table,
+  // regenerated round 13)
   private val Queries =
     graft.queries.DedupQueries.scopedQueryNames.toSeq.sorted :+
       "d26_pack_sequences" :+ "d28_span_dedup" :+ "d29_bpe_merges" :+
       "d30_ngram_decontam" :+ "d31_curation_funnel" :+
       "d32_train_decontam" :+ "d35_bigram_logprob" :+
-      "d36_incr_span_dedup" :+ "d37_hot_ngrams"
+      "d36_incr_span_dedup" :+ "d37_hot_ngrams" :+
+      "d39_incr_decontam" :+ "s08_ivfpq_rerank"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

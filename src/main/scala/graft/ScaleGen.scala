@@ -100,6 +100,33 @@ object ScaleGen {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     println(s"[scale-gen] wrote $n docs to $out/documents.parquet")
+    // embeddings at nDocs/10 (so the n5k/n50k/n500k series is a
+    // 1×/10×/100× vector sweep for the s-family): 64-dim float vectors
+    // with REAL cluster structure — a ±0.3 sign-pattern center per
+    // 32-way cluster plus unit noise — so the trained IVF quantizer has
+    // something to learn (pure noise would make every cell equally
+    // wrong and the sweep would measure a degenerate index). Same
+    // splitmix determinism as the documents.
+    val nVec = math.max(100L, n / 10)
+    spark.range(0L, nVec, 1L, 32)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val cluster = draw(id, 50, 32)
+          val emb = Array.tabulate(64) { i =>
+            val center =
+              if (((mix64((3000L + cluster) * 64 + i) >>> 17) & 1L) == 0L)
+                0.3f else -0.3f
+            val noise =
+              (Math.floorMod(mix64(id * 7919L + 500 + i), 2001L) - 1000L) /
+                1000.0f
+            center + noise
+          }
+          (id, emb, cluster)
+        }
+      }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    println(s"[scale-gen] wrote $nVec vectors to $out/embeddings.parquet")
     spark.stop()
   }
 }

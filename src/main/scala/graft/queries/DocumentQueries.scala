@@ -822,6 +822,95 @@ object DocumentQueries {
     (vocab, merges)
   }
 
+  /** d29 at PRODUCTION merge counts: the same trainer with the merge
+    * loop run DRIVER-side over the collected distinct-word table.
+    *
+    * Why this exists (the honest scale boundary): the Spark loop's
+    * per-round cost is two scheduled jobs over the vocab table — right
+    * when the corpus pass dominates (small k), pure scheduling latency
+    * when it doesn't. A real tokenizer trains 32k–100k merges, where
+    * round latency × k is the whole wall clock; meanwhile the state the
+    * loop iterates on is the DISTINCT-WORD table, which Heaps' law
+    * keeps at tokenizer-vocab scale (~10^5-10^7 rows) regardless of
+    * corpus size — it fits on the driver at 100 TB by the same argument
+    * that makes it broadcastable in d29b. So the production shape is:
+    * ONE distributed corpus pass (the word-frequency groupBy,
+    * map-side combined — identical to [[bpeMerges]]' first stage),
+    * collect the word table, run the merge loop in memory. SCALE.md
+    * carries the measured crossover; the relational loop remains the
+    * oracle-checkable reference (outputs are IDENTICAL — spec-pinned —
+    * because both implement the same count/argmax/greedy-merge rounds).
+    *
+    * Determinism parity details: pair counts use the overlapping
+    * adjacent convention ("aaa" counts (a,a) twice); the argmax
+    * tie-break (count DESC, lhs, rhs) compares strings as UNSIGNED
+    * UTF-8 BYTES — Spark's UTF8String binary order, which Java's
+    * UTF-16 compareTo diverges from on supplementary characters; the
+    * merge applies left-to-right non-overlapping, exactly the
+    * replace() semantics of the relational form. */
+  def bpeMergesDriver(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(k >= 1, s"bpeMergesDriver: k must be >= 1 (got $k)")
+    val utf8 = new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        java.util.Arrays.compareUnsigned(x, y)
+      }
+    }
+    // the ONE corpus-touching pass (identical to bpeTrain's)
+    // initial symbols are CODE POINTS (Spark's substring(term, i, 1)
+    // counts characters, not UTF-16 code units — a surrogate pair is
+    // one symbol on both paths)
+    val words: Array[(Array[String], Long)] = termStream(docs)
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+      .collect()
+      .map { r =>
+        val syms = r.getString(0).codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        (syms, r.getLong(1))
+      }
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var vocab = words
+    for (rank <- 1 to k) {
+      val counts = new java.util.HashMap[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), c, _ + _)
+          i += 1
+        }
+      }
+      if (!counts.isEmpty) {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          val better = best == null || c > best._2 ||
+            (c == best._2 && {
+              val l = utf8.compare(p._1, best._1._1)
+              l < 0 || (l == 0 && utf8.compare(p._2, best._1._2) < 0)
+            })
+          if (better) best = (p, c)
+        }
+        val ((lhs, rhs), pc) = best
+        vocab = vocab.map { case (syms, c) =>
+          // greedy left-to-right non-overlapping merge
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == lhs && syms(i + 1) == rhs) {
+              out += lhs + rhs; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        merges += ((rank.toLong, lhs, rhs, lhs + rhs, pc))
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** The d28/d36 gate fixture: each document split into paragraphs
     * with deterministically repeated spans planted (the original text,
     * a pair-shared passage keyed on doc_id DIV 2 — re-occurring in the

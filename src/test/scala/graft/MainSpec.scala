@@ -227,6 +227,33 @@ class MainSpec extends SparkSpec {
       s"$disp")
   }
 
+  test("bpetrain writes the merge table off the driver-side production path") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-bpe").toString
+    // the d29 hand-computed fixture (see OperatorsSpec): exactly 4
+    // trainable merges, rank order aa, ab, cd, aaab
+    Seq((1L, "aaab ab cd"), (2L, "aaab cd cd")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/corpus")
+    val out = Main.run(spark, Seq("bpetrain", s"$tmp/corpus", s"$tmp/bpe",
+      "--merges", "10"), Map.empty)
+    assert(out == Seq("bpetrain task ended, 4 merges trained " +
+      "(pairs exhausted before 10)"), out.mkString("\n"))
+    val table = spark.read.parquet(s"$tmp/bpe").orderBy("merge_rank")
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(table.toSeq == Seq((1L, "aa", 4L), (2L, "ab", 3L),
+      (3L, "cd", 3L), (4L, "aaab", 2L)), table.mkString(", "))
+    val same = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("bpetrain", s"$tmp/corpus", s"$tmp/corpus"),
+        Map.empty)
+    }
+    assert(same.getMessage.contains("differ"), same.getMessage)
+    val badK = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("bpetrain", s"$tmp/corpus", s"$tmp/x",
+        "--merges", "0"), Map.empty)
+    }
+    assert(badK.getMessage.contains(">= 1"), badK.getMessage)
+  }
+
   test("compact --spansigs/--sigs folds sidecar generations into one, disposition unchanged") {
     import spark.implicits._
     import graft.queries.{DedupQueries, DocumentQueries}

@@ -448,6 +448,21 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(toks(1L) == (3L, 5L), s"doc 1 tokenized to ${toks(1L)}") // aaab ab cd
     assert(toks(2L) == (3L, 6L), s"doc 2 tokenized to ${toks(2L)}") // aaab cd cd
+    // the driver-side production trainer (bpeMergesDriver — one
+    // distributed corpus pass, merge loop in memory) is round-for-round
+    // IDENTICAL: on the hand-computed fixture including the exhausted
+    // tail, and on a real corpus slice at a k deep enough to exercise
+    // ties and multi-symbol merges
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(rows(DocumentQueries.bpeMergesDriver(docs, k = 6)) == got.toSeq,
+      "driver trainer diverges from the relational loop on the fixture")
+    val corpus = Tables(spark, sfSmoke, "documents").limit(80)
+      .select("doc_id", "text")
+    assert(rows(DocumentQueries.bpeMergesDriver(corpus, k = 25)) ==
+      rows(DocumentQueries.bpeMerges(corpus, k = 25)),
+      "driver trainer diverges from the relational loop on the corpus")
   }
 
   test("temperature sampling refuses null lang and null text loudly (d27)") {
