@@ -877,6 +877,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d39 ingest-gate drops are a subset of the full d32 audit (real corpus)") {
+    import spark.implicits._
+    // the incremental gate must never disagree with the batch audit it
+    // front-runs: every batch train doc d39 drops against the CORPUS
+    // artifact must also be dropped by a full d32 audit over
+    // corpus ∪ batch (the audit sees strictly more eval n-grams — the
+    // batch's own eval docs — so containment, not equality, is the
+    // invariant; the difference is exactly d24's documented
+    // batch-internal scope). Same even/odd halves as the d39 gate.
+    val docs = Tables(spark, sfSmoke, "documents").select("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val gateDrops = DocumentQueries.incrementalDecontamination(
+        DocumentQueries.evalNgramSignatures(corpus), batch)
+      .filter($"disposition" === "drop")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(gateDrops.nonEmpty,
+      "degenerate halves: the gate found nothing to check")
+    val auditDrops = DocumentQueries.trainDecontamination(docs)
+      .filter($"disposition" === "drop")
+      .collect().map(r => r.getLong(0)).toSet
+    val escaped = gateDrops -- auditDrops
+    assert(escaped.isEmpty,
+      s"d39 drops not confirmed by the full d32 audit: $escaped")
+  }
+
   test("curation funnel: first-drop attribution, exact dedup, split routing (d31)") {
     import spark.implicits._
     def goodText(tag: String): String =
