@@ -100,7 +100,7 @@ object Main {
       |  graft.Main transform [-o <outDir>] [--loop <seconds> [--iterations <n>]] [<input>...]
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
       |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
-      |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] [--decontam <dir>] <dropDir> <corpusDir> <checkpointDir>
+      |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] [--decontam <dir> [--decontam-n <k>]] <dropDir> <corpusDir> <checkpointDir>
       |  graft.Main compact <lakeDir> [--flat | --sigs | --spansigs | --evalsigs | <partitionCol>...]
       |  graft.Main dedup <corpusDir> <outDir> [--best]
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
@@ -130,8 +130,13 @@ object Main {
     // curate, the component loops) must survive executor loss, which
     // localCheckpoint's executor-resident blocks cannot. Setting the dir
     // routes every engine materialization through reliable checkpoint().
-    env.get("GRAFT_CHECKPOINT_DIR").filter(_.trim.nonEmpty)
-      .foreach(d => spark.conf.set(Materialize.DirKey, d))
+    env.get("GRAFT_CHECKPOINT_DIR").filter(_.trim.nonEmpty) match {
+      case Some(d) => spark.conf.set(Materialize.DirKey, d)
+      // explicit unset: a second run() on a long-lived session without
+      // the var must revert to the local fast path, not inherit the
+      // previous invocation's (possibly deleted) directory
+      case None => spark.conf.unset(Materialize.DirKey)
+    }
     args.toList match {
       case "aggregate" :: "s3" :: rest =>
         val opts = flags(rest)
@@ -200,13 +205,26 @@ object Main {
         // eval n-gram artifact (<dir>/evalsigs) and fold the batch's
         // eval side into it; reports land at <dir>/report/batch=<id>
         val decontamDir = iOpts.named.get("--decontam")
+        // --decontam-n: the gate's n-gram width (default 8, the d30/d32
+        // default); the artifact is self-describing, so a width change
+        // against a standing artifact refuses loudly instead of
+        // silently matching nothing
+        val decontamN = iOpts.named.get("--decontam-n").map { v =>
+          val dn = try v.toInt catch {
+            case _: NumberFormatException =>
+              fail(s"ingest: --decontam-n must be an integer, got '$v'")
+          }
+          if (dn < 1) fail(s"ingest: --decontam-n must be >= 1, got $v")
+          dn
+        }.getOrElse(8)
         val writer =
           if (sigDir.isEmpty && spanSigDir.isEmpty && decontamDir.isEmpty)
             graft.streaming.DocumentIngest
               .writer(ingestStream, corpus, checkpoint)
           else graft.streaming.DocumentIngest.writerWithArtifacts(
             ingestStream, corpus, sigDir, spanSigDir,
-            iOpts.getOrElse("--span-sep", "\n\n"), checkpoint, decontamDir)
+            iOpts.getOrElse("--span-sep", "\n\n"), checkpoint, decontamDir,
+            decontamN)
         val query =
           if (rest.contains("--once"))
             writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -215,32 +233,13 @@ object Main {
         query.awaitTermination()
         Seq("ingest query terminated")
       case "compact" :: lake :: cols
-          if Set(Seq("--sigs"), Seq("--spansigs"), Seq("--evalsigs"))(cols) =>
+          if cols.size == 1 && Compact.sidecarKinds.contains(cols.head) =>
         // sidecar GENERATION compaction: fold every batch= generation of
-        // a signature artifact into one, with the artifact's own read-
-        // side fold (identity for doc signatures — batches are doc-
-        // disjoint; the df-summing folds for span/eval-n-gram) and a
-        // conservation check before commit. Stops read-side fold cost
+        // a signature artifact into one (the artifact's own read-side
+        // fold + conservation check, both defined next to the commit
+        // machinery — Compact.sidecarKinds). Stops read-side fold cost
         // and small-file count growing with ingest-batch count forever.
-        import org.apache.spark.sql.DataFrame
-        import org.apache.spark.sql.functions.countDistinct
-        def longs(df: DataFrame, aggs: Seq[org.apache.spark.sql.Column]) = {
-          val r = df.agg(aggs.head, aggs.tail: _*).head
-          (0 until r.length).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
-        }
-        val (foldFn, conserveFn): (DataFrame => DataFrame, DataFrame => Seq[Long]) =
-          cols.head match {
-            case "--sigs" => (identity[DataFrame] _,
-              df => longs(df, Seq(count(lit(1)), countDistinct(col("doc_id")))))
-            case "--spansigs" =>
-              (graft.queries.DocumentQueries.foldSpanSignatures _,
-                df => longs(df, Seq(coalesce(sum(col("df")), lit(0L)),
-                  countDistinct(col("para_fp")))))
-            case _ =>
-              (graft.queries.DocumentQueries.foldEvalNgramSignatures _,
-                df => longs(df, Seq(coalesce(sum(col("eval_df")), lit(0L)),
-                  countDistinct(col("fp")))))
-          }
+        val (foldFn, conserveFn) = Compact.sidecarKinds(cols.head)
         val sst = Compact.sidecar(spark, lake, foldFn, conserveFn,
           maxRecordsPerFile = cfg.maxRecordsPerFile,
           compression = cfg.compression)
@@ -529,10 +528,12 @@ object Main {
         }.getOrElse(32000)
         val table = graft.queries.DocumentQueries.bpeMergesDriver(
           spark.read.parquet(corpus).select("doc_id", "text"), kMerges)
+        // the merge table is a driver-local relation: count it directly
+        // (near-free) rather than re-reading the written parquet
+        val trained = table.count()
         table.write.mode("overwrite")
           .option("compression", cfg.compression)
           .parquet(out)
-        val trained = spark.read.parquet(out).count()
         val exhausted =
           if (trained < kMerges) s" (pairs exhausted before $kMerges)"
           else ""

@@ -43,6 +43,15 @@ object Materialize {
     * reliable checkpointing for every engine materialization. */
   val DirKey = "spark.graft.checkpoint.dir"
 
+  /** The last directory THIS object applied to the SparkContext —
+    * distinguishes "the embedding application set its own checkpoint
+    * dir" (never overridden) from "a previous Materialize call set it
+    * from an earlier conf value" (re-applied when the conf changes, so
+    * a long-lived session that switches [[DirKey]] between runs — the
+    * README's per-run-directory cleanup pattern — does not keep
+    * checkpointing into a deleted path). */
+  @volatile private var appliedDir: Option[String] = None
+
   /** Eagerly materialize `df` through the configured backend. The
     * returned frame has truncated lineage either way — the operators'
     * lifecycle contracts (scope close after materialize, per-round block
@@ -52,9 +61,23 @@ object Materialize {
     spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // set-once: respect a checkpoint dir the embedding app configured
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        // apply when unset, or when OUR previously-applied conf dir
+        // changed; a dir the embedding app set itself (checkpoint dir
+        // present, appliedDir empty) is never overridden
+        if (appliedDir != Some(dir) &&
+            (sc.getCheckpointDir.isEmpty || appliedDir.isDefined)) {
+          sc.setCheckpointDir(dir)
+          appliedDir = Some(dir)
+        }
+        // persist around the checkpoint: RDD.checkpoint's write job
+        // re-executes the lineage AFTER the eager count unless the data
+        // is cached (the documented RDD.checkpoint recomputation) — an
+        // unpersisted reliable checkpoint would run every engine
+        // materialization TWICE, doubling exactly the deployment mode
+        // this knob exists for
+        val cached = df.persist()
+        try cached.checkpoint(eager = true)
+        finally { cached.unpersist(blocking = false); () }
       case None =>
         df.localCheckpoint(eager = true)
     }

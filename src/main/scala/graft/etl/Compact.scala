@@ -102,6 +102,37 @@ object Compact {
   final case class SidecarStats(files0: Long, files1: Long, rows: Long,
       generations0: Long)
 
+  /** Per-artifact (fold, conserve) pairs for [[sidecar]], keyed by the
+    * CLI flag — defined here next to the commit machinery so the CLI
+    * stays a pure dispatcher and a new sidecar kind lands in ONE place.
+    * Each fold is the artifact's own read-side fold (identity for doc
+    * signatures — batches are doc-disjoint); each conserve extracts the
+    * invariants that fold must preserve. */
+  val sidecarKinds: Map[String,
+      (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+       org.apache.spark.sql.DataFrame => Seq[Long])] = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{coalesce, count, countDistinct,
+      lit, sum}
+    def longs(df: DataFrame,
+        aggs: Seq[org.apache.spark.sql.Column]): Seq[Long] = {
+      val r = df.agg(aggs.head, aggs.tail: _*).head
+      (0 until r.length).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+    }
+    Map(
+      "--sigs" -> ((identity[DataFrame] _,
+        (df: DataFrame) =>
+          longs(df, Seq(count(lit(1)), countDistinct(col("doc_id")))))),
+      "--spansigs" -> ((graft.queries.DocumentQueries.foldSpanSignatures _,
+        (df: DataFrame) => longs(df, Seq(coalesce(sum(col("df")), lit(0L)),
+          countDistinct(col("para_fp")))))),
+      "--evalsigs" ->
+        ((graft.queries.DocumentQueries.foldEvalNgramSignatures _,
+          (df: DataFrame) =>
+            longs(df, Seq(coalesce(sum(col("eval_df")), lit(0L)),
+              countDistinct(col("fp")))))))
+  }
+
   /** Generation compaction for the `batch=`-partitioned signature
     * sidecars (the d16 `--sigs`, d36 `--spansigs`, d39 `--evalsigs`
     * artifacts): fold every generation into ONE, so read-side fold cost
@@ -122,10 +153,21 @@ object Compact {
     * compaction (a concurrently replayed latest batch would overwrite
     * the folded generation with its own rows).
     *
-    * Commit discipline mirrors [[run]]: staged write → conservation
-    * check against the staged footers → per-file reveal into the target
-    * generation → delete superseded files and stale generations. The
-    * artifact root is never renamed or absent. */
+    * Crash safety — the commit is a MARKER-guarded two-phase protocol,
+    * not [[run]]'s reveal-then-delete: a sidecar fold REPLACES rows, so
+    * a crash that left folded and original rows side by side would
+    * over-count every df on the next read, and a naive re-run would
+    * compute its conservation baseline from that corrupted state and
+    * bless it permanently. Instead: the fold is staged and verified
+    * with NO generation touched; then a commit marker (listing the
+    * target generation, its original files, and the generations to
+    * drop) is atomically renamed into place; only then do deletes and
+    * staged-file moves run. A crash anywhere resumes from the marker —
+    * deletes and moves are idempotent, and the baseline was captured
+    * before anything changed — so the artifact can never be read as
+    * double-counted AND committed that way. (Mid-commit readers can see
+    * a transiently partial artifact; the offline contract above already
+    * excludes them.) */
   def sidecar(spark: SparkSession, dir: String,
       fold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       conserve: org.apache.spark.sql.DataFrame => Seq[Long],
@@ -133,6 +175,27 @@ object Compact {
       compression: String = "snappy"): SidecarStats = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new Path(dir.stripSuffix("/") + ".compact-staging")
+    val marker = new Path(dir.stripSuffix("/") + ".compact-commit")
+    if (fs.exists(marker)) {
+      // resume an interrupted commit: the staged fold was verified
+      // before the marker existed; finish the (idempotent) deletes and
+      // moves it describes
+      val lines = {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      val targetGen = lines.head
+      val origFiles = lines.collect { case s if s.startsWith("file:") =>
+        s.stripPrefix("file:") }
+      val dropGens = lines.collect { case s if s.startsWith("gen:") =>
+        s.stripPrefix("gen:") }
+      finishCommit(fs, root, staged, marker, targetGen, origFiles, dropGens)
+      val rows = spark.read.parquet(new Path(root, targetGen).toString).count()
+      return SidecarStats(dataFiles(fs, root).size.toLong,
+        dataFiles(fs, root).size.toLong, rows, dropGens.size.toLong + 1)
+    }
     val gens = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .map(_.getPath).toSeq
@@ -145,8 +208,8 @@ object Compact {
     val flat = all.select(dataCols.map(col): _*)
     val pre = conserve(flat)
     val targetId = gens.map(_.getName.stripPrefix("batch=").toLong).max
-    val staged = new Path(dir.stripSuffix("/") + ".compact-staging")
-    fs.delete(staged, true) // stale staging from a crashed prior run
+    val targetGen = s"batch=$targetId"
+    fs.delete(staged, true) // stale staging from a pre-marker crash
     fold(flat)
       .write.mode(SaveMode.Overwrite)
       .option("compression", compression)
@@ -157,18 +220,42 @@ object Compact {
     require(post == pre,
       s"sidecar compaction would lose data: staged $post != source $pre")
     val rows = stagedDf.count()
-    val target = new Path(root, s"batch=$targetId")
+    // the point of no return: the marker names the target generation,
+    // its ORIGINAL files (so resume can tell them from moved folded
+    // files sharing the directory), and the generations to drop.
+    // Written to a temp name and renamed — a crash mid-write leaves a
+    // .tmp the next run ignores, never a half-readable marker.
+    val origFiles = dataFiles(fs, new Path(root, targetGen)).map(_.getName)
+    val dropGens = gens.map(_.getName).filter(_ != targetGen)
+    val markerTmp = new Path(marker.toString + ".tmp")
+    val outS = fs.create(markerTmp, true)
+    try outS.write((targetGen +:
+      (origFiles.map("file:" + _) ++ dropGens.map("gen:" + _)))
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally outS.close()
+    require(fs.rename(markerTmp, marker), s"could not publish $marker")
+    finishCommit(fs, root, staged, marker, targetGen, origFiles, dropGens)
+    SidecarStats(before, dataFiles(fs, root).size.toLong, rows,
+      gens.size.toLong)
+  }
+
+  /** The idempotent half of the sidecar commit (re-runnable from the
+    * marker after a crash at any point): drop the superseded files and
+    * generations, move the staged folded files into the target
+    * generation, clear staging and the marker. */
+  private def finishCommit(fs: FileSystem, root: Path, staged: Path,
+      marker: Path, targetGen: String, origFiles: Seq[String],
+      dropGens: Seq[String]): Unit = {
+    val target = new Path(root, targetGen)
+    origFiles.foreach(n => fs.delete(new Path(target, n), false))
+    dropGens.foreach(g => fs.delete(new Path(root, g), true))
     fs.mkdirs(target)
-    val superseded = dataFiles(fs, target)
-    dataFiles(fs, staged).foreach { f =>
+    if (fs.exists(staged)) dataFiles(fs, staged).foreach { f =>
       require(fs.rename(f, new Path(target, f.getName)),
         s"commit failed moving $f into $target")
     }
-    superseded.foreach(f => fs.delete(f, false))
-    gens.filter(_.getName != s"batch=$targetId")
-      .foreach(p => fs.delete(p, true))
     fs.delete(staged, true)
-    SidecarStats(before, dataFiles(fs, root).size.toLong, rows,
-      gens.size.toLong)
+    fs.delete(marker, false)
   }
 }

@@ -873,7 +873,13 @@ object DocumentQueries {
       }
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var vocab = words
-    for (rank <- 1 to k) {
+    var rank = 1
+    var exhausted = false
+    // exhaustion is monotone (merges only shrink words), so the first
+    // pair-free round ends training — without the break, a k far above
+    // the corpus's merge capacity (the default 32000 vs a small vocab)
+    // would re-count all pairs once per dead round for nothing
+    while (rank <= k && !exhausted) {
       val counts = new java.util.HashMap[(String, String), Long]
       vocab.foreach { case (syms, c) =>
         var i = 0
@@ -882,7 +888,8 @@ object DocumentQueries {
           i += 1
         }
       }
-      if (!counts.isEmpty) {
+      if (counts.isEmpty) exhausted = true
+      else {
         var best: ((String, String), Long) = null
         counts.forEach { (p, c) =>
           val better = best == null || c > best._2 ||
@@ -906,6 +913,7 @@ object DocumentQueries {
         }
         merges += ((rank.toLong, lhs, rhs, lhs + rhs, pc))
       }
+      rank += 1
     }
     merges.result()
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
@@ -1219,6 +1227,11 @@ object DocumentQueries {
       .filter($"split".isin("val", "test"))
       .groupBy($"fp")
       .agg(count(lit(1)).as("eval_df"), min($"doc_id").as("min_eval_doc"))
+      // the artifact is self-describing: an md5 of a 6-gram and of an
+      // 8-gram never collide OR match, so probing an artifact built at
+      // a different n would silently disposition everything 'keep' —
+      // the n column lets the consumers refuse that loudly instead
+      .withColumn("n", lit(n.toLong))
   }
 
   /** Fold per-batch [[evalNgramSignatures]] generations into ONE
@@ -1230,9 +1243,27 @@ object DocumentQueries {
   def foldEvalNgramSignatures(sigs: DataFrame): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
+    require(sigs.columns.contains("n"),
+      "foldEvalNgramSignatures: artifact has no 'n' column — written by " +
+        "a pre-round-13 evalNgramSignatures; rebuild the artifact")
+    // generations built at different n must not fold into one table
+    // (their fp universes are disjoint — the result would silently
+    // under-match both); the 1-row min/max scalar rides a broadcast
+    // cross join (the temperatureRates shape) and the trip is per-row,
+    // so no extra action is paid
+    val nRange = sigs.agg(min($"n").as("n_lo"), max($"n").as("n_hi"))
     sigs.groupBy($"fp")
       .agg(sum($"eval_df").as("eval_df"),
-        min($"min_eval_doc").as("min_eval_doc"))
+        min($"min_eval_doc").as("min_eval_doc"),
+        max($"n").as("n"))
+      .crossJoin(broadcast(nRange))
+      .withColumn("n",
+        when($"n_lo" =!= $"n_hi", raise_error(concat(
+          lit("foldEvalNgramSignatures: generations built at different " +
+            "n-gram sizes ("), $"n_lo", lit(" vs "), $"n_hi",
+          lit(") cannot fold — rebuild the sidecar at one n"))))
+          .otherwise($"n"))
+      .select($"fp", $"eval_df", $"min_eval_doc", $"n")
   }
 
   /** d39: incremental n-gram decontamination — an incoming batch's
@@ -1261,16 +1292,27 @@ object DocumentQueries {
       n: Int = 8): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
-    val required = Seq("fp", "eval_df", "min_eval_doc")
+    val required = Seq("fp", "eval_df", "min_eval_doc", "n")
     val missing = required.filterNot(evalSigs.columns.contains)
     require(missing.isEmpty,
       s"incrementalDecontamination: eval n-gram artifact is missing " +
         s"column(s) ${missing.mkString(", ")} — rebuild it with " +
         "evalNgramSignatures (pre-d39 artifacts cannot disposition)")
+    // n-mismatch trip rides the artifact projection (the d24 null-guard
+    // discipline — no extra action): fps of different-width n-grams
+    // never match, so a mismatched probe would read fully 'keep'. The
+    // trip guards min_eval_doc — a column the aggregate READS — because
+    // a trip on a column nothing consumes would be pruned out of the
+    // plan (the corpusCard flag lesson) and never fire.
+    val guarded = evalSigs.select($"fp", $"eval_df",
+      when($"n" =!= n.toLong, raise_error(concat(
+        lit("incrementalDecontamination: artifact built at n = "), $"n",
+        lit(s", probe asked for n = $n — n-gram widths must match or " +
+          "every disposition silently reads 'keep'"))).cast("long"))
+        .otherwise($"min_eval_doc").as("min_eval_doc"))
     splitNgramFps(batch, n)
       .filter($"split" === "train")
-      .join(evalSigs.select($"fp", $"eval_df", $"min_eval_doc"),
-        Seq("fp"), "left")
+      .join(guarded, Seq("fp"), "left")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_ngrams"),

@@ -119,7 +119,8 @@ object DocumentIngest {
   def writerWithArtifacts(df: DataFrame, outDir: String,
       sigDir: Option[String], spanSigDir: Option[String], spanSep: String,
       checkpointDir: String,
-      decontamDir: Option[String] = None): DataStreamWriter[Row] =
+      decontamDir: Option[String] = None,
+      decontamN: Int = 8): DataStreamWriter[Row] =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -138,7 +139,7 @@ object DocumentIngest {
                 pinned.select(col("doc_id"), col("text")), spanSep))
               .write.mode("overwrite").parquet(s"$d/batch=$batchId")
           }
-          decontamDir.foreach(d => decontamBatch(pinned, d, batchId))
+          decontamDir.foreach(d => decontamBatch(pinned, d, batchId, decontamN))
         } finally { pinned.unpersist(); () }
       }
 
@@ -158,7 +159,7 @@ object DocumentIngest {
     * artifact, never probed (batch-internal leaks are corpus-internal
     * the moment the batch lands — the d24 audit convention). */
   private def decontamBatch(pinned: org.apache.spark.sql.Dataset[Row],
-      dir: String, batchId: Long): Unit = {
+      dir: String, batchId: Long, n: Int): Unit = {
     val sp = pinned.sparkSession
     import sp.implicits._
     val docs = pinned.select(col("doc_id"), col("text"))
@@ -171,13 +172,16 @@ object DocumentIngest {
         graft.queries.DocumentQueries.foldEvalNgramSignatures(
           sp.read.parquet(sigsPath.toString)
             .filter(col("batch") =!= batchId)
-            .select("fp", "eval_df", "min_eval_doc"))
-      else Seq.empty[(String, Long, Long)]
-        .toDF("fp", "eval_df", "min_eval_doc")
+            .select("fp", "eval_df", "min_eval_doc", "n"))
+      else Seq.empty[(String, Long, Long, Long)]
+        .toDF("fp", "eval_df", "min_eval_doc", "n")
+    // the artifact is self-describing (its n column): a standing
+    // artifact built at a different n than this ingest's --decontam-n
+    // refuses loudly inside incrementalDecontamination
     graft.queries.DocumentQueries
-      .incrementalDecontamination(standing, docs)
+      .incrementalDecontamination(standing, docs, n)
       .write.mode("overwrite").parquet(s"$dir/report/batch=$batchId")
-    graft.queries.DocumentQueries.evalNgramSignatures(docs)
+    graft.queries.DocumentQueries.evalNgramSignatures(docs, n)
       .write.mode("overwrite").parquet(s"$dir/evalsigs/batch=$batchId")
   }
 }

@@ -357,10 +357,11 @@ class MainSpec extends SparkSpec {
       .toMap
     assert(rep == Map(11L -> (("drop", 2L)), 13L -> (("keep", -1L))),
       s"run-2 report: $rep")
-    // the artifact carries one generation per batch, fp-keyed, text-free
+    // the artifact carries one generation per batch, fp-keyed, text-free,
+    // self-describing (n)
     val sigs = spark.read.parquet(s"$tmp/dec/evalsigs")
     assert(sigs.schema.fieldNames.toSet ==
-      Set("fp", "eval_df", "min_eval_doc", "batch"))
+      Set("fp", "eval_df", "min_eval_doc", "n", "batch"))
     assert(sigs.count() == leak.split(" ").length - 7)
   }
 

@@ -814,9 +814,10 @@ class OperatorsSpec extends SparkSpec {
     val corpusTrain = planted("ct", _ < 80)
     val corpus = Seq(0L -> leak, 2L -> corpusTrain).toDF("doc_id", "text")
     val art = DocumentQueries.evalNgramSignatures(corpus)
-    // the artifact is text-free, per-fp aggregated — only the corpus's
-    // EVAL side contributes (corpusTrain's n-grams are absent)
-    assert(art.columns.toSet == Set("fp", "eval_df", "min_eval_doc"))
+    // the artifact is text-free, per-fp aggregated, and self-describing
+    // (its n column) — only the corpus's EVAL side contributes
+    // (corpusTrain's n-grams are absent)
+    assert(art.columns.toSet == Set("fp", "eval_df", "min_eval_doc", "n"))
     val nLeak = leak.split(" ").length - 7
     assert(art.count() == nLeak, "artifact must hold exactly the leak's 8-grams")
     val cleanTrain = planted("bt", _ < 80)
@@ -850,6 +851,21 @@ class OperatorsSpec extends SparkSpec {
         art.drop("min_eval_doc"), batch)
     }
     assert(e.getMessage.contains("min_eval_doc"), e.getMessage)
+    // an n-gram width mismatch is refused loudly — md5 fps of 6-grams
+    // and 8-grams never match, so a silent mismatch would disposition
+    // every contaminated doc 'keep'
+    val eN = intercept[Exception] {
+      DocumentQueries.incrementalDecontamination(art, batch, n = 6)
+        .collect()
+    }
+    assert(eN.getMessage.contains("widths must match"), eN.getMessage)
+    // ...and generations built at different n cannot fold into one table
+    val eF = intercept[Exception] {
+      DocumentQueries.foldEvalNgramSignatures(
+        art.unionByName(DocumentQueries.evalNgramSignatures(batch, n = 6)))
+        .collect()
+    }
+    assert(eF.getMessage.contains("different"), eF.getMessage)
   }
 
   test("d30 and d32 are referentially consistent on a real corpus") {
