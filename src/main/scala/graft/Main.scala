@@ -75,6 +75,9 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       d29 tokenizer training on the production path (one distributed
   *       corpus pass + driver-side merge loop over the Heaps-bounded
   *       word table); writes the merge-table parquet d29b consumes.
+  *   tokenize <corpusDir> <mergesDir> <outDir>
+  *       d29b off the saved bpetrain artifact: per-doc BPE token counts
+  *       under an already-trained merge table (no training runs).
   *   pack <corpusDir> <outDir> [--seq-len <n>]
   *       d26 sequence packing: the provenance slice table a data
   *       loader consumes.
@@ -107,6 +110,7 @@ object Main {
       |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>] [--best]
       |  graft.Main decontam <corpusDir> <outDir> [--n <tokens>]
       |  graft.Main bpetrain <corpusDir> <outDir> [--merges <k>]
+      |  graft.Main tokenize <corpusDir> <mergesDir> <outDir>
       |  graft.Main pack <corpusDir> <outDir> [--seq-len <tokens>]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
@@ -538,6 +542,37 @@ object Main {
           if (trained < kMerges) s" (pairs exhausted before $kMerges)"
           else ""
         Seq(s"bpetrain task ended, $trained merges trained$exhausted")
+      case "tokenize" :: rest =>
+        // d29b off the saved bpetrain artifact: per-doc token counts
+        // under an already-trained merge table — the apply side of the
+        // tokenizer pipeline (bpetrain writes the table, tokenize
+        // consumes it; no training runs here). One broadcast of the
+        // k-row merge table + one tokenize pass over the Heaps-bounded
+        // distinct-word table + one broadcast join over the term stream.
+        val opts = flags(rest)
+        val (corpus, mergesDir, out) = opts.positional match {
+          case Seq(c, m, o) => (c, m, o)
+          case _ => fail(s"tokenize needs <corpusDir> <mergesDir> <outDir>\n$usage")
+        }
+        def q7(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q7(out) == q7(corpus) || q7(out) == q7(mergesDir))
+          fail("tokenize: the output dir must differ from the corpus " +
+            "and merges dirs — overwrite would destroy an input")
+        val counts = graft.queries.DocumentQueries.bpeTokenCountsFromMerges(
+          spark.read.parquet(corpus).select("doc_id", "text"),
+          spark.read.parquet(mergesDir))
+        counts.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+          .parquet(out)
+        val tc = spark.read.parquet(out)
+          .agg(count(lit(1)), coalesce(sum("n_bpe_tokens"), lit(0L))).head
+        Seq(s"tokenize task ended, ${tc.getLong(1)} bpe tokens over " +
+          s"${tc.getLong(0)} docs")
       case "pack" :: rest =>
         // the d26 sequence packing as a pipeline command: the curated
         // corpus laid end to end in doc_id order and cut into fixed

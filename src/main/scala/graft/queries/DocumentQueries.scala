@@ -779,6 +779,77 @@ object DocumentQueries {
       .agg(count(lit(1)).as("n_words"), sum($"n_sym").as("n_bpe_tokens"))
   }
 
+  /** d29b off a SAVED merge table — the `bpetrain` artifact's consumer
+    * and the production tokenize path: no training runs here at all.
+    * The merge table (k rows, tokenizer-vocab bounded — the artifact
+    * every BPE runtime ships) is collected and broadcast; each DISTINCT
+    * word is tokenized once in a mapPartitions over the Heaps-bounded
+    * word table (repeatedly merge the lowest-rank pair present, one
+    * greedy left-to-right pass per selected rank); the (word → symbol
+    * count) lookup then broadcast-joins the term stream exactly like
+    * [[bpeTokenCounts]]. Corpus text is touched once and never
+    * rewritten.
+    *
+    * Rank-priority apply ≡ the trainer's round-by-round passes, exactly:
+    * a merge can only create adjacencies involving its OWN new symbol,
+    * and any merge consuming that symbol was necessarily created later
+    * (higher rank) — so pairs of rank below the current minimum can
+    * never appear, and processing ranks in ascending order reproduces
+    * training-time tokenization symbol-for-symbol (spec-pinned against
+    * [[bpeTokenCounts]]). */
+  def bpeTokenCountsFromMerges(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val missing = Seq("merge_rank", "lhs", "rhs")
+      .filterNot(merges.columns.contains)
+    require(missing.isEmpty,
+      s"bpeTokenCountsFromMerges: merge table is missing column(s) " +
+        s"${missing.mkString(", ")} — not a bpetrain artifact")
+    val ranked: Array[(String, String)] = merges
+      .orderBy($"merge_rank")
+      .select($"lhs", $"rhs")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bc = s.sparkContext.broadcast(ranked)
+    val lookup = termStream(docs).select($"term").distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val rankOf = ms.zipWithIndex.toMap
+        it.map { term =>
+          var syms: Array[String] = term.codePoints().toArray
+            .map(cp => new String(Character.toChars(cp)))
+          var done = false
+          while (!done && syms.length > 1) {
+            // lowest-rank adjacent pair present
+            var best = Int.MaxValue
+            var i = 0
+            while (i < syms.length - 1) {
+              rankOf.get((syms(i), syms(i + 1)))
+                .foreach(r => if (r < best) best = r)
+              i += 1
+            }
+            if (best == Int.MaxValue) done = true
+            else {
+              val (l, r) = ms(best)
+              val out = Array.newBuilder[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                  out += l + r; j += 2
+                } else { out += syms(j); j += 1 }
+              }
+              syms = out.result()
+            }
+          }
+          (term, syms.length.toLong)
+        }
+      }
+      .toDF("term", "n_sym")
+    termStream(docs).join(broadcast(lookup), Seq("term"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_sym").as("n_bpe_tokens"))
+  }
+
   // d29’s symbol delimiters (ASCII unit/record separators — cannot
   // occur in whitespace-tokenized words, so boundaries are unambiguous)
   private val SymO = "" // symbol open

@@ -252,6 +252,16 @@ class MainSpec extends SparkSpec {
         "--merges", "0"), Map.empty)
     }
     assert(badK.getMessage.contains(">= 1"), badK.getMessage)
+    // tokenize consumes the saved artifact: after ALL 4 merges each
+    // word is one symbol -> n_bpe_tokens == n_words per doc (3 each)
+    val tok = Main.run(spark, Seq("tokenize", s"$tmp/corpus", s"$tmp/bpe",
+      s"$tmp/toks"), Map.empty)
+    assert(tok == Seq("tokenize task ended, 6 bpe tokens over 2 docs"),
+      tok.mkString("\n"))
+    val perDoc = spark.read.parquet(s"$tmp/toks").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))).toMap
+    assert(perDoc == Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L))), s"$perDoc")
   }
 
   test("compact --spansigs/--sigs folds sidecar generations into one, disposition unchanged") {

@@ -463,6 +463,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(DocumentQueries.bpeMergesDriver(corpus, k = 25)) ==
       rows(DocumentQueries.bpeMerges(corpus, k = 25)),
       "driver trainer diverges from the relational loop on the corpus")
+    // apply off the SAVED artifact (rank-priority tokenize) must equal
+    // training-time tokenization symbol-for-symbol — on the fixture and
+    // on the corpus slice, at a k deep enough for multi-symbol merges
+    def tokRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(tokRows(DocumentQueries.bpeTokenCountsFromMerges(docs,
+        DocumentQueries.bpeMergesDriver(docs, k = 2))) ==
+      tokRows(DocumentQueries.bpeTokenCounts(docs, k = 2)),
+      "artifact apply diverges from training-time tokenization (fixture)")
+    assert(tokRows(DocumentQueries.bpeTokenCountsFromMerges(corpus,
+        DocumentQueries.bpeMergesDriver(corpus, k = 25))) ==
+      tokRows(DocumentQueries.bpeTokenCounts(corpus, k = 25)),
+      "artifact apply diverges from training-time tokenization (corpus)")
+    // a non-artifact table is refused loudly
+    val eTok = intercept[IllegalArgumentException] {
+      DocumentQueries.bpeTokenCountsFromMerges(docs,
+        DocumentQueries.bpeMergesDriver(docs, k = 2).drop("rhs"))
+    }
+    assert(eTok.getMessage.contains("rhs"), eTok.getMessage)
   }
 
   test("temperature sampling refuses null lang and null text loudly (d27)") {
