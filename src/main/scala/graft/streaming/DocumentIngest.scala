@@ -160,17 +160,17 @@ object DocumentIngest {
     * the moment the batch lands — the d24 audit convention). */
   private def decontamBatch(pinned: org.apache.spark.sql.Dataset[Row],
       dir: String, batchId: Long, n: Int): Unit = {
-    val sp = pinned.sparkSession
-    import sp.implicits._
+    val s = pinned.sparkSession
+    import s.implicits._
     val docs = pinned.select(col("doc_id"), col("text"))
     val sigsPath = new org.apache.hadoop.fs.Path(s"$dir/evalsigs")
-    val fs = sigsPath.getFileSystem(sp.sessionState.newHadoopConf())
+    val fs = sigsPath.getFileSystem(s.sessionState.newHadoopConf())
     val hasGens = fs.exists(sigsPath) &&
       fs.listStatus(sigsPath).exists(_.getPath.getName.startsWith("batch="))
     val standing =
       if (hasGens)
         graft.queries.DocumentQueries.foldEvalNgramSignatures(
-          sp.read.parquet(sigsPath.toString)
+          s.read.parquet(sigsPath.toString)
             .filter(col("batch") =!= batchId)
             .select("fp", "eval_df", "min_eval_doc", "n"))
       else Seq.empty[(String, Long, Long, Long)]
