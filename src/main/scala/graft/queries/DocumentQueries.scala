@@ -3,6 +3,7 @@ package graft.queries
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -164,6 +165,58 @@ object DocumentQueries {
     * (doc_id, n) pairs, never the text; the result is provably
     * independent of nBuckets (spec-pinned), so a 1000-executor run just
     * raises the bucket count. */
+  /** d40: epoch shuffle — the data-loader ordering step ABOVE d26: a
+    * deterministic, per-epoch permutation of the packed sequences. Per
+    * (epoch, seq_id) the shuffle key is md5("<epoch>:<seq_id>") — the
+    * repo's fingerprint discipline doing double duty as a shuffle PRNG:
+    * cross-engine exact, full avalanche (the d13/d27 rolling char hash
+    * is the WRONG tool here — base-31 folding is order-preserving over
+    * short same-length strings, so sequential seq_ids would come out
+    * nearly unshuffled). The training order is a pure function of
+    * (epoch, seq_id): reproducible across runs and engines, resumable
+    * mid-epoch, different every epoch. Output: one row per epoch ×
+    * sequence, (epoch, position, seq_id), position a dense 1..N
+    * permutation per epoch.
+    *
+    * Scale shape (the d26 two-phase discipline — a global rank with NO
+    * corpus-wide single-partition window): keys range-bucket on their
+    * own hex PREFIX (order-preserving by construction: sorting by
+    * (prefix, key) is sorting by key), within-bucket ranks are
+    * PARTITIONED windows, and the per-(epoch, bucket) counts —
+    * metadata, not data — take an exclusive prefix sum over epochs ×
+    * 16^prefixLen rows and broadcast back as an equi-join. Positions
+    * are provably prefix-length-independent (spec-pinned). */
+  def epochShuffle(slices: DataFrame, epochs: Int,
+      bucketPrefixLen: Int = 2): DataFrame = {
+    val s = slices.sparkSession
+    import s.implicits._
+    require(epochs >= 1 && bucketPrefixLen >= 1 && bucketPrefixLen <= 8,
+      s"epochShuffle: need epochs >= 1 and 1 <= bucketPrefixLen <= 8 " +
+        s"(got $epochs, $bucketPrefixLen)")
+    val keyed = slices.select($"seq_id").distinct()
+      .withColumn("epoch", explode(expr(s"sequence(0, ${epochs - 1})")))
+      .withColumn("k",
+        md5(concat($"epoch".cast("string"), lit(":"),
+          $"seq_id".cast("string"))))
+      .withColumn("bucket", substring($"k", 1, bucketPrefixLen))
+    val withinW = Window.partitionBy($"epoch", $"bucket")
+      .orderBy($"k", $"seq_id")
+    val offW = Window.partitionBy($"epoch").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy($"epoch", $"bucket")
+      .agg(count(lit(1)).as("c"))
+      // epochs × 16^prefixLen metadata rows — the bounded-window
+      // contract, pinned structurally like d26's bucket totals
+      .limit(epochs * math.pow(16, bucketPrefixLen.toDouble).toInt)
+      .withColumn("off", coalesce(sum($"c").over(offW), lit(0L)))
+    keyed
+      .withColumn("rn", row_number().over(withinW))
+      .join(broadcast(offsets.select($"epoch", $"bucket", $"off")),
+        Seq("epoch", "bucket"))
+      .select($"epoch".cast("long").as("epoch"),
+        ($"off" + $"rn").cast("long").as("position"), $"seq_id")
+  }
+
   def packSequences(docs: DataFrame, seqLen: Long,
       nBuckets: Int): DataFrame = {
     val s = docs.sparkSession
@@ -558,6 +611,19 @@ object DocumentQueries {
         Tables(s, dir, "documents").select($"doc_id", $"text"),
         seqLen = 256, nBuckets = 8)
         .orderBy($"seq_id", $"doc_id")
+    },
+
+    // d40 epoch shuffle: the loader ordering above d26 — deterministic
+    // seeded per-epoch permutation of the packed sequences (see
+    // epochShuffle for the two-phase dense-rank shape).
+    "d40_epoch_shuffle" -> { (s, dir) =>
+      import s.implicits._
+      DocumentQueries.epochShuffle(
+        DocumentQueries.packSequences(
+          Tables(s, dir, "documents").select($"doc_id", $"text"),
+          seqLen = 256, nBuckets = 8),
+        epochs = 2)
+        .orderBy($"epoch", $"position")
     },
 
     // d27 temperature sampling: per-language keep-rates from the
@@ -2069,6 +2135,40 @@ object DocumentQueries {
            least(off + n, (seq_id + 1) * 256)
              - greatest(off, seq_id * 256) AS n_toks
          FROM e ORDER BY seq_id, doc_id""",
+    // d40: d26's packing CTEs for the sequence set, then
+    // md5("<epoch>:<seq_id>") and a plain per-epoch row_number (the
+    // oracle needn't be scale-shaped; the engine's bucketed two-phase
+    // rank must MATCH this dense rank exactly)
+    "d40_epoch_shuffle" ->
+      s"""WITH n AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, n,
+             coalesce(CAST(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS off
+           FROM n),
+         e AS (
+           SELECT doc_id, n, off,
+             unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS seq_id
+           FROM c WHERE n > 0),
+         seqs AS (SELECT DISTINCT seq_id FROM e),
+         ep AS (
+           SELECT seq_id, ee.epoch
+           FROM seqs, (SELECT unnest(range(2)) AS epoch) ee),
+         k AS (
+           SELECT epoch, seq_id,
+             md5(CAST(epoch AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR))
+               AS k
+           FROM ep)
+         SELECT epoch,
+           CAST(row_number() OVER (PARTITION BY epoch
+             ORDER BY k, seq_id) AS BIGINT) AS position,
+           seq_id
+         FROM k ORDER BY epoch, position""",
     // d27: same rate formula (sqrt of an exact-long double quotient,
     // floor'd basis points) and the same seed-13 rolling hash mod 10000;
     // list_prepend(13, []) on empty text reduces to the seed, matching

@@ -887,6 +887,37 @@ class OperatorsSpec extends SparkSpec {
     assert(eF.getMessage.contains("different"), eF.getMessage)
   }
 
+  test("epoch shuffle: dense per-epoch permutation, deterministic, bucket-independent (d40)") {
+    import spark.implicits._
+    val docs = Tables(spark, sfSmoke, "documents").limit(120)
+      .select("doc_id", "text")
+    val slices = DocumentQueries.packSequences(docs, seqLen = 64, nBuckets = 4)
+    val nSeqs = slices.select("seq_id").distinct().count()
+    val sh = DocumentQueries
+      .epochShuffle(slices, epochs = 3, bucketPrefixLen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every epoch is a dense 1..N permutation of the sequence set
+    (0L to 2L).foreach { e =>
+      val pos = sh.filter(_._1 == e).map(_._2).sorted.toSeq
+      assert(pos == (1L to nSeqs).toSeq, s"epoch $e is not a permutation")
+    }
+    // epochs genuinely reorder (same set, different order), and the
+    // order is not the trivial id order
+    val order0 = sh.filter(_._1 == 0).sortBy(_._2).map(_._3).toSeq
+    val order1 = sh.filter(_._1 == 1).sortBy(_._2).map(_._3).toSeq
+    assert(order0.toSet == order1.toSet)
+    assert(order0 != order1, "epochs 0 and 1 shuffled identically")
+    assert(order0 != order0.sorted, "epoch 0 left sequences in id order")
+    // the two-phase dense rank is provably bucket-granularity-
+    // independent — positions are a pure function of (epoch, seq_id),
+    // so a cluster raising the bucket count for parallelism changes
+    // nothing
+    val sh3 = DocumentQueries
+      .epochShuffle(slices, epochs = 3, bucketPrefixLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sh3 == sh.toSet, "positions depend on the bucket granularity")
+  }
+
   test("d30 and d32 are referentially consistent on a real corpus") {
     // the report and the remediation must agree: every d30 witness
     // (min_train_doc) is a doc d32 says to DROP, and every d32 witness

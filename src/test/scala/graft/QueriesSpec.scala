@@ -66,6 +66,7 @@ class QueriesSpec extends SparkSpec {
     // d35: the vocab-size scalar aggregate cross-joined (the d23 shape
     // one grain up)
     // d26: the min/max doc_id bounds scalar cross-joined for bucketing
+    // (d40 composes packSequences and inherits the same scalar join)
     // d27/d31: the c_min scalar cross-joined onto the #langs-row rate
     // table (d31 builds the same rate table over its survivor corpus)
     // (d29's per-round crossJoin(broadcast(LIMIT 1)) never reaches these
@@ -80,7 +81,7 @@ class QueriesSpec extends SparkSpec {
       "s06_quantized_rerank", "s07_truncated_rerank",
       "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
-      "d26_pack_sequences", "d27_temperature_sample",
+      "d26_pack_sequences", "d40_epoch_shuffle", "d27_temperature_sample",
       "d31_curation_funnel", "d35_bigram_logprob",
       "d38_mix_epochs")
     // top-level conjunct split: `a =!= b` CONTAINS an EqualTo node, so a
