@@ -46,7 +46,7 @@ object ScaleBench {
       "d30_ngram_decontam" :+ "d31_curation_funnel" :+
       "d32_train_decontam" :+ "d35_bigram_logprob" :+
       "d36_incr_span_dedup" :+ "d37_hot_ngrams" :+
-      "d39_incr_decontam" :+ "s08_ivfpq_rerank"
+      "d39_incr_decontam" :+ "d40_epoch_shuffle" :+ "s08_ivfpq_rerank"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything
