@@ -167,6 +167,80 @@ object EmbeddingQueries {
     bits.mkString(" + ")
   }
 
+  // ---- s09: SemDeDup — semantic dedup inside trained IVF cells ---------
+  /** s09's similarity bar. At the corpus's isotropic geometry (pairwise
+    * cosines center ~0.33) 0.45 sits in the far tail — high enough that
+    * a hit means genuine semantic redundancy, low enough that the
+    * disposition is non-trivial on the test corpora. */
+  private[queries] val semTau = 0.45
+
+  /** s09 as a reusable operator over any (vec_id, v: array<double>)
+    * frame: SemDeDup-style semantic deduplication (Abbas et al. 2023's
+    * shape — k-means-cluster the corpus, compare pairs only WITHIN a
+    * cluster, keep one member per redundant pair). Clustering is s04's
+    * trained coarse quantizer (fixed sign-seed init + one decimal-exact
+    * spherical Lloyd round — shared machinery, bit-equal on any
+    * engine), so the whole disposition is deterministic and fully
+    * SQL-oracle-checkable.
+    *
+    * Keep policy (the paper's): of a similar pair, KEEP the member
+    * FARTHER from its cell centroid — pruning toward diversity keeps
+    * the cluster's periphery, dropping redundant mass near the center;
+    * ties (equal centroid cosine) keep the lower vec_id. A dropped
+    * member records `canon` = the lowest-id neighbor it lost to and
+    * `n_sim` = how many similar neighbors beat it.
+    *
+    * Scale shape: the within-cell pair join is SemDeDup's own stated
+    * cost — n²/k per cell, held linear in practice by training k ∝
+    * corpus size (the paper runs 50k clusters on LAION; here k=16 on
+    * 500–5k vectors keeps the same cells-×-pairs balance). Spark-side
+    * it is a cell equi-join: vectors shuffle ONCE on the int cell key,
+    * each cell's pairs compute independently, and the ≤16-row centroid
+    * table is a broadcast. Nothing corpus-wide ever cross-joins. */
+  def semDedup(emb: DataFrame, tau: Double = semTau): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val e = emb.select($"vec_id", $"v")
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    // --- s04's trained coarse quantizer, shared machinery ---
+    val dotsArr = expr(sparkIvfDots("v"))
+    val arg0W = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
+    val assign0 = e
+      .select($"vec_id", $"v", $"nrm",
+        posexplode_outer(dotsArr).as(Seq("cell", "dot")))
+      .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    val c1 = recenter(assign0).materialize()
+    // craw = cosine(member, learned centroid) — UNROUNDED for the keep
+    // policy (the raw doubles are bit-equal cross-engine, so comparing
+    // them is deterministic; rounding first could flip a near-tie
+    // differently than the oracle), rounded only on output.
+    val corpus = assignTo(e, c1).filter($"rn" === 1)
+      .withColumn("craw", $"dot" / $"nrm")
+      .select($"vec_id", $"v", $"nrm", $"cell", $"craw")
+    val a = corpus.select($"vec_id".as("a_id"), $"v".as("av"),
+      $"nrm".as("an"), $"cell", $"craw".as("a_craw"))
+    val b = corpus.select($"vec_id".as("b_id"), $"v".as("bv"),
+      $"nrm".as("bn"), $"cell".as("b_cell"), $"craw".as("b_craw"))
+    val pairs = a.join(b, $"cell" === $"b_cell" && $"a_id" < $"b_id")
+      .filter(dot("av", "bv") / ($"an" * $"bn") >= tau)
+    val losers = pairs.select(
+      when($"a_craw" > $"b_craw", $"a_id")
+        .when($"b_craw" > $"a_craw", $"b_id")
+        .otherwise($"b_id").as("vec_id"),
+      when($"a_craw" > $"b_craw", $"b_id")
+        .when($"b_craw" > $"a_craw", $"a_id")
+        .otherwise($"a_id").as("kept_id"))
+      .groupBy($"vec_id")
+      .agg(min($"kept_id").as("canon"), count(lit(1)).as("n_sim"))
+    corpus.join(losers, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        round($"craw", 4).as("centroid_sim"),
+        when($"canon".isNull, "keep").otherwise("drop").as("decision"),
+        $"canon", coalesce($"n_sim", lit(0L)).as("n_sim"))
+      .orderBy($"vec_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // ---- s01: exact brute-force cosine top-5 for queries vec_id < 20 -----
     "s01_knn_bruteforce" -> { (s, dir) =>
@@ -480,6 +554,14 @@ object EmbeddingQueries {
         .orderBy($"q_id", $"rnk")
     },
 
+    // ---- s09: SemDeDup — semantic dedup inside the trained IVF cells -----
+    // Full corpus disposition (every vector keep/drop + its cell and
+    // centroid cosine), so the oracle hash checks the trained quantizer
+    // end to end even when the drop set is small. See [[semDedup]].
+    "s09_semdedup" -> { (s, dir) =>
+      semDedup(vecs(s, dir), semTau)
+    },
+
     "s06_quantized_rerank" -> { (s, dir) =>
       import s.implicits._
       val e = vecs(s, dir)
@@ -676,6 +758,34 @@ object EmbeddingQueries {
            FROM rer)
          SELECT q_id, rnk, c_id, cos_sim, coarse_sim FROM r WHERE rnk <= 5
          ORDER BY q_id, rnk""",
+    // s09: the s04 prelude (same trained quantizer), then the within-cell
+    // pair scan and the farther-from-centroid keep policy replayed on
+    // UNROUNDED centroid cosines (bit-equal doubles both engines)
+    "s09_semdedup" ->
+      s"""WITH $duckIvfPrelude,
+         corpus AS (
+           SELECT vec_id, v, nrm, cell, dot / nrm AS craw
+           FROM cells1 WHERE rn = 1),
+         pairs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             a.craw AS a_craw, b.craw AS b_craw
+           FROM corpus a JOIN corpus b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+             AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $semTau),
+         losers AS (
+           SELECT CASE WHEN a_craw > b_craw THEN a_id
+                       WHEN b_craw > a_craw THEN b_id ELSE b_id END AS vec_id,
+                  CASE WHEN a_craw > b_craw THEN b_id
+                       WHEN b_craw > a_craw THEN a_id ELSE a_id END AS kept_id
+           FROM pairs),
+         lo AS (
+           SELECT vec_id, min(kept_id) AS canon, count(*) AS n_sim
+           FROM losers GROUP BY vec_id)
+         SELECT c.vec_id, c.cell, round(c.craw, 4) AS centroid_sim,
+           CASE WHEN lo.canon IS NULL THEN 'keep' ELSE 'drop' END AS decision,
+           lo.canon AS canon, coalesce(lo.n_sim, 0) AS n_sim
+         FROM corpus c LEFT JOIN lo ON c.vec_id = lo.vec_id
+         ORDER BY c.vec_id""",
     "s05_quantize_int8" ->
       """WITH n AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -113,6 +113,53 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF+PQ recall vs exact top-5 too low: $recall")
   }
 
+  test("SemDeDup drops exactly one of a planted near-identical pair, " +
+    "keeping the member farther from its centroid (s09)") {
+    import spark.implicits._
+    // 40 deterministic pseudo-random vectors + vec 100 ≈ vec 0 (cosine
+    // ~0.9999): the planted pair must land in one cell and lose exactly
+    // one member; everything else is isotropic noise far below the bar
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(64) { i =>
+        var z = (seed.toLong << 32 | i.toLong) + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z ^= z >>> 27
+        (z % 1000L).toDouble / 1000.0
+      }
+    val near = vec(0).clone(); near(0) += 0.001
+    val rows = (0 until 40).map(i => (i.toLong, vec(i))) :+ (100L, near)
+    val out = EmbeddingQueries.semDedup(rows.toDF("vec_id", "v")).collect()
+    assert(out.length == 41, "disposition must cover every vector once")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val (d0, d100) = (byId(0L), byId(100L))
+    val decisions = Seq(d0, d100).map(_.getString(3))
+    assert(decisions.sorted == Seq("drop", "keep"),
+      s"planted pair must lose exactly one member, got $decisions")
+    val (dropped, kept) = if (d0.getString(3) == "drop") (d0, d100) else (d100, d0)
+    // the keep policy: the dropped member sits CLOSER to the centroid
+    assert(dropped.getDouble(2) >= kept.getDouble(2),
+      "SemDeDup must keep the member farther from its cell centroid")
+    assert(dropped.getLong(4) == kept.getLong(0),
+      "a dropped member's canon must be the neighbor it lost to")
+    assert(dropped.getLong(5) >= 1L)
+  }
+
+  test("SemDeDup disposition is a partition with same-cell canons (s09)") {
+    val out = EmbeddingQueries.queries("s09_semdedup")(spark, sfSmoke).collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    val cellOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.filter(_.getString(3) == "drop").foreach { r =>
+      val canon = r.getLong(4)
+      assert(canon != r.getLong(0), "canon must be a different vector")
+      assert(cellOf.contains(canon), "canon must be a corpus vector")
+      // SemDeDup never compares across cells, so the lost-to neighbor
+      // shares the dropped member's cell by construction
+      assert(cellOf(canon) == r.getLong(1), "canon must share the cell")
+    }
+    out.filter(_.getString(3) == "keep")
+      .foreach(r => assert(r.isNullAt(4) && r.getLong(5) == 0L))
+  }
+
   test("PII scrubber redacts emails and IPv4s, counts them, leaves prose alone (d20)") {
     import spark.implicits._
     val df = Seq(
