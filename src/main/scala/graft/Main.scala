@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max, sum, when}
 
 import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Transform}
 
@@ -111,7 +111,10 @@ object Main {
       |  graft.Main decontam <corpusDir> <outDir> [--n <tokens>]
       |  graft.Main bpetrain <corpusDir> <outDir> [--merges <k>]
       |  graft.Main tokenize <corpusDir> <mergesDir> <outDir>
-      |  graft.Main pack <corpusDir> <outDir> [--seq-len <tokens>]""".stripMargin
+      |  graft.Main pack <corpusDir> <outDir> [--seq-len <tokens>]
+      |  graft.Main overlap <corpusDir> <outDir>
+      |  graft.Main select <corpusDir> <outDir> [--frac <f>]
+      |  graft.Main semdedup <embeddingsDir> <outDir> [--tau <t>]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -621,6 +624,120 @@ object Main {
         Seq(s"pack task ended, ${pc.getLong(2)} tokens from " +
           s"${pc.getLong(1)} docs packed into ${pc.getLong(0)} " +
           s"sequences of $seqLen")
+      case "overlap" :: rest =>
+        // the d41 cross-source overlap census as a pipeline command:
+        // the full source-pair matrix (distinct-fp sizes, shared count,
+        // Jaccard) — the planning artifact a curation run reads before
+        // deciding which dumps to drop. Prints the worst offender.
+        val opts = flags(rest)
+        val (corpus, out) = opts.positional match {
+          case Seq(c, o) => (c, o)
+          case _ => fail(s"overlap needs <corpusDir> <outDir>\n$usage")
+        }
+        def q6(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q6(out) == q6(corpus))
+          fail("overlap: the output dir must differ from the corpus dir " +
+            "— overwrite would destroy the corpus")
+        val matrix = graft.queries.DocumentQueries.sourceOverlap(
+          spark.read.parquet(corpus).select("doc_id", "text", "source"))
+        matrix.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .parquet(out)
+        val written = spark.read.parquet(out)
+        val nPairs = written.count()
+        val top = written.orderBy(col("jaccard").desc, col("src_a"),
+          col("src_b")).limit(1).collect().headOption
+        val topLine = top.map(r => s"; max overlap ${r.getString(0)}~" +
+          s"${r.getString(1)} jaccard ${r.getDouble(5)} " +
+          s"(${r.getLong(4)} shared)").getOrElse("")
+        Seq(s"overlap task ended, $nPairs source pairs$topLine")
+      case "select" :: rest =>
+        // the d42 token-budget selection as a pipeline command: keep the
+        // best-quality documents until the cumulative token count
+        // reaches --frac of the corpus total; writes the selected
+        // corpus rows (original columns + quality + cum_tok) — the
+        // "best data under a compute budget" emission step.
+        val opts = flags(rest)
+        val (corpus, out) = opts.positional match {
+          case Seq(c, o) => (c, o)
+          case _ => fail(s"select needs <corpusDir> <outDir>\n$usage")
+        }
+        def q7(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q7(out) == q7(corpus))
+          fail("select: the output dir must differ from the corpus dir " +
+            "— overwrite would destroy the corpus")
+        val frac = opts.named.get("--frac").map { v =>
+          val d = try v.toDouble catch {
+            case _: NumberFormatException =>
+              fail(s"select: --frac must be a number, got '$v'")
+          }
+          if (d <= 0.0 || d > 1.0)
+            fail(s"select: --frac must be in (0, 1], got $v")
+          d
+        }.getOrElse(0.25)
+        val docs = spark.read.parquet(corpus)
+        val sel = graft.queries.DocumentQueries.budgetSelect(
+          docs.select("doc_id", "text"), frac = frac,
+          nBuckets = spark.sparkContext.defaultParallelism)
+        docs.join(sel.select("doc_id", "quality", "cum_tok"), Seq("doc_id"))
+          .write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+          .parquet(out)
+        val total = docs.count()
+        val sc = spark.read.parquet(out)
+          .agg(count(lit(1)), coalesce(max("cum_tok"), lit(0L))).head
+        Seq(s"select task ended, ${sc.getLong(0)} of $total docs kept " +
+          s"(${sc.getLong(1)} tokens, frac $frac of corpus)")
+      case "semdedup" :: rest =>
+        // the s09 SemDeDup disposition as a pipeline command over an
+        // embeddings table (vec_id, embedding): cluster with the trained
+        // coarse quantizer, drop the redundant member of every
+        // within-cell similar pair. Writes the full disposition (the
+        // manifest a corpus join consumes via vec_id).
+        val opts = flags(rest)
+        val (emb, out) = opts.positional match {
+          case Seq(c, o) => (c, o)
+          case _ => fail(s"semdedup needs <embeddingsDir> <outDir>\n$usage")
+        }
+        def q8(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q8(out) == q8(emb))
+          fail("semdedup: the output dir must differ from the embeddings " +
+            "dir — overwrite would destroy the table")
+        val tau = opts.named.get("--tau").map { v =>
+          val d = try v.toDouble catch {
+            case _: NumberFormatException =>
+              fail(s"semdedup: --tau must be a number, got '$v'")
+          }
+          if (d <= 0.0 || d > 1.0)
+            fail(s"semdedup: --tau must be in (0, 1], got $v")
+          d
+        }.getOrElse(0.45)
+        val vecs = spark.read.parquet(emb)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val disp = graft.queries.EmbeddingQueries.semDedup(vecs, tau)
+        disp.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .parquet(out)
+        val dc = spark.read.parquet(out).groupBy("decision").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val totalV = dc.values.sum
+        Seq(s"semdedup task ended, ${dc.getOrElse("keep", 0L)} of $totalV " +
+          s"vectors kept (${dc.getOrElse("drop", 0L)} semantic duplicates " +
+          s"dropped at tau $tau)")
       case "stream" :: rest if {
           // the two modes take different positional arities; an arity
           // that matches NEITHER mode (e.g. --queue-dir plus a landing

@@ -39,14 +39,23 @@ object ScaleBench {
   // linear-by-necessity like d30/d32, artifact side bounded; s08 because
   // its PQ build (subvector explode + reassembly groupBy) is the one new
   // corpus-proportional vector shape (needs ScaleGen's embeddings table,
-  // regenerated round 13)
+  // regenerated round 13);
+  // d41 because its CLAIM is that the census stays one fp-grain pass
+  // with catalog-bounded metadata joins (the pair count must not grow a
+  // corpus-shaped term beyond the groupBy); d42 because it is the d26
+  // two-phase prefix-sum discipline on the QUALITY axis — the cell
+  // measures that the bucketed decomposition, not a global sort, holds
+  // as the corpus grows; s09 because its within-cell pair scan is the
+  // n²/k SemDeDup cost — the cell shows how the FIXED k=16 quantizer
+  // degrades with corpus growth (the documented knob real runs raise)
   private val Queries =
     graft.queries.DedupQueries.scopedQueryNames.toSeq.sorted :+
       "d26_pack_sequences" :+ "d28_span_dedup" :+ "d29_bpe_merges" :+
       "d30_ngram_decontam" :+ "d31_curation_funnel" :+
       "d32_train_decontam" :+ "d35_bigram_logprob" :+
       "d36_incr_span_dedup" :+ "d37_hot_ngrams" :+
-      "d39_incr_decontam" :+ "d40_epoch_shuffle" :+ "s08_ivfpq_rerank"
+      "d39_incr_decontam" :+ "d40_epoch_shuffle" :+ "s08_ivfpq_rerank" :+
+      "d41_source_overlap" :+ "d42_budget_select" :+ "s09_semdedup"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

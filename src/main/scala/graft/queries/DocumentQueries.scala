@@ -783,7 +783,128 @@ object DocumentQueries {
       import s.implicits._
       DocumentQueries.curationFunnel(Tables(s, dir, "documents"))
         .orderBy($"doc_id")
+    },
+
+    // ---- d41: cross-source overlap census (see [[sourceOverlap]]) --------
+    "d41_source_overlap" -> { (s, dir) =>
+      sourceOverlap(Tables(s, dir, "documents"))
+    },
+
+    // ---- d42: token-budget selection (see [[budgetSelect]]) --------------
+    "d42_budget_select" -> { (s, dir) =>
+      budgetSelect(Tables(s, dir, "documents"))
     })
+
+  /** d41: cross-source overlap census — which crawl dumps/sources
+    * duplicate each other. Per unordered source pair: the number of
+    * distinct document fingerprints (md5 of the exact text, the d01
+    * grain) present in BOTH, plus the Jaccard over the two sources' fp
+    * sets. EVERY pair is emitted (zero overlap included) so the output
+    * reads as the full de-duplication planning matrix a curation run
+    * starts from ("drop dump B, it is 40% dump A").
+    *
+    * Scale shape: ONE fp-grain groupBy — the text never shuffles, only
+    * md5 fps do. Each fp carries its source-membership set (bounded by
+    * |sources|, a catalog constant, not by corpus size); pairs explode
+    * from that bounded set and count with map-side combine. Per-source
+    * sizes and the pair skeleton are |sources|²-bounded metadata — the
+    * skeleton self-join and the counts join both broadcast. Jaccard is
+    * emitted under the floor-scaling discipline (exact integer inputs →
+    * identical IEEE division + floor on both engines). */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // all unordered pairs from a sorted `srcs` array (1-based slice off
+    // each element's 0-based index) — shared by the per-fp membership
+    // explode and the catalog skeleton
+    val pairsOf = (srcs: String) => expr(
+      s"""flatten(transform($srcs, (a, i) ->
+            transform(slice($srcs, i + 2, size($srcs) - i - 1),
+              b -> struct(a AS src_a, b AS src_b))))""")
+    // ONE corpus pass: fp-grain groupBy with the per-fp source-membership
+    // set (collect_set dedups same-source copies — distinct-fp grain).
+    // Everything downstream is fp- and text-free metadata.
+    val byFp = docs.select($"source", md5($"text").as("fp"))
+      .groupBy($"fp")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
+    val sizes = byFp.select(explode($"srcs").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("n_fp"))
+    val shared = byFp.select(explode(pairsOf("srcs")).as("p"))
+      .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // the pair skeleton: the source CATALOG collapses to one scalar-
+    // aggregate row and explodes to |sources|² pairs — every join below
+    // is an equi-join on source names (no hint needed: the sides are
+    // catalog-sized, AQE's stats-based auto-broadcast is the right
+    // mechanism and re-decides per deployment)
+    val skeleton = sizes
+      .agg(sort_array(collect_set($"source")).as("srcs"))
+      .select(explode(pairsOf("srcs")).as("p"))
+      .select($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
+    skeleton
+      .join(sizes.select($"source".as("src_a"), $"n_fp".as("n_a")), Seq("src_a"))
+      .join(sizes.select($"source".as("src_b"), $"n_fp".as("n_b")), Seq("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce($"n_shared", lit(0L)))
+      .withColumn("jaccard",
+        floor($"n_shared" * lit(1000000.0) / ($"n_a" + $"n_b" - $"n_shared"))
+          / lit(1000000.0))
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_shared", $"jaccard")
+      .orderBy($"src_a", $"src_b")
+  }
+
+  /** d42: token-budget data selection — the "best data under a compute
+    * budget" step (the data-constrained-scaling recipe): rank the corpus
+    * by the d09 quality score and keep documents, best first, until the
+    * cumulative whitespace-token count reaches `frac` of the corpus
+    * total. Output: the selected docs with their global cumulative token
+    * position (strictly increasing — n_tok >= 1 — so the order is
+    * total). Global order is (quality DESC, doc_id) — the rounded d09
+    * score, exact on both engines, with the id tie-break.
+    *
+    * Scale shape — the global prefix sum is the whole difficulty, and a
+    * bare `Window.orderBy(quality)` would funnel the corpus through ONE
+    * task (the q30 hazard, spec-banned gate-wide). The d26 two-phase
+    * discipline instead, on the QUALITY axis: the d09 score is bounded
+    * (≤ 1), so docs range-bucket by `floor(quality·nBuckets)` (clamped
+    * below 0 into the bottom bucket — the clamp only collapses the
+    * lowest range, so bucket order stays aligned with quality order);
+    * within-bucket running sums are PARTITIONED windows; the nBuckets
+    * bucket totals — metadata, not data — take an exclusive prefix sum
+    * in DESCENDING bucket order under an explicit limit(nBuckets) bound
+    * and broadcast back as an equi-join. The budget scalar is one exact
+    * integer aggregate broadcast as a 1-row GlobalLimit crossJoin. The
+    * result is provably independent of nBuckets (spec-pinned), so a
+    * 1000-executor run just raises the bucket count. */
+  def budgetSelect(docs: DataFrame, frac: Double = 0.25,
+      nBuckets: Int = 16): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(frac > 0.0 && frac <= 1.0 && nBuckets > 0,
+      s"budgetSelect: need 0 < frac <= 1 and nBuckets > 0 (got $frac, $nBuckets)")
+    val q = withQuality(docs).select($"doc_id", $"n_tok", $"quality")
+    val budget = q.agg(floor(sum($"n_tok") * lit(frac)).cast("long")
+      .as("budget")).limit(1)
+    val bucketed = q.withColumn("qb",
+      least(greatest(floor($"quality" * nBuckets).cast("int"), lit(0)),
+        lit(nBuckets - 1)))
+    val withinW = Window.partitionBy($"qb").orderBy($"quality".desc, $"doc_id")
+    val offW = Window.orderBy($"qb".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy($"qb").agg(sum($"n_tok").as("btok"))
+      // nBuckets metadata rows — the bounded-window contract (the d26
+      // bucket-totals shape), pinned structurally by the explicit limit
+      .limit(nBuckets)
+      .withColumn("off", coalesce(sum($"btok").over(offW), lit(0L)))
+    bucketed
+      .withColumn("cum_in", sum($"n_tok").over(withinW))
+      .join(broadcast(offsets.select($"qb", $"off")), Seq("qb"))
+      .crossJoin(broadcast(budget))
+      .withColumn("cum_tok", $"off" + $"cum_in")
+      .filter($"cum_tok" <= $"budget")
+      .select($"doc_id", $"quality", $"n_tok", $"cum_tok")
+      .orderBy($"cum_tok")
+  }
 
   /** d29 BPE merge statistics — the iterative pair-merge loop a
     * tokenizer-training pipeline runs (d18 gives the unigram vocab;
@@ -822,7 +943,7 @@ object DocumentQueries {
     * convention ("aaa" counts (a,a) twice) — both engines count
     * adjacent positions, not disjoint matches. */
   def bpeMerges(docs: DataFrame, k: Int): DataFrame =
-    bpeTrain(docs, k)._2.reduce(_.unionAll(_))
+    bpeTrain(docs, k)._2.reduce(_.union(_))
 
   /** The trained tokenizer APPLIED (d29b): per-doc token counts under
     * the k-merge BPE table — the number a data loader budgets sequences
@@ -2481,5 +2602,50 @@ object DocumentQueries {
           LEFT JOIN r USING (lang)
           JOIN sb h ON h.doc_id = b.doc_id
           JOIN splits sp ON sp.doc_id = b.doc_id
-          ORDER BY b.doc_id""")
+          ORDER BY b.doc_id""",
+    // d41: per-source distinct fp sets, the shared-fp pair count via a
+    // fp equi-join (the oracle can afford the join; the engine's
+    // membership-set explode is the scale form of the same count), the
+    // full pair skeleton from the sizes self-join, Jaccard under the
+    // floor-scaling discipline
+    "d41_source_overlap" ->
+      """WITH f AS (SELECT DISTINCT source, md5(text) AS fp FROM documents),
+         sizes AS (SELECT source, count(*) AS n_fp FROM f GROUP BY source),
+         cnt AS (
+           SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+           FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, sa.n_fp AS n_a, sb.n_fp AS n_b,
+           coalesce(cnt.n_shared, 0) AS n_shared,
+           floor(coalesce(cnt.n_shared, 0) * 1000000.0
+             / (sa.n_fp + sb.n_fp - coalesce(cnt.n_shared, 0)))
+             / 1000000.0 AS jaccard
+         FROM (SELECT a.source AS src_a, b.source AS src_b
+               FROM sizes a JOIN sizes b ON a.source < b.source) p
+         JOIN sizes sa ON sa.source = p.src_a
+         JOIN sizes sb ON sb.source = p.src_b
+         LEFT JOIN cnt ON cnt.src_a = p.src_a AND cnt.src_b = p.src_b
+         ORDER BY p.src_a, p.src_b""",
+    // d42: the d09 quality formula verbatim, one global running sum
+    // ordered (quality DESC, doc_id) — the oracle can afford the
+    // single-partition window the engine's two-phase bucket sum
+    // deliberately avoids — and the take-while-under-budget filter
+    "d42_budget_select" ->
+      s"""WITH base AS (
+           SELECT doc_id, $duckQualityCols
+           FROM documents),
+         q AS (
+           SELECT doc_id, n_tok, $duckQualityExpr AS quality
+           FROM base),
+         t AS (SELECT CAST(floor(0.25 * sum(n_tok)) AS BIGINT) AS budget
+               FROM q),
+         c AS (
+           SELECT doc_id, quality, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           FROM q)
+         SELECT doc_id, quality, n_tok, cum_tok
+         FROM c, t WHERE cum_tok <= budget
+         ORDER BY cum_tok""")
 }
+

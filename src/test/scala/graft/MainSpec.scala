@@ -750,6 +750,88 @@ class MainSpec extends SparkSpec {
       s"${packOut.mkString("\n")} (expected $keptTokens tokens, $keptN docs)")
   }
 
+  test("overlap: source-pair matrix written, worst offender printed") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-overlap").toString
+    Seq((0L, "shared one", "A"), (1L, "shared one", "A"),
+        (2L, "shared one", "B"), (3L, "shared two", "A"),
+        (4L, "shared two", "C"), (5L, "only b", "B"), (6L, "only c", "C"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$tmp/corpus")
+    val out = Main.run(spark,
+      Seq("overlap", s"$tmp/corpus", s"$tmp/matrix"), Map.empty)
+    // jaccard tie A~B / A~C breaks on (src_a, src_b)
+    assert(out == Seq("overlap task ended, 3 source pairs; " +
+      "max overlap A~B jaccard 0.333333 (1 shared)"), out.mkString("\n"))
+    val m = spark.read.parquet(s"$tmp/matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(m == Map(("A", "B") -> 1L, ("A", "C") -> 1L, ("B", "C") -> 0L))
+    val same = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("overlap", s"$tmp/corpus", s"$tmp/corpus"),
+        Map.empty)
+    }
+    assert(same.getMessage.contains("differ"), same.getMessage)
+  }
+
+  test("select: budget prefix kept with original columns, frac validated") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-select").toString
+    // three 10-token docs with strictly ordered d09 quality (stopword
+    // ratio descending); budget floor(0.4 * 30) = 12 keeps exactly the
+    // best one (cum 10 <= 12, next cum 20 > 12)
+    Seq((1L, "the a the a the a w x y z", "en"),
+        (2L, "the a w w w w w w w w", "en"),
+        (3L, "w w w w w w w w w w", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$tmp/corpus")
+    val out = Main.run(spark, Seq("select", s"$tmp/corpus", s"$tmp/sel",
+      "--frac", "0.4"), Map.empty)
+    assert(out == Seq(
+      "select task ended, 1 of 3 docs kept (10 tokens, frac 0.4 of corpus)"),
+      out.mkString("\n"))
+    val sel = spark.read.parquet(s"$tmp/sel").collect()
+    assert(sel.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    // original columns survive the join; the manifest columns ride along
+    assert(sel.head.getAs[String]("lang") == "en")
+    assert(sel.head.getAs[Long]("cum_tok") == 10L)
+    // frac 1.0 keeps everything
+    val all = Main.run(spark, Seq("select", s"$tmp/corpus", s"$tmp/sel2",
+      "--frac", "1.0"), Map.empty)
+    assert(all.head.startsWith("select task ended, 3 of 3 docs kept"))
+    val bad = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("select", s"$tmp/corpus", s"$tmp/sel3",
+        "--frac", "1.5"), Map.empty)
+    }
+    assert(bad.getMessage.contains("(0, 1]"), bad.getMessage)
+  }
+
+  test("semdedup: within-cell near-identical vectors deduped at --tau") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-semdedup").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64) { i =>
+        var z = (seed.toLong << 32 | i.toLong) + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z ^= z >>> 27
+        ((z % 1000L).toFloat / 1000.0f)
+      }
+    val near = vec(3).clone(); near(0) += 0.001f
+    val rows = (0 until 10).map(i => (i.toLong, vec(i))) :+ (100L, near)
+    rows.toDF("vec_id", "embedding").write.parquet(s"$tmp/emb")
+    // tau 0.99: only the planted pair (cos ~0.9999) is above the bar
+    val out = Main.run(spark, Seq("semdedup", s"$tmp/emb", s"$tmp/disp",
+      "--tau", "0.99"), Map.empty)
+    assert(out == Seq("semdedup task ended, 10 of 11 vectors kept " +
+      "(1 semantic duplicates dropped at tau 0.99)"), out.mkString("\n"))
+    val dropped = spark.read.parquet(s"$tmp/disp")
+      .filter($"decision" === "drop").collect()
+    assert(dropped.length == 1)
+    assert(Set(3L, 100L).contains(dropped.head.getAs[Long]("vec_id")))
+    val bad = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("semdedup", s"$tmp/emb", s"$tmp/d2",
+        "--tau", "0"), Map.empty)
+    }
+    assert(bad.getMessage.contains("(0, 1]"), bad.getMessage)
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))

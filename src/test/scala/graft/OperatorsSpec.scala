@@ -160,6 +160,58 @@ class OperatorsSpec extends SparkSpec {
       .foreach(r => assert(r.isNullAt(4) && r.getLong(5) == 0L))
   }
 
+  test("source overlap counts planted cross-source dups at distinct-fp " +
+    "grain and emits the zero pairs (d41)") {
+    import spark.implicits._
+    // shared1 sits in A (twice — must count ONCE per source) and B;
+    // shared2 in A and C; B and C share nothing
+    val docs = Seq(
+      (0L, "shared one", "A"), (1L, "shared one", "A"),
+      (2L, "shared one", "B"), (3L, "shared two", "A"),
+      (4L, "shared two", "C"), (5L, "only b", "B"), (6L, "only c", "C"))
+      .toDF("doc_id", "text", "source")
+    val out = DocumentQueries.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(out(("A", "B")) == (2L, 2L, 1L, 0.333333)) // 1 / (2+2-1)
+    assert(out(("A", "C")) == (2L, 2L, 1L, 0.333333))
+    assert(out(("B", "C")) == (2L, 2L, 0L, 0.0))
+  }
+
+  test("budget selection is the greedy quality-desc prefix and is " +
+    "independent of the bucket count (d42)") {
+    import spark.implicits._
+    val docs = Tables(spark, sfSmoke, "documents")
+    val got = DocumentQueries.budgetSelect(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._4)
+    // driver-side recompute of the contract on the small corpus
+    val all = DocumentQueries.queries("d09_quality_score")(spark, sfSmoke)
+      .select(col("doc_id"), col("quality"), col("n_tok")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val budget = (all.map(_._3).sum * 0.25).toLong
+    val want = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Long, Long)]
+    // take-while, not knapsack: cum_tok is the FULL prefix sum, so the
+    // first overflowing doc ends the selection (cum is strictly
+    // increasing past the budget from there on)
+    var cum = 0L
+    all.sortBy { case (id, q, _) => (-q, id) }.foreach { case (id, q, n) =>
+      cum += n
+      if (cum <= budget) want += ((id, q, n, cum))
+    }
+    assert(got.toSeq == want.toSeq,
+      "budgetSelect must equal the greedy quality-desc prefix sum")
+    // the two-phase bucket decomposition must not change the answer
+    for (nb <- Seq(1, 5, 64)) {
+      val alt = DocumentQueries.budgetSelect(docs, nBuckets = nb).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._4)
+      assert(alt.toSeq == got.toSeq, s"nBuckets=$nb changed the selection")
+    }
+  }
+
   test("PII scrubber redacts emails and IPv4s, counts them, leaves prose alone (d20)") {
     import spark.implicits._
     val df = Seq(

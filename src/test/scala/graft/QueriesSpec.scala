@@ -67,6 +67,8 @@ class QueriesSpec extends SparkSpec {
     // one grain up)
     // d26: the min/max doc_id bounds scalar cross-joined for bucketing
     // (d40 composes packSequences and inherits the same scalar join)
+    // d42: the token-budget scalar (one no-grouping aggregate row under
+    // an explicit limit(1)) cross-joined onto the bucketed corpus
     // d27/d31: the c_min scalar cross-joined onto the #langs-row rate
     // table (d31 builds the same rate table over its survivor corpus)
     // (d29's per-round crossJoin(broadcast(LIMIT 1)) never reaches these
@@ -76,14 +78,16 @@ class QueriesSpec extends SparkSpec {
     // OperatorsSpec "BPE merge loop".)
     // s08: s04's cross-join assignment scan (<=16-row centroid side)
     // reused for the PQ build + probe assignment
+    // s09: the same <=16-row trained-centroid assignment scan (SemDeDup
+    // cells); the pair scan itself is a cell equi-join
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
-      "s04_ann_ivf", "s08_ivfpq_rerank",
+      "s04_ann_ivf", "s08_ivfpq_rerank", "s09_semdedup",
       "s06_quantized_rerank", "s07_truncated_rerank",
       "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
       "d26_pack_sequences", "d40_epoch_shuffle", "d27_temperature_sample",
       "d31_curation_funnel", "d35_bigram_logprob",
-      "d38_mix_epochs")
+      "d38_mix_epochs", "d42_budget_select")
     // top-level conjunct split: `a =!= b` CONTAINS an EqualTo node, so a
     // whole-tree search would miscount it as an equi-key
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -136,6 +140,8 @@ class QueriesSpec extends SparkSpec {
       "s04_ann_ivf" -> "<=16-row centroid table / nprobe probe set",
       "s08_ivfpq_rerank" ->
         "<=16-row centroid/cunit table; fixed query probe + rerank sets",
+      "s09_semdedup" ->
+        "<=16-row trained-centroid table (s04's quantizer, SemDeDup cells)",
       "s06_quantized_rerank" -> "fixed query set (coarse scan + rerank sides)",
       "s07_truncated_rerank" -> "fixed query set (prefix scan + rerank sides)",
       "q30_sliding_window" -> "<=6-row per-year boundary stitch",
