@@ -55,7 +55,11 @@ object ScaleBench {
       "d32_train_decontam" :+ "d35_bigram_logprob" :+
       "d36_incr_span_dedup" :+ "d37_hot_ngrams" :+
       "d39_incr_decontam" :+ "d40_epoch_shuffle" :+ "s08_ivfpq_rerank" :+
-      "d41_source_overlap" :+ "d42_budget_select" :+ "s09_semdedup"
+      "d41_source_overlap" :+ "d42_budget_select" :+ "s09_semdedup" :+
+      // d43: the d42 bucket machinery in rank->element direction (the
+      // partitioned quality-sort windows again carry the volume); d44:
+      // two fp-grain groupBys + a fp equi-join — the d01/d41 profile
+      "d43_quality_quantiles" :+ "d44_corpus_diff"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

@@ -793,6 +793,21 @@ object DocumentQueries {
     // ---- d42: token-budget selection (see [[budgetSelect]]) --------------
     "d42_budget_select" -> { (s, dir) =>
       budgetSelect(Tables(s, dir, "documents"))
+    },
+
+    // ---- d43: exact quality quantiles (see [[qualityQuantiles]]) ---------
+    "d43_quality_quantiles" -> { (s, dir) =>
+      qualityQuantiles(Tables(s, dir, "documents"))
+    },
+
+    // ---- d44: corpus snapshot diff (see [[corpusDiff]]). Fixture
+    // convention: even doc_ids = the OLD snapshot, odd = the NEW (the
+    // d36/d39 even/odd split over the one gate table) -----------------
+    "d44_corpus_diff" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      corpusDiff(docs.filter($"doc_id" % 2 === 0),
+        docs.filter($"doc_id" % 2 === 1))
     })
 
   /** d41: cross-source overlap census — which crawl dumps/sources
@@ -851,6 +866,80 @@ object DocumentQueries {
           / lit(1000000.0))
       .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_shared", $"jaccard")
       .orderBy($"src_a", $"src_b")
+  }
+
+  /** d43: EXACT corpus quantiles of the d09 quality score — the
+    * calibration readout every threshold gate (d31's quality-min, d42's
+    * ranking) is tuned against. Approximate percentiles
+    * (approx_percentile sketches) are engine-specific and
+    * non-oracle-checkable; this computes the exact order statistic — for
+    * each percentile p, the document at global rank max(1, ceil(p·N/100))
+    * under (quality ASC, doc_id) — with NO global sort.
+    *
+    * Scale shape (the d42 bucket-rank discipline run in reverse —
+    * rank→element instead of element→rank): docs value-range-bucket on
+    * the bounded quality score; the nBuckets bucket COUNTS (metadata)
+    * take a prefix sum under limit(nBuckets); each requested rank
+    * locates its bucket by a range test against that bounded table (the
+    * percentile list itself is an inline literal relation) and becomes a
+    * (bucket, within-bucket-rank) target; one partitioned within-bucket
+    * window + a broadcast equi-join on (qb, rn) picks the |pcts| winning
+    * rows. The corpus never sorts globally and never joins non-equi. */
+  def qualityQuantiles(docs: DataFrame,
+      pcts: Seq[Int] = Seq(1, 10, 25, 50, 75, 90, 99),
+      nBuckets: Int = 16): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
+      s"qualityQuantiles: percentiles must lie in [0, 100] (got $pcts)")
+    require(nBuckets > 0, s"qualityQuantiles: nBuckets > 0 (got $nBuckets)")
+    val q = withQuality(docs).select($"doc_id", $"quality")
+    val bucketed = q.withColumn("qb",
+      least(greatest(floor($"quality" * nBuckets).cast("int"), lit(0)),
+        lit(nBuckets - 1)))
+    val counts = bucketed.groupBy($"qb").agg(count(lit(1)).as("c"))
+      // nBuckets metadata rows — the d26/d42 bounded-window contract
+      .limit(nBuckets)
+      .withColumn("cum_before", coalesce(sum($"c").over(Window.orderBy($"qb")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val n = q.agg(count(lit(1)).as("n")).limit(1)
+    val targets = pcts.toDF("p")
+      .crossJoin(broadcast(n))
+      .withColumn("rank",
+        greatest(lit(1L), ceil($"p" * $"n" / lit(100.0)).cast("long")))
+      .join(counts, $"rank" > $"cum_before" && $"rank" <= $"cum_before" + $"c")
+      .select($"p".cast("long").as("p"), $"rank", $"qb",
+        ($"rank" - $"cum_before").as("rn"))
+    val ranked = bucketed.withColumn("rn", row_number().over(
+      Window.partitionBy($"qb").orderBy($"quality", $"doc_id")).cast("long"))
+    ranked.join(broadcast(targets), Seq("qb", "rn"))
+      .select($"p", $"rank", $"doc_id", $"quality")
+      .orderBy($"p")
+  }
+
+  /** d44: corpus snapshot diff — the release-management census between
+    * two corpus versions at CONTENT grain: per distinct text
+    * fingerprint, `added` (new snapshot only), `removed` (old only) or
+    * `retained` (both — doc_id churn with identical content counts as
+    * retained, which is the point of diffing on fp, not id), with each
+    * side's min doc_id as witness and per-side copy counts. One
+    * fp-grain groupBy per side + a fp full-outer equi-join — text never
+    * shuffles, and the diff cost is the fp tables', not the corpora's. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val s = oldDocs.sparkSession
+    import s.implicits._
+    def side(docs: DataFrame, tag: String) =
+      docs.select(md5($"text").as("fp"), $"doc_id")
+        .groupBy($"fp")
+        .agg(min($"doc_id").as(s"${tag}_doc"), count(lit(1)).as(s"${tag}_copies"))
+    side(oldDocs, "old").join(side(newDocs, "new"), Seq("fp"), "full_outer")
+      .select($"fp",
+        when($"old_doc".isNull, "added")
+          .when($"new_doc".isNull, "removed")
+          .otherwise("retained").as("status"),
+        $"old_doc", coalesce($"old_copies", lit(0L)).as("old_copies"),
+        $"new_doc", coalesce($"new_copies", lit(0L)).as("new_copies"))
+      .orderBy($"fp")
   }
 
   /** d42: token-budget data selection — the "best data under a compute
@@ -2646,6 +2735,49 @@ object DocumentQueries {
            FROM q)
          SELECT doc_id, quality, n_tok, cum_tok
          FROM c, t WHERE cum_tok <= budget
-         ORDER BY cum_tok""")
+         ORDER BY cum_tok""",
+    // d43: the d09 quality formula verbatim, one global row_number —
+    // the oracle can afford the single-partition sort the engine's
+    // bucket-rank locate deliberately avoids — and the rank formula
+    // max(1, ceil(p·N/100)) replayed per percentile
+    "d43_quality_quantiles" ->
+      s"""WITH base AS (
+           SELECT doc_id, $duckQualityCols
+           FROM documents),
+         q AS (
+           SELECT doc_id, $duckQualityExpr AS quality
+           FROM base),
+         n AS (SELECT count(*) AS n FROM q),
+         r AS (
+           SELECT doc_id, quality,
+             CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT)
+               AS rn
+           FROM q),
+         p AS (SELECT unnest([1, 10, 25, 50, 75, 90, 99]) AS p)
+         SELECT CAST(p.p AS BIGINT) AS p,
+           CAST(greatest(1, ceil(p.p * n.n / 100.0)) AS BIGINT) AS rank,
+           r.doc_id, r.quality
+         FROM p, n, r
+         WHERE r.rn = CAST(greatest(1, ceil(p.p * n.n / 100.0)) AS BIGINT)
+         ORDER BY p""",
+    // d44: fp-grain per-side aggregates + full outer on fp, the
+    // even/odd snapshot fixture convention (d36/d39's)
+    "d44_corpus_diff" ->
+      """WITH o AS (
+           SELECT md5(text) AS fp, min(doc_id) AS old_doc,
+             count(*) AS old_copies
+           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         nw AS (
+           SELECT md5(text) AS fp, min(doc_id) AS new_doc,
+             count(*) AS new_copies
+           FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
+         SELECT coalesce(o.fp, nw.fp) AS fp,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN nw.fp IS NULL THEN 'removed'
+                ELSE 'retained' END AS status,
+           o.old_doc AS old_doc, coalesce(o.old_copies, 0) AS old_copies,
+           nw.new_doc AS new_doc, coalesce(nw.new_copies, 0) AS new_copies
+         FROM o FULL OUTER JOIN nw ON o.fp = nw.fp
+         ORDER BY fp""")
 }
 

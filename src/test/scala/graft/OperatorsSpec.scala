@@ -179,6 +179,53 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("B", "C")) == (2L, 2L, 0L, 0.0))
   }
 
+  test("quality quantiles are the exact order statistics, bucket-count " +
+    "independent, with pinned 0/100 edges (d43)") {
+    import spark.implicits._
+    val docs = Tables(spark, sfSmoke, "documents")
+    val pcts = Seq(0, 1, 50, 99, 100)
+    val got = DocumentQueries.qualityQuantiles(docs, pcts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // driver-side recompute of the exact order statistic
+    val all = DocumentQueries.queries("d09_quality_score")(spark, sfSmoke)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, q) => (q, id) }
+    val n = all.length
+    val want = pcts.map { p =>
+      val rank = math.max(1L, math.ceil(p * n / 100.0).toLong)
+      val (id, q) = all((rank - 1).toInt)
+      (p.toLong, rank, id, q)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // p=0 pins the minimum (rank clamps to 1), p=100 the maximum
+    assert(got.head._2 == 1L && got.last._2 == n.toLong)
+    for (nb <- Seq(1, 64)) {
+      val alt = DocumentQueries.qualityQuantiles(docs, pcts, nBuckets = nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1)
+      assert(alt.toSeq == got.toSeq, s"nBuckets=$nb changed the quantiles")
+    }
+  }
+
+  test("corpus diff labels added/removed/retained at content grain with " +
+    "copy counts (d44)") {
+    import spark.implicits._
+    val old = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val nw = Seq((10L, "y"), (11L, "w")).toDF("doc_id", "text")
+    val got = DocumentQueries.corpusDiff(old, nw).collect()
+      .map(r => (r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5))).toSet
+    assert(got == Set(
+      ("removed", Some(1L), 1L, None, 0L),        // x
+      ("retained", Some(2L), 1L, Some(10L), 1L),  // y — id churn is content-retained
+      ("removed", Some(3L), 2L, None, 0L),        // z with 2 old copies
+      ("added", None, 0L, Some(11L), 1L)), got)   // w
+  }
+
   test("budget selection is the greedy quality-desc prefix and is " +
     "independent of the bucket count (d42)") {
     import spark.implicits._
