@@ -808,6 +808,14 @@ object DocumentQueries {
       val docs = Tables(s, dir, "documents")
       corpusDiff(docs.filter($"doc_id" % 2 === 0),
         docs.filter($"doc_id" % 2 === 1))
+    },
+
+    // ---- d45: per-source quality quantiles (see
+    // [[qualityQuantilesBySource]]) — fewer percentiles than d43: the
+    // output is |sources| × |pcts| rows, a quartile card per dump ------
+    "d45_source_quality" -> { (s, dir) =>
+      qualityQuantilesBySource(Tables(s, dir, "documents"),
+        pcts = Seq(25, 50, 75))
     })
 
   /** d41: cross-source overlap census — which crawl dumps/sources
@@ -837,11 +845,17 @@ object DocumentQueries {
             transform(slice($srcs, i + 2, size($srcs) - i - 1),
               b -> struct(a AS src_a, b AS src_b))))""")
     // ONE corpus pass: fp-grain groupBy with the per-fp source-membership
-    // set (collect_set dedups same-source copies — distinct-fp grain).
-    // Everything downstream is fp- and text-free metadata.
-    val byFp = docs.select($"source", md5($"text").as("fp"))
+    // set (collect_set dedups same-source copies — distinct-fp grain),
+    // MATERIALIZED because three consumers read it (sizes, shared pairs,
+    // and the skeleton via sizes) — without the barrier each one re-runs
+    // the corpus scan + fp shuffle (the first cut planned FOUR parquet
+    // scans; .explain caught it). The materialized frame is the narrow
+    // membership-set column only — fp and text both dropped.
+    val byFp = graft.Materialize(docs
+      .select($"source", md5($"text").as("fp"))
       .groupBy($"fp")
       .agg(sort_array(collect_set($"source")).as("srcs"))
+      .select($"srcs"))
     val sizes = byFp.select(explode($"srcs").as("source"))
       .groupBy($"source").agg(count(lit(1)).as("n_fp"))
     val shared = byFp.select(explode(pairsOf("srcs")).as("p"))
@@ -915,6 +929,57 @@ object DocumentQueries {
     ranked.join(broadcast(targets), Seq("qb", "rn"))
       .select($"p", $"rank", $"doc_id", $"quality")
       .orderBy($"p")
+  }
+
+  /** d45: per-SOURCE exact quality quantiles — d43's order statistics
+    * grouped by the source catalog: for each (source, percentile), the
+    * doc at rank max(1, ceil(p·N_source/100)) under (quality ASC,
+    * doc_id) WITHIN that source. The per-dump calibration readout that
+    * pairs with d41's overlap census ("is dump B low-quality or just
+    * redundant?"); thresholds tuned per dump need the per-dump
+    * distribution, and a `Window.partitionBy(source)` global sort would
+    * funnel each WHOLE SOURCE through one task — at 100 TB a single
+    * crawl dump is itself cluster-sized, so the two-phase bucket-rank
+    * discipline applies INSIDE each group: (source, qb) bucket counts
+    * (catalog × nBuckets metadata rows), per-source prefix sums over
+    * that metadata (partitioned by source — never corpus-wide), rank
+    * targets from the inline percentile relation × per-source N, and
+    * the winner pick an equi-join on (source, qb, rn). No broadcast
+    * hints: every side is catalog-sized metadata, AQE decides. */
+  def qualityQuantilesBySource(docs: DataFrame,
+      pcts: Seq[Int] = Seq(1, 10, 25, 50, 75, 90, 99),
+      nBuckets: Int = 16): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
+      s"qualityQuantilesBySource: percentiles must lie in [0, 100] (got $pcts)")
+    require(nBuckets > 0,
+      s"qualityQuantilesBySource: nBuckets > 0 (got $nBuckets)")
+    val q = withQuality(docs).select($"source", $"doc_id", $"quality")
+    val bucketed = q.withColumn("qb",
+      least(greatest(floor($"quality" * nBuckets).cast("int"), lit(0)),
+        lit(nBuckets - 1)))
+    val counts = bucketed.groupBy($"source", $"qb")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum_before", coalesce(sum($"c").over(
+        Window.partitionBy($"source").orderBy($"qb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ns = bucketed.groupBy($"source").agg(count(lit(1)).as("n"))
+    val targets = pcts.toDF("p")
+      .crossJoin(ns)
+      .withColumn("rank",
+        greatest(lit(1L), ceil($"p" * $"n" / lit(100.0)).cast("long")))
+      .join(counts.withColumnRenamed("source", "csource"),
+        $"source" === $"csource" && $"rank" > $"cum_before" &&
+          $"rank" <= $"cum_before" + $"c")
+      .select($"source", $"p".cast("long").as("p"), $"rank", $"qb",
+        ($"rank" - $"cum_before").as("rn"))
+    val ranked = bucketed.withColumn("rn", row_number().over(
+      Window.partitionBy($"source", $"qb").orderBy($"quality", $"doc_id"))
+      .cast("long"))
+    ranked.join(targets, Seq("source", "qb", "rn"))
+      .select($"source", $"p", $"rank", $"doc_id", $"quality")
+      .orderBy($"source", $"p")
   }
 
   /** d44: corpus snapshot diff — the release-management census between
@@ -2760,6 +2825,28 @@ object DocumentQueries {
          FROM p, n, r
          WHERE r.rn = CAST(greatest(1, ceil(p.p * n.n / 100.0)) AS BIGINT)
          ORDER BY p""",
+    // d45: the d43 replay partitioned by source — per-source
+    // row_number + per-source N, the rank formula per (source, p)
+    "d45_source_quality" ->
+      s"""WITH base AS (
+           SELECT doc_id, source, $duckQualityCols
+           FROM documents),
+         q AS (
+           SELECT doc_id, source, $duckQualityExpr AS quality
+           FROM base),
+         n AS (SELECT source, count(*) AS n FROM q GROUP BY source),
+         r AS (
+           SELECT doc_id, source, quality,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY quality, doc_id) AS BIGINT) AS rn
+           FROM q),
+         p AS (SELECT unnest([25, 50, 75]) AS p)
+         SELECT r.source, CAST(p.p AS BIGINT) AS p,
+           CAST(greatest(1, ceil(p.p * n.n / 100.0)) AS BIGINT) AS rank,
+           r.doc_id, r.quality
+         FROM p, n JOIN r ON r.source = n.source
+         WHERE r.rn = CAST(greatest(1, ceil(p.p * n.n / 100.0)) AS BIGINT)
+         ORDER BY r.source, p""",
     // d44: fp-grain per-side aggregates + full outer on fp, the
     // even/odd snapshot fixture convention (d36/d39's)
     "d44_corpus_diff" ->

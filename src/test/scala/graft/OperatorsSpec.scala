@@ -209,6 +209,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("per-source quantiles are the exact within-group order statistics, " +
+    "bucket-count independent (d45)") {
+    import spark.implicits._
+    val docs = Tables(spark, sfSmoke, "documents")
+    val pcts = Seq(10, 50, 90)
+    val got = DocumentQueries.qualityQuantilesBySource(docs, pcts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(t => (t._1, t._2))
+    // driver recompute per source off the oracle-checked d09 columns
+    val all = DocumentQueries.queries("d09_quality_score")(spark, sfSmoke)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = srcOf.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.map { case (id, _) => (id, all(id)) }
+        .sortBy { case (id, q) => (q, id) }
+      pcts.map { p =>
+        val rank = math.max(1L, math.ceil(p * sorted.length / 100.0).toLong)
+        val (id, q) = sorted((rank - 1).toInt)
+        (src, p.toLong, rank, id, q)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    for (nb <- Seq(1, 64)) {
+      val alt = DocumentQueries.qualityQuantilesBySource(docs, pcts, nb)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2))
+      assert(alt.toSeq == got.toSeq, s"nBuckets=$nb changed the quantiles")
+    }
+  }
+
   test("corpus diff labels added/removed/retained at content grain with " +
     "copy counts (d44)") {
     import spark.implicits._
@@ -843,6 +875,83 @@ class OperatorsSpec extends SparkSpec {
         }
       assert(rebuilt == expected,
         s"round $round (S=$S): packed stream diverges from the model")
+    }
+  }
+
+  test("source overlap matches a reference model on randomized corpora (d41)") {
+    import spark.implicits._
+    // seeded random corpora over a small text pool (forces cross-source
+    // sharing AND within-source copies) vs a straight-line model of the
+    // census: distinct-fp sets per source, pairwise intersections, the
+    // floor-scaled Jaccard
+    val rnd = new scala.util.Random(13081426)
+    val sources = Seq("sa", "sb", "sc", "sd")
+    (0 until 3).foreach { round =>
+      val docs: Seq[(Long, String, String)] = (0 until 60).map { d =>
+        val text =
+          if (rnd.nextBoolean()) s"pooled text ${rnd.nextInt(12)}"
+          else s"unique r${round}_d$d"
+        (d.toLong, text, sources(rnd.nextInt(sources.size)))
+      }
+      val sets = sources.map(src =>
+        src -> docs.filter(_._3 == src).map(_._2).toSet).toMap
+      val want = (for {
+        i <- sources.indices; j <- i + 1 until sources.size
+      } yield {
+        val Seq(sa, sb) = Seq(sources(i), sources(j)).sorted
+        val (fa, fb) = (sets(sa), sets(sb))
+        val shared = (fa & fb).size.toLong
+        val jac = math.floor(shared * 1000000.0 /
+          (fa.size + fb.size - shared)) / 1000000.0
+        (sa, sb) -> ((fa.size.toLong, fb.size.toLong, shared, jac))
+      }).toMap
+      val got = DocumentQueries
+        .sourceOverlap(docs.toDF("doc_id", "text", "source")).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+        .toMap
+      assert(got == want, s"round $round: census diverges from the model")
+    }
+  }
+
+  test("corpus diff matches a reference model on randomized snapshots (d44)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(44261308)
+    (0 until 3).foreach { round =>
+      def snapshot(idBase: Long): Seq[(Long, String)] =
+        (0 until 40).map { d =>
+          val text =
+            if (rnd.nextBoolean()) s"stable text ${rnd.nextInt(15)}"
+            else s"volatile r${round}_${rnd.nextInt(1000)}"
+          (idBase + d, text)
+        }
+      val old = snapshot(0); val nw = snapshot(1000)
+      def agg(s: Seq[(Long, String)]) = s.groupBy(_._2).map {
+        case (t, rows) => t -> (rows.map(_._1).min, rows.size.toLong)
+      }
+      val (oa, na) = (agg(old), agg(nw))
+      val want = (oa.keySet ++ na.keySet).map { t =>
+        val status =
+          if (!oa.contains(t)) "added"
+          else if (!na.contains(t)) "removed" else "retained"
+        t -> ((status, oa.get(t).map(_._1), oa.get(t).map(_._2).getOrElse(0L),
+          na.get(t).map(_._1), na.get(t).map(_._2).getOrElse(0L)))
+      }.toMap
+      val got = DocumentQueries.corpusDiff(
+        old.toDF("doc_id", "text"), nw.toDF("doc_id", "text")).collect()
+        .map { r =>
+          val fp = r.getString(0)
+          fp -> ((r.getString(1),
+            Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3),
+            Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5)))
+        }.toMap
+      // keyed by md5 on the operator side — re-key the model
+      val wantByFp = want.map { case (t, v) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString -> v
+      }
+      assert(got == wantByFp, s"round $round: diff diverges from the model")
     }
   }
 
