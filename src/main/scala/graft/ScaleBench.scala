@@ -59,7 +59,10 @@ object ScaleBench {
       // d43: the d42 bucket machinery in rank->element direction (the
       // partitioned quality-sort windows again carry the volume); d44:
       // two fp-grain groupBys + a fp equi-join — the d01/d41 profile
-      "d43_quality_quantiles" :+ "d44_corpus_diff"
+      "d43_quality_quantiles" :+ "d44_corpus_diff" :+
+      // d45: the grouped two-phase rank — per-source partitioned
+      // windows must carry the volume without a per-source funnel
+      "d45_source_quality"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything
