@@ -114,7 +114,8 @@ object Main {
       |  graft.Main pack <corpusDir> <outDir> [--seq-len <tokens>]
       |  graft.Main overlap <corpusDir> <outDir>
       |  graft.Main select <corpusDir> <outDir> [--frac <f>]
-      |  graft.Main semdedup <embeddingsDir> <outDir> [--tau <t>]""".stripMargin
+      |  graft.Main semdedup <embeddingsDir> <outDir> [--tau <t>]
+      |  graft.Main semdecontam <trainEmbDir> <evalEmbDir> <outDir> [--tau <t>]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -738,6 +739,49 @@ object Main {
         Seq(s"semdedup task ended, ${dc.getOrElse("keep", 0L)} of $totalV " +
           s"vectors kept (${dc.getOrElse("drop", 0L)} semantic duplicates " +
           s"dropped at tau $tau)")
+      case "semdecontam" :: rest =>
+        // the s10 disposition as a pipeline command: train the coarse
+        // quantizer on the train embeddings, probe the eval embeddings
+        // into their nprobe nearest cells, and write the full train-side
+        // disposition (decision/witness/n_hits — the manifest a corpus
+        // join consumes via vec_id) plus a contamination census.
+        val opts = flags(rest)
+        val (trainDir, evalDir, out) = opts.positional match {
+          case Seq(t, e, o) => (t, e, o)
+          case _ =>
+            fail(s"semdecontam needs <trainEmbDir> <evalEmbDir> <outDir>\n$usage")
+        }
+        def q9(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q9(out) == q9(trainDir) || q9(out) == q9(evalDir))
+          fail("semdecontam: the output dir must differ from both " +
+            "embeddings dirs — overwrite would destroy a table")
+        val tau = opts.named.get("--tau").map { v =>
+          val d = try v.toDouble catch {
+            case _: NumberFormatException =>
+              fail(s"semdecontam: --tau must be a number, got '$v'")
+          }
+          if (d <= 0.0 || d > 1.0)
+            fail(s"semdecontam: --tau must be in (0, 1], got $v")
+          d
+        }.getOrElse(graft.queries.EmbeddingQueries.semDecTau)
+        def vecTable(dir: String) = spark.read.parquet(dir)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val disp = graft.queries.EmbeddingQueries
+          .semDecontam(vecTable(trainDir), vecTable(evalDir), tau)
+        disp.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .parquet(out)
+        val dc = spark.read.parquet(out).groupBy("decision").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val totalV = dc.values.sum
+        Seq(s"semdecontam task ended, ${dc.getOrElse("drop", 0L)} of " +
+          s"$totalV train vectors semantically contaminated at tau $tau " +
+          s"(${dc.getOrElse("keep", 0L)} clean)")
       case "stream" :: rest if {
           // the two modes take different positional arities; an arity
           // that matches NEITHER mode (e.g. --queue-dir plus a landing

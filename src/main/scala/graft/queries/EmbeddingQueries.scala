@@ -241,6 +241,79 @@ object EmbeddingQueries {
       .orderBy($"vec_id")
   }
 
+  // ---- s10: semantic decontamination (train vs eval at embedding grain) --
+  /** s10's similarity bar. Decontamination casts a wider net than dedup:
+    * a train example merely PARAPHRASING an eval example already leaks
+    * the benchmark, so the bar sits below s09's 0.45 redundancy bar —
+    * still in the far tail of this corpus's ~0.33-centered cosine
+    * distribution, so a hit means genuine semantic proximity. */
+  val semDecTau = 0.42
+
+  /** s10 — the embedding-grain analog of the d30 n-gram decontamination:
+    * disposition every TRAIN vector against the eval set by semantic
+    * proximity, so paraphrased benchmark leakage (which shares no
+    * 8-gram and is invisible to d30) is caught too.
+    *
+    * Scale shape mirrors d30's asymmetry, transposed to vectors: the
+    * coarse quantizer is TRAINED on the train corpus (the side you
+    * actually have at scale — s04's fixed sign-seed init + one
+    * decimal-exact spherical Lloyd round, shared machinery), the train
+    * side scans only its HOME cell, and the naturally-small eval side
+    * pays the recall cost by probing its `ivfProbes` nearest cells.
+    * The pair scan is a cell equi-join (one shuffle on the int cell
+    * key); nothing corpus-wide ever cross-joins, and the eval probe
+    * set — |eval| × nprobe narrow rows — is the side AQE auto-
+    * broadcasts at real scale. Probe cells are distinct per eval
+    * vector and train vectors sit in exactly one cell, so each
+    * (train, eval) pair is scored at most once by construction.
+    *
+    * Per train vector: `decision` drop ⟺ some probed eval vector has
+    * cosine ≥ tau; `witness` = the most-similar such eval vector
+    * (ties → lower id; compared on UNROUNDED doubles, the s09
+    * discipline — both engines fold left-to-right so the raw sims are
+    * bit-equal); `n_hits` = how many eval vectors cleared the bar.
+    * Full train-side disposition output, so the oracle hash checks
+    * the trained quantizer + probe routing end to end. The witness
+    * argmax is a map-side-combinable max(struct) (the d34 pattern),
+    * not a window — no per-vector sort at scale. */
+  def semDecontam(train: DataFrame, eval: DataFrame,
+      tau: Double = semDecTau): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    def norm(df: DataFrame) = df.select($"vec_id", $"v")
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val t = norm(train)
+    val ev = norm(eval)
+    // --- s04's coarse quantizer, trained on the TRAIN side only ---
+    val dotsArr = expr(sparkIvfDots("v"))
+    val arg0W = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
+    val assign0 = t
+      .select($"vec_id", $"v", $"nrm",
+        posexplode_outer(dotsArr).as(Seq("cell", "dot")))
+      .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    val c1 = recenter(assign0).materialize()
+    val corpus = assignTo(t, c1).filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    val probes = assignTo(ev, c1).filter($"rn" <= ivfProbes)
+      .select($"vec_id".as("e_id"), $"v".as("ev"), $"nrm".as("en"),
+        $"cell".as("e_cell"))
+    val hits = corpus.join(probes, $"e_cell" === $"cell")
+      .withColumn("sim", dot("v", "ev") / ($"nrm" * $"en"))
+      .filter($"sim" >= tau)
+      .groupBy($"vec_id")
+      .agg(max(struct($"sim", (-$"e_id").as("neg_id"))).as("w"),
+        count(lit(1)).as("n_hits"))
+      .select($"vec_id", (-$"w.neg_id").as("witness"),
+        $"w.sim".as("wsim"), $"n_hits")
+    corpus.join(hits, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        when($"witness".isNull, "keep").otherwise("drop").as("decision"),
+        $"witness", round($"wsim", 4).as("witness_sim"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"))
+      .orderBy($"vec_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // ---- s01: exact brute-force cosine top-5 for queries vec_id < 20 -----
     "s01_knn_bruteforce" -> { (s, dir) =>
@@ -562,6 +635,18 @@ object EmbeddingQueries {
       semDedup(vecs(s, dir), semTau)
     },
 
+    // ---- s10: semantic decontamination over the trained IVF cells --------
+    // Gate split follows the d30/d39 convention (a deterministic id rule
+    // standing in for the real eval-registry join): vec_id % 10 == 0 is
+    // the eval set, the rest the train corpus. Full train disposition
+    // (see [[semDecontam]]).
+    "s10_sem_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir)
+      semDecontam(e.filter($"vec_id" % 10 =!= 0),
+        e.filter($"vec_id" % 10 === 0), semDecTau)
+    },
+
     "s06_quantized_rerank" -> { (s, dir) =>
       import s.implicits._
       val e = vecs(s, dir)
@@ -628,7 +713,14 @@ object EmbeddingQueries {
 
   /** The shared s04/s08 oracle prelude: typed vectors, norms, the fixed
     * sign-seed assignment, and one trained Lloyd round. */
-  private def duckIvfPrelude: String =
+  private def duckIvfPrelude: String = duckIvfPreludeOn("")
+
+  /** The same prelude with an extra predicate restricting WHICH vectors
+    * train the quantizer (s10 trains on the train split only). The
+    * Lloyd re-scoring CTE `cells1` still scores ALL of `m` against the
+    * learned centroids — exactly the Spark side's assignTo-everything
+    * shape — so downstream CTEs slice train/eval out of `cells1`. */
+  private def duckIvfPreludeOn(trainPred: String): String =
     s"""n AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -641,7 +733,7 @@ object EmbeddingQueries {
                SELECT vec_id, v, nrm, c.j AS cell,
                  list_dot_product(v, ($centroidMatrix)[c.j + 1]) AS dot
                FROM m, (SELECT unnest(range($ivfCells)) AS j) c))
-           WHERE rn = 1),
+           WHERE rn = 1$trainPred),
          ${duckLloydCtes(1, "assign0")}"""
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -784,6 +876,38 @@ object EmbeddingQueries {
          SELECT c.vec_id, c.cell, round(c.craw, 4) AS centroid_sim,
            CASE WHEN lo.canon IS NULL THEN 'keep' ELSE 'drop' END AS decision,
            lo.canon AS canon, coalesce(lo.n_sim, 0) AS n_sim
+         FROM corpus c LEFT JOIN lo ON c.vec_id = lo.vec_id
+         ORDER BY c.vec_id""",
+    // s10: the quantizer trains on the train split only (the prelude's
+    // assign0 predicate), cells1 scores both sides, the eval side
+    // probes its nprobe nearest cells, and the witness argmax replays
+    // as a row_number on unrounded sims (== the engine's max(struct))
+    "s10_sem_decontam" ->
+      s"""WITH ${duckIvfPreludeOn(" AND vec_id % 10 <> 0")},
+         corpus AS (
+           SELECT vec_id, v, nrm, cell FROM cells1
+           WHERE rn = 1 AND vec_id % 10 <> 0),
+         probes AS (
+           SELECT vec_id AS e_id, v AS ev, nrm AS en, cell FROM cells1
+           WHERE rn <= $ivfProbes AND vec_id % 10 = 0),
+         hits AS (
+           SELECT c.vec_id, e_id,
+             list_dot_product(c.v, ev) / (c.nrm * en) AS sim
+           FROM corpus c JOIN probes p ON c.cell = p.cell
+           WHERE list_dot_product(c.v, ev) / (c.nrm * en) >= $semDecTau),
+         w AS (
+           SELECT vec_id, e_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, e_id) AS rn,
+             count(*) OVER (PARTITION BY vec_id) AS n_hits
+           FROM hits),
+         lo AS (SELECT vec_id, e_id AS witness, sim, n_hits
+                FROM w WHERE rn = 1)
+         SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+           CASE WHEN lo.witness IS NULL THEN 'keep' ELSE 'drop' END
+             AS decision,
+           lo.witness, round(lo.sim, 4) AS witness_sim,
+           coalesce(lo.n_hits, 0) AS n_hits
          FROM corpus c LEFT JOIN lo ON c.vec_id = lo.vec_id
          ORDER BY c.vec_id""",
     "s05_quantize_int8" ->

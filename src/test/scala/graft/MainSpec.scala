@@ -832,6 +832,46 @@ class MainSpec extends SparkSpec {
     assert(bad.getMessage.contains("(0, 1]"), bad.getMessage)
   }
 
+  test("semdecontam: a train vector near an eval vector is flagged, " +
+    "census printed, refusals loud") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-semdecontam").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64) { i =>
+        var z = (seed.toLong << 32 | i.toLong) + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        ((z % 1000L).toFloat / 1000.0f)
+      }
+    val planted = vec(52).clone(); planted(0) += 0.001f
+    val train = (0 until 10).map(i => (i.toLong, vec(i))) :+ (100L, planted)
+    val eval = Seq((1000L, vec(52)), (1001L, vec(46)))
+    train.toDF("vec_id", "embedding").write.parquet(s"$tmp/train")
+    eval.toDF("vec_id", "embedding").write.parquet(s"$tmp/eval")
+    // tau 0.99: only the planted near-copy is above the bar
+    val out = Main.run(spark, Seq("semdecontam", s"$tmp/train",
+      s"$tmp/eval", s"$tmp/disp", "--tau", "0.99"), Map.empty)
+    assert(out == Seq("semdecontam task ended, 1 of 11 train vectors " +
+      "semantically contaminated at tau 0.99 (10 clean)"),
+      out.mkString("\n"))
+    val dropped = spark.read.parquet(s"$tmp/disp")
+      .filter($"decision" === "drop").collect()
+    assert(dropped.length == 1)
+    assert(dropped.head.getAs[Long]("vec_id") == 100L)
+    assert(dropped.head.getAs[Long]("witness") == 1000L)
+    val bad = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("semdecontam", s"$tmp/train", s"$tmp/eval",
+        s"$tmp/d2", "--tau", "2"), Map.empty)
+    }
+    assert(bad.getMessage.contains("(0, 1]"), bad.getMessage)
+    val clash = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("semdecontam", s"$tmp/train", s"$tmp/eval",
+        s"$tmp/eval"), Map.empty)
+    }
+    assert(clash.getMessage.contains("must differ"), clash.getMessage)
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))

@@ -144,6 +144,62 @@ class OperatorsSpec extends SparkSpec {
     assert(dropped.getLong(5) >= 1L)
   }
 
+  test("semantic decontamination drops a planted paraphrase-grade train " +
+    "vector and nothing else (s10)") {
+    import spark.implicits._
+    // train = 40 isotropic vectors + id 100 ≈ eval 1000 (a fresh
+    // direction not otherwise in train); eval = that vector + a far
+    // isotropic one. Only the planted train vector may drop, and its
+    // witness must be the near-identical eval vector. The FULL
+    // three-step splitmix finalizer matters here: the two-step variant
+    // the s09 fixture uses leaves components correlated enough that
+    // noise pairs reach cosine ~0.7, which would blur exactly the
+    // "nothing else drops" assertion this fixture exists to make
+    // (seeds 52/46 sit at max |cos| ≈ 0.22 vs the train set).
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(64) { i =>
+        var z = (seed.toLong << 32 | i.toLong) + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        (z % 1000L).toDouble / 1000.0
+      }
+    val planted = vec(52).clone(); planted(0) += 0.001
+    val train = (0 until 40).map(i => (i.toLong, vec(i))) :+ (100L, planted)
+    val eval = Seq((1000L, vec(52)), (1001L, vec(46)))
+    val out = EmbeddingQueries.semDecontam(
+      train.toDF("vec_id", "v"), eval.toDF("vec_id", "v")).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq ==
+      train.map(_._1).sorted.toSeq,
+      "disposition must cover exactly the train side, once each")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val hit = byId(100L)
+    assert(hit.getString(2) == "drop", "planted contamination must drop")
+    assert(hit.getLong(3) == 1000L, "witness must be the nearest eval id")
+    assert(hit.getDouble(4) >= EmbeddingQueries.semDecTau)
+    assert(hit.getLong(5) >= 1L)
+    out.filter(_.getLong(0) != 100L).foreach { r =>
+      assert(r.getString(2) == "keep" && r.isNullAt(3) && r.getLong(5) == 0L,
+        s"isotropic train vector ${r.getLong(0)} must keep")
+    }
+  }
+
+  test("semantic decontamination dispositions exactly the train split, " +
+    "witnesses in the eval split above the bar (s10)") {
+    val out = EmbeddingQueries.queries("s10_sem_decontam")(spark, sfSmoke)
+      .collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    out.foreach(r => assert(r.getLong(0) % 10 != 0,
+      "only train-side vectors may appear in the disposition"))
+    out.filter(_.getString(2) == "drop").foreach { r =>
+      assert(r.getLong(3) % 10 == 0, "witness must be an eval-side vector")
+      assert(r.getDouble(4) >= EmbeddingQueries.semDecTau)
+      assert(r.getLong(5) >= 1L)
+    }
+    out.filter(_.getString(2) == "keep")
+      .foreach(r => assert(r.isNullAt(3) && r.getLong(5) == 0L))
+  }
+
   test("SemDeDup disposition is a partition with same-cell canons (s09)") {
     val out = EmbeddingQueries.queries("s09_semdedup")(spark, sfSmoke).collect()
     assert(out.map(_.getLong(0)).distinct.length == out.length)

@@ -80,8 +80,11 @@ class QueriesSpec extends SparkSpec {
     // reused for the PQ build + probe assignment
     // s09: the same <=16-row trained-centroid assignment scan (SemDeDup
     // cells); the pair scan itself is a cell equi-join
+    // s10: the same trained-centroid assignment scan, run for both the
+    // train corpus and the eval probe side; the hit scan is a cell
+    // equi-join
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
-      "s04_ann_ivf", "s08_ivfpq_rerank", "s09_semdedup",
+      "s04_ann_ivf", "s08_ivfpq_rerank", "s09_semdedup", "s10_sem_decontam",
       "s06_quantized_rerank", "s07_truncated_rerank",
       "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
@@ -142,6 +145,8 @@ class QueriesSpec extends SparkSpec {
         "<=16-row centroid/cunit table; fixed query probe + rerank sets",
       "s09_semdedup" ->
         "<=16-row trained-centroid table (s04's quantizer, SemDeDup cells)",
+      "s10_sem_decontam" ->
+        "<=16-row trained-centroid table (s04's quantizer; decontam cells)",
       "s06_quantized_rerank" -> "fixed query set (coarse scan + rerank sides)",
       "s07_truncated_rerank" -> "fixed query set (prefix scan + rerank sides)",
       "q30_sliding_window" -> "<=6-row per-year boundary stitch",
