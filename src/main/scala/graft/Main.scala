@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max, sum, when}
+import org.apache.spark.sql.functions.{avg, coalesce, col, count, expr, lit, max, sum, when}
 
 import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Transform}
 
@@ -115,7 +115,8 @@ object Main {
       |  graft.Main overlap <corpusDir> <outDir>
       |  graft.Main select <corpusDir> <outDir> [--frac <f>]
       |  graft.Main semdedup <embeddingsDir> <outDir> [--tau <t>]
-      |  graft.Main semdecontam <trainEmbDir> <evalEmbDir> <outDir> [--tau <t>]""".stripMargin
+      |  graft.Main semdecontam <trainEmbDir> <evalEmbDir> <outDir> [--tau <t>]
+      |  graft.Main dsir <rawCorpusDir> <targetCorpusDir> <outDir>""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -782,6 +783,39 @@ object Main {
         Seq(s"semdecontam task ended, ${dc.getOrElse("drop", 0L)} of " +
           s"$totalV train vectors semantically contaminated at tau $tau " +
           s"(${dc.getOrElse("keep", 0L)} clean)")
+      case "dsir" :: rest =>
+        // d46 as a pipeline command: score every raw-corpus doc by the
+        // DSIR log importance ratio against the target corpus and write
+        // the (doc_id, log_ratio, n_feats) manifest — the ranking a
+        // budget cut (`select`-style consumers) or weighted sampler
+        // reads. Both inputs are documents-schema parquet dirs.
+        val opts = flags(rest)
+        val (rawDir, tgtDir, out) = opts.positional match {
+          case Seq(r, t, o) => (r, t, o)
+          case _ =>
+            fail(s"dsir needs <rawCorpusDir> <targetCorpusDir> <outDir>\n$usage")
+        }
+        def q10(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q10(out) == q10(rawDir) || q10(out) == q10(tgtDir))
+          fail("dsir: the output dir must differ from both corpus dirs " +
+            "— overwrite would destroy a table")
+        def corpus(dir: String) =
+          spark.read.parquet(dir).select(col("doc_id"), col("text"))
+        val weights = graft.queries.DocumentQueries
+          .dsirWeights(corpus(rawDir), corpus(tgtDir))
+        weights.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .parquet(out)
+        val census = spark.read.parquet(out)
+          .agg(count(lit(1)), avg(col("log_ratio")), max(col("log_ratio")))
+          .head
+        Seq(f"dsir task ended, ${census.getLong(0)} raw docs scored " +
+          f"(mean log-ratio ${census.getDouble(1)}%.4f, " +
+          f"best ${census.getDouble(2)}%.4f)")
       case "stream" :: rest if {
           // the two modes take different positional arities; an arity
           // that matches NEITHER mode (e.g. --queue-dir plus a landing

@@ -816,6 +816,18 @@ object DocumentQueries {
     "d45_source_quality" -> { (s, dir) =>
       qualityQuantilesBySource(Tables(s, dir, "documents"),
         pcts = Seq(25, 50, 75))
+    },
+
+    // ---- d46: DSIR importance weights (see [[dsirWeights]]) — the gate
+    // applies the d13 split convention: the 'val' split plays the
+    // high-quality TARGET corpus, the 'train' split the RAW corpus
+    // being scored ---------------------------------------------------
+    "d46_dsir_weights" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("split", splitOfBucket(splitBucketCol))
+      dsirWeights(docs.filter($"split" === "train"),
+        docs.filter($"split" === "val"))
     })
 
   /** d41: cross-source overlap census — which crawl dumps/sources
@@ -1058,6 +1070,79 @@ object DocumentQueries {
       .filter($"cum_tok" <= $"budget")
       .select($"doc_id", $"quality", $"n_tok", $"cum_tok")
       .orderBy($"cum_tok")
+  }
+
+  /** d46 feature space: hashed unigram+bigram buckets (the DSIR paper's
+    * feature extractor shape at testdata scale — the paper uses 10k
+    * buckets on full CommonCrawl; the bucket COUNT is the fidelity
+    * knob, not a correctness knob). Seed 17 keeps the feature hash
+    * independent of the d13 split (seed 7) and d27 sample (its own
+    * seed) streams — same rolling-hash family, so cross-engine
+    * exactness is already proven. */
+  private val dsirBuckets = 256
+  private def dsirFeatBucket(colName: String): String =
+    s"""aggregate(transform(sequence(1, length($colName)),
+        i -> ascii(substring($colName, i, 1))),
+        CAST(17 AS BIGINT),
+        (acc, c) -> (acc * 31 + c) % ${graft.operators.TextHash.P})
+        % $dsirBuckets"""
+
+  /** d46 — DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every RAW
+    * corpus doc by how much more likely its hashed-n-gram features are
+    * under the TARGET distribution than under the raw distribution —
+    * log w(x) = Σ_b c_b(x)·(ln p_b − ln q_b) with add-one smoothing on
+    * both bag-of-buckets models. The standard "make the crawl look
+    * like the high-quality corpus" selection signal; ranking by it +
+    * a budget cut (d42's machinery) is deterministic DSIR.
+    *
+    * Scale shape: features collapse to (doc, bucket, count) grain at
+    * map side — the only corpus-wide shuffle carries (doc_id, int
+    * bucket) pairs, never text. Both distributions are ≤`dsirBuckets`-
+    * row aggregates; the log-ratio table joins back by bucket equi-key
+    * (catalog-sized — AQE auto-broadcasts, no hint needed) and the two
+    * totals ride broadcast scalar aggregates (the d17/d23 pattern).
+    * Cross-engine exactness is the d23 discipline end to end: exact
+    * integer counts → bit-equal ln() doubles → DECIMAL(20,15)-cast
+    * summands scaled by exact DECIMAL(10,0) counts — order-independent
+    * sums, floor-scaled on output. Docs with no features (no tokens)
+    * emit no row, the termStream convention. */
+  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
+    def feats(d: DataFrame) = d
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .filter(size($"toks") >= 1)
+      .select($"doc_id", explode(concat($"toks", expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+                    slice(toks, 2, size(toks) - 1),
+           (a, b) -> concat(a, ' ', b))"""))).as("feat"))
+      .withColumn("fb", expr(dsirFeatBucket("feat")).cast("long"))
+      .groupBy($"doc_id", $"fb").agg(count(lit(1)).as("c"))
+    val rawF = feats(raw)
+    val tgtF = feats(target)
+    val qc = rawF.groupBy($"fb").agg(sum($"c").as("qc"))
+    val pc = tgtF.groupBy($"fb").agg(sum($"c").as("pc"))
+    val tq = rawF.agg(coalesce(sum($"c"), lit(0L)).as("tq"))
+    val tp = tgtF.agg(coalesce(sum($"c"), lit(0L)).as("tp"))
+    // only buckets PRESENT in the raw side can be referenced by a raw
+    // doc, so the ratio table is built on qc; absent-in-target buckets
+    // smooth to pc = 0
+    val ratio = qc.join(pc, Seq("fb"), "left")
+      .crossJoin(broadcast(tp)).crossJoin(broadcast(tq))
+      .withColumn("lr", expr(
+        s"""CAST(ln((coalesce(pc, 0) + 1)
+              / CAST(tp + $dsirBuckets AS DOUBLE)) AS DECIMAL(20,15))
+          - CAST(ln((qc + 1)
+              / CAST(tq + $dsirBuckets AS DOUBLE)) AS DECIMAL(20,15))"""))
+      .select($"fb", $"lr")
+    rawF.join(ratio, Seq("fb"))
+      .groupBy($"doc_id")
+      .agg(
+        (floor(sum(expr("lr * CAST(c AS DECIMAL(10,0))")).cast("double")
+          * 10000) / 10000.0).as("log_ratio"),
+        sum($"c").as("n_feats"))
+      .orderBy($"doc_id")
   }
 
   /** d29 BPE merge statistics — the iterative pair-merge loop a
@@ -2865,6 +2950,58 @@ object DocumentQueries {
            o.old_doc AS old_doc, coalesce(o.old_copies, 0) AS old_copies,
            nw.new_doc AS new_doc, coalesce(nw.new_copies, 0) AS new_copies
          FROM o FULL OUTER JOIN nw ON o.fp = nw.fp
-         ORDER BY fp""")
+         ORDER BY fp""",
+    // d46: the d13 split CTE assigns target/raw roles; features are
+    // unigrams + ' '-joined bigrams through the seed-17 rolling hash
+    // mod 256; smoothing, ln/DECIMAL accumulation and floor-scaling
+    // replay the d23 discipline verbatim
+    "d46_dsir_weights" ->
+      s"""WITH $duckSplits,
+         tk AS (
+           SELECT d.doc_id, s.split,
+             list_filter(string_split(d.text, ' '), t -> t <> '') AS toks
+           FROM documents d JOIN splits s USING (doc_id)
+           WHERE s.split IN ('train', 'val')),
+         uni AS (
+           SELECT doc_id, split, unnest(toks) AS feat
+           FROM tk WHERE len(toks) >= 1),
+         bg AS (
+           SELECT doc_id, split, toks[i] || ' ' || toks[i + 1] AS feat
+           FROM (SELECT doc_id, split, toks,
+                   unnest(range(1, len(toks))) AS i
+                 FROM tk WHERE len(toks) >= 2)),
+         f AS (
+           SELECT doc_id, split,
+             list_reduce(
+               list_prepend(CAST(17 AS BIGINT),
+                 list_transform(range(1, len(feat) + 1),
+                   i -> CAST(ascii(substr(feat, i, 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % ${graft.operators.TextHash.P})
+               % 256 AS fb
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)),
+         pd AS (SELECT doc_id, split, fb, count(*) AS c
+                FROM f GROUP BY doc_id, split, fb),
+         qcn AS (SELECT fb, sum(c) AS qc FROM pd
+                 WHERE split = 'train' GROUP BY fb),
+         pcn AS (SELECT fb, sum(c) AS pc FROM pd
+                 WHERE split = 'val' GROUP BY fb),
+         tq AS (SELECT coalesce(sum(c), 0) AS tq FROM pd
+                WHERE split = 'train'),
+         tp AS (SELECT coalesce(sum(c), 0) AS tp FROM pd
+                WHERE split = 'val'),
+         ratio AS (
+           SELECT qcn.fb,
+             CAST(ln((coalesce(pc, 0) + 1)
+                 / CAST(tp + 256 AS DOUBLE)) AS DECIMAL(20,15))
+             - CAST(ln((qc + 1)
+                 / CAST(tq + 256 AS DOUBLE)) AS DECIMAL(20,15)) AS lr
+           FROM qcn LEFT JOIN pcn ON qcn.fb = pcn.fb, tp, tq)
+         SELECT doc_id,
+           floor(CAST(sum(lr * CAST(c AS DECIMAL(10,0))) AS DOUBLE)
+             * 10000) / 10000 AS log_ratio,
+           CAST(sum(c) AS BIGINT) AS n_feats
+         FROM pd JOIN ratio USING (fb)
+         WHERE split = 'train'
+         GROUP BY doc_id ORDER BY doc_id""")
 }
 

@@ -872,6 +872,36 @@ class MainSpec extends SparkSpec {
     assert(clash.getMessage.contains("must differ"), clash.getMessage)
   }
 
+  test("dsir: raw docs scored against the target corpus, target-like " +
+    "doc ranks first, refusals loud") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-dsir").toString
+    Seq(
+      (10L, "quantum field theory predicts particle interactions"),
+      (11L, "particle physics theory predicts quantum interactions"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/target")
+    Seq(
+      (1L, "quantum theory predicts particle physics interactions"),
+      (2L, "zxq vbn mmm koko zzz plplpl qqq"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/raw")
+    val out = Main.run(spark, Seq("dsir", s"$tmp/raw", s"$tmp/target",
+      s"$tmp/weights"), Map.empty)
+    assert(out.head.startsWith("dsir task ended, 2 raw docs scored"),
+      out.mkString("\n"))
+    val w = spark.read.parquet(s"$tmp/weights").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_ratio"))
+      .toMap
+    assert(w(1L) > w(2L), s"target-like doc must outscore junk: $w")
+    val clash = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("dsir", s"$tmp/raw", s"$tmp/target",
+        s"$tmp/raw"), Map.empty)
+    }
+    assert(clash.getMessage.contains("must differ"), clash.getMessage)
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("dsir", s"$tmp/raw", s"$tmp/target"), Map.empty)
+    }
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))

@@ -347,6 +347,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("DSIR weights rank target-like raw docs above off-target ones, " +
+    "feature counts exact (d46)") {
+    import spark.implicits._
+    // target corpus: homogeneous "science" vocabulary. Raw corpus: doc
+    // 1 reuses that vocabulary (its hashed features are dense in the
+    // target model → positive-leaning log ratio), doc 2 is disjoint
+    // junk (features absent from the target → every bucket smooths to
+    // the 1/(tp+B) floor). The planted ordering is the operator's whole
+    // point: score(target-like) > score(off-target).
+    val target = Seq(
+      (10L, "quantum field theory predicts particle interactions"),
+      (11L, "particle physics theory predicts quantum interactions"),
+      (12L, "field theory predicts quantum particle physics"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "quantum theory predicts particle physics interactions"),
+      (2L, "zxq vbn mmm koko zzz plplpl qqq"))
+      .toDF("doc_id", "text")
+    val out = DocumentQueries.dsirWeights(raw, target).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "disposition must cover exactly the raw docs, ordered by id")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getDouble(1) > byId(2L).getDouble(1),
+      s"target-like doc must outscore off-target junk: $out")
+    // features = unigrams + bigrams: a 6-token doc carries 6 + 5, a
+    // 7-token doc 7 + 6 (counts, not distincts — repeats accumulate)
+    assert(byId(1L).getLong(2) == 11L)
+    assert(byId(2L).getLong(2) == 13L)
+  }
+
   test("PII scrubber redacts emails and IPv4s, counts them, leaves prose alone (d20)") {
     import spark.implicits._
     val df = Seq(

@@ -88,6 +88,9 @@ class QueriesSpec extends SparkSpec {
       "s06_quantized_rerank", "s07_truncated_rerank",
       "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
+      // d46: the two feature-total scalars (no-grouping aggregates)
+      // cross-joined onto the <=256-row log-ratio table
+      "d46_dsir_weights",
       "d26_pack_sequences", "d40_epoch_shuffle", "d27_temperature_sample",
       "d31_curation_funnel", "d35_bigram_logprob",
       "d38_mix_epochs", "d42_budget_select")
