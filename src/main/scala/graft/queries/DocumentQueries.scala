@@ -818,6 +818,11 @@ object DocumentQueries {
         pcts = Seq(25, 50, 75))
     },
 
+    // ---- d47: duplicated-n-gram fraction (see [[dupNgramStats]]) ----
+    "d47_dup_ngram_frac" -> { (s, dir) =>
+      dupNgramStats(Tables(s, dir, "documents"))
+    },
+
     // ---- d46: DSIR importance weights (see [[dsirWeights]]) — the gate
     // applies the d13 split convention: the 'val' split plays the
     // high-quality TARGET corpus, the 'train' split the RAW corpus
@@ -1921,16 +1926,60 @@ object DocumentQueries {
     * report (d30) and the remediation (d32) can never disagree on what
     * an n-gram is. Docs under n tokens emit no rows; the size guard
     * also keeps sequence() ascending (the sequence(1, 0) trap). */
-  private[graft] def splitNgramFps(docs: DataFrame, n: Int): DataFrame = {
+  /** The distinct per-doc n-gram fingerprint stream (doc_id [, carry],
+    * fp) — ONE definition of the n-gram grain shared by the
+    * decontamination family (d30/d32/d39 via [[splitNgramFps]]) and the
+    * d47 duplicated-n-gram census, so "what is an n-gram" cannot
+    * silently diverge between the operators that must agree on it. */
+  private[graft] def ngramFps(docs: DataFrame, n: Int,
+      carry: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     require(n >= 1, s"ngram pass: n must be >= 1 (got $n)")
     docs
-      .withColumn("split", splitOfBucket(splitBucketCol))
       .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("split"), explode(expr(
+      .select((col("doc_id") +: carry) :+ explode(expr(
         s"""transform(sequence(1, size(toks) - ${n - 1}),
-            i -> md5(array_join(slice(toks, i, $n), ' ')))""")).as("fp"))
+            i -> md5(array_join(slice(toks, i, $n), ' ')))""")).as("fp"): _*)
       .distinct()
+  }
+
+  private[graft] def splitNgramFps(docs: DataFrame, n: Int): DataFrame =
+    ngramFps(docs.withColumn("split", splitOfBucket(splitBucketCol)), n,
+      Seq(col("split")))
+
+  /** d47 — per-document duplicated-n-gram fraction at CORPUS grain: for
+    * each doc, what fraction of its distinct n-grams also appears in at
+    * least one OTHER document. The cross-document counterpart of d19's
+    * within-doc repetition ratio, and the per-doc readout of d37's
+    * corpus-wide hot-span census — the RefinedWeb/FineWeb-family
+    * "dup_ngram_frac" signal a quality filter thresholds (a doc that is
+    * mostly boilerplate shared with the rest of the crawl scores near
+    * 1.0 even when each individual copy looks clean). `max_df` ties the
+    * doc to its hottest span's document frequency.
+    *
+    * Scale shape: the corpus is fingerprinted ONCE at the shared
+    * [[ngramFps]] grain (text collapses to md5 fps before any shuffle);
+    * df is one fp-grain map-side-combinable aggregate; the join back is
+    * fp-keyed between two fp tables (no text, no pair explosion — each
+    * (doc, fp) row matches exactly its one df row). Linear in corpus
+    * n-grams by necessity, like d30/d37 — every n-gram must be touched
+    * once to know it is shared. Docs with fewer than n tokens carry no
+    * n-gram and emit no row (the d30 convention). */
+  def dupNgramStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grams = ngramFps(docs, n)
+    val dfreq = grams.groupBy($"fp").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, Seq("fp"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when($"df" >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"),
+        max($"df").as("max_df"))
+      .withColumn("shared_frac",
+        floor($"n_shared".cast("double") / $"n_ngrams" * 10000) / 10000.0)
+      .select($"doc_id", $"n_ngrams", $"n_shared", $"shared_frac", $"max_df")
+      .orderBy($"doc_id")
   }
 
   /** d27's rebalancing rate table over a lang column: rate_bp =
@@ -2951,6 +3000,21 @@ object DocumentQueries {
            nw.new_doc AS new_doc, coalesce(nw.new_copies, 0) AS new_copies
          FROM o FULL OUTER JOIN nw ON o.fp = nw.fp
          ORDER BY fp""",
+    // d47: the shared d30 n-gram grain (distinct md5 8-gram fps per
+    // doc), df at fp grain, shared = df >= 2; float division made
+    // explicit on both engines, floor-scaled
+    "d47_dup_ngram_frac" ->
+      s"""WITH $duckNgramFps,
+         dfreq AS (SELECT fp, count(*) AS df FROM ng GROUP BY fp)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           floor(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000) / 10000 AS shared_frac,
+           CAST(max(df) AS BIGINT) AS max_df
+         FROM ng JOIN dfreq USING (fp)
+         GROUP BY doc_id ORDER BY doc_id""",
     // d46: the d13 split CTE assigns target/raw roles; features are
     // unigrams + ' '-joined bigrams through the seed-17 rolling hash
     // mod 256; smoothing, ln/DECIMAL accumulation and floor-scaling

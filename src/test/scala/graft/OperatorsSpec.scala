@@ -347,6 +347,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("duplicated-n-gram fraction: exact copies score 1.0, unique docs " +
+    "0.0, straddling spans count (d47)") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("s", 8) // one exact 8-gram
+    val docs = Seq(
+      (1L, words("a", 12)),                  // unique
+      (2L, words("a", 12)),                  // exact copy of 1
+      (3L, words("b", 20)),                  // fully unique
+      (4L, s"${words("c", 6)} $shared ${words("d", 6)}"), // carries span
+      (5L, s"${words("e", 6)} $shared ${words("f", 6)}"), // carries span
+      (6L, words("g", 7)))                   // < 8 tokens: no row
+      .toDF("doc_id", "text")
+    val out = DocumentQueries.dupNgramStats(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      "docs under n tokens emit no row; the rest disposition once each")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // exact copies: every n-gram shared, df 2
+    Seq(1L, 2L).foreach { id =>
+      assert(byId(id).getLong(1) == 5L)           // 12 tokens → 5 8-grams
+      assert(byId(id).getLong(2) == 5L)
+      assert(byId(id).getDouble(3) == 1.0)
+      assert(byId(id).getLong(4) == 2L)
+    }
+    // fully unique doc
+    assert(byId(3L).getLong(2) == 0L && byId(3L).getDouble(3) == 0.0 &&
+      byId(3L).getLong(4) == 1L)
+    // span carriers: 20 tokens → 13 8-grams, exactly ONE of which (the
+    // pure shared span) exists in the other carrier — the straddling
+    // 8-grams mix the distinct context and stay unique
+    Seq(4L, 5L).foreach { id =>
+      assert(byId(id).getLong(1) == 13L)
+      assert(byId(id).getLong(2) == 1L)
+      assert(byId(id).getDouble(3) ==
+        math.floor(1.0 / 13.0 * 10000) / 10000.0)
+      assert(byId(id).getLong(4) == 2L)
+    }
+  }
+
   test("DSIR weights rank target-like raw docs above off-target ones, " +
     "feature counts exact (d46)") {
     import spark.implicits._
