@@ -43,19 +43,78 @@ object MultimodalQueries {
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"))
       Multimodal.resize(media).toDF().orderBy($"doc_id")
+    },
+
+    // ---- m04: media dedup — exact at content grain, near at perceptual
+    // grain. The d03 LSH discipline transposed to images: exact-dup
+    // collapse first (byte-identical payloads ride their min-doc rep),
+    // then candidate pairs ONLY where two reps share one of the four
+    // 16-bit bands of the m01 average-hash, degenerate band buckets
+    // (> MaxAhashBucket reps — no selectivity) dropped, then the exact
+    // hamming verify over the full 64-bit hashes. Text/payload never
+    // joins — everything that shuffles is md5 fps, band keys, and
+    // 64-bit hashes. The deterministic integer ahash (m01's contract)
+    // makes the whole disposition SQL-replayable.
+    "m04_media_neardup" -> { (s, dir) =>
+      mediaNearDup(s, Tables(s, dir, "documents"))
     })
 
-  val oracleSql: ListMap[String, String] = ListMap(
-    // mirrors ppmFromDocuments' generation contract: w = 8 + doc_id%9,
-    // h = ceil(len/3w) (>=1), raster = text '.'-padded to w*h*3; the
-    // ENGINE's numbers come from parsing the P6 header it wrote. ahash
-    // is the integer-exact perceptual average-hash: per-pixel ITU-601
-    // luma (×1000), 8×8 grid cells, bit set iff S_cell*N > T*n_cell
-    // (cross-multiplied integers — DuckDB's sum() is HUGEINT, so the
-    // products are exact like the engine's BigInt compare), assembled
-    // as an unsigned HUGEINT then mapped to the signed 64-bit value.
-    "m01_media_features" ->
-      """WITH g AS (
+  /** m04 as a reusable operator over a (doc_id, text) frame — the
+    * payload-generation contract (ppm wrapping) is part of the operator
+    * so the gate and the planted specs disposition identical bytes. */
+  def mediaNearDup(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.ppmFromDocuments(s, docs)
+    val fps = media.toDF().select($"doc_id", md5($"media").as("cfp"))
+    val ah = Multimodal.extractFeatures(media).toDF()
+      .select($"doc_id", $"ahash")
+    val feats = fps.join(ah, "doc_id")
+    // identical content ⇒ identical ahash, so min() carries the rep's
+    // hash through the same aggregate
+    val reps = feats.groupBy($"cfp")
+      .agg(min($"doc_id").as("rep"), min($"ahash").as("ahash"))
+    val exact = feats.join(reps, "cfp").filter($"doc_id" =!= $"rep")
+      .select($"rep".as("doc_a"), $"doc_id".as("doc_b"),
+        lit(0L).as("hamming"), lit("exact").as("kind"))
+    val bands = reps.select($"rep", $"ahash", explode(expr(
+      """transform(sequence(0, 3), b -> named_struct(
+           'band', CAST(b AS BIGINT),
+           'key', shiftright(ahash, 16 * b) & 65535))""")).as("bk"))
+      .select($"rep", $"ahash", $"bk.band".as("band"), $"bk.key".as("key"))
+    val ok = bands.groupBy($"band", $"key").agg(count(lit(1)).as("n"))
+      .filter($"n" <= MaxAhashBucket).select($"band", $"key")
+    val okBands = bands.join(ok, Seq("band", "key"))
+    val l = okBands
+      .select($"rep".as("ra"), $"ahash".as("aa"), $"band", $"key")
+    val r = okBands.select($"rep".as("rb"), $"ahash".as("ab"),
+      $"band".as("band_b"), $"key".as("key_b"))
+    val near = l
+      .join(r, $"band" === $"band_b" && $"key" === $"key_b" && $"ra" < $"rb")
+      .select($"ra", $"aa", $"rb", $"ab").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(aa ^ ab) AS BIGINT)"))
+      .filter($"hamming" <= HammingBar)
+      .select($"ra".as("doc_a"), $"rb".as("doc_b"), $"hamming",
+        lit("near").as("kind"))
+    exact.unionByName(near).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** m04 near-dup bar: ≤ HammingBar differing bits of the 64-bit
+    * average-hash counts as perceptually near; band buckets shared by
+    * more than MaxAhashBucket distinct rasters carry no selectivity
+    * and are dropped (the d16 MaxBandBucket discipline). */
+  val HammingBar = 6
+  private[queries] val MaxAhashBucket = 64
+
+  /** The shared m01/m04 oracle prelude — mirrors ppmFromDocuments'
+    * generation contract: w = 8 + doc_id%9, h = ceil(len/3w) (>=1),
+    * raster = text '.'-padded to w*h*3; the ENGINE's numbers come from
+    * parsing the P6 header it wrote. ahash is the integer-exact
+    * perceptual average-hash: per-pixel ITU-601 luma (×1000), 8×8 grid
+    * cells, bit set iff S_cell*N > T*n_cell (cross-multiplied integers
+    * — DuckDB's sum() is HUGEINT, so the products are exact like the
+    * engine's BigInt compare), assembled as an unsigned HUGEINT. */
+  private val duckMediaPrelude: String =
+    """g AS (
            SELECT doc_id, text, CAST(8 + doc_id % 9 AS INTEGER) AS w,
              CAST(greatest(1, (length(text) + 3 * (8 + doc_id % 9) - 1)
                   // (3 * (8 + doc_id % 9))) AS INTEGER) AS h
@@ -84,16 +143,64 @@ object MultimodalQueries {
              sum(CASE WHEN s * nn > t * n
                  THEN CAST(1 AS HUGEINT) << cell
                  ELSE CAST(0 AS HUGEINT) END) AS ub
-           FROM cells GROUP BY doc_id)
+           FROM cells GROUP BY doc_id)"""
+
+  /** unsigned-HUGEINT → signed 64-bit ahash (both consumers share the
+    * exact two's-complement mapping). */
+  private val duckSignedAhash: String =
+    """CAST(CASE WHEN ub >= CAST(9223372036854775808 AS HUGEINT)
+                THEN ub - CAST(18446744073709551616 AS HUGEINT)
+                ELSE ub END AS BIGINT)"""
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    "m01_media_features" ->
+      s"""WITH $duckMediaPrelude
          SELECT p.doc_id,
            CAST(length(header) + length(raster) AS BIGINT) AS n_bytes,
            w AS width, h AS height,
            substr(md5(raster), 1, 8) AS phash,
-           CAST(CASE WHEN ub >= CAST(9223372036854775808 AS HUGEINT)
-                THEN ub - CAST(18446744073709551616 AS HUGEINT)
-                ELSE ub END AS BIGINT) AS ahash,
+           $duckSignedAhash AS ahash,
            floor(w / CAST(h AS DOUBLE) * 10000) / 10000 AS aspect
          FROM p JOIN bits ON bits.doc_id = p.doc_id ORDER BY p.doc_id""",
+    // m04: content fingerprints over the SAME generated payload
+    // (header || raster — ASCII, so string md5 == the engine's binary
+    // md5), the signed ahash banded into four 16-bit keys, the bucket
+    // cap, and the hamming verify via xor + bit_count
+    "m04_media_neardup" ->
+      s"""WITH $duckMediaPrelude,
+         feats AS (
+           SELECT p.doc_id, md5(header || raster) AS cfp,
+             $duckSignedAhash AS ahash
+           FROM p JOIN bits ON bits.doc_id = p.doc_id),
+         reps AS (
+           SELECT cfp, min(doc_id) AS rep, min(ahash) AS ahash
+           FROM feats GROUP BY cfp),
+         exact AS (
+           SELECT r.rep AS doc_a, f.doc_id AS doc_b,
+             CAST(0 AS BIGINT) AS hamming, 'exact' AS kind
+           FROM feats f JOIN reps r USING (cfp) WHERE f.doc_id <> r.rep),
+         bands AS (
+           SELECT rep, ahash, CAST(b.b AS BIGINT) AS band,
+             (ahash >> (16 * b.b)) & 65535 AS key
+           FROM reps, (SELECT unnest(range(4)) AS b) b),
+         ok AS (
+           SELECT band, key FROM bands GROUP BY band, key
+           HAVING count(*) <= 64),
+         cand AS (
+           SELECT DISTINCT a.rep AS ra, a.ahash AS aa,
+             c.rep AS rb, c.ahash AS ab
+           FROM bands a
+           JOIN ok USING (band, key)
+           JOIN bands c ON a.band = c.band AND a.key = c.key
+             AND a.rep < c.rep),
+         near AS (
+           SELECT ra AS doc_a, rb AS doc_b,
+             CAST(bit_count(xor(aa, ab)) AS BIGINT) AS hamming,
+             'near' AS kind
+           FROM cand WHERE bit_count(xor(aa, ab)) <= 6)
+         SELECT * FROM (
+           SELECT * FROM exact UNION ALL SELECT * FROM near)
+         ORDER BY doc_a, doc_b""",
     // the corpus is pure ASCII (verified), so character slices in SQL are
     // byte slices of the UTF-8 payload the engine frames/downsamples;
     // the range bounds ARE the operator's MaxFrames/MaxSamples caps

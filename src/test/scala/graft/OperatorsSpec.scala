@@ -1848,6 +1848,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got.nonEmpty, "gate corpus lost its planted contamination?")
   }
 
+  test("media dedup: byte-identical payloads collapse exact, a one-char " +
+    "raster edit lands near, disjoint images pair with nothing (m04)") {
+    import spark.implicits._
+    import graft.queries.MultimodalQueries
+    // ids chosen ≡ 0 (mod 9) so the planted docs share the generated
+    // width — byte-identical text ⇒ byte-identical payload. Doc 27
+    // differs from the pair by ONE character: a single-pixel luma
+    // nudge that moves at most a few cells across the ahash mean.
+    val base = (0 until 40).map(i => s"tok$i value${i * 7}").mkString(" ")
+    val docs = Seq(
+      (9L, base), (18L, base),          // exact pair
+      (27L, base.replace("tok5", "tok6")), // near neighbor
+      (5L, (0 until 40).map(i => s"Z${i}q#${i * 13}!").mkString("~")))
+      .toDF("doc_id", "text")
+    val out = MultimodalQueries.mediaNearDup(spark, docs).collect()
+    val exact = out.filter(_.getString(3) == "exact")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exact == Seq((9L, 18L, 0L)),
+      s"byte-identical payloads must collapse to one exact pair: $exact")
+    val near = out.filter(_.getString(3) == "near")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(near.map(p => (p._1, p._2)) == Seq((9L, 27L)),
+      s"the one-char edit must near-pair with the exact rep only: $near")
+    assert(near.head._3 <= MultimodalQueries.HammingBar && near.head._3 >= 0L)
+    assert(!out.exists(r => r.getLong(0) == 5L || r.getLong(1) == 5L),
+      "the disjoint image must pair with nothing")
+  }
+
   test("multimodal decode stub is deterministic and batch extraction conserves rows") {
     val media = Multimodal.mediaFromDocuments(spark, Tables(spark, sfSmoke, "documents"))
     val feats = Multimodal.extractFeatures(media)
