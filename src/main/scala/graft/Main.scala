@@ -103,7 +103,7 @@ object Main {
       |  graft.Main transform [-o <outDir>] [--loop <seconds> [--iterations <n>]] [<input>...]
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
       |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
-      |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] [--decontam <dir> [--decontam-n <k>]] <dropDir> <corpusDir> <checkpointDir>
+      |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] [--decontam <dir> [--decontam-n <k>]] [--quality-min <q> [--rejects <dir>]] <dropDir> <corpusDir> <checkpointDir>
       |  graft.Main compact <lakeDir> [--flat | --sigs | --spansigs | --evalsigs | <partitionCol>...]
       |  graft.Main dedup <corpusDir> <outDir> [--best]
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
@@ -226,14 +226,33 @@ object Main {
           if (dn < 1) fail(s"ingest: --decontam-n must be >= 1, got $v")
           dn
         }.getOrElse(8)
+        // --quality-min <score>: the ingest-time d09 quality gate —
+        // same shared formula curate thresholds, applied per micro-
+        // batch BEFORE the corpus append and every sidecar; --rejects
+        // <dir> additionally quarantines dropped (doc_id, quality)
+        // rows per batch (replay-idempotent overwrite partitions)
+        val qualityMin = iOpts.named.get("--quality-min").map { v =>
+          val q = try v.toDouble catch {
+            case _: NumberFormatException =>
+              fail(s"ingest: --quality-min must be a number, got '$v'")
+          }
+          if (q <= 0.0 || q > 1.0)
+            fail(s"ingest: --quality-min must be in (0, 1], got $v")
+          q
+        }
+        val rejectsDir = iOpts.named.get("--rejects")
+        if (rejectsDir.nonEmpty && qualityMin.isEmpty)
+          fail("ingest: --rejects needs --quality-min — without a gate " +
+            "nothing is ever rejected")
         val writer =
-          if (sigDir.isEmpty && spanSigDir.isEmpty && decontamDir.isEmpty)
+          if (sigDir.isEmpty && spanSigDir.isEmpty && decontamDir.isEmpty &&
+              qualityMin.isEmpty)
             graft.streaming.DocumentIngest
               .writer(ingestStream, corpus, checkpoint)
           else graft.streaming.DocumentIngest.writerWithArtifacts(
             ingestStream, corpus, sigDir, spanSigDir,
             iOpts.getOrElse("--span-sep", "\n\n"), checkpoint, decontamDir,
-            decontamN)
+            decontamN, qualityMin, rejectsDir)
         val query =
           if (rest.contains("--once"))
             writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

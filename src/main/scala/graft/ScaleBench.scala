@@ -62,7 +62,17 @@ object ScaleBench {
       "d43_quality_quantiles" :+ "d44_corpus_diff" :+
       // d45: the grouped two-phase rank — per-source partitioned
       // windows must carry the volume without a per-source funnel
-      "d45_source_quality"
+      "d45_source_quality" :+
+      // s10 (round 13 cont.): the train-home-cell/eval-probe asymmetry —
+      // the cell shows the pair scan stays bounded by cell occupancy as
+      // the corpus grows around a fixed eval split; d46: two ≤256-row
+      // feature models + a bucket equi-join — the cell's CLAIM is that
+      // only the (doc, bucket) collapse carries the volume; d47: the
+      // shared n-gram pass + fp-grain df — linear-by-necessity like
+      // d30/d37; m04: the banded perceptual-hash join — pair count must
+      // stay bounded by band-bucket occupancy under ScaleGen's dup load
+      "s10_sem_decontam" :+ "d46_dsir_weights" :+
+      "d47_dup_ngram_frac" :+ "m04_media_neardup"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

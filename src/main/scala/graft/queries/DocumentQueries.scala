@@ -117,7 +117,7 @@ object DocumentQueries {
     * bounded composite quality score), added to any text frame. ONE
     * definition shared by the d09 gate and the d31 funnel's quality
     * stage. Pure codegen arithmetic, no shuffle. */
-  private[queries] def withQuality(docs: DataFrame): DataFrame = {
+  private[graft] def withQuality(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     docs
       .withColumn("n_tok", size(toks).cast("long"))

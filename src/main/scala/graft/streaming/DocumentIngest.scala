@@ -116,15 +116,41 @@ object DocumentIngest {
     * `foldSpanSignatures` (df sums exactly under the unique-doc_id
     * ingest contract). Both sidecars ride the one pinned computation
     * of the dedup exchange above. */
+  /** `qualityMin`: the ingest-time quality gate — the d09 composite
+    * (the SAME shared formula the d31 funnel and `curate` threshold,
+    * so a doc the batch pipeline would cut never lands in the first
+    * place) computed per micro-batch; docs below the bar are dropped
+    * BEFORE the corpus append AND before every sidecar (a gated-out
+    * doc must not enter the dedup/decontam artifacts either — the
+    * artifacts describe the corpus, and the doc is not in it). With
+    * `rejectsDir` set, rejected (doc_id, quality) rows land in
+    * overwrite-mode `batch=<id>` partitions — the same replay-
+    * idempotency contract as the sidecars, and the quarantine census
+    * the F1 malformed-filter discipline keeps for every drop path. */
   def writerWithArtifacts(df: DataFrame, outDir: String,
       sigDir: Option[String], spanSigDir: Option[String], spanSep: String,
       checkpointDir: String,
       decontamDir: Option[String] = None,
-      decontamN: Int = 8): DataStreamWriter[Row] =
+      decontamN: Int = 8,
+      qualityMin: Option[Double] = None,
+      rejectsDir: Option[String] = None): DataStreamWriter[Row] =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        val pinned = batch.persist()
+        val origCols = batch.columns.toSeq.map(col)
+        val pinned = (qualityMin match {
+          case Some(min) =>
+            val scored = graft.queries.DocumentQueries
+              .withQuality(batch.toDF())
+            rejectsDir.foreach { d =>
+              scored.filter(col("quality") < min)
+                .select(col("doc_id"), col("quality"))
+                .write.mode("overwrite").parquet(s"$d/batch=$batchId")
+            }
+            scored.filter(col("quality") >= min).select(origCols: _*)
+              .persist()
+          case None => batch.persist()
+        })
         try {
           pinned.write.mode("append").partitionBy("lang").parquet(outDir)
           sigDir.foreach { d =>

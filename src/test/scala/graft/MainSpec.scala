@@ -188,6 +188,48 @@ class MainSpec extends SparkSpec {
       Set("doc_id", "fp", "mh", "bands", "split", "batch"))
   }
 
+  test("ingest --quality-min gates docs before the corpus and every " +
+    "sidecar, quarantining rejects; refusals loud") {
+    val tmp = Files.createTempDirectory("graft-cli-qgate").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/drop"))
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"crawl",""" +
+        s""""event_ts":"2024-01-01T00:0$id:00.000Z"}"""
+    // doc 1: prose with stopwords — d09 quality well above 0.3;
+    // doc 2: a single junk token — quality ≈ 0.07, gated out
+    val good = "the quick brown fox jumps over a lazy dog near the river " +
+      "bank while the sun sets over a quiet field"
+    Files.write(java.nio.file.Paths.get(s"$tmp/drop/b1.jsonl"),
+      Seq(doc(1, good), doc(2, "x")).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = Main.run(spark, Seq("ingest", "--once",
+      "--quality-min", "0.3", "--rejects", s"$tmp/rejects",
+      "--sigs", s"$tmp/sigs",
+      s"$tmp/drop", s"$tmp/corpus", s"$tmp/ckpt"), Map.empty)
+    assert(out == Seq("ingest query terminated"))
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+    assert(corpus.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(1L),
+      "only the above-bar doc may land in the corpus")
+    // the gated-out doc must not be signed either — the artifact
+    // describes the corpus, and the doc is not in it
+    val sigs = spark.read.parquet(s"$tmp/sigs")
+    assert(sigs.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    val rej = spark.read.parquet(s"$tmp/rejects").collect()
+    assert(rej.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+    assert(rej.head.getAs[Double]("quality") < 0.3)
+    val bad = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("ingest", "--once", "--quality-min", "1.5",
+        s"$tmp/drop", s"$tmp/c2", s"$tmp/k2"), Map.empty)
+    }
+    assert(bad.getMessage.contains("(0, 1]"), bad.getMessage)
+    val orphan = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("ingest", "--once", "--rejects", s"$tmp/r2",
+        s"$tmp/drop", s"$tmp/c3", s"$tmp/k3"), Map.empty)
+    }
+    assert(orphan.getMessage.contains("needs --quality-min"),
+      orphan.getMessage)
+  }
+
   test("ingest --spansigs maintains the span-signature sidecar per batch") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-cli-spansig").toString
