@@ -72,7 +72,11 @@ object ScaleBench {
       // d30/d37; m04: the banded perceptual-hash join — pair count must
       // stay bounded by band-bucket occupancy under ScaleGen's dup load
       "s10_sem_decontam" :+ "d46_dsir_weights" :+
-      "d47_dup_ngram_frac" :+ "m04_media_neardup"
+      "d47_dup_ngram_frac" :+ "m04_media_neardup" :+
+      // d48: k-means over the hashed-feature space — two (doc, bucket)
+      // aggregates + bucket-keyed joins against ≤2048-row centroid
+      // metadata; the cell's CLAIM is no pairwise term ever appears
+      "d48_domain_clusters"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

@@ -818,6 +818,11 @@ object DocumentQueries {
         pcts = Seq(25, 50, 75))
     },
 
+    // ---- d48: domain clustering (see [[domainClusters]]) ------------
+    "d48_domain_clusters" -> { (s, dir) =>
+      domainClusters(Tables(s, dir, "documents"))
+    },
+
     // ---- d47: duplicated-n-gram fraction (see [[dupNgramStats]]) ----
     "d47_dup_ngram_frac" -> { (s, dir) =>
       dupNgramStats(Tables(s, dir, "documents"))
@@ -1077,20 +1082,21 @@ object DocumentQueries {
       .orderBy($"cum_tok")
   }
 
-  /** d46 feature space: hashed unigram+bigram buckets (the DSIR paper's
-    * feature extractor shape at testdata scale — the paper uses 10k
-    * buckets on full CommonCrawl; the bucket COUNT is the fidelity
-    * knob, not a correctness knob). Seed 17 keeps the feature hash
-    * independent of the d13 split (seed 7) and d27 sample (its own
-    * seed) streams — same rolling-hash family, so cross-engine
-    * exactness is already proven. */
+  /** d46/d48 feature space: hashed unigram+bigram buckets (the DSIR
+    * paper's feature extractor shape at testdata scale — the paper uses
+    * 10k buckets on full CommonCrawl; the bucket COUNT is the fidelity
+    * knob, not a correctness knob). The bucket is the first md5 hex
+    * PAIR of the feature string (0..255) — md5 is the repo's proven
+    * cross-engine fingerprint AND a native codegen expression; the
+    * first cut used the d13 rolling-char-hash HOF per feature, which
+    * the scale sweep measured ~20× slower than d47's md5 pass at the
+    * same feature grain (an interpreted per-character lambda against a
+    * native digest — 74 vs 4 job-seconds at 10×). The hex→int map is a
+    * locate() over the hex alphabet, exact on both engines. */
   private val dsirBuckets = 256
   private def dsirFeatBucket(colName: String): String =
-    s"""aggregate(transform(sequence(1, length($colName)),
-        i -> ascii(substring($colName, i, 1))),
-        CAST(17 AS BIGINT),
-        (acc, c) -> (acc * 31 + c) % ${graft.operators.TextHash.P})
-        % $dsirBuckets"""
+    s"""(locate(substring(md5($colName), 1, 1), '0123456789abcdef') - 1) * 16
+        + (locate(substring(md5($colName), 2, 1), '0123456789abcdef') - 1)"""
 
   /** d46 — DSIR importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every RAW
@@ -1112,10 +1118,14 @@ object DocumentQueries {
     * summands scaled by exact DECIMAL(10,0) counts — order-independent
     * sums, floor-scaled on output. Docs with no features (no tokens)
     * emit no row, the termStream convention. */
-  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame = {
-    val s = raw.sparkSession
+  /** The hashed unigram+bigram feature stream (doc_id, fb, c) shared by
+    * d46 (importance weights) and d48 (domain clustering) — one
+    * definition of the feature space, so the two operators that reason
+    * in it cannot silently diverge. */
+  private[queries] def hashedFeats(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
     import s.implicits._
-    def feats(d: DataFrame) = d
+    d
       .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
       .filter(size($"toks") >= 1)
       .select($"doc_id", explode(concat($"toks", expr(
@@ -1124,8 +1134,13 @@ object DocumentQueries {
            (a, b) -> concat(a, ' ', b))"""))).as("feat"))
       .withColumn("fb", expr(dsirFeatBucket("feat")).cast("long"))
       .groupBy($"doc_id", $"fb").agg(count(lit(1)).as("c"))
-    val rawF = feats(raw)
-    val tgtF = feats(target)
+  }
+
+  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
+    val rawF = hashedFeats(raw)
+    val tgtF = hashedFeats(target)
     val qc = rawF.groupBy($"fb").agg(sum($"c").as("qc"))
     val pc = tgtF.groupBy($"fb").agg(sum($"c").as("pc"))
     val tq = rawF.agg(coalesce(sum($"c"), lit(0L)).as("tq"))
@@ -1147,6 +1162,91 @@ object DocumentQueries {
         (floor(sum(expr("lr * CAST(c AS DECIMAL(10,0))")).cast("double")
           * 10000) / 10000.0).as("log_ratio"),
         sum($"c").as("n_feats"))
+      .orderBy($"doc_id")
+  }
+
+  /** d48 cluster count. 8 cells over the 256-bucket feature space keeps
+    * cells well-populated on the test corpora; like s04/s09's k=16, the
+    * cell COUNT is the knob real runs scale with corpus size. */
+  private val domainCells = 8
+  /** deterministic ±1 seed sign per (feature bucket, cell), defined as
+    * "first md5 hex char of `fb:cell` has even code". The ORACLE
+    * computes it inline in SQL; the ENGINE pre-tabulates all 256×8
+    * values into a plan-literal table joined by bucket — the same
+    * md5, evaluated once per (bucket, cell) instead of once per
+    * (doc, bucket, cell) row (the inline form re-digested ~60M tiny
+    * strings at the 100× sweep scale). */
+  private lazy val domSignRows: Seq[(Long, Int, Double)] =
+    for {
+      fb <- 0L until dsirBuckets.toLong
+      cell <- 0 until domainCells
+    } yield {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$fb:$cell".getBytes("UTF-8"))
+      val firstHex = "%02x".format(d(0)).charAt(0)
+      (fb, cell, if (firstHex.toInt % 2 == 0) 1.0 else -1.0)
+    }
+
+  /** d48 — domain clustering over the hashed-n-gram feature space: the
+    * text-side counterpart of s04/s09's embedding quantizer, and the
+    * structure a domain-mixture pipeline (DoReMi-style domain weights,
+    * per-domain curation) needs when no embeddings exist yet. Every doc
+    * is assigned to one of `domainCells` clusters by cosine over its
+    * [[hashedFeats]] bag-of-buckets vector: fixed md5-derived ±1 seed
+    * directions, one spherical Lloyd round (members normalized by their
+    * exact L2 count-norm, per-(cell, bucket) sums accumulated as
+    * fixed-point integers in DECIMAL — the s04 recenter discipline, so
+    * the learned centroids are bit-equal functions of the data on any
+    * engine and any partitioning), then a final cosine argmax against
+    * the learned centroids (exact DECIMAL dot, one double division,
+    * cell-ascending tie-break).
+    *
+    * Scale shape: docs never pairwise-compare (this is k-means, not
+    * SemDeDup) — the corpus-sized work is two (doc, bucket)-grain
+    * aggregates and two bucket-keyed equi-joins against ≤ 256·8-row
+    * centroid metadata (AQE auto-broadcasts); the argmax windows
+    * partition by doc_id. Text never shuffles: features collapse to
+    * (doc_id, int bucket, count) at map side, the d46 pass. */
+  def domainClusters(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val f = hashedFeats(docs)
+    val nrm = f.groupBy($"doc_id")
+      .agg(sqrt(sum($"c" * $"c").cast("double")).as("nrm"),
+        sum($"c").as("n_feats"))
+    // seed assignment: Σ_b c_b·(±1) — every term integer-valued, so the
+    // double sum is exact and order-independent; signs ride the
+    // pre-tabulated 2048-row literal (an inline-relation equi-join)
+    val signs = domSignRows.toDF("fb", "cell", "w")
+    val arg0W = Window.partitionBy($"doc_id").orderBy($"dot0".desc, $"cell")
+    val assign0 = f
+      .join(signs, Seq("fb"))
+      .groupBy($"doc_id", $"cell").agg(sum($"c" * $"w").as("dot0"))
+      .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
+      .select($"doc_id", $"cell".as("cell0"))
+    // one Lloyd round at 1e-9 fixed-point grain (exact, order-free)
+    val cent = f.join(assign0, "doc_id").join(nrm.select($"doc_id", $"nrm"), "doc_id")
+      .groupBy($"cell0", $"fb")
+      .agg(sum(floor($"c" / $"nrm" * lit(1e9)).cast("decimal(38,0)"))
+        .cast("decimal(20,0)").as("sxq"))
+    val cnorm = cent
+      .withColumn("sx", $"sxq".cast("double") / lit(1e9))
+      .groupBy($"cell0")
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(fb, sx))), p -> p.sx)")
+        .as("cv"))
+      .select($"cell0", expr("sqrt(graft_dot(cv, cv))").as("cnorm"))
+    // final assignment: exact DECIMAL dot / centroid norm; the doc's own
+    // norm is constant across cells and cancels in the argmax
+    val dots = f.join(cent.select($"cell0".as("cell"), $"fb", $"sxq"), Seq("fb"))
+      .groupBy($"doc_id", $"cell")
+      .agg(sum(expr("CAST(c AS DECIMAL(10,0)) * sxq")).as("dotq"))
+    val argW = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cell")
+    dots.join(cnorm.withColumnRenamed("cell0", "cell"), Seq("cell"))
+      .withColumn("score", $"dotq".cast("double") / $"cnorm")
+      .withColumn("rn", row_number().over(argW)).filter($"rn" === 1)
+      .join(nrm.select($"doc_id", $"n_feats"), Seq("doc_id"))
+      .select($"doc_id", $"cell".cast("long").as("cluster"), $"n_feats")
       .orderBy($"doc_id")
   }
 
@@ -3000,6 +3100,71 @@ object DocumentQueries {
            nw.new_doc AS new_doc, coalesce(nw.new_copies, 0) AS new_copies
          FROM o FULL OUTER JOIN nw ON o.fp = nw.fp
          ORDER BY fp""",
+    // d48: the d46 feature CTEs (no split), md5-derived ±1 seeds, one
+    // fixed-point Lloyd round (BIGINT floor sums — exact like the
+    // engine's DECIMAL), sorted-list centroid norms, exact DECIMAL
+    // final dot; row_number argmaxes replay the engine's windows
+    "d48_domain_clusters" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         uni AS (
+           SELECT doc_id, unnest(toks) AS feat
+           FROM tk WHERE len(toks) >= 1),
+         bg AS (
+           SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS feat
+           FROM (SELECT doc_id, toks,
+                   unnest(range(1, len(toks))) AS i
+                 FROM tk WHERE len(toks) >= 2)),
+         fs AS (
+           SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(feat), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(feat), 2, 1)) - 1)
+               AS fb
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)),
+         f AS (SELECT doc_id, fb, count(*) AS c
+               FROM fs GROUP BY doc_id, fb),
+         nrm AS (
+           SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm,
+             CAST(sum(c) AS BIGINT) AS n_feats
+           FROM f GROUP BY doc_id),
+         d0 AS (
+           SELECT doc_id, cs.cell,
+             sum(c * CASE WHEN ascii(substr(md5(fb || ':' || cs.cell),
+                 1, 1)) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS dot0
+           FROM f, (SELECT unnest(range($domainCells)) AS cell) cs
+           GROUP BY doc_id, cs.cell),
+         a0 AS (
+           SELECT doc_id, cell AS cell0 FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY dot0 DESC, cell) AS rn
+             FROM d0) WHERE rn = 1),
+         cent AS (
+           SELECT cell0, fb,
+             CAST(sum(CAST(floor(c / nrm * 1000000000.0) AS BIGINT))
+               AS DECIMAL(20,0)) AS sxq
+           FROM f JOIN a0 USING (doc_id) JOIN nrm USING (doc_id)
+           GROUP BY cell0, fb),
+         cn AS (
+           SELECT cell0, sqrt(list_dot_product(cv, cv)) AS cnorm
+           FROM (SELECT cell0,
+                   list(CAST(sxq AS DOUBLE) / 1000000000.0 ORDER BY fb)
+                     AS cv
+                 FROM cent GROUP BY cell0)),
+         d1 AS (
+           SELECT doc_id, cell0 AS cell,
+             sum(CAST(c AS DECIMAL(10,0)) * sxq) AS dotq
+           FROM f JOIN cent USING (fb)
+           GROUP BY doc_id, cell0),
+         sc AS (
+           SELECT doc_id, cell, CAST(dotq AS DOUBLE) / cnorm AS score
+           FROM d1 JOIN cn ON cn.cell0 = d1.cell)
+         SELECT s.doc_id, CAST(s.cell AS BIGINT) AS cluster, n.n_feats
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, cell) AS rn
+               FROM sc) s JOIN nrm n ON n.doc_id = s.doc_id
+         WHERE s.rn = 1 ORDER BY s.doc_id""",
     // d47: the shared d30 n-gram grain (distinct md5 8-gram fps per
     // doc), df at fp grain, shared = df >= 2; float division made
     // explicit on both engines, floor-scaled
@@ -3016,8 +3181,8 @@ object DocumentQueries {
          FROM ng JOIN dfreq USING (fp)
          GROUP BY doc_id ORDER BY doc_id""",
     // d46: the d13 split CTE assigns target/raw roles; features are
-    // unigrams + ' '-joined bigrams through the seed-17 rolling hash
-    // mod 256; smoothing, ln/DECIMAL accumulation and floor-scaling
+    // unigrams + ' '-joined bigrams through the md5-hex-pair bucket
+    // (0..255); smoothing, ln/DECIMAL accumulation and floor-scaling
     // replay the d23 discipline verbatim
     "d46_dsir_weights" ->
       s"""WITH $duckSplits,
@@ -3036,12 +3201,9 @@ object DocumentQueries {
                  FROM tk WHERE len(toks) >= 2)),
          f AS (
            SELECT doc_id, split,
-             list_reduce(
-               list_prepend(CAST(17 AS BIGINT),
-                 list_transform(range(1, len(feat) + 1),
-                   i -> CAST(ascii(substr(feat, i, 1)) AS BIGINT))),
-               (a, b) -> (a * 31 + b) % ${graft.operators.TextHash.P})
-               % 256 AS fb
+             (strpos('0123456789abcdef', substr(md5(feat), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(feat), 2, 1)) - 1)
+               AS fb
            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)),
          pd AS (SELECT doc_id, split, fb, count(*) AS c
                 FROM f GROUP BY doc_id, split, fb),
