@@ -116,7 +116,8 @@ object Main {
       |  graft.Main select <corpusDir> <outDir> [--frac <f>]
       |  graft.Main semdedup <embeddingsDir> <outDir> [--tau <t>]
       |  graft.Main semdecontam <trainEmbDir> <evalEmbDir> <outDir> [--tau <t>]
-      |  graft.Main dsir <rawCorpusDir> <targetCorpusDir> <outDir>""".stripMargin
+      |  graft.Main dsir <rawCorpusDir> <targetCorpusDir> <outDir>
+      |  graft.Main cluster <corpusDir> <outDir>""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -835,6 +836,51 @@ object Main {
         Seq(f"dsir task ended, ${census.getLong(0)} raw docs scored " +
           f"(mean log-ratio ${census.getDouble(1)}%.4f, " +
           f"best ${census.getDouble(2)}%.4f)")
+      case "cluster" :: rest =>
+        // d48 as a pipeline command: assign every doc to its hashed-
+        // feature domain cluster and write the assignment manifest; the
+        // census line reads cluster sizes with each cluster's dominant
+        // source when the corpus carries one (the domain-mixture
+        // planning readout).
+        val opts = flags(rest)
+        val (corpusDir, out) = opts.positional match {
+          case Seq(c, o) => (c, o)
+          case _ => fail(s"cluster needs <corpusDir> <outDir>\n$usage")
+        }
+        def q11(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q11(out) == q11(corpusDir))
+          fail("cluster: the output dir must differ from the corpus dir " +
+            "— overwrite would destroy the table")
+        val corpusDf = spark.read.parquet(corpusDir)
+        val assign = graft.queries.DocumentQueries
+          .domainClusters(corpusDf.select(col("doc_id"), col("text")))
+        assign.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .parquet(out)
+        val saved = spark.read.parquet(out)
+        val sizes = saved.groupBy("cluster").count()
+          .orderBy(col("count").desc, col("cluster"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        val domin =
+          if (corpusDf.columns.contains("source"))
+            saved.join(corpusDf.select(col("doc_id"), col("source")), "doc_id")
+              .groupBy("cluster", "source").count()
+              .collect()
+              .groupBy(_.getLong(0))
+              .map { case (cl, rows) =>
+                cl -> rows.maxBy(r => (r.getLong(2), r.getString(1)))
+                  .getString(1)
+              }
+          else Map.empty[Long, String]
+        val head = sizes.take(3).map { case (cl, n) =>
+          domin.get(cl).map(src => s"$cl:$n($src)").getOrElse(s"$cl:$n")
+        }.mkString(", ")
+        Seq(s"cluster task ended, ${sizes.map(_._2).sum} docs over " +
+          s"${sizes.length} clusters (largest $head)")
       case "stream" :: rest if {
           // the two modes take different positional arities; an arity
           // that matches NEITHER mode (e.g. --queue-dir plus a landing

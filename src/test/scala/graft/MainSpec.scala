@@ -944,6 +944,34 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("cluster: assignment manifest written, census names dominant " +
+    "sources, refusals loud") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-cluster").toString
+    // the d48 spec's empirically-pinned vocabulary pair: both groups
+    // stay whole and separate under the fixed seeds
+    def doc(prefix: String, i: Int) =
+      ((0 until 20).map(t => s"${prefix}_${t % 12}") :+ s"${prefix}_${i % 12}")
+        .mkString(" ")
+    val docs = ((0 until 5).map(i => (i.toLong, doc("alpha", i), "crawlA")) ++
+      (10 until 15).map(i => (i.toLong, doc("kappa", i), "crawlB")))
+      .toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$tmp/corpus")
+    val out = Main.run(spark, Seq("cluster", s"$tmp/corpus",
+      s"$tmp/assign"), Map.empty)
+    assert(out.head.startsWith("cluster task ended, 10 docs over 2 " +
+      "clusters"), out.mkString("\n"))
+    assert(out.head.contains("crawlA") && out.head.contains("crawlB"),
+      s"census must name each cluster's dominant source: ${out.head}")
+    val a = spark.read.parquet(s"$tmp/assign").collect()
+    assert(a.length == 10 && a.map(_.getLong(0)).distinct.length == 10)
+    val clash = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("cluster", s"$tmp/corpus", s"$tmp/corpus"),
+        Map.empty)
+    }
+    assert(clash.getMessage.contains("must differ"), clash.getMessage)
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))
