@@ -314,7 +314,55 @@ object EmbeddingQueries {
       .orderBy($"vec_id")
   }
 
+  // ---- s11: cluster-balanced coreset sampling --------------------------
+  /** s11 — the embedding-side analog of d15's stratified sample: keep at
+    * most `perCell` vectors per trained IVF cell, chosen DIVERSITY-first
+    * (lowest centroid cosine = the cell's periphery — the same argument
+    * as s09's keep policy: redundant mass sits near the center, the
+    * periphery carries the variety a pruned training set wants to
+    * retain). The output is the full disposition (vec_id, cell,
+    * centroid_sim, rank, keep/drop), so the oracle hash checks the
+    * trained quantizer + per-cell ranking end to end and a corpus join
+    * consumes it via vec_id.
+    *
+    * Scale shape: no pair scan at all — one quantizer training pass
+    * (s04's machinery), one assignment, and a Window PARTITIONED BY
+    * cell (k partitions each holding its members; k is the knob that
+    * scales with corpus size, the s09 argument). Ties on the rounded
+    * cosine break by vec_id, so ranks are engine-exact. */
+  def coresetSample(emb: DataFrame, perCell: Int = 20): DataFrame = {
+    require(perCell >= 1, s"coresetSample: perCell must be >= 1 (got $perCell)")
+    val s = emb.sparkSession
+    import s.implicits._
+    val e = emb.select($"vec_id", $"v")
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val dotsArr = expr(sparkIvfDots("v"))
+    val arg0W = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
+    val assign0 = e
+      .select($"vec_id", $"v", $"nrm",
+        posexplode_outer(dotsArr).as(Seq("cell", "dot")))
+      .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    val c1 = recenter(assign0).materialize()
+    // periphery-first rank on the ROUNDED cosine + id tie-break (the
+    // s01 ranking discipline — rounding before ranking keeps the order
+    // engine-independent even at representation boundaries)
+    val rankW = Window.partitionBy($"cell").orderBy($"csim".asc, $"vec_id")
+    assignTo(e, c1).filter($"rn" === 1)
+      .withColumn("csim", round($"dot" / $"nrm", 4))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        $"csim".as("centroid_sim"), $"rank",
+        when($"rank" <= perCell, "keep").otherwise("drop").as("decision"))
+      .orderBy($"vec_id")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    // ---- s11: cluster-balanced coreset sample (see [[coresetSample]]) ----
+    "s11_coreset_sample" -> { (s, dir) =>
+      coresetSample(vecs(s, dir))
+    },
+
     // ---- s01: exact brute-force cosine top-5 for queries vec_id < 20 -----
     "s01_knn_bruteforce" -> { (s, dir) =>
       import s.implicits._
@@ -737,6 +785,22 @@ object EmbeddingQueries {
          ${duckLloydCtes(1, "assign0")}"""
 
   val oracleSql: ListMap[String, String] = ListMap(
+    // s11: the s04 prelude's trained cells + a per-cell periphery-first
+    // row_number on the rounded centroid cosine
+    "s11_coreset_sample" ->
+      s"""WITH $duckIvfPrelude,
+         corpus AS (
+           SELECT vec_id, cell, round(dot / nrm, 4) AS csim
+           FROM cells1 WHERE rn = 1),
+         r AS (
+           SELECT vec_id, cell, csim,
+             CAST(row_number() OVER (PARTITION BY cell
+               ORDER BY csim ASC, vec_id) AS BIGINT) AS rank
+           FROM corpus)
+         SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           csim AS centroid_sim, rank,
+           CASE WHEN rank <= 20 THEN 'keep' ELSE 'drop' END AS decision
+         FROM r ORDER BY vec_id""",
     "s01_knn_bruteforce" ->
       """WITH n AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -200,6 +200,31 @@ class OperatorsSpec extends SparkSpec {
       .foreach(r => assert(r.isNullAt(3) && r.getLong(5) == 0L))
   }
 
+  test("coreset sample keeps at most perCell members per cell, periphery " +
+    "first (s11)") {
+    val out = EmbeddingQueries.queries("s11_coreset_sample")(spark, sfSmoke)
+      .collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length,
+      "disposition must cover every vector exactly once")
+    val byCell = out.groupBy(_.getLong(1))
+    byCell.foreach { case (cell, rows) =>
+      val keeps = rows.filter(_.getString(4) == "keep")
+      assert(keeps.length == math.min(20, rows.length),
+        s"cell $cell must keep min(perCell, size): ${keeps.length} of ${rows.length}")
+      // periphery-first: every kept member sits no closer to the
+      // centroid than any dropped member of the same cell
+      val maxKeep = keeps.map(_.getDouble(2)).maxOption.getOrElse(-2.0)
+      rows.filter(_.getString(4) == "drop").foreach { d =>
+        assert(d.getDouble(2) >= maxKeep ||
+          rows.count(r => r.getDouble(2) == d.getDouble(2)) > 1,
+          s"cell $cell drop ${d.getLong(0)} closer to periphery than a keep")
+      }
+      // ranks are a dense 1..size permutation within the cell
+      assert(rows.map(_.getLong(3)).sorted.toSeq ==
+        (1L to rows.length.toLong).toSeq)
+    }
+  }
+
   test("SemDeDup disposition is a partition with same-cell canons (s09)") {
     val out = EmbeddingQueries.queries("s09_semdedup")(spark, sfSmoke).collect()
     assert(out.map(_.getLong(0)).distinct.length == out.length)

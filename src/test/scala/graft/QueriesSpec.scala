@@ -85,6 +85,7 @@ class QueriesSpec extends SparkSpec {
     // equi-join
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
       "s04_ann_ivf", "s08_ivfpq_rerank", "s09_semdedup", "s10_sem_decontam",
+      "s11_coreset_sample",
       "s06_quantized_rerank", "s07_truncated_rerank",
       "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
@@ -150,6 +151,8 @@ class QueriesSpec extends SparkSpec {
         "<=16-row trained-centroid table (s04's quantizer, SemDeDup cells)",
       "s10_sem_decontam" ->
         "<=16-row trained-centroid table (s04's quantizer; decontam cells)",
+      "s11_coreset_sample" ->
+        "<=16-row trained-centroid table (s04's quantizer; coreset cells)",
       "s06_quantized_rerank" -> "fixed query set (coarse scan + rerank sides)",
       "s07_truncated_rerank" -> "fixed query set (prefix scan + rerank sides)",
       "q30_sliding_window" -> "<=6-row per-year boundary stitch",
