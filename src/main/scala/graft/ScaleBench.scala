@@ -76,7 +76,10 @@ object ScaleBench {
       // d48: k-means over the hashed-feature space — two (doc, bucket)
       // aggregates + bucket-keyed joins against ≤2048-row centroid
       // metadata; the cell's CLAIM is no pairwise term ever appears
-      "d48_domain_clusters"
+      "d48_domain_clusters" :+
+      // s11: quantizer pass + cell-partitioned window, zero pair scan —
+      // should ride the s-family scheduling floor like s10
+      "s11_coreset_sample"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything
