@@ -1139,8 +1139,14 @@ object DocumentQueries {
   def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame = {
     val s = raw.sparkSession
     import s.implicits._
-    val rawF = hashedFeats(raw)
-    val tgtF = hashedFeats(target)
+    // materialize both feature tables: raw feeds THREE consumers (qc,
+    // the tq scalar, the final score join) and target two (pc, tp) —
+    // without the barrier the corpus-wide hashing pass re-runs per
+    // consumer (the sweep measured the pass as the operator's dominant
+    // cost). The narrow (doc_id, fb, c) form is exactly what the d16
+    // signature discipline caches: fixed-width ints, no text.
+    val rawF = hashedFeats(raw).materialize()
+    val tgtF = hashedFeats(target).materialize()
     val qc = rawF.groupBy($"fb").agg(sum($"c").as("qc"))
     val pc = tgtF.groupBy($"fb").agg(sum($"c").as("pc"))
     val tq = rawF.agg(coalesce(sum($"c"), lit(0L)).as("tq"))
@@ -1210,7 +1216,10 @@ object DocumentQueries {
   def domainClusters(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val f = hashedFeats(docs)
+    // four consumers read the feature table (nrm, seed assignment, the
+    // Lloyd sums, the final dots) — materialize it once (same argument
+    // as d46's)
+    val f = hashedFeats(docs).materialize()
     val nrm = f.groupBy($"doc_id")
       .agg(sqrt(sum($"c" * $"c").cast("double")).as("nrm"),
         sum($"c").as("n_feats"))
@@ -1225,10 +1234,14 @@ object DocumentQueries {
       .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
       .select($"doc_id", $"cell".as("cell0"))
     // one Lloyd round at 1e-9 fixed-point grain (exact, order-free)
+    // ≤ 2048 rows; materialized so the centroid chain (feature pass +
+    // seed window + DECIMAL sums) runs once for its two consumers
+    // (cnorm and the final dots)
     val cent = f.join(assign0, "doc_id").join(nrm.select($"doc_id", $"nrm"), "doc_id")
       .groupBy($"cell0", $"fb")
       .agg(sum(floor($"c" / $"nrm" * lit(1e9)).cast("decimal(38,0)"))
         .cast("decimal(20,0)").as("sxq"))
+      .materialize()
     val cnorm = cent
       .withColumn("sx", $"sxq".cast("double") / lit(1e9))
       .groupBy($"cell0")
