@@ -515,6 +515,29 @@ object DocumentQueries {
         .orderBy($"doc_id")
     },
 
+    // d49 held-out LM scoring: the honest-evaluation dual of d23's
+    // self-perplexity — the unigram model fits on the TRAIN split only
+    // and scores val/test docs, with add-one smoothing over the union
+    // vocabulary so out-of-train terms have a defined probability (and
+    // an oov_frac column reporting how much of the doc the train model
+    // has never seen — the domain-shift signal next to the fluency
+    // one). This is the perplexity-filter shape real pipelines run: the
+    // scoring model must not have seen the docs it scores, or
+    // memorized boilerplate scores as fluent prose. Same scale shape
+    // and ln/DECIMAL discipline as d23 (term-keyed equi-joins,
+    // broadcast scalars, order-independent sums).
+    "d49_heldout_logprob" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("split", splitOfBucket(splitBucketCol))
+      heldoutLogprob(docs.filter($"split" === "train"),
+        docs.filter($"split" =!= "train"))
+        .join(docs.select($"doc_id", $"split"), "doc_id")
+        .select($"doc_id", $"split", $"avg_logprob", $"n_tokens_doc",
+          $"oov_frac")
+        .orderBy($"doc_id")
+    },
+
     // d35 bigram log-probability: each doc scored by the average
     // add-one-smoothed bigram log-prob under the corpus's own bigram
     // distribution — the next-order LM signal above d23's unigram
@@ -2095,6 +2118,44 @@ object DocumentQueries {
       .orderBy($"doc_id")
   }
 
+  /** d49 as a reusable two-frame operator (the d46/s10 convention):
+    * fit the add-one-smoothed unigram LM on `train`, score every `eval`
+    * doc by average held-out log-probability + out-of-train token
+    * fraction. Smoothing vocabulary = the UNION of both frames'
+    * distinct terms, so out-of-train terms carry the 1/(n+V) floor
+    * instead of -inf. Output: (doc_id, avg_logprob, n_tokens_doc,
+    * oov_frac) over the eval side. Scale shape and the ln/DECIMAL
+    * exactness discipline are d23's (term-keyed equi-joins, Heaps-
+    * sublinear term tables, broadcast scalars, order-independent
+    * DECIMAL sums, floor-scaled output). */
+  def heldoutLogprob(train: DataFrame, eval: DataFrame): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    val trainPd = termStream(train.select($"doc_id", $"text"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+    val evalPd = termStream(eval.select($"doc_id", $"text"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+    val tfTrain = trainPd.groupBy($"term").agg(sum($"c").as("tf_train"))
+    val nTrain = trainPd.agg(coalesce(sum($"c"), lit(0L)).as("n_train"))
+    val vocab = trainPd.select($"term").union(evalPd.select($"term"))
+      .agg(countDistinct($"term").as("v"))
+    evalPd
+      .join(tfTrain, Seq("term"), "left")
+      .crossJoin(broadcast(nTrain)).crossJoin(broadcast(vocab))
+      .withColumn("lp", expr(
+        """CAST(ln((coalesce(tf_train, 0) + 1)
+             / CAST(n_train + v AS DOUBLE)) AS DECIMAL(20,15))
+           * CAST(c AS DECIMAL(10,0))"""))
+      .groupBy($"doc_id")
+      .agg(
+        (floor(sum($"lp").cast("double") / sum($"c") * 10000) / 10000.0)
+          .as("avg_logprob"),
+        sum($"c").as("n_tokens_doc"),
+        (floor(sum(when($"tf_train".isNull, $"c").otherwise(lit(0L)))
+          .cast("double") / sum($"c") * 10000) / 10000.0).as("oov_frac"))
+      .orderBy($"doc_id")
+  }
+
   /** d27's rebalancing rate table over a lang column: rate_bp =
     * floor(sqrt(c_min / c_lang) * 10000) basis points, one #langs-row
     * broadcastable frame. The formula lives HERE ONCE — shared by the
@@ -2603,6 +2664,33 @@ object DocumentQueries {
            CAST(sum(c) AS BIGINT) AS n_tokens_doc
          FROM pd JOIN tf USING (term), n
          GROUP BY doc_id ORDER BY doc_id""",
+    // d49: the d23 recipe with the model fit on the train split only;
+    // LEFT JOIN + coalesce gives unseen terms the smoothing floor
+    "d49_heldout_logprob" ->
+      s"""WITH $duckSplits,
+         t AS (
+           SELECT d.doc_id, s.split,
+             unnest(string_split(d.text, ' ')) AS term
+           FROM documents d JOIN splits s USING (doc_id)),
+         t2 AS (SELECT doc_id, split, term FROM t WHERE term <> ''),
+         pd AS (SELECT doc_id, split, term, count(*) AS c
+                FROM t2 GROUP BY doc_id, split, term),
+         tf AS (SELECT term, sum(c) AS tf_train FROM pd
+                WHERE split = 'train' GROUP BY term),
+         n AS (SELECT coalesce(sum(c), 0) AS n_train FROM pd
+               WHERE split = 'train'),
+         v AS (SELECT count(DISTINCT term) AS v FROM pd)
+         SELECT doc_id, split,
+           floor(CAST(sum(CAST(ln((coalesce(tf_train, 0) + 1)
+               / CAST(n_train + v AS DOUBLE)) AS DECIMAL(20,15))
+               * CAST(c AS DECIMAL(10,0))) AS DOUBLE)
+             / sum(c) * 10000) / 10000 AS avg_logprob,
+           CAST(sum(c) AS BIGINT) AS n_tokens_doc,
+           floor(CAST(sum(CASE WHEN tf_train IS NULL THEN c ELSE 0 END)
+               AS DOUBLE) / sum(c) * 10000) / 10000 AS oov_frac
+         FROM pd LEFT JOIN tf USING (term), n, v
+         WHERE split <> 'train'
+         GROUP BY doc_id, split ORDER BY doc_id""",
     // d35: the d23 ln/DECIMAL recipe at bigram grain; add-one smoothing
     // keeps every probability strictly inside (0, 1) so ln is finite;
     // HUGEINT sums convert to DOUBLE identically to Spark's longs

@@ -445,6 +445,37 @@ class OperatorsSpec extends SparkSpec {
       "21 tokens carry 21 unigram + 20 bigram features"))
   }
 
+  test("held-out LM scoring: in-train prose outscores OOV junk, oov_frac " +
+    "exact, train docs never scored (d49)") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog sat"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "the cat sat on the rug"),   // all terms in-train
+      (11L, "zyx wvu tsr qpo nml kji"))  // fully OOV
+      .toDF("doc_id", "text")
+    val out = DocumentQueries.heldoutLogprob(train, eval).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L),
+      "exactly the eval docs are scored, in id order")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(10L).getDouble(1) > byId(11L).getDouble(1),
+      "in-train prose must outscore out-of-vocabulary junk")
+    assert(byId(10L).getDouble(3) == 0.0, "no OOV tokens in doc 10")
+    assert(byId(11L).getDouble(3) == 1.0, "every doc-11 token is OOV")
+    assert(byId(10L).getLong(2) == 6L && byId(11L).getLong(2) == 6L)
+    // the held-out model never sees the eval docs: an eval-only term
+    // must score at the smoothing floor ln(1/(n_train + V)), which a
+    // self-perplexity model (d23's) would never emit
+    val floorLp = math.log(1.0 / (18 + 15))  // n_train=18, V=union=15
+    val expected = math.floor(floorLp * 10000) / 10000.0
+    assert(math.abs(byId(11L).getDouble(1) - expected) < 1e-9,
+      s"OOV doc must sit exactly at the smoothing floor: " +
+        s"${byId(11L).getDouble(1)} vs $expected")
+  }
+
   test("DSIR weights rank target-like raw docs above off-target ones, " +
     "feature counts exact (d46)") {
     import spark.implicits._

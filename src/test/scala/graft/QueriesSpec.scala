@@ -92,6 +92,8 @@ class QueriesSpec extends SparkSpec {
       // d46: the two feature-total scalars (no-grouping aggregates)
       // cross-joined onto the <=256-row log-ratio table
       "d46_dsir_weights",
+      // d49: the n_train and union-vocab scalars (d23's pattern)
+      "d49_heldout_logprob",
       "d26_pack_sequences", "d40_epoch_shuffle", "d27_temperature_sample",
       "d31_curation_funnel", "d35_bigram_logprob",
       "d38_mix_epochs", "d42_budget_select")
