@@ -57,6 +57,34 @@ object MultimodalQueries {
     // makes the whole disposition SQL-replayable.
     "m04_media_neardup" -> { (s, dir) =>
       mediaNearDup(s, Tables(s, dir, "documents"))
+    },
+
+    // ---- m05: shared-frame census — d47's duplicated-n-gram shape
+    // transposed to the frame axis: per video, what fraction of its
+    // DISTINCT sampled frames also appears in at least one other
+    // video (the repeated-intro/outro/logo-reel signal a video-corpus
+    // curation run thresholds), plus the hottest frame's document
+    // frequency. Everything that shuffles is (doc_id, md5 frame hash)
+    // pairs off m02's deterministic frame sampling — frame BYTES never
+    // shuffle, and df is one map-side-combinable fp aggregate.
+    "m05_shared_frames" -> { (s, dir) =>
+      import s.implicits._
+      val frames = Multimodal
+        .sampleFrames(Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents")))
+        .toDF()
+        .select($"doc_id", $"fhash").distinct()
+      val dfreq = frames.groupBy($"fhash").agg(count(lit(1)).as("df"))
+      frames.join(dfreq, Seq("fhash"))
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(when($"df" >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"),
+          max($"df").as("max_df"))
+        .withColumn("shared_frac",
+          floor($"n_shared".cast("double") / $"n_frames" * 10000) / 10000.0)
+        .select($"doc_id", $"n_frames", $"n_shared", $"shared_frac",
+          $"max_df")
+        .orderBy($"doc_id")
     })
 
   /** m04 as a reusable operator over a (doc_id, text) frame — the
@@ -215,6 +243,27 @@ object MultimodalQueries {
           SELECT doc_id, frame_idx,
             CAST(length(frame) AS BIGINT) AS frame_bytes, md5(frame) AS fhash
           FROM f ORDER BY doc_id, frame_idx""",
+    // m05: m02's frame CTE (character slices of the ASCII payload) at
+    // distinct (doc, fhash) grain, df at hash grain — the d47 replay
+    // on the frame axis
+    "m05_shared_frames" ->
+      s"""WITH f AS (
+            SELECT DISTINCT doc_id,
+              md5(substr(text, 1 + i * ${Multimodal.FrameStride},
+                ${Multimodal.FrameSize})) AS fhash
+            FROM documents,
+              (SELECT unnest(range(0, ${Multimodal.MaxFrames})) AS i) idx
+            WHERE 1 + i * ${Multimodal.FrameStride} <= length(text)),
+          dfreq AS (SELECT fhash, count(*) AS df FROM f GROUP BY fhash)
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_frames,
+            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_shared,
+            floor(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) * 10000) / 10000 AS shared_frac,
+            CAST(max(df) AS BIGINT) AS max_df
+          FROM f JOIN dfreq USING (fhash)
+          GROUP BY doc_id ORDER BY doc_id""",
     "m03_media_resize" ->
       s"""WITH s AS (
             SELECT doc_id,

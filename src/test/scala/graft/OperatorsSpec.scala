@@ -1965,6 +1965,45 @@ class OperatorsSpec extends SparkSpec {
       "the disjoint image must pair with nothing")
   }
 
+  test("shared-frame census: a common intro counts per frame, distinct " +
+    "tails stay unique (m05)") {
+    import spark.implicits._
+    import graft.operators.Multimodal.{FrameSize, FrameStride}
+    // two "videos" share an intro covering exactly the first TWO
+    // sampled frames (frames start at 0 and FrameStride; the intro
+    // spans FrameStride + FrameSize bytes so frame 1 is fully inside
+    // it), then diverge; a third is fully distinct. The intro bytes
+    // CYCLE with period 26 so its two sampled frames hash differently
+    // (a constant-fill intro would collapse them at the census's
+    // distinct grain and hide one)
+    val intro = (0 until FrameStride + FrameSize)
+      .map(i => ('A' + i % 26).toChar).mkString
+    def tail(ch: Char) = ch.toString * (3 * FrameStride)
+    val docs = Seq(
+      (1L, intro + tail('a')),
+      (2L, intro + tail('b')),
+      (3L, tail('c') + tail('d')))
+      .toDF("doc_id", "text")
+    val frames = graft.operators.Multimodal
+      .sampleFrames(graft.operators.Multimodal.mediaFromDocuments(spark, docs))
+      .toDF()
+      .select($"doc_id", $"fhash").distinct()
+    val dfreq = frames.groupBy($"fhash")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+    // join key first: columns are (fhash, doc_id, df)
+    val joined = frames.join(dfreq, Seq("fhash")).collect()
+    val byDoc = joined.groupBy(_.getLong(1))
+    // docs 1/2: first two frames shared (df 2), tail frames unique
+    Seq(1L, 2L).foreach { id =>
+      val shared = byDoc(id).count(_.getLong(2) >= 2L)
+      assert(shared == 2, s"doc $id must share exactly its 2 intro " +
+        s"frames: $shared")
+    }
+    assert(byDoc(3L).forall(_.getLong(2) == 1L),
+      "the distinct video shares nothing")
+  }
+
   test("multimodal decode stub is deterministic and batch extraction conserves rows") {
     val media = Multimodal.mediaFromDocuments(spark, Tables(spark, sfSmoke, "documents"))
     val feats = Multimodal.extractFeatures(media)
