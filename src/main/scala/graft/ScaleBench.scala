@@ -79,7 +79,11 @@ object ScaleBench {
       "d48_domain_clusters" :+
       // s11: quantizer pass + cell-partitioned window, zero pair scan —
       // should ride the s-family scheduling floor like s10
-      "s11_coreset_sample"
+      "s11_coreset_sample" :+
+      // d49: d23's term-join shape with the model on one split — must
+      // ride d35's Heaps-sublinear band; m05: frame-fp census — the
+      // d47 linear family at frame grain
+      "d49_heldout_logprob" :+ "m05_shared_frames"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

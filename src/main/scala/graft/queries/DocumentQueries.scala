@@ -2131,10 +2131,17 @@ object DocumentQueries {
   def heldoutLogprob(train: DataFrame, eval: DataFrame): DataFrame = {
     val s = train.sparkSession
     import s.implicits._
+    // materialize both term tables (the d46 lesson, measured there):
+    // train feeds THREE consumers (term frequencies, the n_train
+    // scalar, the union vocabulary) and eval two (vocabulary, the
+    // score join) — without the barrier the corpus scan+tokenize
+    // re-runs per consumer
     val trainPd = termStream(train.select($"doc_id", $"text"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .materialize()
     val evalPd = termStream(eval.select($"doc_id", $"text"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .materialize()
     val tfTrain = trainPd.groupBy($"term").agg(sum($"c").as("tf_train"))
     val nTrain = trainPd.agg(coalesce(sum($"c"), lit(0L)).as("n_train"))
     val vocab = trainPd.select($"term").union(evalPd.select($"term"))
