@@ -117,7 +117,8 @@ object Main {
       |  graft.Main semdedup <embeddingsDir> <outDir> [--tau <t>]
       |  graft.Main semdecontam <trainEmbDir> <evalEmbDir> <outDir> [--tau <t>]
       |  graft.Main dsir <rawCorpusDir> <targetCorpusDir> <outDir>
-      |  graft.Main cluster <corpusDir> <outDir>""".stripMargin
+      |  graft.Main cluster <corpusDir> <outDir>
+      |  graft.Main salvage <corpusDir> <outDir> [--quality-min <q>] [--sep <s>]""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -390,6 +391,51 @@ object Main {
         Seq(s"spandedup task ended, ${st.getLong(0)} docs, " +
           s"${st.getLong(2)} of ${st.getLong(1)} paragraphs dropped " +
           s"(${st.getLong(3)} chars)")
+      case "salvage" :: rest =>
+        // the d50 disposition as a pipeline command: documents split on
+        // the LITERAL separator, paragraphs below the d09 quality bar
+        // dropped, each doc rewritten from its kept paragraphs in
+        // position order. The segment-grain companion to `curate`'s
+        // doc-grain quality gate: a page that would fail whole is
+        // salvaged instead of discarded.
+        val opts = flags(rest)
+        val (corpus, out) = opts.positional match {
+          case Seq(c, o) => (c, o)
+          case _ => fail(s"salvage needs <corpusDir> <outDir>\n$usage")
+        }
+        def q12(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q12(out) == q12(corpus))
+          fail("salvage: the output dir must differ from the corpus " +
+            "dir — overwrite would destroy the corpus")
+        val qmin = opts.named.get("--quality-min").map { v =>
+          val d = try v.toDouble catch {
+            case _: NumberFormatException =>
+              fail(s"salvage: --quality-min must be a number, got '$v'")
+          }
+          if (d <= 0.0 || d > 1.0)
+            fail(s"salvage: --quality-min must be in (0, 1], got $v")
+          d
+        }.getOrElse(0.5)
+        val sep2 = opts.getOrElse("--sep", "\n\n")
+        val salvaged = graft.queries.DocumentQueries.paragraphSalvage(
+          graft.queries.DocumentQueries.corpusParas(
+            spark.read.parquet(corpus).select("doc_id", "text"), sep2),
+          qmin, sep2)
+        salvaged.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+          .parquet(out)
+        val sst = spark.read.parquet(out)
+          .agg(count(lit(1)), coalesce(sum("n_paras"), lit(0L)),
+            coalesce(sum("n_dropped"), lit(0L)))
+          .head
+        Seq(s"salvage task ended, ${sst.getLong(0)} docs, " +
+          s"${sst.getLong(2)} of ${sst.getLong(1)} paragraphs dropped " +
+          s"at quality ${qmin}")
       case "curate" :: rest =>
         // the end-to-end curation pipeline as ONE command: quality gate
         // → language gate → full d25 dedup (exact + near; --best = the

@@ -841,6 +841,23 @@ object DocumentQueries {
         pcts = Seq(25, 50, 75))
     },
 
+    // ---- d50: paragraph salvage (see [[paragraphSalvage]]) ----------
+    // The gate synthesizes paragraph structure the flat testdata prose
+    // lacks: fixed 12-token chunks (the d26 slice discipline), so
+    // chunk quality genuinely varies with local stopword density and
+    // token lengths and the bar splits the corpus non-trivially.
+    "d50_para_salvage" -> { (s, dir) =>
+      import s.implicits._
+      val chunks = Tables(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+        .filter(size($"toks") >= 1)
+        .select($"doc_id", posexplode(expr(
+          """transform(sequence(0, (size(toks) - 1) DIV 12),
+              i -> array_join(slice(toks, i * 12 + 1, 12), ' '))"""))
+          .as(Seq("pos", "para")))
+      paragraphSalvage(chunks, qualityMin = 0.5, joinSep = " ")
+    },
+
     // ---- d48: domain clustering (see [[domainClusters]]) ------------
     "d48_domain_clusters" -> { (s, dir) =>
       domainClusters(Tables(s, dir, "documents"))
@@ -1743,6 +1760,39 @@ object DocumentQueries {
     docs.select(col("doc_id"),
       posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
+
+  /** d50 — paragraph-grain salvage: instead of dropping a document
+    * whose COMPOSITE quality fails the bar, keep its above-bar
+    * paragraphs and rebuild the doc from them in position order — the
+    * segment-level filtering real curation pipelines run between
+    * doc-level gating (d31) and boilerplate removal (d22): a crawl page
+    * is usually good prose wrapped in junk, not uniformly junk. The
+    * quality formula is the SAME shared [[withQuality]] composite the
+    * doc-level gates threshold, applied at paragraph grain; rebuild is
+    * the d28 pattern (array_sort over (pos, text) structs — dropped
+    * paragraphs become NULL structs, sorted last and skipped by
+    * concat_ws). One corpus pass + one doc-keyed groupBy; paragraph
+    * text shuffles once, inside the rebuild aggregate. */
+  def paragraphSalvage(paras: DataFrame, qualityMin: Double = 0.5,
+      joinSep: String = " "): DataFrame = {
+    val s = paras.sparkSession
+    import s.implicits._
+    require(qualityMin > 0.0 && qualityMin <= 1.0,
+      s"paragraphSalvage: qualityMin must be in (0, 1] (got $qualityMin)")
+    withQuality(paras.withColumnRenamed("para", "text"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when($"quality" < qualityMin, lit(1L)).otherwise(lit(0L)))
+          .as("n_dropped"),
+        concat_ws(joinSep, expr(
+          s"""transform(
+               array_sort(collect_list(
+                 CASE WHEN quality >= $qualityMin
+                 THEN struct(pos, text) END)),
+               p -> p.text)""")).as("salvaged"))
+      .orderBy($"doc_id")
+  }
 
   /** [[spanDedup]] over a (doc_id, text) corpus: split on the literal
     * separator, dedup spans, reconstruct with the same separator. The
@@ -3208,6 +3258,31 @@ object DocumentQueries {
            nw.new_doc AS new_doc, coalesce(nw.new_copies, 0) AS new_copies
          FROM o FULL OUTER JOIN nw ON o.fp = nw.fp
          ORDER BY fp""",
+    // d50: the 12-token chunking replayed with list slices, the shared
+    // d09 quality formulas at chunk grain, rebuild via ordered
+    // string_agg (Spark's NULL-struct sort + concat_ws skip ≡ DuckDB's
+    // CASE-filtered ordered aggregate; all-dropped docs coalesce '')
+    "d50_para_salvage" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         ch AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i * 12 + 1 : i * 12 + 12], ' ') AS text
+           FROM (SELECT doc_id, toks,
+                   unnest(range((len(toks) - 1) // 12 + 1)) AS i
+                 FROM tk WHERE len(toks) >= 1)),
+         b AS (SELECT doc_id, pos, text, $duckQualityCols FROM ch),
+         q AS (SELECT doc_id, pos, text,
+                 $duckQualityExpr AS quality FROM b)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           coalesce(string_agg(CASE WHEN quality >= 0.5 THEN text END,
+             ' ' ORDER BY pos), '') AS salvaged
+         FROM q GROUP BY doc_id ORDER BY doc_id""",
     // d48: the d46 feature CTEs (no split), md5-derived ±1 seeds, one
     // fixed-point Lloyd round (BIGINT floor sums — exact like the
     // engine's DECIMAL), sorted-list centroid norms, exact DECIMAL

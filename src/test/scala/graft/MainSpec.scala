@@ -972,6 +972,34 @@ class MainSpec extends SparkSpec {
     assert(clash.getMessage.contains("must differ"), clash.getMessage)
   }
 
+  test("salvage: below-bar paragraphs dropped, docs rebuilt in order, " +
+    "refusals loud") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-salvage").toString
+    val good = "the quick brown fox jumps over a lazy dog near the river"
+    Seq((1L, s"$good|x|$good"), (2L, "zz|q"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
+    val out = Main.run(spark, Seq("salvage", s"$tmp/corpus",
+      s"$tmp/clean", "--sep", "|"), Map.empty)
+    assert(out == Seq("salvage task ended, 2 docs, 3 of 5 paragraphs " +
+      "dropped at quality 0.5"), out.mkString("\n"))
+    val rows = spark.read.parquet(s"$tmp/clean").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("salvaged"))
+      .toMap
+    assert(rows(1L) == s"$good|$good", rows(1L))
+    assert(rows(2L) == "")
+    val bad = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("salvage", s"$tmp/corpus", s"$tmp/c2",
+        "--quality-min", "0"), Map.empty)
+    }
+    assert(bad.getMessage.contains("(0, 1]"), bad.getMessage)
+    val clash = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("salvage", s"$tmp/corpus", s"$tmp/corpus"),
+        Map.empty)
+    }
+    assert(clash.getMessage.contains("must differ"), clash.getMessage)
+  }
+
   test("transform without -o or inputs fails loudly; bad flags too") {
     intercept[IllegalArgumentException](
       Main.run(spark, Seq("transform"), Map.empty))

@@ -476,6 +476,31 @@ class OperatorsSpec extends SparkSpec {
         s"${byId(11L).getDouble(1)} vs $expected")
   }
 
+  test("paragraph salvage keeps above-bar paragraphs in position order, " +
+    "all-junk docs survive as empty rebuilds (d50)") {
+    import spark.implicits._
+    val good1 = "the quick brown fox jumps over a lazy dog near the river"
+    val good2 = "a gentle breeze moves over the quiet field near a farm"
+    val paras = Seq(
+      (1L, 0, good1), (1L, 1, "x"),
+      (2L, 0, "zz"), (2L, 1, "q"),
+      (3L, 0, good1), (3L, 1, "junk"), (3L, 2, good2))
+      .toDF("doc_id", "pos", "para")
+    val out = DocumentQueries.paragraphSalvage(paras, 0.5, " | ").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      "one disposition row per input doc, id order")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 2L && byId(1L).getLong(2) == 1L)
+    assert(byId(1L).getString(3) == good1,
+      "the junk paragraph must vanish from the rebuild")
+    // a fully-junk doc still emits its row — an EMPTY rebuild, never a
+    // silently-missing doc
+    assert(byId(2L).getLong(2) == 2L && byId(2L).getString(3) == "")
+    // rebuild preserves position order across a dropped middle
+    assert(byId(3L).getString(3) == s"$good1 | $good2",
+      s"rebuild must keep positions ordered: ${byId(3L).getString(3)}")
+  }
+
   test("DSIR weights rank target-like raw docs above off-target ones, " +
     "feature counts exact (d46)") {
     import spark.implicits._
