@@ -83,7 +83,10 @@ object ScaleBench {
       // d49: d23's term-join shape with the model on one split — must
       // ride d35's Heaps-sublinear band; m05: frame-fp census — the
       // d47 linear family at frame grain
-      "d49_heldout_logprob" :+ "m05_shared_frames"
+      "d49_heldout_logprob" :+ "m05_shared_frames" :+
+      // d50: one corpus chunk pass + a doc-keyed rebuild groupBy — must
+      // ride the d28 rebuild band
+      "d50_para_salvage"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything
