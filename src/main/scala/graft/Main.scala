@@ -118,7 +118,9 @@ object Main {
       |  graft.Main semdecontam <trainEmbDir> <evalEmbDir> <outDir> [--tau <t>]
       |  graft.Main dsir <rawCorpusDir> <targetCorpusDir> <outDir>
       |  graft.Main cluster <corpusDir> <outDir>
-      |  graft.Main salvage <corpusDir> <outDir> [--quality-min <q>] [--sep <s>]""".stripMargin
+      |  graft.Main salvage <corpusDir> <outDir> [--quality-min <q>] [--sep <s>]
+      |      (writes a MANIFEST (doc_id, n_paras, n_dropped, salvaged), not a
+      |       corpus — join it back on doc_id like a spandedup manifest)""".stripMargin
 
   /** Parse-and-count one input (file, directory, or URI): the reference
     * aggregator's observable effect minus its staging files — under this
@@ -879,7 +881,10 @@ object Main {
         val census = spark.read.parquet(out)
           .agg(count(lit(1)), avg(col("log_ratio")), max(col("log_ratio")))
           .head
-        Seq(f"dsir task ended, ${census.getLong(0)} raw docs scored " +
+        // avg/max are NULL over an empty manifest (raw dir empty or every
+        // doc token-free) — the zero-row summary must not NPE on them
+        if (census.getLong(0) == 0L) Seq("dsir task ended, 0 raw docs scored")
+        else Seq(f"dsir task ended, ${census.getLong(0)} raw docs scored " +
           f"(mean log-ratio ${census.getDouble(1)}%.4f, " +
           f"best ${census.getDouble(2)}%.4f)")
       case "cluster" :: rest =>

@@ -969,16 +969,22 @@ object DocumentQueries {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
       s"qualityQuantiles: percentiles must lie in [0, 100] (got $pcts)")
     require(nBuckets > 0, s"qualityQuantiles: nBuckets > 0 (got $nBuckets)")
-    val q = withQuality(docs).select($"doc_id", $"quality")
-    val bucketed = q.withColumn("qb",
-      least(greatest(floor($"quality" * nBuckets).cast("int"), lit(0)),
-        lit(nBuckets - 1)))
+    // three consumers read the scored + bucketed frame (the bucket
+    // counts, the N scalar, the within-bucket rank) — materialize it so
+    // the d09 quality composite runs over the corpus ONCE (the d41/d47
+    // multi-consumer-barrier discipline); the cached form is the narrow
+    // (doc_id, quality, qb) grain, text dropped
+    val bucketed = withQuality(docs).select($"doc_id", $"quality")
+      .withColumn("qb",
+        least(greatest(floor($"quality" * nBuckets).cast("int"), lit(0)),
+          lit(nBuckets - 1)))
+      .materialize()
     val counts = bucketed.groupBy($"qb").agg(count(lit(1)).as("c"))
       // nBuckets metadata rows — the d26/d42 bounded-window contract
       .limit(nBuckets)
       .withColumn("cum_before", coalesce(sum($"c").over(Window.orderBy($"qb")
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val n = q.agg(count(lit(1)).as("n")).limit(1)
+    val n = bucketed.agg(count(lit(1)).as("n")).limit(1)
     val targets = pcts.toDF("p")
       .crossJoin(broadcast(n))
       .withColumn("rank",
@@ -1017,10 +1023,14 @@ object DocumentQueries {
       s"qualityQuantilesBySource: percentiles must lie in [0, 100] (got $pcts)")
     require(nBuckets > 0,
       s"qualityQuantilesBySource: nBuckets > 0 (got $nBuckets)")
-    val q = withQuality(docs).select($"source", $"doc_id", $"quality")
-    val bucketed = q.withColumn("qb",
-      least(greatest(floor($"quality" * nBuckets).cast("int"), lit(0)),
-        lit(nBuckets - 1)))
+    // the bucketed frame feeds THREE consumers (per-source counts, the
+    // per-source N table, the within-bucket rank) — materialize so the
+    // quality composite runs once (the d43 argument at source grain)
+    val bucketed = withQuality(docs).select($"source", $"doc_id", $"quality")
+      .withColumn("qb",
+        least(greatest(floor($"quality" * nBuckets).cast("int"), lit(0)),
+          lit(nBuckets - 1)))
+      .materialize()
     val counts = bucketed.groupBy($"source", $"qb")
       .agg(count(lit(1)).as("c"))
       .withColumn("cum_before", coalesce(sum($"c").over(
@@ -1098,12 +1108,16 @@ object DocumentQueries {
     import s.implicits._
     require(frac > 0.0 && frac <= 1.0 && nBuckets > 0,
       s"budgetSelect: need 0 < frac <= 1 and nBuckets > 0 (got $frac, $nBuckets)")
-    val q = withQuality(docs).select($"doc_id", $"n_tok", $"quality")
-    val budget = q.agg(floor(sum($"n_tok") * lit(frac)).cast("long")
+    // the bucketed frame feeds THREE consumers (the budget scalar, the
+    // per-bucket token offsets, the within-bucket prefix chain) —
+    // materialize so the quality composite runs once (the d43 argument)
+    val bucketed = withQuality(docs).select($"doc_id", $"n_tok", $"quality")
+      .withColumn("qb",
+        least(greatest(floor($"quality" * nBuckets).cast("int"), lit(0)),
+          lit(nBuckets - 1)))
+      .materialize()
+    val budget = bucketed.agg(floor(sum($"n_tok") * lit(frac)).cast("long")
       .as("budget")).limit(1)
-    val bucketed = q.withColumn("qb",
-      least(greatest(floor($"quality" * nBuckets).cast("int"), lit(0)),
-        lit(nBuckets - 1)))
     val withinW = Window.partitionBy($"qb").orderBy($"quality".desc, $"doc_id")
     val offW = Window.orderBy($"qb".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1133,10 +1147,22 @@ object DocumentQueries {
     * same feature grain (an interpreted per-character lambda against a
     * native digest — 74 vs 4 job-seconds at 10×). The hex→int map is a
     * locate() over the hex alphabet, exact on both engines. */
-  private val dsirBuckets = 256
-  private def dsirFeatBucket(colName: String): String =
-    s"""(locate(substring(md5($colName), 1, 1), '0123456789abcdef') - 1) * 16
-        + (locate(substring(md5($colName), 2, 1), '0123456789abcdef') - 1)"""
+  // gate default (256 = 16^2 hex chars); the live value comes from
+  // [[QueryConf.dsirHexChars]] session conf — the DSIR paper runs 10k
+  // buckets on full CommonCrawl, which must not need a recompile. The
+  // oracle SQL interpolates THIS default.
+  private val dsirBuckets = 1 << (4 * QueryConf.DefaultDsirHexChars)
+  private def dsirBucketsOf(hexChars: Int): Long = 1L << (4 * hexChars)
+  /** bucket id = the first `hexChars` md5 hex chars of the feature
+    * string read as a base-16 int — exact and engine-portable for any
+    * width. hexChars=2 is the spec-pinned gate shape. */
+  private def dsirFeatBucket(colName: String,
+      hexChars: Int = QueryConf.DefaultDsirHexChars): String =
+    (0 until hexChars).map { k =>
+      val scale = 1L << (4 * (hexChars - 1 - k))
+      s"""(locate(substring(md5($colName), ${k + 1}, 1),
+           '0123456789abcdef') - 1) * ${scale}L"""
+    }.mkString("(", " + ", ")")
 
   /** d46 — DSIR importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every RAW
@@ -1172,7 +1198,8 @@ object DocumentQueries {
         """zip_with(slice(toks, 1, size(toks) - 1),
                     slice(toks, 2, size(toks) - 1),
            (a, b) -> concat(a, ' ', b))"""))).as("feat"))
-      .withColumn("fb", expr(dsirFeatBucket("feat")).cast("long"))
+      .withColumn("fb",
+        expr(dsirFeatBucket("feat", QueryConf.dsirHexChars(s))).cast("long"))
       .groupBy($"doc_id", $"fb").agg(count(lit(1)).as("c"))
   }
 
@@ -1194,13 +1221,17 @@ object DocumentQueries {
     // only buckets PRESENT in the raw side can be referenced by a raw
     // doc, so the ratio table is built on qc; absent-in-target buckets
     // smooth to pc = 0
+    // add-one smoothing denominator = the LIVE bucket count (the same
+    // conf hashedFeats bucketed with — a mismatch would mis-normalize
+    // both models)
+    val buckets = dsirBucketsOf(QueryConf.dsirHexChars(s))
     val ratio = qc.join(pc, Seq("fb"), "left")
       .crossJoin(broadcast(tp)).crossJoin(broadcast(tq))
       .withColumn("lr", expr(
         s"""CAST(ln((coalesce(pc, 0) + 1)
-              / CAST(tp + $dsirBuckets AS DOUBLE)) AS DECIMAL(20,15))
+              / CAST(tp + $buckets AS DOUBLE)) AS DECIMAL(20,15))
           - CAST(ln((qc + 1)
-              / CAST(tq + $dsirBuckets AS DOUBLE)) AS DECIMAL(20,15))"""))
+              / CAST(tq + $buckets AS DOUBLE)) AS DECIMAL(20,15))"""))
       .select($"fb", $"lr")
     rawF.join(ratio, Seq("fb"))
       .groupBy($"doc_id")
@@ -1214,24 +1245,33 @@ object DocumentQueries {
   /** d48 cluster count. 8 cells over the 256-bucket feature space keeps
     * cells well-populated on the test corpora; like s04/s09's k=16, the
     * cell COUNT is the knob real runs scale with corpus size. */
-  private val domainCells = 8
+  // gate default; the live value comes from [[QueryConf.domainCells]]
+  private val domainCells = QueryConf.DefaultDomainCells
   /** deterministic ±1 seed sign per (feature bucket, cell), defined as
     * "first md5 hex char of `fb:cell` has even code". The ORACLE
-    * computes it inline in SQL; the ENGINE pre-tabulates all 256×8
-    * values into a plan-literal table joined by bucket — the same
-    * md5, evaluated once per (bucket, cell) instead of once per
-    * (doc, bucket, cell) row (the inline form re-digested ~60M tiny
-    * strings at the 100× sweep scale). */
-  private lazy val domSignRows: Seq[(Long, Int, Double)] =
+    * computes it inline in SQL; the ENGINE pre-tabulates all
+    * buckets×cells values into a driver-built table joined by bucket —
+    * the same md5, evaluated once per (bucket, cell) instead of once
+    * per (doc, bucket, cell) row (the inline form re-digested ~60M
+    * tiny strings at the 100× sweep scale). The tabulation is
+    * driver-side, so its size is a hard bound: past 4M (bucket, cell)
+    * pairs the seed table itself needs to become a distributed
+    * computation — refuse loudly instead of OOMing the driver. */
+  private def domSignRows(buckets: Long, cells: Int): Seq[(Long, Int, Double)] = {
+    require(buckets * cells <= 4000000L,
+      s"domainClusters: the driver-tabulated seed table would hold " +
+        s"${buckets * cells} (bucket, cell) pairs (> 4M) — lower " +
+        s"${QueryConf.DsirHexCharsKey} or ${QueryConf.DomainCellsKey}")
+    val md = java.security.MessageDigest.getInstance("MD5")
     for {
-      fb <- 0L until dsirBuckets.toLong
-      cell <- 0 until domainCells
+      fb <- 0L until buckets
+      cell <- 0 until cells
     } yield {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$fb:$cell".getBytes("UTF-8"))
+      val d = md.digest(s"$fb:$cell".getBytes("UTF-8"))
       val firstHex = "%02x".format(d(0)).charAt(0)
       (fb, cell, if (firstHex.toInt % 2 == 0) 1.0 else -1.0)
     }
+  }
 
   /** d48 — domain clustering over the hashed-n-gram feature space: the
     * text-side counterpart of s04/s09's embedding quantizer, and the
@@ -1266,7 +1306,8 @@ object DocumentQueries {
     // seed assignment: Σ_b c_b·(±1) — every term integer-valued, so the
     // double sum is exact and order-independent; signs ride the
     // pre-tabulated 2048-row literal (an inline-relation equi-join)
-    val signs = domSignRows.toDF("fb", "cell", "w")
+    val signs = domSignRows(dsirBucketsOf(QueryConf.dsirHexChars(s)),
+      QueryConf.domainCells(s)).toDF("fb", "cell", "w")
     val arg0W = Window.partitionBy($"doc_id").orderBy($"dot0".desc, $"cell")
     val assign0 = f
       .join(signs, Seq("fb"))
@@ -2154,7 +2195,12 @@ object DocumentQueries {
   def dupNgramStats(docs: DataFrame, n: Int = 8): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val grams = ngramFps(docs, n)
+    // the fp pass feeds TWO consumers (the df aggregate and the join
+    // back) — materialize it so the corpus is tokenized + digested
+    // ONCE (the d41 lesson: unbarriered multi-consumer fp passes
+    // re-run the whole corpus scan per consumer). The materialized
+    // frame is the narrow (doc_id, fp) grain, text already dropped.
+    val grams = ngramFps(docs, n).materialize()
     val dfreq = grams.groupBy($"fp").agg(count(lit(1)).as("df"))
     grams.join(dfreq, Seq("fp"))
       .groupBy($"doc_id")
@@ -3401,9 +3447,9 @@ object DocumentQueries {
          ratio AS (
            SELECT qcn.fb,
              CAST(ln((coalesce(pc, 0) + 1)
-                 / CAST(tp + 256 AS DOUBLE)) AS DECIMAL(20,15))
+                 / CAST(tp + $dsirBuckets AS DOUBLE)) AS DECIMAL(20,15))
              - CAST(ln((qc + 1)
-                 / CAST(tq + 256 AS DOUBLE)) AS DECIMAL(20,15)) AS lr
+                 / CAST(tq + $dsirBuckets AS DOUBLE)) AS DECIMAL(20,15)) AS lr
            FROM qcn LEFT JOIN pcn ON qcn.fb = pcn.fb, tp, tq)
          SELECT doc_id,
            floor(CAST(sum(lr * CAST(c AS DECIMAL(10,0))) AS DOUBLE)

@@ -42,8 +42,16 @@ object EmbeddingQueries {
   }
 
   // ---- s04 IVF coarse quantizer ------------------------------------------
-  private val ivfCells = 16
-  private val ivfProbes = 8
+  // gate defaults (the oracle SQL below interpolates THESE; the query
+  // paths read the live values from [[QueryConf]] session conf, so a
+  // deployment scales k without a recompile — SemDeDup at paper scale
+  // wants k≈50k where the testdata gate pins 16)
+  private val ivfCells = QueryConf.DefaultIvfCells
+  private val ivfProbes = QueryConf.DefaultIvfProbes
+  /** s08's raised probe count (12 of the 16 default cells) — the recall
+    * spec's operating point; interpolated into the s08 oracle so the
+    * two cannot drift. */
+  private[queries] val s08Probes = 12
   /** ±1 sign-vector centroid component, splitmix-derived like w() but on
     * an offset stream so cells and hyperplanes are independent. */
   private def cw(j: Int, i: Int): Double = {
@@ -61,13 +69,14 @@ object EmbeddingQueries {
     * Cross-engine float parity: Spark's aggregate∘zip_with and DuckDB's
     * list_dot_product both reduce left-to-right (bit-identical — the
     * same pairing s01 hash-matches on). */
-  private def centroidMatrix: String =
-    (0 until ivfCells).map { j =>
+  private def centroidMatrix: String = centroidMatrix(ivfCells)
+  private def centroidMatrix(cells: Int): String =
+    (0 until cells).map { j =>
       (0 until 64).map(i => cw(j, i)).mkString("[", ", ", "]")
     }.mkString("[", ", ", "]")
 
-  private[queries] def sparkIvfDots(v: String): String =
-    s"""transform(array(${(0 until ivfCells).map { j =>
+  private[queries] def sparkIvfDots(v: String, cells: Int = ivfCells): String =
+    s"""transform(array(${(0 until cells).map { j =>
       s"array(${(0 until 64).map(i => s"CAST(${cw(j, i)} AS DOUBLE)").mkString(", ")})"
     }.mkString(", ")}),
         c -> graft_dot($v, c))"""
@@ -117,6 +126,61 @@ object EmbeddingQueries {
     e.join(broadcast(centroids))
       .withColumn("dot", dot("v", "cv_sum") / $"cnorm")
       .withColumn("rn", row_number().over(argW))
+  }
+
+  /** Above this cell count the fixed sign-seed matrix stops being a plan
+    * literal (the k×64 inline array grows the plan superlinearly and
+    * eventually kicks the stage out of codegen) and becomes a
+    * driver-tabulated centroid TABLE fed through [[assignTo]] — the same
+    * broadcast-join shape every later Lloyd round uses. The two paths
+    * rank identically: the table carries the raw ±1 sign vector with
+    * cnorm = √64 = 8.0 exactly, and dividing every dot by the same
+    * power of two is IEEE-exact, so the per-vector argmax (dot DESC,
+    * cell) is bit-for-bit the literal path's. */
+  private val SeedLiteralMaxCells = 64
+
+  /** Train the coarse quantizer shared by the s04 family
+    * (s04/s08/s09/s10/s11): fixed splitmix sign-seed assignment +
+    * `rounds` decimal-exact spherical Lloyd rounds (see [[recenter]]).
+    * Every round is deterministic — fixed seeds, order-independent
+    * fixed-point sums — so ANY (cells, rounds) setting is exactly
+    * reproducible and oracle-replayable (the DuckDB side chains
+    * `duckLloydCtes(r, _)` per round; the gate pins r=1, k=16). Each
+    * round materializes its ≤cells-row centroid table: the next
+    * round's assign (and every downstream consumer) re-reads it
+    * without replaying the whole training chain, and the loop cannot
+    * grow the logical plan with the round count. */
+  private[queries] def trainCentroids(e: DataFrame, cells: Int,
+      rounds: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    require(cells >= 1, s"trainCentroids: cells must be >= 1 (got $cells)")
+    require(rounds >= 1, s"trainCentroids: rounds must be >= 1 (got $rounds)")
+    val assign0 =
+      if (cells <= SeedLiteralMaxCells) {
+        val dotsArr = expr(sparkIvfDots("v", cells))
+        // posexplode_outer (never-empty array): non-outer Generate would
+        // inline the dot-array expression into a pushed-down size() filter
+        val arg0W = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
+        e.select($"vec_id", $"v", $"nrm",
+          posexplode_outer(dotsArr).as(Seq("cell", "dot")))
+          .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
+          .select($"vec_id", $"v", $"nrm", $"cell")
+      } else {
+        val seeds = s.createDataFrame((0 until cells).map { j =>
+          (j, (0 until 64).map(i => cw(j, i)), 8.0)
+        }).toDF("cell", "cv_sum", "cnorm")
+        assignTo(e, seeds).filter($"rn" === 1)
+          .select($"vec_id", $"v", $"nrm", $"cell")
+      }
+    var c = recenter(assign0).materialize()
+    var r = 1
+    while (r < rounds) {
+      c = recenter(assignTo(e, c).filter($"rn" === 1)
+        .select($"vec_id", $"v", $"nrm", $"cell")).materialize()
+      r += 1
+    }
+    c
   }
 
   /** embeddings with double vector + L2 norm. Norms and every dot product
@@ -202,15 +266,10 @@ object EmbeddingQueries {
     import s.implicits._
     val e = emb.select($"vec_id", $"v")
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-    // --- s04's trained coarse quantizer, shared machinery ---
-    val dotsArr = expr(sparkIvfDots("v"))
-    val arg0W = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
-    val assign0 = e
-      .select($"vec_id", $"v", $"nrm",
-        posexplode_outer(dotsArr).as(Seq("cell", "dot")))
-      .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
-      .select($"vec_id", $"v", $"nrm", $"cell")
-    val c1 = recenter(assign0).materialize()
+    // --- s04's trained coarse quantizer, shared machinery; k and the
+    // Lloyd round count come from session conf (SemDeDup's paper scale
+    // is k≈50k — the knob must not need a recompile), gate defaults 16/1
+    val c1 = trainCentroids(e, QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
     // craw = cosine(member, learned centroid) — UNROUNDED for the keep
     // policy (the raw doubles are bit-equal cross-engine, so comparing
     // them is deterministic; rounding first could flip a near-tie
@@ -284,18 +343,12 @@ object EmbeddingQueries {
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     val t = norm(train)
     val ev = norm(eval)
-    // --- s04's coarse quantizer, trained on the TRAIN side only ---
-    val dotsArr = expr(sparkIvfDots("v"))
-    val arg0W = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
-    val assign0 = t
-      .select($"vec_id", $"v", $"nrm",
-        posexplode_outer(dotsArr).as(Seq("cell", "dot")))
-      .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
-      .select($"vec_id", $"v", $"nrm", $"cell")
-    val c1 = recenter(assign0).materialize()
+    // --- s04's coarse quantizer, trained on the TRAIN side only;
+    // k / rounds / nprobe from session conf (gate defaults 16/1/8) ---
+    val c1 = trainCentroids(t, QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
     val corpus = assignTo(t, c1).filter($"rn" === 1)
       .select($"vec_id", $"v", $"nrm", $"cell")
-    val probes = assignTo(ev, c1).filter($"rn" <= ivfProbes)
+    val probes = assignTo(ev, c1).filter($"rn" <= QueryConf.ivfProbes(s))
       .select($"vec_id".as("e_id"), $"v".as("ev"), $"nrm".as("en"),
         $"cell".as("e_cell"))
     val hits = corpus.join(probes, $"e_cell" === $"cell")
@@ -326,31 +379,54 @@ object EmbeddingQueries {
     * consumes it via vec_id.
     *
     * Scale shape: no pair scan at all — one quantizer training pass
-    * (s04's machinery), one assignment, and a Window PARTITIONED BY
-    * cell (k partitions each holding its members; k is the knob that
-    * scales with corpus size, the s09 argument). Ties on the rounded
-    * cosine break by vec_id, so ranks are engine-exact. */
-  def coresetSample(emb: DataFrame, perCell: Int = 20): DataFrame = {
+    * (s04's machinery), one materialized assignment, and the d45
+    * two-phase bucket rank INSIDE each cell (per-(cell, csim-bucket)
+    * windows + a per-cell prefix sum over bounded bucket metadata —
+    * never a whole cell through one task; k is the knob that scales
+    * with corpus size, the s09 argument). Ties on the rounded cosine
+    * break by vec_id, so ranks are engine-exact. */
+  def coresetSample(emb: DataFrame,
+      perCell: Int = QueryConf.DefaultCoresetPerCell): DataFrame = {
     require(perCell >= 1, s"coresetSample: perCell must be >= 1 (got $perCell)")
     val s = emb.sparkSession
     import s.implicits._
     val e = emb.select($"vec_id", $"v")
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-    val dotsArr = expr(sparkIvfDots("v"))
-    val arg0W = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
-    val assign0 = e
-      .select($"vec_id", $"v", $"nrm",
-        posexplode_outer(dotsArr).as(Seq("cell", "dot")))
-      .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
-      .select($"vec_id", $"v", $"nrm", $"cell")
-    val c1 = recenter(assign0).materialize()
+    val c1 = trainCentroids(e, QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
     // periphery-first rank on the ROUNDED cosine + id tie-break (the
     // s01 ranking discipline — rounding before ranking keeps the order
-    // engine-independent even at representation boundaries)
-    val rankW = Window.partitionBy($"cell").orderBy($"csim".asc, $"vec_id")
-    assignTo(e, c1).filter($"rn" === 1)
+    // engine-independent even at representation boundaries).
+    //
+    // The rank itself runs the d45 two-phase bucket discipline INSIDE
+    // each cell — a plain Window.partitionBy(cell) would funnel every
+    // cell's whole membership through one task, and at real scale a
+    // cell is corpus/k-sized. Phase 1: (cell, sb) bucket counts over
+    // the bounded csim range (cells × nBuckets metadata rows) with a
+    // per-cell prefix sum over that METADATA. Phase 2: row_number
+    // inside each (cell, sb) bucket + the bucket's offset. Assignment
+    // is materialized once — the counts pass and the rank pass both
+    // read it, and without the barrier each re-runs the broadcast
+    // assign scan.
+    val nB = 16
+    val assigned = graft.Materialize(assignTo(e, c1).filter($"rn" === 1)
       .withColumn("csim", round($"dot" / $"nrm", 4))
-      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .select($"vec_id", $"cell", $"csim"))
+    val offsets = assigned
+      .withColumn("sb", least(greatest(
+        floor(($"csim" + 1.0) / 2.0 * nB).cast("int"), lit(0)), lit(nB - 1)))
+      .groupBy($"cell", $"sb").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum($"c").over(
+        Window.partitionBy($"cell").orderBy($"sb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"cell", $"sb", $"off")
+    assigned
+      .withColumn("sb", least(greatest(
+        floor(($"csim" + 1.0) / 2.0 * nB).cast("int"), lit(0)), lit(nB - 1)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cell", $"sb").orderBy($"csim".asc, $"vec_id"))
+        .cast("long"))
+      .join(offsets, Seq("cell", "sb"))
+      .withColumn("rank", $"off" + $"rn")
       .select($"vec_id", $"cell".cast("long").as("cell"),
         $"csim".as("centroid_sim"), $"rank",
         when($"rank" <= perCell, "keep").otherwise("drop").as("decision"))
@@ -360,7 +436,7 @@ object EmbeddingQueries {
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // ---- s11: cluster-balanced coreset sample (see [[coresetSample]]) ----
     "s11_coreset_sample" -> { (s, dir) =>
-      coresetSample(vecs(s, dir))
+      coresetSample(vecs(s, dir), QueryConf.coresetPerCell(s))
     },
 
     // ---- s01: exact brute-force cosine top-5 for queries vec_id < 20 -----
@@ -446,28 +522,21 @@ object EmbeddingQueries {
     "s04_ann_ivf" -> { (s, dir) =>
       import s.implicits._
       val e = vecs(s, dir)
-      val dotsArr = expr(sparkIvfDots("v"))
-      // posexplode_outer (never-empty array): non-outer Generate would
-      // inline the dot-array expression into a pushed-down size() filter
-      val arg0W = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
-      val assign0 = e
-        .select($"vec_id", $"v", $"nrm",
-          posexplode_outer(dotsArr).as(Seq("cell", "dot")))
-        .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
-        .select($"vec_id", $"v", $"nrm", $"cell")
-      // materialize the learned centroids (≤16 rows): corpus and probes
-      // both re-scan the final assignment, and without this tiny barrier
-      // every reference would re-run the whole training chain. ONE Lloyd
-      // round: a second round moved recall not at all on this corpus
-      // (the spherical means converge immediately) and cost a full extra
-      // assign + re-center job chain.
-      val c1 = recenter(assign0).materialize()
+      // [[trainCentroids]] materializes the learned centroids (≤k rows):
+      // corpus and probes both re-scan the final assignment, and without
+      // that tiny barrier every reference would re-run the whole training
+      // chain. Gate defaults ONE Lloyd round / 16 cells: a second round
+      // moved recall not at all on this corpus (the spherical means
+      // converge immediately) and cost a full extra assign + re-center
+      // job chain; [[QueryConf]] scales both per-session.
+      val c1 = trainCentroids(e, QueryConf.ivfCells(s),
+        QueryConf.lloydRounds(s))
       val corpus = assignTo(e, c1).filter($"rn" === 1)
         .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"), $"cell")
       // per-vector assignment is independent, so the probe side assigns
       // just the 20 query vectors instead of re-windowing the corpus
       val probes = assignTo(e.filter($"vec_id" < 20), c1)
-        .filter($"rn" <= ivfProbes)
+        .filter($"rn" <= QueryConf.ivfProbes(s))
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
           $"cell".as("q_cell"))
       val rnkW = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"c_id")
@@ -605,14 +674,8 @@ object EmbeddingQueries {
       import s.implicits._
       val e = vecs(s, dir)
       // --- the s04 trained coarse quantizer, shared machinery ---
-      val dotsArr = expr(sparkIvfDots("v"))
-      val arg0W = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
-      val assign0 = e
-        .select($"vec_id", $"v", $"nrm",
-          posexplode_outer(dotsArr).as(Seq("cell", "dot")))
-        .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
-        .select($"vec_id", $"v", $"nrm", $"cell")
-      val c1 = recenter(assign0).materialize()
+      val c1 = trainCentroids(e, QueryConf.ivfCells(s),
+        QueryConf.lloydRounds(s))
       val cu = c1.select($"cell",
         expr("transform(cv_sum, x -> x / cnorm)").as("cunit"))
       val corpus = assignTo(e, c1).filter($"rn" === 1)
@@ -647,7 +710,7 @@ object EmbeddingQueries {
         .select($"c_id", $"cell", $"vhat", $"hn")
       // --- query side: nprobe cells, ADC coarse scan, top-20 ---
       val probes = assignTo(e.filter($"vec_id" < 20), c1)
-        .filter($"rn" <= 12)
+        .filter($"rn" <= s08Probes)
         .select($"vec_id".as("q_id"),
           expr("transform(v, x -> x / nrm)").as("qu"), $"cell".as("q_cell"))
       val coarseW = Window.partitionBy($"q_id")
@@ -799,7 +862,8 @@ object EmbeddingQueries {
            FROM corpus)
          SELECT vec_id, CAST(cell AS BIGINT) AS cell,
            csim AS centroid_sim, rank,
-           CASE WHEN rank <= 20 THEN 'keep' ELSE 'drop' END AS decision
+           CASE WHEN rank <= ${QueryConf.DefaultCoresetPerCell}
+             THEN 'keep' ELSE 'drop' END AS decision
          FROM r ORDER BY vec_id""",
     "s01_knn_bruteforce" ->
       """WITH n AS (
@@ -889,7 +953,7 @@ object EmbeddingQueries {
          chn AS (SELECT *, sqrt(list_dot_product(vhat, vhat)) AS hn FROM chat),
          probes AS (
            SELECT vec_id AS q_id, list_transform(v, x -> x / nrm) AS qu, cell
-           FROM cells1 WHERE rn <= 12 AND vec_id < 20),
+           FROM cells1 WHERE rn <= $s08Probes AND vec_id < 20),
          coarse AS (
            SELECT q_id, c_id,
              round(list_dot_product(qu, vhat) / hn, 4) AS coarse_sim

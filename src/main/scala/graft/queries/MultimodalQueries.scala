@@ -96,7 +96,13 @@ object MultimodalQueries {
     val fps = media.toDF().select($"doc_id", md5($"media").as("cfp"))
     val ah = Multimodal.extractFeatures(media).toDF()
       .select($"doc_id", $"ahash")
-    val feats = fps.join(ah, "doc_id")
+    // (doc_id, cfp, ahash) feeds TWO consumers (the rep collapse and
+    // the exact-pair join) and everything downstream chains off it —
+    // materialize so the payload generation + raster hash run ONCE
+    // (the d41/d47 barrier discipline); payload bytes never cached,
+    // only the 3 narrow columns
+    val feats = graft.Materialize(fps.join(ah, "doc_id"))
+    val maxBucket = QueryConf.mediaMaxBucket(s)
     // identical content ⇒ identical ahash, so min() carries the rep's
     // hash through the same aggregate
     val reps = feats.groupBy($"cfp")
@@ -110,7 +116,7 @@ object MultimodalQueries {
            'key', shiftright(ahash, 16 * b) & 65535))""")).as("bk"))
       .select($"rep", $"ahash", $"bk.band".as("band"), $"bk.key".as("key"))
     val ok = bands.groupBy($"band", $"key").agg(count(lit(1)).as("n"))
-      .filter($"n" <= MaxAhashBucket).select($"band", $"key")
+      .filter($"n" <= maxBucket).select($"band", $"key")
     val okBands = bands.join(ok, Seq("band", "key"))
     val l = okBands
       .select($"rep".as("ra"), $"ahash".as("aa"), $"band", $"key")
@@ -131,7 +137,8 @@ object MultimodalQueries {
     * more than MaxAhashBucket distinct rasters carry no selectivity
     * and are dropped (the d16 MaxBandBucket discipline). */
   val HammingBar = 6
-  private[queries] val MaxAhashBucket = 64
+  // gate default; the live cap comes from [[QueryConf.mediaMaxBucket]]
+  private[queries] val MaxAhashBucket = QueryConf.DefaultMediaMaxBucket
 
   /** The shared m01/m04 oracle prelude — mirrors ppmFromDocuments'
     * generation contract: w = 8 + doc_id%9, h = ceil(len/3w) (>=1),
@@ -213,7 +220,7 @@ object MultimodalQueries {
            FROM reps, (SELECT unnest(range(4)) AS b) b),
          ok AS (
            SELECT band, key FROM bands GROUP BY band, key
-           HAVING count(*) <= 64),
+           HAVING count(*) <= $MaxAhashBucket),
          cand AS (
            SELECT DISTINCT a.rep AS ra, a.ahash AS aa,
              c.rep AS rb, c.ahash AS ab
@@ -225,7 +232,7 @@ object MultimodalQueries {
            SELECT ra AS doc_a, rb AS doc_b,
              CAST(bit_count(xor(aa, ab)) AS BIGINT) AS hamming,
              'near' AS kind
-           FROM cand WHERE bit_count(xor(aa, ab)) <= 6)
+           FROM cand WHERE bit_count(xor(aa, ab)) <= $HammingBar)
          SELECT * FROM (
            SELECT * FROM exact UNION ALL SELECT * FROM near)
          ORDER BY doc_a, doc_b""",

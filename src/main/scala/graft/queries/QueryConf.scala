@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-conf scale knobs for the clustering / sketching operators.
+  *
+  * Every knob here is a SCALE parameter, not a correctness parameter:
+  * the operators are exact for any value, but the right value grows
+  * with corpus size (SemDeDup's paper runs ~50k clusters on LAION where
+  * the testdata default is 16; DSIR uses 10k hashed buckets on full
+  * CommonCrawl where the default is 256). A 100 TB deployment must be
+  * able to set them per-run — `spark.conf.set(...)` or `--conf` on
+  * submit — without recompiling, so each operator reads its knob from
+  * the session at plan-build time.
+  *
+  * The DuckDB oracle gate always replays the DEFAULTS (the driver's
+  * verify session sets no graft conf), so the defaults below are
+  * spec-pinned: changing one changes gate hashes and is a semantic
+  * change, not a tuning change.
+  */
+object QueryConf {
+
+  /** IVF coarse-quantizer cell count for the embedding family
+    * (s04/s08/s09/s10/s11). Scale ∝ corpus size — the per-cell pair
+    * cost of s09 and the per-cell scan cost of s04/s08 are n²/k and
+    * n/k. */
+  val IvfCellsKey = "spark.graft.ivf.cells"
+  val DefaultIvfCells = 16
+
+  /** How many nearest cells a query probes (s04/s10) — the recall/cost
+    * knob of an IVF scan. */
+  val IvfProbesKey = "spark.graft.ivf.probes"
+  val DefaultIvfProbes = 8
+
+  /** Spherical-Lloyd training rounds for the embedding quantizer. Each
+    * round is one decimal-exact recenter + one assign pass (both
+    * deterministic, so ANY round count stays oracle-replayable via
+    * `duckLloydCtes(r, _)`); FAISS-style trainers run 10–25 rounds at
+    * real scale, the gate default is 1. */
+  val LloydRoundsKey = "spark.graft.ivf.rounds"
+  val DefaultLloydRounds = 1
+
+  /** d48 domain-cluster count over the hashed-feature space. */
+  val DomainCellsKey = "spark.graft.domain.cells"
+  val DefaultDomainCells = 8
+
+  /** d46/d48 hashed-feature bucket count, expressed as the number of
+    * md5 hex chars that form the bucket id: buckets = 16^hexchars
+    * (2 → 256, the testdata default; 3 → 4096; 4 → 65536 ≈ the DSIR
+    * paper's 10k). The hex-char form keeps the bucket id an exact,
+    * engine-portable function of the md5 digest. */
+  val DsirHexCharsKey = "spark.graft.dsir.hexchars"
+  val DefaultDsirHexChars = 2
+
+  /** s11 coreset size per trained cell. */
+  val CoresetPerCellKey = "spark.graft.coreset.percell"
+  val DefaultCoresetPerCell = 20
+
+  /** m04 band-bucket selectivity cap: buckets shared by more distinct
+    * rasters than this carry no signal and are dropped (the d16
+    * MaxBandBucket discipline at the media grain). */
+  val MediaMaxBucketKey = "spark.graft.media.maxbucket"
+  val DefaultMediaMaxBucket = 64
+
+  /** Read a positive-int knob from the session conf; loud refusal on a
+    * malformed or out-of-range value (a silently-defaulted typo would
+    * run the whole job at the wrong scale). */
+  def posInt(s: SparkSession, key: String, dflt: Int,
+      max: Int = Int.MaxValue): Int =
+    s.conf.getOption(key) match {
+      case None => dflt
+      case Some(raw) =>
+        val v =
+          try raw.trim.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$key must be an integer (got '$raw')")
+          }
+        require(v >= 1 && v <= max,
+          s"$key must be in [1, $max] (got $v)")
+        v
+    }
+
+  def ivfCells(s: SparkSession): Int =
+    posInt(s, IvfCellsKey, DefaultIvfCells, max = 65536)
+  def ivfProbes(s: SparkSession): Int =
+    posInt(s, IvfProbesKey, DefaultIvfProbes, max = 65536)
+  def lloydRounds(s: SparkSession): Int =
+    posInt(s, LloydRoundsKey, DefaultLloydRounds, max = 100)
+  def domainCells(s: SparkSession): Int =
+    posInt(s, DomainCellsKey, DefaultDomainCells, max = 65536)
+  def dsirHexChars(s: SparkSession): Int =
+    posInt(s, DsirHexCharsKey, DefaultDsirHexChars, max = 8)
+  def coresetPerCell(s: SparkSession): Int =
+    posInt(s, CoresetPerCellKey, DefaultCoresetPerCell)
+  def mediaMaxBucket(s: SparkSession): Int =
+    posInt(s, MediaMaxBucketKey, DefaultMediaMaxBucket)
+}

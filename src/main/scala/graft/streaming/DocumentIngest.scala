@@ -138,18 +138,25 @@ object DocumentIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val origCols = batch.columns.toSeq.map(col)
-        val pinned = (qualityMin match {
+        // `pinned` is the kept-docs frame every artifact below reads;
+        // `root` is the persisted frame that owns the batch's ONE source
+        // scan — under the quality gate that is the SCORED frame, so the
+        // rejects write and the kept path share one computation of the
+        // d09 composite instead of re-scanning the micro-batch source.
+        val (pinned, root) = (qualityMin match {
           case Some(min) =>
             val scored = graft.queries.DocumentQueries
-              .withQuality(batch.toDF())
+              .withQuality(batch.toDF()).persist()
             rejectsDir.foreach { d =>
               scored.filter(col("quality") < min)
                 .select(col("doc_id"), col("quality"))
                 .write.mode("overwrite").parquet(s"$d/batch=$batchId")
             }
-            scored.filter(col("quality") >= min).select(origCols: _*)
-              .persist()
-          case None => batch.persist()
+            (scored.filter(col("quality") >= min).select(origCols: _*),
+              scored)
+          case None =>
+            val p = batch.persist()
+            (p.toDF(), p.toDF())
         })
         try {
           pinned.write.mode("append").partitionBy("lang").parquet(outDir)
@@ -166,7 +173,7 @@ object DocumentIngest {
               .write.mode("overwrite").parquet(s"$d/batch=$batchId")
           }
           decontamDir.foreach(d => decontamBatch(pinned, d, batchId, decontamN))
-        } finally { pinned.unpersist(); () }
+        } finally { root.unpersist(); () }
       }
 
   /** The d39 ingest gate: disposition this micro-batch's TRAIN-side
