@@ -97,7 +97,7 @@ object EmbeddingQueries {
     * engine.) The centroid is kept UN-normalized (sum vector + its
     * norm): the member count cancels inside the cosine argmax, and the
     * norm is a deterministic left-to-right fold of the exact sums. */
-  private[queries] def recenter(assign: DataFrame): DataFrame = {
+  private[graft] def recenter(assign: DataFrame): DataFrame = {
     val s = assign.sparkSession
     import s.implicits._
     assign
@@ -119,7 +119,7 @@ object EmbeddingQueries {
     * every IVF build pays, with the ≤16-row centroid table broadcast.
     * Returns the input columns + (cell, dot, rn) where rn=1 is the home
     * cell and rn<=nprobe the probe set. */
-  private[queries] def assignTo(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignTo(e: DataFrame, centroids: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     val argW = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
@@ -150,14 +150,14 @@ object EmbeddingQueries {
     * round's assign (and every downstream consumer) re-reads it
     * without replaying the whole training chain, and the loop cannot
     * grow the logical plan with the round count. */
-  private[queries] def trainCentroids(e: DataFrame, cells: Int,
-      rounds: Int): DataFrame = {
+  private[graft] def trainCentroids(e: DataFrame, cells: Int,
+      rounds: Int, seedTableBar: Int = SeedLiteralMaxCells): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     require(cells >= 1, s"trainCentroids: cells must be >= 1 (got $cells)")
     require(rounds >= 1, s"trainCentroids: rounds must be >= 1 (got $rounds)")
     val assign0 =
-      if (cells <= SeedLiteralMaxCells) {
+      if (cells <= seedTableBar) {
         val dotsArr = expr(sparkIvfDots("v", cells))
         // posexplode_outer (never-empty array): non-outer Generate would
         // inline the dot-array expression into a pushed-down size() filter
