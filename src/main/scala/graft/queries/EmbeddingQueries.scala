@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -411,17 +411,24 @@ object EmbeddingQueries {
     val assigned = graft.Materialize(assignTo(e, c1).filter($"rn" === 1)
       .withColumn("csim", round($"dot" / $"nrm", 4))
       .select($"vec_id", $"cell", $"csim"))
+    // NaN guard: a zero-norm vector yields csim = 0/0 = NaN, which
+    // floor()+cast would route to bucket 0 while the ASC sort below puts
+    // NaN last — a rank that diverges from the single-window order (and
+    // from DuckDB, where NaN ranks last in the whole cell). Routing NaN
+    // to the TOP bucket via nanvl keeps bucket placement consistent with
+    // its sort position: last bucket, last within it.
+    def sbOf(csim: Column): Column = least(greatest(
+      floor((nanvl(csim, lit(1.0)) + 1.0) / 2.0 * nB).cast("int"),
+      lit(0)), lit(nB - 1))
     val offsets = assigned
-      .withColumn("sb", least(greatest(
-        floor(($"csim" + 1.0) / 2.0 * nB).cast("int"), lit(0)), lit(nB - 1)))
+      .withColumn("sb", sbOf($"csim"))
       .groupBy($"cell", $"sb").agg(count(lit(1)).as("c"))
       .withColumn("off", coalesce(sum($"c").over(
         Window.partitionBy($"cell").orderBy($"sb")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select($"cell", $"sb", $"off")
     assigned
-      .withColumn("sb", least(greatest(
-        floor(($"csim" + 1.0) / 2.0 * nB).cast("int"), lit(0)), lit(nB - 1)))
+      .withColumn("sb", sbOf($"csim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"cell", $"sb").orderBy($"csim".asc, $"vec_id"))
         .cast("long"))

@@ -46,9 +46,11 @@ object QueryConf {
 
   /** d46/d48 hashed-feature bucket count, expressed as the number of
     * md5 hex chars that form the bucket id: buckets = 16^hexchars
-    * (2 → 256, the testdata default; 3 → 4096; 4 → 65536 ≈ the DSIR
-    * paper's 10k). The hex-char form keeps the bucket id an exact,
-    * engine-portable function of the md5 digest. */
+    * (2 → 256, the testdata default; 3 → 4096; 4 → 65536). The power-
+    * of-16 granularity cannot express the DSIR paper's 10k buckets
+    * exactly — 3 and 4 bracket it; pick by corpus size. The hex-char
+    * form keeps the bucket id an exact, engine-portable function of
+    * the md5 digest. */
   val DsirHexCharsKey = "spark.graft.dsir.hexchars"
   val DefaultDsirHexChars = 2
 

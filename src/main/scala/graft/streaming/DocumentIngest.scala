@@ -143,22 +143,26 @@ object DocumentIngest {
         // scan — under the quality gate that is the SCORED frame, so the
         // rejects write and the kept path share one computation of the
         // d09 composite instead of re-scanning the micro-batch source.
-        val (pinned, root) = (qualityMin match {
+        val (pinned, root, rejects) = (qualityMin match {
           case Some(min) =>
             val scored = graft.queries.DocumentQueries
               .withQuality(batch.toDF()).persist()
-            rejectsDir.foreach { d =>
-              scored.filter(col("quality") < min)
-                .select(col("doc_id"), col("quality"))
-                .write.mode("overwrite").parquet(s"$d/batch=$batchId")
-            }
             (scored.filter(col("quality") >= min).select(origCols: _*),
-              scored)
+              scored,
+              rejectsDir.map(d => scored.filter(col("quality") < min)
+                .select(col("doc_id"), col("quality")) -> s"$d/batch=$batchId"))
           case None =>
             val p = batch.persist()
-            (p.toDF(), p.toDF())
+            (p.toDF(), p.toDF(), None)
         })
+        // every write — INCLUDING the rejects quarantine — runs inside
+        // the try so root.unpersist() reclaims the cached blocks on any
+        // failure (a streaming driver is long-lived; foreachBatch retries
+        // do not restart the JVM, so a leaked persist accumulates)
         try {
+          rejects.foreach { case (r, path) =>
+            r.write.mode("overwrite").parquet(path)
+          }
           pinned.write.mode("append").partitionBy("lang").parquet(outDir)
           sigDir.foreach { d =>
             graft.queries.DedupQueries

@@ -83,9 +83,13 @@ class QueriesSpec extends SparkSpec {
     // s10: the same trained-centroid assignment scan, run for both the
     // train corpus and the eval probe side; the hit scan is a cell
     // equi-join
+    // (s11's assignment scan is the SAME cross-join, but the frame is
+    // eagerly Materialize()d at construction, so — like d06/d14/d29 —
+    // the optimized plan this audit sees is truncated lineage with no
+    // join left. Its hint is audited at the source instead: see the
+    // assignTo analyzed-plan check in the hinted-side audit below.)
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
       "s04_ann_ivf", "s08_ivfpq_rerank", "s09_semdedup", "s10_sem_decontam",
-      "s11_coreset_sample",
       "s06_quantized_rerank", "s07_truncated_rerank",
       "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
@@ -153,8 +157,11 @@ class QueriesSpec extends SparkSpec {
         "<=16-row trained-centroid table (s04's quantizer, SemDeDup cells)",
       "s10_sem_decontam" ->
         "<=16-row trained-centroid table (s04's quantizer; decontam cells)",
-      "s11_coreset_sample" ->
-        "<=16-row trained-centroid table (s04's quantizer; coreset cells)",
+      // s11 is deliberately ABSENT: its assignment frame is eagerly
+      // Materialize()d, so its optimized plan carries no hinted join for
+      // this walk to find (the d06/d14 situation) — the staleness check
+      // below would flag it forever. Its hint is audited at the source
+      // (assignTo, analyzed plan) at the end of this test.
       "s06_quantized_rerank" -> "fixed query set (coarse scan + rerank sides)",
       "s07_truncated_rerank" -> "fixed query set (prefix scan + rerank sides)",
       "q30_sliding_window" -> "<=6-row per-year boundary stitch",
@@ -210,6 +217,31 @@ class QueriesSpec extends SparkSpec {
       sides.foreach { side =>
         assert(side.toString.contains("bucket_n"),
           s"verifiedPairs broadcasts a side not tied to the bucket cap:\n$side")
+      }
+    }
+    // s11 (and every s04-family assignment) builds its one cross-join
+    // through assignTo; s11's copy is eagerly Materialize()d so the hint
+    // never reaches the optimized-plan walk above. Audit it at the
+    // source: assignTo must hint its centroid side on the ANALYZED plan,
+    // and that side must be the trained-centroid table (cv_sum/cnorm) —
+    // trainCentroids bounds it at `cells` rows, the provable bound.
+    locally {
+      import org.apache.spark.sql.functions.{col, expr}
+      val e = Tables(spark, sfSmoke, "embeddings")
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+        .select(col("vec_id"), col("v"), col("nrm"))
+      val c = graft.queries.EmbeddingQueries.trainCentroids(e, cells = 4,
+        rounds = 1)
+      val sides = graft.queries.EmbeddingQueries.assignTo(e, c)
+        .queryExecution.analyzed.collect {
+          case h: ResolvedHint => h.child
+        }
+      assert(sides.nonEmpty,
+        "assignTo no longer hints its centroid broadcast (s11's bound)")
+      sides.foreach { side =>
+        assert(side.toString.contains("cv_sum"),
+          s"assignTo broadcasts a side that is not the centroid table:\n$side")
       }
     }
   }
