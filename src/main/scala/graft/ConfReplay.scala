@@ -1,0 +1,59 @@
+package graft
+
+/** Dev tool: cross-engine replay of the QueryConf surface at NON-default
+  * operating points. The driver gate replays only the defaults (its
+  * verify session sets no `spark.graft.*` conf), so without this the
+  * seed-table branch (cells > 64), the multi-round Lloyd loop, and the
+  * non-default coreset cut would be Spark-vs-Spark checks only. This
+  * main sets the session knobs explicitly, dumps the conf-sensitive
+  * queries, and writes the MATCHING generated oracle SQL
+  * ([[graft.queries.EmbeddingQueries.s04OracleSqlAt]] /
+  * `s11OracleSqlAt`), so the standard selfcheck compares DuckDB vs
+  * Spark at that operating point:
+  *
+  * {{{
+  * sbt 'runMain graft.ConfReplay /root/testdata/sf0.01 /tmp/replay cells=80 rounds=3'
+  * python3 scripts/selfcheck.py /root/testdata/sf0.01 /tmp/replay
+  * }}}
+  *
+  * Accepted args (any order, all optional): `cells=N probes=N rounds=N
+  * percell=N` — defaults are the gate defaults, so a bare run
+  * reproduces the driver's own s04/s11 rows.
+  */
+object ConfReplay {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    val kv = args.drop(2).map { a =>
+      a.split("=", 2) match {
+        case Array(k, v) => k -> v.toInt
+        case _ => throw new IllegalArgumentException(
+          s"expected key=value, got '$a'")
+      }
+    }.toMap
+    val unknown = kv.keySet -- Set("cells", "probes", "rounds", "percell")
+    require(unknown.isEmpty, s"unknown knobs: $unknown")
+    import graft.queries.{EmbeddingQueries, QueryConf}
+    val cells = kv.getOrElse("cells", QueryConf.DefaultIvfCells)
+    val probes = kv.getOrElse("probes", QueryConf.DefaultIvfProbes)
+    val rounds = kv.getOrElse("rounds", QueryConf.DefaultLloydRounds)
+    val perCell = kv.getOrElse("percell", QueryConf.DefaultCoresetPerCell)
+    val spark = GraftSession.local(appName = "graft-conf-replay")
+    spark.conf.set(QueryConf.IvfCellsKey, cells.toString)
+    spark.conf.set(QueryConf.IvfProbesKey, probes.toString)
+    spark.conf.set(QueryConf.LloydRoundsKey, rounds.toString)
+    spark.conf.set(QueryConf.CoresetPerCellKey, perCell.toString)
+    new java.io.File(outDir).mkdirs()
+    val targets = Seq(
+      "s04_ann_ivf" -> EmbeddingQueries.s04OracleSqlAt(cells, probes, rounds),
+      "s11_coreset_sample" ->
+        EmbeddingQueries.s11OracleSqlAt(cells, rounds, perCell))
+    targets.foreach { case (name, _) =>
+      SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[conf-replay] dumped $name " +
+        s"(cells=$cells probes=$probes rounds=$rounds percell=$perCell)")
+    }
+    Verify.writeOracleJson(outDir, targets)
+    spark.stop()
+  }
+}

@@ -839,7 +839,21 @@ object EmbeddingQueries {
     * learned centroids — exactly the Spark side's assignTo-everything
     * shape — so downstream CTEs slice train/eval out of `cells1`. */
   private def duckIvfPreludeOn(trainPred: String): String =
-    s"""n AS (
+    duckIvfPreludeAt(ivfCells, 1, trainPred)
+
+  /** The prelude at arbitrary (cells, rounds) — the ConfReplay surface:
+    * graft.ConfReplay dumps the Spark result under the same non-default
+    * session conf and runs THIS SQL through DuckDB, so every QueryConf
+    * operating point stays cross-engine checkable, not just the gate
+    * defaults (which are this generator at cells=16, rounds=1 — the
+    * gate oracles call through here, so the two can never drift).
+    * Round r ≥ 2 trains on the previous round's rn=1 assignment
+    * (restricted by `trainPred`, matching the Spark side where every
+    * round re-assigns the SAME training frame), while the final
+    * `cells{rounds}` CTE scores ALL of `m`. */
+  private[graft] def duckIvfPreludeAt(cells: Int, rounds: Int,
+      trainPred: String = ""): String = {
+    val base = s"""n AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
          m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
@@ -849,19 +863,26 @@ object EmbeddingQueries {
                ORDER BY dot DESC, cell) AS rn
              FROM (
                SELECT vec_id, v, nrm, c.j AS cell,
-                 list_dot_product(v, ($centroidMatrix)[c.j + 1]) AS dot
-               FROM m, (SELECT unnest(range($ivfCells)) AS j) c))
+                 list_dot_product(v, (${centroidMatrix(cells)})[c.j + 1]) AS dot
+               FROM m, (SELECT unnest(range($cells)) AS j) c))
            WHERE rn = 1$trainPred),
          ${duckLloydCtes(1, "assign0")}"""
+    (2 to rounds).foldLeft(base) { (acc, r) =>
+      acc + s""",
+         ${duckLloydCtes(r, s"(SELECT vec_id, v, nrm, cell " +
+           s"FROM cells${r - 1} WHERE rn = 1$trainPred) pv")}"""
+    }
+  }
 
-  val oracleSql: ListMap[String, String] = ListMap(
-    // s11: the s04 prelude's trained cells + a per-cell periphery-first
-    // row_number on the rounded centroid cosine
-    "s11_coreset_sample" ->
-      s"""WITH $duckIvfPrelude,
+  /** s11's oracle at arbitrary (cells, rounds, perCell) — the ConfReplay
+    * surface; the gate entry is this generator at the QueryConf
+    * defaults. */
+  private[graft] def s11OracleSqlAt(cells: Int, rounds: Int,
+      perCell: Int): String =
+    s"""WITH ${duckIvfPreludeAt(cells, rounds)},
          corpus AS (
            SELECT vec_id, cell, round(dot / nrm, 4) AS csim
-           FROM cells1 WHERE rn = 1),
+           FROM cells$rounds WHERE rn = 1),
          r AS (
            SELECT vec_id, cell, csim,
              CAST(row_number() OVER (PARTITION BY cell
@@ -869,9 +890,40 @@ object EmbeddingQueries {
            FROM corpus)
          SELECT vec_id, CAST(cell AS BIGINT) AS cell,
            csim AS centroid_sim, rank,
-           CASE WHEN rank <= ${QueryConf.DefaultCoresetPerCell}
+           CASE WHEN rank <= $perCell
              THEN 'keep' ELSE 'drop' END AS decision
-         FROM r ORDER BY vec_id""",
+         FROM r ORDER BY vec_id"""
+
+  /** s04's oracle at arbitrary (cells, probes, rounds) — the ConfReplay
+    * surface; the gate entry is this generator at the QueryConf
+    * defaults. */
+  private[graft] def s04OracleSqlAt(cells: Int, probes: Int,
+      rounds: Int): String =
+    s"""WITH ${duckIvfPreludeAt(cells, rounds)},
+         corpus AS (
+           SELECT vec_id AS c_id, v AS cv, nrm AS cn, cell
+           FROM cells$rounds WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell
+           FROM cells$rounds WHERE rn <= $probes AND vec_id < 20),
+         p AS (
+           SELECT q_id, c_id,
+             round(list_dot_product(qv, cv) / (qn * cn), 4) AS cos_sim
+           FROM probes JOIN corpus ON probes.cell = corpus.cell
+             AND q_id <> c_id),
+         r AS (
+           SELECT q_id, c_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+           FROM p)
+         SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5
+         ORDER BY q_id, rnk"""
+
+  val oracleSql: ListMap[String, String] = ListMap(
+    // s11: the s04 prelude's trained cells + a per-cell periphery-first
+    // row_number on the rounded centroid cosine
+    "s11_coreset_sample" -> s11OracleSqlAt(ivfCells,
+      QueryConf.DefaultLloydRounds, QueryConf.DefaultCoresetPerCell),
     "s01_knn_bruteforce" ->
       """WITH n AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -899,26 +951,8 @@ object EmbeddingQueries {
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""",
-    "s04_ann_ivf" ->
-      s"""WITH $duckIvfPrelude,
-         corpus AS (
-           SELECT vec_id AS c_id, v AS cv, nrm AS cn, cell
-           FROM cells1 WHERE rn = 1),
-         probes AS (
-           SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell
-           FROM cells1 WHERE rn <= $ivfProbes AND vec_id < 20),
-         p AS (
-           SELECT q_id, c_id,
-             round(list_dot_product(qv, cv) / (qn * cn), 4) AS cos_sim
-           FROM probes JOIN corpus ON probes.cell = corpus.cell
-             AND q_id <> c_id),
-         r AS (
-           SELECT q_id, c_id, cos_sim,
-             CAST(row_number() OVER (PARTITION BY q_id
-               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
-           FROM p)
-         SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5
-         ORDER BY q_id, rnk""",
+    "s04_ann_ivf" -> s04OracleSqlAt(ivfCells, ivfProbes,
+      QueryConf.DefaultLloydRounds),
     // s08: the s04 prelude (same trained quantizer), then the PQ
     // residual encode/reconstruct replayed elementwise and the two
     // deterministic ranking stages

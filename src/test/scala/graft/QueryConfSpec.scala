@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{EmbeddingQueries, QueryConf}
+
+/** Spec-pins the [[graft.queries.QueryConf]] surface AWAY from the gate
+  * defaults: the driver's oracle gate replays only the defaults, so
+  * without these the seed-table branch (cells > 64), the multi-round
+  * Lloyd loop, and the non-default coreset/media knobs would be
+  * unexercised code. Cross-engine (DuckDB) replay at the same operating
+  * points runs through `graft.ConfReplay` + scripts/selfcheck.py —
+  * results recorded in SCALE.md; these specs pin the Spark-side
+  * invariants: path equivalence, determinism, and knob liveness.
+  */
+class QueryConfSpec extends SparkSpec {
+
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  private def emb(): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfSmoke, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .select($"vec_id", $"v", $"nrm")
+  }
+
+  private def centroidRows(c: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    c.select(col("cell").cast("long"), col("cv_sum"), col("cnorm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  test("malformed or out-of-range spark.graft.* values refuse loudly") {
+    // a silently-defaulted typo would run the whole job at the wrong
+    // scale — the accessor must throw, not fall back
+    for (bad <- Seq("abc", "1e3", "", "0", "-3")) {
+      withConf(QueryConf.IvfCellsKey -> bad) {
+        val e = intercept[IllegalArgumentException](QueryConf.ivfCells(spark))
+        assert(e.getMessage.contains(QueryConf.IvfCellsKey),
+          s"refusal for '$bad' must name the offending key")
+      }
+    }
+    // per-knob upper bounds hold too (cells caps at 65536, rounds at 100)
+    withConf(QueryConf.IvfCellsKey -> "65537") {
+      intercept[IllegalArgumentException](QueryConf.ivfCells(spark))
+    }
+    withConf(QueryConf.LloydRoundsKey -> "101") {
+      intercept[IllegalArgumentException](QueryConf.lloydRounds(spark))
+    }
+    // tolerant of surrounding whitespace (a --conf value often carries it)
+    withConf(QueryConf.IvfCellsKey -> " 24 ") {
+      assert(QueryConf.ivfCells(spark) === 24)
+    }
+    // unset ⇒ the spec-pinned defaults
+    assert(QueryConf.ivfCells(spark) === QueryConf.DefaultIvfCells)
+    assert(QueryConf.lloydRounds(spark) === QueryConf.DefaultLloydRounds)
+  }
+
+  test("seed-table path assigns bit-identically to the literal seed path") {
+    // trainCentroids switches representation at seedTableBar: the k×64
+    // sign matrix as a PLAN LITERAL below it, a driver-tabulated
+    // broadcast TABLE above. The scaladoc claims the two rank
+    // identically (cnorm = √64 exactly, dividing every dot by the same
+    // power of two is IEEE-exact) — this is the claim as a spec, via
+    // the seedTableBar hook: same (cells, rounds), bar forced below
+    // cells, learned centroids must be BIT-equal.
+    val e = emb()
+    val viaLiteral = EmbeddingQueries.trainCentroids(e, cells = 16,
+      rounds = 1)
+    val viaTable = EmbeddingQueries.trainCentroids(e, cells = 16,
+      rounds = 1, seedTableBar = 4)
+    assert(centroidRows(viaLiteral) === centroidRows(viaTable))
+  }
+
+  test("s04 at cells > 64 (seed-table branch) runs and is deterministic") {
+    withConf(QueryConf.IvfCellsKey -> "80") {
+      val run1 = SparkEntry.queries("s04_ann_ivf")(spark, sfSmoke).collect()
+      val run2 = SparkEntry.queries("s04_ann_ivf")(spark, sfSmoke).collect()
+      assert(run1.nonEmpty)
+      assert(run1.toSeq === run2.toSeq)
+    }
+  }
+
+  test("multi-round Lloyd (rounds=3) is deterministic and cell-bounded") {
+    val e = emb()
+    val a = EmbeddingQueries.trainCentroids(e, cells = 16, rounds = 3)
+    val b = EmbeddingQueries.trainCentroids(e, cells = 16, rounds = 3)
+    val ra = centroidRows(a)
+    assert(ra === centroidRows(b))
+    assert(ra.size <= 16)
+    // and the query path reads the knob: s04 under rounds=3 returns the
+    // same disposition on every run (cross-engine hash for this point:
+    // ConfReplay rounds=3 + selfcheck, recorded in SCALE.md)
+    withConf(QueryConf.LloydRoundsKey -> "3") {
+      val r1 = SparkEntry.queries("s04_ann_ivf")(spark, sfSmoke).collect()
+      assert(r1.nonEmpty)
+      assert(r1.toSeq ===
+        SparkEntry.queries("s04_ann_ivf")(spark, sfSmoke).collect().toSeq)
+    }
+  }
+
+  test("s11 honors a non-default coreset.percell") {
+    withConf(QueryConf.CoresetPerCellKey -> "5") {
+      val out = SparkEntry.queries("s11_coreset_sample")(spark, sfSmoke)
+      val perCell = out.groupBy(col("cell")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("decision") === "keep", 1L).otherwise(0L)).as("kept"),
+        max(when(col("decision") === "keep", col("rank"))).as("max_keep_rank"))
+        .collect()
+      assert(perCell.nonEmpty)
+      perCell.foreach { r =>
+        val (n, kept) = (r.getLong(1), r.getLong(2))
+        assert(kept === math.min(5L, n),
+          s"cell ${r.get(0)}: kept $kept of $n at percell=5")
+        assert(r.getLong(3) <= 5L)
+      }
+    }
+  }
+
+  test("m04 honors a non-default media.maxbucket") {
+    def pairs(df: DataFrame): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val rows = df.select(col("doc_a").cast("long"),
+        col("doc_b").cast("long"), col("kind")).collect()
+      (rows.filter(_.getString(2) == "exact")
+         .map(r => (r.getLong(0), r.getLong(1))).toSet,
+       rows.filter(_.getString(2) == "near")
+         .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    val (exactDflt, nearDflt) =
+      pairs(SparkEntry.queries("m04_media_neardup")(spark, sfSmoke))
+    val (exact1, near1) = withConf(QueryConf.MediaMaxBucketKey -> "1") {
+      pairs(SparkEntry.queries("m04_media_neardup")(spark, sfSmoke))
+    }
+    // the cap only drops BAND BUCKETS: exact pairs are untouched, and a
+    // tighter cap can only shrink the near set (monotone selectivity)
+    assert(exact1 === exactDflt)
+    assert(near1.subsetOf(nearDflt))
+    assert(near1.size < nearDflt.size || nearDflt.isEmpty,
+      "maxbucket=1 should drop at least one shared band bucket on a " +
+        "corpus with planted near-dups")
+  }
+
+  test("the gate oracles are the generators at the QueryConf defaults") {
+    // ConfReplay replays NON-default points through the same generators
+    // the gate entries are built from — this pin makes re-inlining the
+    // gate SQL (and letting the two drift) a test failure
+    assert(SparkEntry.oracleSql("s04_ann_ivf") ===
+      EmbeddingQueries.s04OracleSqlAt(QueryConf.DefaultIvfCells,
+        QueryConf.DefaultIvfProbes, QueryConf.DefaultLloydRounds))
+    assert(SparkEntry.oracleSql("s11_coreset_sample") ===
+      EmbeddingQueries.s11OracleSqlAt(QueryConf.DefaultIvfCells,
+        QueryConf.DefaultLloydRounds, QueryConf.DefaultCoresetPerCell))
+  }
+}
