@@ -71,7 +71,7 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *   decontam <corpusDir> <outDir> [--n <tokens>]
   *       exact n-gram benchmark decontamination, both directions:
   *       `<out>/eval_report` (d30) + `<out>/train_dispositions` (d32).
-  *   bpetrain <corpusDir> <outDir> [--merges <k>]
+  *   bpetrain <corpusDir> <outDir> [--merges <k>] [--min-count <n>]
   *       d29 tokenizer training on the production path (one distributed
   *       corpus pass + driver-side merge loop over the Heaps-bounded
   *       word table); writes the merge-table parquet d29b consumes.
@@ -109,7 +109,7 @@ object Main {
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
       |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>] [--best]
       |  graft.Main decontam <corpusDir> <outDir> [--n <tokens>]
-      |  graft.Main bpetrain <corpusDir> <outDir> [--merges <k>]
+      |  graft.Main bpetrain <corpusDir> <outDir> [--merges <k>] [--min-count <n>]
       |  graft.Main tokenize <corpusDir> <mergesDir> <outDir>
       |  graft.Main pack <corpusDir> <outDir> [--seq-len <tokens>]
       |  graft.Main overlap <corpusDir> <outDir>
@@ -603,8 +603,20 @@ object Main {
           if (k < 1) fail(s"bpetrain: --merges must be >= 1, got $v")
           k
         }.getOrElse(32000)
+        // --min-count: the web-scale collect floor (see bpeMergesDriver
+        // scaladoc) — prune words rarer than this BEFORE the driver
+        // collect; 1 (the default) collects everything
+        val minCount = opts.named.get("--min-count").map { v =>
+          val m = try v.toLong catch {
+            case _: NumberFormatException =>
+              fail(s"bpetrain: --min-count must be an integer, got '$v'")
+          }
+          if (m < 1) fail(s"bpetrain: --min-count must be >= 1, got $v")
+          m
+        }.getOrElse(1L)
         val table = graft.queries.DocumentQueries.bpeMergesDriver(
-          spark.read.parquet(corpus).select("doc_id", "text"), kMerges)
+          spark.read.parquet(corpus).select("doc_id", "text"), kMerges,
+          minCount)
         // the merge table is a driver-local relation: count it directly
         // (near-free) rather than re-reading the written parquet
         val trained = table.count()

@@ -30,12 +30,31 @@ object Probe {
         }
       })
     }
+    // SPARK_GRAFT_STORAGE: after each query, report the persistent-RDD
+    // census (count + cached memory/disk bytes) — the residency view
+    // behind the barrier-release audits (a query whose materialized
+    // frames outlive their consumers shows up as monotone growth here).
+    // SPARK_GRAFT_UNPERSIST: release all persistent RDDs after each
+    // query (Bench's between-runs discipline) — A/B against the default
+    // accumulate-across-queries mode to attribute storage-pressure skew.
+    val storage = sys.env.contains("SPARK_GRAFT_STORAGE")
+    val unpersist = sys.env.contains("SPARK_GRAFT_UNPERSIST")
     args.foreach { name =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (explain) df.explain("formatted")
       val n = df.count()
       System.err.println(f"[probe] $name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      if (storage) {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        val mem = infos.map(_.memSize).sum / 1e6
+        val disk = infos.map(_.diskSize).sum / 1e6
+        System.err.println(f"[probe-storage] ${infos.length}%3d cached RDDs, " +
+          f"$mem%8.1f MB mem, $disk%8.1f MB disk")
+      }
+      if (unpersist)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

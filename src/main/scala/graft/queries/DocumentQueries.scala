@@ -1543,11 +1543,27 @@ object DocumentQueries {
     * UTF-8 BYTES — Spark's UTF8String binary order, which Java's
     * UTF-16 compareTo diverges from on supplementary characters; the
     * merge applies left-to-right non-overlapping, exactly the
-    * replace() semantics of the relational form. */
-  def bpeMergesDriver(docs: DataFrame, k: Int): DataFrame = {
+    * replace() semantics of the relational form.
+    *
+    * `minCount` is the 100 TB escape valve on the collect: Heaps' law
+    * bounds the distinct-word table, but at web scale the constant is
+    * large (~10^7 rows and up, dominated by hapax noise — typos, ids,
+    * junk tokens), and the driver should not hold what the trainer
+    * will never merge. A frequency floor (`HAVING count >= minCount`)
+    * prunes BEFORE the collect, map-side combined; `minCount = 2` is
+    * the standard tokenizer-trainer setting (SentencePiece/HF default
+    * family) and is semantics-preserving in practice: a pair seen only
+    * inside singleton words can win a merge round only in a corpus
+    * small enough that the floor is unnecessary. Floor 1 (the default)
+    * collects everything — spec-pinned identical to the relational
+    * trainer. */
+  def bpeMergesDriver(docs: DataFrame, k: Int,
+      minCount: Long = 1L): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     require(k >= 1, s"bpeMergesDriver: k must be >= 1 (got $k)")
+    require(minCount >= 1,
+      s"bpeMergesDriver: minCount must be >= 1 (got $minCount)")
     val utf8 = new Ordering[String] {
       def compare(a: String, b: String): Int = {
         val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1561,6 +1577,7 @@ object DocumentQueries {
     // one symbol on both paths)
     val words: Array[(Array[String], Long)] = termStream(docs)
       .groupBy($"term").agg(count(lit(1)).as("c"))
+      .filter($"c" >= minCount)
       .collect()
       .map { r =>
         val syms = r.getString(0).codePoints().toArray

@@ -532,10 +532,12 @@ object EmbeddingQueries {
       // [[trainCentroids]] materializes the learned centroids (≤k rows):
       // corpus and probes both re-scan the final assignment, and without
       // that tiny barrier every reference would re-run the whole training
-      // chain. Gate defaults ONE Lloyd round / 16 cells: a second round
-      // moved recall not at all on this corpus (the spherical means
-      // converge immediately) and cost a full extra assign + re-center
-      // job chain; [[QueryConf]] scales both per-session.
+      // chain. Gate defaults ONE Lloyd round / 16 cells — at that
+      // operating point the 8-probe scan covers half the corpus and
+      // extra rounds buy little; at production cell counts the rounds
+      // knob IS the recall (measured: 256 cells / nprobe 8 goes
+      // 0.533 → 0.794 recall@10 from rounds 1 → 3 — SCALE.md "IVF
+      // operating points"). [[QueryConf]] scales both per-session.
       val c1 = trainCentroids(e, QueryConf.ivfCells(s),
         QueryConf.lloydRounds(s))
       val corpus = assignTo(e, c1).filter($"rn" === 1)

@@ -881,6 +881,46 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(DocumentQueries.bpeMergesDriver(corpus, k = 25)) ==
       rows(DocumentQueries.bpeMerges(corpus, k = 25)),
       "driver trainer diverges from the relational loop on the corpus")
+    // the web-scale collect floor: minCount=1 (the default) is the
+    // identity — explicit floor 1 must train the EXACT same table on
+    // fixture and corpus
+    assert(rows(DocumentQueries.bpeMergesDriver(docs, k = 6,
+        minCount = 1L)) == got.toSeq,
+      "minCount=1 must be the identity floor (fixture)")
+    assert(rows(DocumentQueries.bpeMergesDriver(corpus, k = 25,
+        minCount = 1L)) ==
+      rows(DocumentQueries.bpeMergesDriver(corpus, k = 25)),
+      "minCount=1 must be the identity floor (corpus)")
+    // minCount=2 drops the fixture's ONE hapax word ("ab" — frequencies
+    // aaab:2, ab:1, cd:3), so training sees aaab:2 + cd:3 only; the
+    // resulting table is hand-derivable: (a,a):4 still wins round 1,
+    // (c,d):3 now wins round 2 (the pruned (a,b) fell from 3 to 2),
+    // the round-3 tie between (a,b):2 and (aa,a):2 breaks to (a,b) on
+    // UTF-8 lhs order, and (aa,ab):2 completes aaab. The floor changes
+    // the trained table ONLY through the dropped hapax — exactly the
+    // documented trade
+    assert(rows(DocumentQueries.bpeMergesDriver(docs, k = 6,
+        minCount = 2L)) == Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "c", "d", "cd", 3L),
+      (3L, "a", "b", "ab", 2L),
+      (4L, "aa", "ab", "aaab", 2L)),
+      "minCount=2 must train on the hapax-pruned word table")
+    // on a fixture with NO hapax words, floor 2 IS the identity — the
+    // semantics-preserving-in-practice claim at its exact boundary
+    val noHapax = Seq((1L, "aaab ab cd"), (2L, "aaab cd cd"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    assert(rows(DocumentQueries.bpeMergesDriver(noHapax, k = 6,
+        minCount = 2L)) ==
+      rows(DocumentQueries.bpeMergesDriver(noHapax, k = 6)),
+      "minCount=2 must be the identity on a hapax-free corpus")
+    // a floor above every frequency trains nothing rather than
+    // inventing merges from an empty table; floor 0 refuses loudly
+    assert(DocumentQueries.bpeMergesDriver(docs, k = 6,
+      minCount = 100L).count() == 0L)
+    intercept[IllegalArgumentException] {
+      DocumentQueries.bpeMergesDriver(docs, k = 6, minCount = 0L)
+    }
     // apply off the SAVED artifact (rank-priority tokenize) must equal
     // training-time tokenization symbol-for-symbol — on the fixture and
     // on the corpus slice, at a k deep enough for multi-symbol merges
