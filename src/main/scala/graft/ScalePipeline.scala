@@ -1,0 +1,119 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: the END-TO-END training-data pipeline wall measurement
+  * behind SCALE.md's composition row. The stage compositions are
+  * correctness-tested (MainSpec's curate→decontam→pack chain), and each
+  * stage's scaling is measured in isolation by ScaleBench — but a real
+  * pipeline runs them in SEQUENCE over one corpus, and the composed
+  * wall (plus the job count, the scheduling-floor proxy) had never been
+  * measured in one run. This main drives the real CLI surface
+  * ([[Main.run]]) over a ScaleGen corpus:
+  *
+  *   prep (untimed pipeline-side): documents.parquet → JSON-lines drop
+  *   ingest --once   drop → lang-partitioned corpus (stream drain)
+  *   spandedup       corpus → span manifest, joined back as the cleaned
+  *                   corpus (the manifest-consumer step a real pipeline
+  *                   runs; salvage documents the same contract)
+  *   curate          cleaned corpus → dispositions + split corpus
+  *   decontam        curated corpus → eval report + train dispositions
+  *   pack            curated corpus → sequence slice table
+  *
+  * Usage: `runMain graft.ScalePipeline <scaleGenDir> <workDir>
+  * [seqLen]` — per-stage wall on stderr, one summary JSON line on
+  * stdout.
+  */
+object ScalePipeline {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val work = args(1)
+    val seqLen = if (args.length > 2) args(2) else "1024"
+    val spark = GraftSession.local(appName = "graft-scale-pipeline")
+    import spark.implicits._
+    val jobs = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    })
+    def timed(label: String)(body: => Unit): (String, Double) = {
+      val j0 = jobs.get()
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[pipeline] $label%-10s $dt%8.2f s " +
+        f"(${jobs.get() - j0}%3d jobs)")
+      label -> dt
+    }
+    // prep: parquet corpus → JSON-lines crawl drop (32 files → the
+    // ingest source drains them in maxFilesPerTrigger batches). One
+    // fixed event_ts: the watermark then never expires dedup state
+    // mid-drain, so the measured ingest does the FULL cross-batch
+    // fingerprint dedup (the worst case for state size).
+    val prep = timed("prep") {
+      spark.read.parquet(s"$src/documents.parquet")
+        .select($"doc_id", $"text", $"lang", $"source",
+          lit("2024-01-01T00:00:00.000Z").as("event_ts"))
+        .repartition(32)
+        .write.mode("overwrite").json(s"$work/drop")
+    }
+    val nIn = spark.read.parquet(s"$src/documents.parquet").count()
+    val stages = Seq(
+      timed("ingest") {
+        Main.run(spark, Seq("ingest", "--once", s"$work/drop",
+          s"$work/corpus", s"$work/ckpt"), Map.empty)
+        ()
+      },
+      timed("spandedup") {
+        // default separator (blank line): ScaleGen docs carry no
+        // paragraph breaks, so each doc is ONE span and the stage
+        // dedups exact-duplicate documents at span grain — the honest
+        // shape for this corpus (a crawled corpus with real paragraph
+        // structure exercises the same plan at finer grain)
+        Main.run(spark, Seq("spandedup", s"$work/corpus",
+          s"$work/spans"), Map.empty)
+        ()
+      },
+      timed("joinback") {
+        // the manifest-consumer step: replace each doc's text with its
+        // span-cleaned rewrite (empty rewrites drop — a doc whose every
+        // paragraph was a repeated span carries no training content)
+        val corpus = spark.read.parquet(s"$work/corpus")
+        val spans = spark.read.parquet(s"$work/spans")
+          .select($"doc_id", $"cleaned")
+        corpus.drop("text").join(spans, "doc_id")
+          .filter(length(trim($"cleaned")) > 0)
+          .withColumnRenamed("cleaned", "text")
+          .write.mode("overwrite").parquet(s"$work/cleaned")
+      },
+      timed("curate") {
+        Main.run(spark, Seq("curate", s"$work/cleaned", s"$work/cur"),
+          Map.empty)
+        ()
+      },
+      timed("decontam") {
+        Main.run(spark, Seq("decontam", s"$work/cur/corpus",
+          s"$work/dec"), Map.empty)
+        ()
+      },
+      timed("pack") {
+        Main.run(spark, Seq("pack", s"$work/cur/corpus", s"$work/packed",
+          "--seq-len", seqLen), Map.empty)
+        ()
+      })
+    val nKept = spark.read.parquet(s"$work/cur/corpus").count()
+    val nSeqs = spark.read.parquet(s"$work/packed").count()
+    val total = prep._2 + stages.map(_._2).sum
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val stageJson = (prep +: stages)
+      .map { case (l, s) => s""""$l":${num(s)}""" }.mkString(",")
+    println(s"""{"metric":"pipeline_total","value":${num(total)},""" +
+      s""""unit":"sec","docs_in":$nIn,"docs_kept":$nKept,""" +
+      s""""sequences":$nSeqs,"jobs":${jobs.get()},$stageJson}""")
+    spark.stop()
+  }
+}
