@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * embeddings carry real 32-cluster structure, so the trained quantizer
   * has something to learn).
   *
-  * Usage: `runMain graft.RecallSweep <dir> [cellsCsv] [roundsCsv]`
-  * (defaults 16,256 × 1,3,10) — one JSON line per grid point.
+  * Usage: `runMain graft.RecallSweep <dir> [cellsCsv] [roundsCsv]
+  * [probesCsv]` (defaults 16,256 × 1,3,10 × 8) — one JSON line per
+  * grid point.
   */
 object RecallSweep {
   def main(args: Array[String]): Unit = {
@@ -25,7 +26,9 @@ object RecallSweep {
     val roundsGrid =
       if (args.length > 2) args(2).split(",").map(_.trim.toInt)
       else Array(1, 3, 10)
-    val nProbe = 8
+    val probesGrid =
+      if (args.length > 3) args(3).split(",").map(_.trim.toInt)
+      else Array(8)
     val k = 10
     val nQ = 100L
     val spark = GraftSession.local(appName = "graft-recall-sweep")
@@ -59,26 +62,33 @@ object RecallSweep {
 
     import graft.queries.EmbeddingQueries.{assignTo, trainCentroids}
     for (cells <- cellsGrid; rounds <- roundsGrid) {
-      val t0 = System.nanoTime()
+      val tTrain0 = System.nanoTime()
+      // train once per (cells, rounds); every nprobe point re-reads the
+      // same materialized quantizer — probes are a query-time knob
       val c = trainCentroids(e, cells, rounds)
+      val trainSec = (System.nanoTime() - tTrain0) / 1e9
       val corpus = assignTo(e, c).filter($"rn" === 1)
         .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"), $"cell")
-      val probes = assignTo(e.filter($"vec_id" < nQ), c)
-        .filter($"rn" <= math.min(nProbe, cells))
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
-          $"cell".as("q_cell"))
-      val ann = topk(corpus.join(broadcast(probes),
-        $"q_cell" === $"cell" && $"q_id" =!= $"c_id"))
-      val sec = (System.nanoTime() - t0) / 1e9
-      val recall = exact.map { case (qid, ex) =>
-        ann.getOrElse(qid, Set.empty[Long]).intersect(ex).size.toDouble /
-          ex.size
-      }.sum / exact.size
-      // Locale.ROOT: a comma decimal separator is invalid JSON
-      println(String.format(java.util.Locale.ROOT,
-        """{"cells":%d,"rounds":%d,"nprobe":%d,"k":%d,"recall":%.4f,"sec":%.2f}""",
-        Int.box(cells), Int.box(rounds), Int.box(nProbe), Int.box(k),
-        Double.box(recall), Double.box(sec)))
+      for (nProbe <- probesGrid) {
+        val t0 = System.nanoTime()
+        val probes = assignTo(e.filter($"vec_id" < nQ), c)
+          .filter($"rn" <= math.min(nProbe, cells))
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+            $"cell".as("q_cell"))
+        val ann = topk(corpus.join(broadcast(probes),
+          $"q_cell" === $"cell" && $"q_id" =!= $"c_id"))
+        val querySec = (System.nanoTime() - t0) / 1e9
+        val recall = exact.map { case (qid, ex) =>
+          ann.getOrElse(qid, Set.empty[Long]).intersect(ex).size.toDouble /
+            ex.size
+        }.sum / exact.size
+        // Locale.ROOT: a comma decimal separator is invalid JSON
+        println(String.format(java.util.Locale.ROOT,
+          """{"cells":%d,"rounds":%d,"nprobe":%d,"k":%d,"recall":%.4f,""" +
+            """"train_sec":%.2f,"query_sec":%.2f}""",
+          Int.box(cells), Int.box(rounds), Int.box(nProbe), Int.box(k),
+          Double.box(recall), Double.box(trainSec), Double.box(querySec)))
+      }
     }
     spark.stop()
   }
