@@ -34,6 +34,14 @@ object ScalePipeline {
     val seqLen = if (args.length > 2) args(2) else "1024"
     val spark = GraftSession.local(appName = "graft-scale-pipeline")
     import spark.implicits._
+    // $GRAFT_CHECKPOINT_DIR passes through to every stage (the same
+    // knob the CLI honors): set, the whole pipeline runs its engine
+    // materializations through reliable checkpoint() — the cluster
+    // deployment shape, measurable against the local fast path
+    val env = sys.env.view
+      .filterKeys(_ == "GRAFT_CHECKPOINT_DIR").toMap
+    env.get("GRAFT_CHECKPOINT_DIR")
+      .foreach(d => spark.conf.set(Materialize.DirKey, d))
     val jobs = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
@@ -64,7 +72,7 @@ object ScalePipeline {
     val stages = Seq(
       timed("ingest") {
         Main.run(spark, Seq("ingest", "--once", s"$work/drop",
-          s"$work/corpus", s"$work/ckpt"), Map.empty)
+          s"$work/corpus", s"$work/ckpt"), env)
         ()
       },
       timed("spandedup") {
@@ -74,7 +82,7 @@ object ScalePipeline {
         // shape for this corpus (a crawled corpus with real paragraph
         // structure exercises the same plan at finer grain)
         Main.run(spark, Seq("spandedup", s"$work/corpus",
-          s"$work/spans"), Map.empty)
+          s"$work/spans"), env)
         ()
       },
       timed("joinback") {
@@ -91,17 +99,17 @@ object ScalePipeline {
       },
       timed("curate") {
         Main.run(spark, Seq("curate", s"$work/cleaned", s"$work/cur"),
-          Map.empty)
+          env)
         ()
       },
       timed("decontam") {
         Main.run(spark, Seq("decontam", s"$work/cur/corpus",
-          s"$work/dec"), Map.empty)
+          s"$work/dec"), env)
         ()
       },
       timed("pack") {
         Main.run(spark, Seq("pack", s"$work/cur/corpus", s"$work/packed",
-          "--seq-len", seqLen), Map.empty)
+          "--seq-len", seqLen), env)
         ()
       })
     val nKept = spark.read.parquet(s"$work/cur/corpus").count()
