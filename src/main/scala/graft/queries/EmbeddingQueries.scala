@@ -921,6 +921,41 @@ object EmbeddingQueries {
          SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5
          ORDER BY q_id, rnk"""
 
+  /** s10's oracle at arbitrary (cells, probes, rounds) — the ConfReplay
+    * surface for the TRAIN-SPLIT-FILTERED prelude (every Lloyd round
+    * trains on the train side only, matching the Spark side where
+    * trainCentroids sees only the train frame); the gate entry is this
+    * generator at the QueryConf defaults. */
+  private[graft] def s10OracleSqlAt(cells: Int, probes: Int,
+      rounds: Int): String =
+    s"""WITH ${duckIvfPreludeAt(cells, rounds, " AND vec_id % 10 <> 0")},
+         corpus AS (
+           SELECT vec_id, v, nrm, cell FROM cells$rounds
+           WHERE rn = 1 AND vec_id % 10 <> 0),
+         probes AS (
+           SELECT vec_id AS e_id, v AS ev, nrm AS en, cell FROM cells$rounds
+           WHERE rn <= $probes AND vec_id % 10 = 0),
+         hits AS (
+           SELECT c.vec_id, e_id,
+             list_dot_product(c.v, ev) / (c.nrm * en) AS sim
+           FROM corpus c JOIN probes p ON c.cell = p.cell
+           WHERE list_dot_product(c.v, ev) / (c.nrm * en) >= $semDecTau),
+         w AS (
+           SELECT vec_id, e_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, e_id) AS rn,
+             count(*) OVER (PARTITION BY vec_id) AS n_hits
+           FROM hits),
+         lo AS (SELECT vec_id, e_id AS witness, sim, n_hits
+                FROM w WHERE rn = 1)
+         SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+           CASE WHEN lo.witness IS NULL THEN 'keep' ELSE 'drop' END
+             AS decision,
+           lo.witness, round(lo.sim, 4) AS witness_sim,
+           coalesce(lo.n_hits, 0) AS n_hits
+         FROM corpus c LEFT JOIN lo ON c.vec_id = lo.vec_id
+         ORDER BY c.vec_id"""
+
   val oracleSql: ListMap[String, String] = ListMap(
     // s11: the s04 prelude's trained cells + a per-cell periphery-first
     // row_number on the rounded centroid cosine
@@ -1053,34 +1088,8 @@ object EmbeddingQueries {
     // assign0 predicate), cells1 scores both sides, the eval side
     // probes its nprobe nearest cells, and the witness argmax replays
     // as a row_number on unrounded sims (== the engine's max(struct))
-    "s10_sem_decontam" ->
-      s"""WITH ${duckIvfPreludeOn(" AND vec_id % 10 <> 0")},
-         corpus AS (
-           SELECT vec_id, v, nrm, cell FROM cells1
-           WHERE rn = 1 AND vec_id % 10 <> 0),
-         probes AS (
-           SELECT vec_id AS e_id, v AS ev, nrm AS en, cell FROM cells1
-           WHERE rn <= $ivfProbes AND vec_id % 10 = 0),
-         hits AS (
-           SELECT c.vec_id, e_id,
-             list_dot_product(c.v, ev) / (c.nrm * en) AS sim
-           FROM corpus c JOIN probes p ON c.cell = p.cell
-           WHERE list_dot_product(c.v, ev) / (c.nrm * en) >= $semDecTau),
-         w AS (
-           SELECT vec_id, e_id, sim,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY sim DESC, e_id) AS rn,
-             count(*) OVER (PARTITION BY vec_id) AS n_hits
-           FROM hits),
-         lo AS (SELECT vec_id, e_id AS witness, sim, n_hits
-                FROM w WHERE rn = 1)
-         SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
-           CASE WHEN lo.witness IS NULL THEN 'keep' ELSE 'drop' END
-             AS decision,
-           lo.witness, round(lo.sim, 4) AS witness_sim,
-           coalesce(lo.n_hits, 0) AS n_hits
-         FROM corpus c LEFT JOIN lo ON c.vec_id = lo.vec_id
-         ORDER BY c.vec_id""",
+    "s10_sem_decontam" -> s10OracleSqlAt(ivfCells, ivfProbes,
+      QueryConf.DefaultLloydRounds),
     "s05_quantize_int8" ->
       """WITH n AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -156,5 +156,8 @@ class QueryConfSpec extends SparkSpec {
     assert(SparkEntry.oracleSql("s11_coreset_sample") ===
       EmbeddingQueries.s11OracleSqlAt(QueryConf.DefaultIvfCells,
         QueryConf.DefaultLloydRounds, QueryConf.DefaultCoresetPerCell))
+    assert(SparkEntry.oracleSql("s10_sem_decontam") ===
+      EmbeddingQueries.s10OracleSqlAt(QueryConf.DefaultIvfCells,
+        QueryConf.DefaultIvfProbes, QueryConf.DefaultLloydRounds))
   }
 }
