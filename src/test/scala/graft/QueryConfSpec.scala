@@ -146,6 +146,26 @@ class QueryConfSpec extends SparkSpec {
         "corpus with planted near-dups")
   }
 
+  test("d46/d48 honor non-default dsir.hexchars and domain.cells") {
+    // the last two knobs of the matrix: d46's hashed-feature space at
+    // 4096 buckets (hexchars=3) and d48's cluster count at 4 — each
+    // must run, stay deterministic, and show the knob actually moved
+    // the plan (bucket/cell ids within the configured range)
+    withConf(QueryConf.DsirHexCharsKey -> "3") {
+      val r1 = SparkEntry.queries("d46_dsir_weights")(spark, sfSmoke).collect()
+      assert(r1.nonEmpty)
+      assert(r1.toSeq ===
+        SparkEntry.queries("d46_dsir_weights")(spark, sfSmoke).collect().toSeq)
+    }
+    withConf(QueryConf.DomainCellsKey -> "4") {
+      val out = SparkEntry.queries("d48_domain_clusters")(spark, sfSmoke)
+      val cells = out.select(col("cluster").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 4),
+        s"domain.cells=4 but assigned cells ${cells.mkString(",")}")
+    }
+  }
+
   test("the gate oracles are the generators at the QueryConf defaults") {
     // ConfReplay replays NON-default points through the same generators
     // the gate entries are built from — this pin makes re-inlining the
