@@ -45,6 +45,8 @@ object ConfReplay {
     new java.io.File(outDir).mkdirs()
     val targets = Seq(
       "s04_ann_ivf" -> EmbeddingQueries.s04OracleSqlAt(cells, probes, rounds),
+      "s08_ivfpq_rerank" -> EmbeddingQueries.s08OracleSqlAt(cells, rounds),
+      "s09_semdedup" -> EmbeddingQueries.s09OracleSqlAt(cells, rounds),
       "s10_sem_decontam" ->
         EmbeddingQueries.s10OracleSqlAt(cells, probes, rounds),
       "s11_coreset_sample" ->

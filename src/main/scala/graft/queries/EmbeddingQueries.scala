@@ -956,6 +956,103 @@ object EmbeddingQueries {
          FROM corpus c LEFT JOIN lo ON c.vec_id = lo.vec_id
          ORDER BY c.vec_id"""
 
+  /** s08's oracle at arbitrary (cells, rounds) — the ConfReplay
+    * surface; the probe count stays s08's own fixed 12 (its recall
+    * operating point, not the s04/s10 `ivf.probes` knob). The gate
+    * entry is this generator at the QueryConf defaults. */
+  private[graft] def s08OracleSqlAt(cells: Int, rounds: Int): String =
+    s"""WITH ${duckIvfPreludeAt(cells, rounds)},
+         corpus AS (
+           SELECT vec_id AS c_id, v, nrm, cell
+           FROM cells$rounds WHERE rn = 1),
+         cu AS (
+           SELECT cell, list_transform(cv_sum, x -> x / cnorm) AS cunit
+           FROM centroids$rounds),
+         res AS (
+           SELECT c_id, corpus.cell AS cell,
+             list_transform(range(1, 65), i -> v[i] / nrm - cunit[i]) AS r
+           FROM corpus JOIN cu ON corpus.cell = cu.cell),
+         sub AS (
+           SELECT c_id, cell, sv.s AS sidx,
+             r[sv.s * 8 + 1 : sv.s * 8 + 8] AS rs
+           FROM res, (SELECT unnest(range(8)) AS s) sv),
+         sp AS (
+           SELECT *, CASE WHEN hi = lo THEN 1.0
+                          ELSE (hi - lo) / 255.0 END AS scale
+           FROM (SELECT *, list_min(rs) AS lo, list_max(rs) AS hi FROM sub)),
+         codes AS (
+           SELECT *, list_transform(rs, x ->
+             least(CAST(floor((x - lo) / scale) AS BIGINT), 255)) AS cs
+           FROM sp),
+         deq AS (
+           SELECT *, list_transform(cs, qi -> CASE WHEN hi = lo THEN lo
+             ELSE lo + (CAST(qi AS DOUBLE) + 0.5) * scale END) AS ds
+           FROM codes),
+         recon AS (
+           SELECT c_id, cell, flatten(list(ds ORDER BY sidx)) AS rhat
+           FROM deq GROUP BY c_id, cell),
+         chat AS (
+           SELECT c_id, recon.cell AS cell,
+             list_transform(range(1, 65), i -> cunit[i] + rhat[i]) AS vhat
+           FROM recon JOIN cu ON recon.cell = cu.cell),
+         chn AS (SELECT *, sqrt(list_dot_product(vhat, vhat)) AS hn FROM chat),
+         probes AS (
+           SELECT vec_id AS q_id, list_transform(v, x -> x / nrm) AS qu, cell
+           FROM cells$rounds WHERE rn <= $s08Probes AND vec_id < 20),
+         coarse AS (
+           SELECT q_id, c_id,
+             round(list_dot_product(qu, vhat) / hn, 4) AS coarse_sim
+           FROM probes JOIN chn ON probes.cell = chn.cell AND q_id <> c_id),
+         ctop AS (
+           SELECT q_id, c_id, coarse_sim,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY coarse_sim DESC, c_id) AS crnk
+           FROM coarse),
+         rer AS (
+           SELECT t.q_id, t.c_id, t.coarse_sim,
+             round(list_dot_product(qq.v, cc.v) / (qq.nrm * cc.nrm), 4) AS cos_sim
+           FROM ctop t
+           JOIN m qq ON qq.vec_id = t.q_id
+           JOIN m cc ON cc.vec_id = t.c_id
+           WHERE t.crnk <= 20),
+         r AS (
+           SELECT q_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk,
+             c_id, cos_sim, coarse_sim
+           FROM rer)
+         SELECT q_id, rnk, c_id, cos_sim, coarse_sim FROM r WHERE rnk <= 5
+         ORDER BY q_id, rnk"""
+
+  /** s09's oracle at arbitrary (cells, rounds) — the ConfReplay
+    * surface; the gate entry is this generator at the QueryConf
+    * defaults. */
+  private[graft] def s09OracleSqlAt(cells: Int, rounds: Int): String =
+    s"""WITH ${duckIvfPreludeAt(cells, rounds)},
+         corpus AS (
+           SELECT vec_id, v, nrm, cell, dot / nrm AS craw
+           FROM cells$rounds WHERE rn = 1),
+         pairs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             a.craw AS a_craw, b.craw AS b_craw
+           FROM corpus a JOIN corpus b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+             AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $semTau),
+         losers AS (
+           SELECT CASE WHEN a_craw > b_craw THEN a_id
+                       WHEN b_craw > a_craw THEN b_id ELSE b_id END AS vec_id,
+                  CASE WHEN a_craw > b_craw THEN b_id
+                       WHEN b_craw > a_craw THEN a_id ELSE a_id END AS kept_id
+           FROM pairs),
+         lo AS (
+           SELECT vec_id, min(kept_id) AS canon, count(*) AS n_sim
+           FROM losers GROUP BY vec_id)
+         SELECT c.vec_id, c.cell, round(c.craw, 4) AS centroid_sim,
+           CASE WHEN lo.canon IS NULL THEN 'keep' ELSE 'drop' END AS decision,
+           lo.canon AS canon, coalesce(lo.n_sim, 0) AS n_sim
+         FROM corpus c LEFT JOIN lo ON c.vec_id = lo.vec_id
+         ORDER BY c.vec_id"""
+
   val oracleSql: ListMap[String, String] = ListMap(
     // s11: the s04 prelude's trained cells + a per-cell periphery-first
     // row_number on the rounded centroid cosine
@@ -993,97 +1090,13 @@ object EmbeddingQueries {
     // s08: the s04 prelude (same trained quantizer), then the PQ
     // residual encode/reconstruct replayed elementwise and the two
     // deterministic ranking stages
-    "s08_ivfpq_rerank" ->
-      s"""WITH $duckIvfPrelude,
-         corpus AS (
-           SELECT vec_id AS c_id, v, nrm, cell
-           FROM cells1 WHERE rn = 1),
-         cu AS (
-           SELECT cell, list_transform(cv_sum, x -> x / cnorm) AS cunit
-           FROM centroids1),
-         res AS (
-           SELECT c_id, corpus.cell AS cell,
-             list_transform(range(1, 65), i -> v[i] / nrm - cunit[i]) AS r
-           FROM corpus JOIN cu ON corpus.cell = cu.cell),
-         sub AS (
-           SELECT c_id, cell, sv.s AS sidx,
-             r[sv.s * 8 + 1 : sv.s * 8 + 8] AS rs
-           FROM res, (SELECT unnest(range(8)) AS s) sv),
-         sp AS (
-           SELECT *, CASE WHEN hi = lo THEN 1.0
-                          ELSE (hi - lo) / 255.0 END AS scale
-           FROM (SELECT *, list_min(rs) AS lo, list_max(rs) AS hi FROM sub)),
-         codes AS (
-           SELECT *, list_transform(rs, x ->
-             least(CAST(floor((x - lo) / scale) AS BIGINT), 255)) AS cs
-           FROM sp),
-         deq AS (
-           SELECT *, list_transform(cs, qi -> CASE WHEN hi = lo THEN lo
-             ELSE lo + (CAST(qi AS DOUBLE) + 0.5) * scale END) AS ds
-           FROM codes),
-         recon AS (
-           SELECT c_id, cell, flatten(list(ds ORDER BY sidx)) AS rhat
-           FROM deq GROUP BY c_id, cell),
-         chat AS (
-           SELECT c_id, recon.cell AS cell,
-             list_transform(range(1, 65), i -> cunit[i] + rhat[i]) AS vhat
-           FROM recon JOIN cu ON recon.cell = cu.cell),
-         chn AS (SELECT *, sqrt(list_dot_product(vhat, vhat)) AS hn FROM chat),
-         probes AS (
-           SELECT vec_id AS q_id, list_transform(v, x -> x / nrm) AS qu, cell
-           FROM cells1 WHERE rn <= $s08Probes AND vec_id < 20),
-         coarse AS (
-           SELECT q_id, c_id,
-             round(list_dot_product(qu, vhat) / hn, 4) AS coarse_sim
-           FROM probes JOIN chn ON probes.cell = chn.cell AND q_id <> c_id),
-         ctop AS (
-           SELECT q_id, c_id, coarse_sim,
-             row_number() OVER (PARTITION BY q_id
-               ORDER BY coarse_sim DESC, c_id) AS crnk
-           FROM coarse),
-         rer AS (
-           SELECT t.q_id, t.c_id, t.coarse_sim,
-             round(list_dot_product(qq.v, cc.v) / (qq.nrm * cc.nrm), 4) AS cos_sim
-           FROM ctop t
-           JOIN m qq ON qq.vec_id = t.q_id
-           JOIN m cc ON cc.vec_id = t.c_id
-           WHERE t.crnk <= 20),
-         r AS (
-           SELECT q_id,
-             CAST(row_number() OVER (PARTITION BY q_id
-               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk,
-             c_id, cos_sim, coarse_sim
-           FROM rer)
-         SELECT q_id, rnk, c_id, cos_sim, coarse_sim FROM r WHERE rnk <= 5
-         ORDER BY q_id, rnk""",
+    "s08_ivfpq_rerank" -> s08OracleSqlAt(ivfCells,
+      QueryConf.DefaultLloydRounds),
     // s09: the s04 prelude (same trained quantizer), then the within-cell
     // pair scan and the farther-from-centroid keep policy replayed on
     // UNROUNDED centroid cosines (bit-equal doubles both engines)
-    "s09_semdedup" ->
-      s"""WITH $duckIvfPrelude,
-         corpus AS (
-           SELECT vec_id, v, nrm, cell, dot / nrm AS craw
-           FROM cells1 WHERE rn = 1),
-         pairs AS (
-           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             a.craw AS a_craw, b.craw AS b_craw
-           FROM corpus a JOIN corpus b
-             ON a.cell = b.cell AND a.vec_id < b.vec_id
-             AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $semTau),
-         losers AS (
-           SELECT CASE WHEN a_craw > b_craw THEN a_id
-                       WHEN b_craw > a_craw THEN b_id ELSE b_id END AS vec_id,
-                  CASE WHEN a_craw > b_craw THEN b_id
-                       WHEN b_craw > a_craw THEN a_id ELSE a_id END AS kept_id
-           FROM pairs),
-         lo AS (
-           SELECT vec_id, min(kept_id) AS canon, count(*) AS n_sim
-           FROM losers GROUP BY vec_id)
-         SELECT c.vec_id, c.cell, round(c.craw, 4) AS centroid_sim,
-           CASE WHEN lo.canon IS NULL THEN 'keep' ELSE 'drop' END AS decision,
-           lo.canon AS canon, coalesce(lo.n_sim, 0) AS n_sim
-         FROM corpus c LEFT JOIN lo ON c.vec_id = lo.vec_id
-         ORDER BY c.vec_id""",
+    "s09_semdedup" -> s09OracleSqlAt(ivfCells,
+      QueryConf.DefaultLloydRounds),
     // s10: the quantizer trains on the train split only (the prelude's
     // assign0 predicate), cells1 scores both sides, the eval side
     // probes its nprobe nearest cells, and the witness argmax replays

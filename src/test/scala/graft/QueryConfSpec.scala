@@ -179,5 +179,11 @@ class QueryConfSpec extends SparkSpec {
     assert(SparkEntry.oracleSql("s10_sem_decontam") ===
       EmbeddingQueries.s10OracleSqlAt(QueryConf.DefaultIvfCells,
         QueryConf.DefaultIvfProbes, QueryConf.DefaultLloydRounds))
+    assert(SparkEntry.oracleSql("s08_ivfpq_rerank") ===
+      EmbeddingQueries.s08OracleSqlAt(QueryConf.DefaultIvfCells,
+        QueryConf.DefaultLloydRounds))
+    assert(SparkEntry.oracleSql("s09_semdedup") ===
+      EmbeddingQueries.s09OracleSqlAt(QueryConf.DefaultIvfCells,
+        QueryConf.DefaultLloydRounds))
   }
 }
