@@ -831,17 +831,9 @@ object EmbeddingQueries {
                list_dot_product(m.v, c.cv_sum) / c.cnorm AS dot
              FROM m, centroids$r c))"""
 
-  /** The shared s04/s08 oracle prelude: typed vectors, norms, the fixed
-    * sign-seed assignment, and one trained Lloyd round. */
-  private def duckIvfPrelude: String = duckIvfPreludeOn("")
-
-  /** The same prelude with an extra predicate restricting WHICH vectors
-    * train the quantizer (s10 trains on the train split only). The
-    * Lloyd re-scoring CTE `cells1` still scores ALL of `m` against the
-    * learned centroids — exactly the Spark side's assignTo-everything
-    * shape — so downstream CTEs slice train/eval out of `cells1`. */
-  private def duckIvfPreludeOn(trainPred: String): String =
-    duckIvfPreludeAt(ivfCells, 1, trainPred)
+  // (the old fixed-default duckIvfPrelude/duckIvfPreludeOn helpers are
+  // gone: every family oracle now goes through the parameterized
+  // generator below, with the gate entries passing the defaults)
 
   /** The prelude at arbitrary (cells, rounds) — the ConfReplay surface:
     * graft.ConfReplay dumps the Spark result under the same non-default
