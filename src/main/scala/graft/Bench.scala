@@ -35,6 +35,24 @@ object Bench {
     // The min is the standard steady-state latency estimator; per-run
     // numbers go to stderr for inspection.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // calib-band overrides parse UP FRONT: a malformed value (locale
+    // comma, typo) must refuse before the sweep runs, not crash at the
+    // end and discard the whole session's measurements
+    val (calibBandLo, calibBandHi) = {
+      def d(k: String, dflt: String): Double = {
+        val raw = sys.env.getOrElse(k, dflt)
+        try raw.toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$k must be a decimal seconds value (got '$raw')")
+        }
+      }
+      val lo = d("SPARK_GRAFT_CALIB_LO", "0.26")
+      val hi = d("SPARK_GRAFT_CALIB_HI", "0.36")
+      require(lo <= hi,
+        s"SPARK_GRAFT_CALIB_LO ($lo) must be <= SPARK_GRAFT_CALIB_HI ($hi)")
+      (lo, hi)
+    }
     // Drift calibration anchor: a FIXED, corpus-independent workload —
     // 200M-row in-memory range through a codegen projection and one
     // hash-agg shuffle — min over max(runs, 3) timed passes after one
@@ -165,8 +183,7 @@ object Bench {
     // is box-specific, so an excursion WARNS and marks the JSON
     // ("calib_warn") for cross-round normalization rather than tripping
     // `degraded`; override the band per box via SPARK_GRAFT_CALIB_LO/HI.
-    val bandLo = sys.env.getOrElse("SPARK_GRAFT_CALIB_LO", "0.26").toDouble
-    val bandHi = sys.env.getOrElse("SPARK_GRAFT_CALIB_HI", "0.36").toDouble
+    val (bandLo, bandHi) = (calibBandLo, calibBandHi)
     val calibWarn = calib < bandLo || calib > bandHi
     if (calibWarn) System.err.println(
       f"[bench] WARNING: calib anchor ${calib}%.3f s outside healthy band " +

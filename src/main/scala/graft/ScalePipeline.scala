@@ -37,24 +37,28 @@ object ScalePipeline {
     // $GRAFT_CHECKPOINT_DIR passes through to every stage (the same
     // knob the CLI honors): set, the whole pipeline runs its engine
     // materializations through reliable checkpoint() — the cluster
-    // deployment shape, measurable against the local fast path
+    // deployment shape, measurable against the local fast path.
+    // Main.run applies (or explicitly unsets) the session conf from
+    // this env on every stage, so no conf handling is duplicated here;
+    // the two non-Main stages (prep, joinback) never materialize.
     val env = sys.env.view
       .filterKeys(_ == "GRAFT_CHECKPOINT_DIR").toMap
-    env.get("GRAFT_CHECKPOINT_DIR")
-      .foreach(d => spark.conf.set(Materialize.DirKey, d))
     val jobs = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         { jobs.incrementAndGet(); () }
     })
-    def timed(label: String)(body: => Unit): (String, Double) = {
+    // per-stage (label, wall, jobs) so the summary can separate the SIX
+    // pipeline stages from prep and from the bookkeeping counts below —
+    // "pipeline_total"/"jobs" must describe the pipeline alone
+    def timed(label: String)(body: => Unit): (String, Double, Int) = {
       val j0 = jobs.get()
       val t0 = System.nanoTime()
       body
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[pipeline] $label%-10s $dt%8.2f s " +
-        f"(${jobs.get() - j0}%3d jobs)")
-      label -> dt
+      val dj = jobs.get() - j0
+      System.err.println(f"[pipeline] $label%-10s $dt%8.2f s ($dj%3d jobs)")
+      (label, dt, dj)
     }
     // prep: parquet corpus → JSON-lines crawl drop (32 files → the
     // ingest source drains them in maxFilesPerTrigger batches). One
@@ -114,14 +118,19 @@ object ScalePipeline {
       })
     val nKept = spark.read.parquet(s"$work/cur/corpus").count()
     val nSeqs = spark.read.parquet(s"$work/packed").count()
-    val total = prep._2 + stages.map(_._2).sum
+    // pipeline_total/jobs cover the SIX pipeline stages only: prep is
+    // input generation (its wall rides in its own field) and the
+    // nIn/nKept/nSeqs bookkeeping counts are measurement overhead, not
+    // pipeline work
+    val total = stages.map(_._2).sum
+    val pipelineJobs = stages.map(_._3).sum
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val stageJson = (prep +: stages)
-      .map { case (l, s) => s""""$l":${num(s)}""" }.mkString(",")
+      .map { case (l, s, _) => s""""$l":${num(s)}""" }.mkString(",")
     println(s"""{"metric":"pipeline_total","value":${num(total)},""" +
       s""""unit":"sec","docs_in":$nIn,"docs_kept":$nKept,""" +
-      s""""sequences":$nSeqs,"jobs":${jobs.get()},$stageJson}""")
+      s""""sequences":$nSeqs,"jobs":$pipelineJobs,$stageJson}""")
     spark.stop()
   }
 }

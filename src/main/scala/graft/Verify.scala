@@ -46,7 +46,6 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    def q(s: String): String = jsonStr(s)
     writeOracleJson(outDir, SparkEntry.oracleSql)
     // no_oracle.json: the oracle-less queries, each with its declared
     // design reason — so a `no_oracle` row in the correctness artifact
@@ -57,8 +56,9 @@ object Verify {
     val skipped = noOracle.toSeq.sorted.map { name =>
       val reason = SparkEntry.noOracleByDesign.getOrElse(name,
         "UNDECLARED — no oracle and no design reason; add one or the other")
-      s"${q(name)}: {${q("skipped")}: ${q("no_oracle_by_design")}, " +
-        s"${q("reason")}: ${q(reason)}}"
+      s"${jsonStr(name)}: {${jsonStr("skipped")}: " +
+        s"${jsonStr("no_oracle_by_design")}, " +
+        s"${jsonStr("reason")}: ${jsonStr(reason)}}"
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/no_oracle.json"), skipped)
     spark.stop()
