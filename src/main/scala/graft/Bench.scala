@@ -183,11 +183,11 @@ object Bench {
     // is box-specific, so an excursion WARNS and marks the JSON
     // ("calib_warn") for cross-round normalization rather than tripping
     // `degraded`; override the band per box via SPARK_GRAFT_CALIB_LO/HI.
-    val (bandLo, bandHi) = (calibBandLo, calibBandHi)
-    val calibWarn = calib < bandLo || calib > bandHi
+    val calibWarn = calib < calibBandLo || calib > calibBandHi
     if (calibWarn) System.err.println(
       f"[bench] WARNING: calib anchor ${calib}%.3f s outside healthy band " +
-        f"[$bandLo%.2f, $bandHi%.2f] -- session may be uniformly slowed " +
+        f"[$calibBandLo%.2f, $calibBandHi%.2f] -- session may be " +
+        "uniformly slowed " +
         "(the io/cpu trip cannot see this); normalize cross-round query " +
         "comparison by the calib ratio")
     // Compact JSON: the driver captures only the LAST ~2000 bytes of

@@ -64,11 +64,16 @@ object RecallSweep {
     for (cells <- cellsGrid; rounds <- roundsGrid) {
       val tTrain0 = System.nanoTime()
       // train once per (cells, rounds); every nprobe point re-reads the
-      // same materialized quantizer — probes are a query-time knob
+      // same materialized quantizer — probes are a query-time knob. The
+      // corpus-to-cell assignment is INDEX BUILD (its cells×n scan cost
+      // belongs in train_sec, and it must run once per quantizer, not
+      // once per nprobe point), so it materializes here inside the
+      // train timing.
       val c = trainCentroids(e, cells, rounds)
+      val corpus = Materialize(assignTo(e, c).filter($"rn" === 1)
+        .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"),
+          $"cell"))
       val trainSec = (System.nanoTime() - tTrain0) / 1e9
-      val corpus = assignTo(e, c).filter($"rn" === 1)
-        .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"), $"cell")
       for (nProbe <- probesGrid) {
         val t0 = System.nanoTime()
         val probes = assignTo(e.filter($"vec_id" < nQ), c)

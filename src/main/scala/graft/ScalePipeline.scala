@@ -56,6 +56,20 @@ object ScalePipeline {
       val t0 = System.nanoTime()
       body
       val dt = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async: JobStart events submitted at the
+      // stage's tail can still be in flight when body returns, which
+      // would attribute them to the NEXT stage (or drop trailing ones
+      // from the summary). Wait for the counter to go quiet — unchanged
+      // across three 100 ms polls, capped at 5 s — before reading the
+      // delta; the wait runs after dt is taken, so wall is unaffected.
+      var last = jobs.get()
+      var quiet = 0
+      val deadline = System.nanoTime() + 5000000000L
+      while (quiet < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val now = jobs.get()
+        if (now == last) quiet += 1 else { quiet = 0; last = now }
+      }
       val dj = jobs.get() - j0
       System.err.println(f"[pipeline] $label%-10s $dt%8.2f s ($dj%3d jobs)")
       (label, dt, dj)

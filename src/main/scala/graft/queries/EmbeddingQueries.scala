@@ -69,7 +69,6 @@ object EmbeddingQueries {
     * Cross-engine float parity: Spark's aggregate∘zip_with and DuckDB's
     * list_dot_product both reduce left-to-right (bit-identical — the
     * same pairing s01 hash-matches on). */
-  private def centroidMatrix: String = centroidMatrix(ivfCells)
   private def centroidMatrix(cells: Int): String =
     (0 until cells).map { j =>
       (0 until 64).map(i => cw(j, i)).mkString("[", ", ", "]")
