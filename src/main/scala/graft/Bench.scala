@@ -18,7 +18,7 @@ object Bench {
     def selected(name: String): Boolean =
       onlyIds.forall(ids => ids(name.takeWhile(_ != '_')) || ids(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, warmDir).count()
+      try BenchExec.run(fn(spark, warmDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
@@ -130,7 +130,8 @@ object Bench {
         else runs
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { BenchExec.run(fn(spark, sfDir)) }
+        catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // The query's result frame is dropped here, but the RDD blocks
         // behind its localCheckpoint (the eager dedup operators) are only

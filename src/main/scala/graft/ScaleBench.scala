@@ -86,7 +86,12 @@ object ScaleBench {
       "d49_heldout_logprob" :+ "m05_shared_frames" :+
       // d50: one corpus chunk pass + a doc-keyed rebuild groupBy — must
       // ride the d28 rebuild band
-      "d50_para_salvage"
+      "d50_para_salvage" :+
+      // d51 (round 15): per-row HOF folds, zero shuffle below the
+      // presentation sort — the cell's CLAIM is pure map-side linearity
+      // (the flattest band in the set; any growth beyond the corpus
+      // read is a regression)
+      "d51_rep_concentration"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything
@@ -136,7 +141,7 @@ object ScaleBench {
           spark.catalog.clearCache()
           jobCount.set(0); jobNanos.set(0L)
           val t0 = System.nanoTime()
-          fn(spark, dir).count()
+          BenchExec.run(fn(spark, dir))
           val dt = (System.nanoTime() - t0) / 1e9
           // the listener bus is async and its drain API is private; poll
           // until the job tally stops moving (tallies are advisory)

@@ -132,6 +132,71 @@ object DocumentQueries {
           lit(0.3) * least(col("stop_ratio") * 10.0, lit(1.0)), 4))
   }
 
+  /** The longest run of EQUAL ADJACENT elements in a string array (0
+    * for an empty array), as a single `aggregate()` fold. Over the raw
+    * token stream this is the longest consecutive same-token run; over
+    * a SORTED copy equal values group adjacently, so the same scan
+    * reads off the MOST FREQUENT value's multiplicity — a per-row
+    * frequency census with no explode and no shuffle. */
+  private def maxAdjRunSql(arr: String): String =
+    s"""aggregate($arr,
+        named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+        (a, x) -> named_struct(
+          'prev', x,
+          'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L),
+          'best', greatest(a.best,
+            IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L))),
+        a -> a.best)"""
+
+  /** d51 — within-document CONCENTRATION signals, the Gopher-family
+    * complement of d19's set-ratio repetition. d19 asks "how many
+    * distinct shingles for the doc's length"; this asks "how much of
+    * the doc does its single most repeated unit claim": the most
+    * frequent token's occurrence fraction, the most frequent word
+    * 2-gram's occurrence fraction, and the longest consecutive
+    * same-token run (the n=1 burst a 3-gram set ratio cannot see).
+    * These are the top-n-gram-mass / duplicate-run thresholds of the
+    * Gopher repetition filters (Rae et al. 2021, app. A1.1), on the
+    * [[termStream]] whitespace grain shared with d17/d18/d23.
+    *
+    * Scale shape: the signals cost ZERO shuffle and zero explode. All
+    * three are per-row folds via [[maxAdjRunSql]] (most-frequent-value
+    * counts read off `array_sort`ed copies — sorting groups equal
+    * values adjacently, so max multiplicity = max adjacent run), one
+    * projection pass over the corpus, embarrassingly parallel at any
+    * executor count with no skew surface; the only exchange in the
+    * plan is the trailing presentation sort's range partitioning over
+    * the already-narrow output (spec-pinned). Fractions floor at 1e-6 (the
+    * d19 discipline: exact double division in both engines, floor
+    * kills representation-tail drift). Empty docs: all-zero row;
+    * one-token docs: top_tok_frac 1.0, gram frac 0.0, run 1. */
+  def repConcentration(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(1, size(toks) - 1),
+               i -> array_join(slice(toks, i, 2), ' '))
+           ELSE CAST(array() AS ARRAY<STRING>) END"""))
+      .withColumn("top_tok_n", expr(maxAdjRunSql("array_sort(toks)")))
+      .withColumn("top_gram_n", expr(maxAdjRunSql("array_sort(grams)")))
+      .withColumn("max_run_len", expr(maxAdjRunSql("toks")))
+      .withColumn("top_tok_frac",
+        when($"n_tok" === 0, lit(0.0)).otherwise(
+          floor($"top_tok_n".cast("double") / $"n_tok" * 1000000)
+            / 1000000.0))
+      .withColumn("top_2gram_frac",
+        when($"n_tok" < 2, lit(0.0)).otherwise(
+          floor($"top_gram_n".cast("double") / ($"n_tok" - 1) * 1000000)
+            / 1000000.0))
+      .select($"doc_id", $"n_tok", $"top_tok_frac", $"top_2gram_frac",
+        $"max_run_len")
+      .orderBy($"doc_id")
+  }
+
   /** d27's sampling bucket: the d13 rolling char hash with a DIFFERENT
     * seed (13, not 7) and modulus (10000, not 100) — the sampling
     * decision must not correlate with the train/val/test split (same
@@ -856,6 +921,11 @@ object DocumentQueries {
               i -> array_join(slice(toks, i * 12 + 1, 12), ' '))"""))
           .as(Seq("pos", "para")))
       paragraphSalvage(chunks, qualityMin = 0.5, joinSep = " ")
+    },
+
+    // ---- d51: concentration signals (see [[repConcentration]]) ------
+    "d51_rep_concentration" -> { (s, dir) =>
+      repConcentration(Tables(s, dir, "documents"))
     },
 
     // ---- d48: domain clustering (see [[domainClusters]]) ------------
@@ -3346,6 +3416,56 @@ object DocumentQueries {
            coalesce(string_agg(CASE WHEN quality >= 0.5 THEN text END,
              ' ' ORDER BY pos), '') AS salvaged
          FROM q GROUP BY doc_id ORDER BY doc_id""",
+    // d51: positional token/bigram streams (the d48 toks[i] indexing
+    // pattern) + GROUP BY count + per-doc max replay the engine's
+    // sorted-adjacency folds; the run-length CTE is the classic
+    // lag-break + running-sum run id. Same 1e-6 floor as d19.
+    "d51_rep_concentration" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, i, toks[i] AS term
+           FROM (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1)) AS i FROM t)),
+         topt AS (
+           SELECT doc_id, MAX(c) AS top_tok_n FROM (
+             SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2)
+           GROUP BY 1),
+         gr AS (
+           SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                 FROM t WHERE len(toks) >= 2)),
+         topg AS (
+           SELECT doc_id, MAX(c) AS top_gram_n FROM (
+             SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2)
+           GROUP BY 1),
+         runs AS (
+           SELECT doc_id, MAX(rl) AS max_run FROM (
+             SELECT doc_id, run_id, count(*) AS rl FROM (
+               SELECT doc_id, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+               FROM (SELECT doc_id, i, CASE WHEN term IS DISTINCT FROM
+                       lag(term) OVER (PARTITION BY doc_id ORDER BY i)
+                     THEN 1 ELSE 0 END AS brk FROM tok))
+             GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tok,
+           CASE WHEN len(t.toks) = 0 THEN 0.0
+                ELSE floor(CAST(topt.top_tok_n AS DOUBLE) / len(t.toks)
+                           * 1000000) / 1000000 END AS top_tok_frac,
+           CASE WHEN len(t.toks) < 2 THEN 0.0
+                ELSE floor(CAST(topg.top_gram_n AS DOUBLE)
+                           / (len(t.toks) - 1) * 1000000) / 1000000
+                END AS top_2gram_frac,
+           CAST(COALESCE(runs.max_run, 0) AS BIGINT) AS max_run_len
+         FROM t
+         LEFT JOIN topt USING (doc_id)
+         LEFT JOIN topg USING (doc_id)
+         LEFT JOIN runs USING (doc_id)
+         ORDER BY doc_id""",
     // d48: the d46 feature CTEs (no split), md5-derived ±1 seeds, one
     // fixed-point Lloyd round (BIGINT floor sums — exact like the
     // engine's DECIMAL), sorted-list centroid norms, exact DECIMAL

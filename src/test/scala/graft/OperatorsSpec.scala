@@ -476,6 +476,55 @@ class OperatorsSpec extends SparkSpec {
         s"${byId(11L).getDouble(1)} vs $expected")
   }
 
+  test("concentration signals: top-token/top-2gram mass and longest " +
+    "run, with the edge rows exact (d51)") {
+    import spark.implicits._
+    val docs = Seq(
+      // "spam" claims 4/8 tokens, "spam spam" 3/7 grams, run of 3
+      (1L, "spam spam spam ham eggs spam ham eggs"),
+      // no repetition at all: every token and gram unique, runs of 1
+      (2L, "one two three four"),
+      // single token: top_tok_frac exactly 1.0, no grams, run 1
+      (3L, "solo"),
+      // empty and whitespace-only docs: all-zero rows, never missing
+      (4L, ""),
+      (5L, "   "))
+      .toDF("doc_id", "text")
+    val out = DocumentQueries.repConcentration(docs)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      "one row per input doc in id order, empty docs included")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    def frac(n: Int, d: Int): Double = math.floor(n.toDouble / d * 1e6) / 1e6
+    assert(byId(1L).getLong(1) == 8L)
+    assert(byId(1L).getDouble(2) == frac(4, 8), "spam = 4 of 8 tokens")
+    // bigrams: the spam-run of 3 yields two 'spam spam' occurrences;
+    // 'spam ham' and 'ham eggs' also hit 2 — top mass is 2 of 7 slots
+    assert(byId(1L).getDouble(3) == frac(2, 7),
+      "top bigram must claim 2 of 7 slots")
+    assert(byId(1L).getLong(4) == 3L, "the leading spam run is 3 long")
+    assert(byId(2L).getDouble(2) == frac(1, 4) &&
+      byId(2L).getDouble(3) == frac(1, 3) && byId(2L).getLong(4) == 1L,
+      "an all-distinct doc floors every signal")
+    assert(byId(3L).getDouble(2) == 1.0 && byId(3L).getDouble(3) == 0.0 &&
+      byId(3L).getLong(4) == 1L, "single-token doc")
+    Seq(4L, 5L).foreach { id =>
+      assert(byId(id).getLong(1) == 0L && byId(id).getDouble(2) == 0.0 &&
+        byId(id).getDouble(3) == 0.0 && byId(id).getLong(4) == 0L,
+        s"doc $id must be the all-zero row")
+    }
+    // the scale claim, pinned: the only exchange in the physical plan
+    // is the trailing presentation sort's range partitioning — the
+    // signal computation itself is a shuffle-free projection
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1 &&
+      exchanges.forall(
+        _.outputPartitioning.toString.toLowerCase.contains("range")),
+      s"d51 must shuffle only for the final sort: $exchanges")
+  }
+
   test("paragraph salvage keeps above-bar paragraphs in position order, " +
     "all-junk docs survive as empty rebuilds (d50)") {
     import spark.implicits._
