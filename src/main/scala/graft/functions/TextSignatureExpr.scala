@@ -32,8 +32,10 @@ import graft.operators.TextHash
   * Semantics parity notes (each mirrors a documented HOF guard):
   *   - `split(text, ' ')` keeps empty tokens, including trailing ones,
   *     and splits '' into one empty token; empty tokens hash to seed 7.
-  *   - char values are Java char codes == Unicode code points for the
-  *     BMP; the corpus contract (TESTDATA.md) is ASCII.
+  *   - hashes fold Unicode CODE POINTS (what Spark's ascii/substring
+  *     and DuckDB's ascii/substr count), so parity with the HOF and
+  *     the oracle holds beyond the BMP too (round 15; previously a
+  *     charAt loop, exact only across the BMP).
   *   - docs with < 3 tokens have no shingles → sentinel signature [P]*K.
   *   - shset preserves first-occurrence order (array_distinct).
   *   - split_bucket pins '' to seed 7 (the sequence(1,0) trap).
@@ -80,13 +82,24 @@ object TextSignatureExpr {
     val text = s.toString
     val len = text.length
 
-    // d13 split bucket: rolling char hash of the whole text ('' → seed 7)
+    // d13 split bucket: rolling CODE-POINT hash of the whole text
+    // ('' → seed 7). Code points, not UTF-16 units: Spark's
+    // ascii/substring/length and DuckDB's ascii/substr all count code
+    // points (ascii('𐍈') = 66376, length('𐍈') = 1 — probed round 15),
+    // so a charAt loop would diverge from the HOF/oracle formula on
+    // astral characters (it matched only across the BMP).
     var full = 7L
     var i = 0
-    while (i < len) { full = (full * 31 + text.charAt(i)) % P; i += 1 }
+    while (i < len) {
+      val cp = text.codePointAt(i)
+      full = (full * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
     val splitBucket = (if (len == 0) 7L else full) % 100
 
     // token rolling hashes, split-on-single-space keeping empties
+    // (a UTF-16 surrogate unit can never equal ' ', so the boundary
+    // scan is code-point-safe with charAt)
     var nTokens = 1
     i = 0
     while (i < len) { if (text.charAt(i) == ' ') nTokens += 1; i += 1 }
@@ -95,10 +108,10 @@ object TextSignatureExpr {
     var acc = 7L
     i = 0
     while (i < len) {
-      val c = text.charAt(i)
-      if (c == ' ') { th(tok) = acc; tok += 1; acc = 7L }
-      else acc = (acc * 31 + c) % P
-      i += 1
+      val cp = text.codePointAt(i)
+      if (cp == ' ') { th(tok) = acc; tok += 1; acc = 7L }
+      else acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
     }
     th(tok) = acc
 

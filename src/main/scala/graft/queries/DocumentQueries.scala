@@ -26,31 +26,33 @@ object DocumentQueries {
     * A corollary the contamination check (d14) relies on: byte-identical
     * texts always share a bucket, so EXACT duplicates can never straddle
     * the train/test boundary — only near-duplicates can leak. */
-  /** The shared rolling-char-hash bucket of a `text` column (one
-    * interpreted-HOF pass — composable into an existing pass, e.g. the
-    * DedupScope signature table). The cross-engine-exact expression
-    * lives HERE ONCE; [[splitBucketCol]] (d13) and [[sampleBucketCol]]
-    * (d27) differ only in (seed, modulus) — a hash-discipline fix lands
-    * in one place or the split and sample buckets silently diverge.
+  /** The shared rolling-char-hash bucket of a `text` column. The
+    * cross-engine-exact expression lives HERE ONCE; [[splitBucketCol]]
+    * (d13) and [[sampleBucketCol]] (d27) differ only in (seed, modulus)
+    * — a hash-discipline fix lands in one place or the split and sample
+    * buckets silently diverge.
     *
-    * Empty-text guard (same trap TextHash.sparkTokenHashes documents):
-    * Spark's sequence(1, 0) is the DESCENDING [1, 0], which would fold
-    * twice and hash '' to seed*31*31+... while DuckDB's empty range
-    * yields the bare seed — pin '' to the seed explicitly. NULL text is
-    * refused loudly (raise_error, distributed — no driver pass): the
-    * CASE would otherwise yield a NULL bucket that every consumer
-    * misreads silently (d13 would file the doc under 'test', d27 would
-    * always drop it — even from the rarest language). */
+    * Since round 15 the fold runs through the native
+    * [[graft.functions.RollingHashExpr]] (`graft_rollhash`) — one
+    * compiled code-point loop inside whole-stage codegen, spec-pinned
+    * bit-equal to the interpreted-HOF reference formula the DuckDB
+    * oracles mirror (`aggregate(transform(sequence(...), ascii ∘
+    * substring), seed, (acc, c) -> (acc * 31 + c) % P)`). The HOF form
+    * allocated a position array, a single-char substring and a boxed
+    * long per character; the round-15 bench-action fix exposed that as
+    * ~4 s of d13's sf0.1 wall for one tight loop of integer math. The
+    * expression handles '' -> seed naturally (the HOF needed an
+    * explicit pin because Spark's sequence(1, 0) is the DESCENDING
+    * [1, 0]). NULL text is refused loudly (raise_error, distributed —
+    * no driver pass): a NULL bucket would be misread silently by every
+    * consumer (d13 would file the doc under 'test', d27 would always
+    * drop it — even from the rarest language). */
   private def hashBucketCol(seed: Long, modulus: Long): org.apache.spark.sql.Column =
     when(col("text").isNull, raise_error(lit(
       "hash bucket: null text — filter or repair extraction failures " +
         "first (dedupApply and ingest refuse them the same way)")))
-      .otherwise(expr(
-        s"""CASE WHEN length(text) = 0 THEN CAST($seed AS BIGINT)
-            ELSE aggregate(transform(sequence(1, length(text)),
-              i -> ascii(substring(text, i, 1))),
-              CAST($seed AS BIGINT), (acc, c) -> (acc * 31 + c) % ${graft.operators.TextHash.P}) END""")
-        % modulus).cast("long")
+      .otherwise(expr(s"graft_rollhash(text, ${seed}L)") % modulus)
+      .cast("long")
 
   private[queries] def splitBucketCol: org.apache.spark.sql.Column =
     hashBucketCol(seed = 7, modulus = 100)

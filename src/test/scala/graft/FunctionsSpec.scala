@@ -43,19 +43,54 @@ class FunctionsSpec extends SparkSpec {
     assert(df.count() == 10)
   }
 
+  test("graft_rollhash is bit-equal to the HOF reference formula " +
+    "(both seeds, astral chars in-domain) and fuses into codegen") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("graft_rollhash"))
+    val P = graft.operators.TextHash.P
+    // the interpreted-HOF reference formula hashBucketCol used through
+    // r14 (and the form the DuckDB oracles mirror), with its explicit
+    // ''-pin (sequence(1, 0) is the DESCENDING [1, 0])
+    def hof(seed: Long) =
+      s"""CASE WHEN length(text) = 0 THEN CAST($seed AS BIGINT)
+          ELSE aggregate(transform(sequence(1, length(text)),
+            i -> ascii(substring(text, i, 1))),
+            CAST($seed AS BIGINT), (acc, c) -> (acc * 31 + c) % $P) END"""
+    val edges = Seq("", " ", "a", "a b c", "é", "中文词元",
+      "a𐍈b", "𐍈", "mixed é 𐍈 ascii", ("y " * 40).trim)
+      .zipWithIndex.map { case (t, i) => (900000L + i, t) }
+    val docs = Tables(spark, sfSmoke, "documents").select($"doc_id", $"text")
+      .union(edges.toDF("doc_id", "text"))
+    Seq(7L, 13L).foreach { seed => // d13's and d27's seeds
+      docs.select($"doc_id", expr(hof(seed)).as("ref"),
+        expr(s"graft_rollhash(text, ${seed}L)").as("native"))
+        .collect().foreach { r =>
+          assert(r.getLong(1) == r.getLong(2), s"seed $seed doc " +
+            s"${r.getLong(0)}: HOF ${r.getLong(1)} vs ${r.getLong(2)}")
+        }
+    }
+    val df = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+      .repartition(2).select(expr("graft_rollhash(text, 7L)").as("h"))
+    assert(df.collect().length == 2) // finalize the adaptive plan first
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_rollhash.*"),
+      plan)
+  }
+
   test("graft_text_signature is bit-equal to the HOF reference formulas") {
     import spark.implicits._
     import graft.operators.TextHash._
     assert(spark.catalog.functionExists("graft_text_signature"))
     // the gate corpus PLUS every documented edge: empty text, lone/multi/
-    // trailing spaces (empty tokens), sub-3-token docs (sentinel), dups
-    // BMP non-ASCII included: ascii()/substring count code points and
-    // charAt units identically across the Basic Multilingual Plane, so
-    // the fused loop must match there too (the corpus contract is ASCII;
-    // astral chars are outside both formulas' documented domain)
+    // trailing spaces (empty tokens), sub-3-token docs (sentinel), dups.
+    // Non-ASCII INCLUDING astral chars: since the round-15 code-point
+    // upgrade the fused loop folds code points like ascii()/substring
+    // do, so parity must hold beyond the BMP too (a charAt loop folds
+    // two surrogate units per astral char and fails these rows)
     val edges = Seq("", " ", "  ", "a", "a b", "a b c", "a  b  c ",
       ("x " * 50).trim, "the the the the",
-      "héllo wörld ünïcode tökens here", "中文 文本 测试 四个 词元")
+      "héllo wörld ünïcode tökens here", "中文 文本 测试 四个 词元",
+      "a𐍈b 𐍈𐍈 gothic🙂glyphs here too")
       .zipWithIndex.map { case (t, i) => (100000L + i, t) }
     val docs = Tables(spark, sfSmoke, "documents").select($"doc_id", $"text")
       .union(edges.toDF("doc_id", "text"))

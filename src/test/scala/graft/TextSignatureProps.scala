@@ -19,13 +19,17 @@ object TextSignatureProps extends Properties("textsig") {
 
   private val P = TextHash.P
 
-  /** Naive reference: straight transliteration of the HOF formulas. */
+  /** Naive reference: straight transliteration of the HOF formulas.
+    * Folds CODE POINTS (what Spark's ascii/substring count), not UTF-16
+    * units — astral characters are one fold step, like the engine. */
+  private def cpFold(t: String, seed: Long): Long =
+    t.codePoints.toArray.foldLeft(seed)((a, c) => (a * 31 + c) % P)
+
   private def reference(text: String)
       : (Seq[Long], Seq[String], Seq[Long], Long, Long) = {
     val tokens = text.split(" ", -1).toSeq // keeps empties, '' -> [""]
     val th = tokens.map { t =>
-      if (t.isEmpty) 7L
-      else t.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+      if (t.isEmpty) 7L else cpFold(t, 7L)
     }
     val sh =
       if (th.length < 3) Seq.empty[Long]
@@ -40,7 +44,7 @@ object TextSignatureProps extends Properties("textsig") {
       (0 until r).map(i => mh(b * r + i)).mkString("-"))
     val full =
       if (text.isEmpty) 7L
-      else text.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+      else cpFold(text, 7L)
     val simhash = (0 until TextHash.SimBits).map { j =>
       val vote = th.map(t => if (((t >> j) & 1L) == 1L) 1 else -1).sum
       if (vote > 0) 1L << j else 0L
@@ -55,7 +59,11 @@ object TextSignatureProps extends Properties("textsig") {
       .map(_.mkString(" ")),
     4 -> Gen.listOf(Gen.oneOf(
       Gen.asciiPrintableStr.map(_.filterNot(_ == ' ').take(12)),
-      Gen.const(""))).map(_.mkString(" ")))
+      Gen.const(""))).map(_.mkString(" ")),
+    // non-ASCII incl. ASTRAL tokens: one code point = one fold step
+    // (the round-15 code-point upgrade's domain; a charAt loop fails here)
+    2 -> Gen.listOf(Gen.oneOf("héllo", "中文", "a𐍈b", "𐍈𐍈", "émoji🙂x"))
+      .map(_.mkString(" ")))
 
   property("fused loop equals the naive TextHash recompute") =
     forAll(genText) { text =>
