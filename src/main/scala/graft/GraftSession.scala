@@ -29,12 +29,14 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       // Engine extensions: native codegen functions (graft_tokenize,
-      // graft_text_signature, graft_dot, graft_eq_count, graft_rollhash).
+      // graft_text_signature, graft_dot, graft_eq_count, graft_rollhash,
+      // graft_rep_concentration).
       .withExtensions(graft.functions.ParseS3LogExpr.register)
       .withExtensions(graft.functions.TextSignatureExpr.register)
       .withExtensions(graft.functions.DotProductExpr.register)
       .withExtensions(graft.functions.EqCountExpr.register)
       .withExtensions(graft.functions.RollingHashExpr.register)
+      .withExtensions(graft.functions.RepConcentrationExpr.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -140,7 +140,7 @@ object DocumentQueries {
     * a SORTED copy equal values group adjacently, so the same scan
     * reads off the MOST FREQUENT value's multiplicity — a per-row
     * frequency census with no explode and no shuffle. */
-  private def maxAdjRunSql(arr: String): String =
+  private[graft] def maxAdjRunSql(arr: String): String =
     s"""aggregate($arr,
         named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
         (a, x) -> named_struct(
@@ -162,11 +162,13 @@ object DocumentQueries {
     * [[termStream]] whitespace grain shared with d17/d18/d23.
     *
     * Scale shape: the signals cost ZERO shuffle and zero explode. All
-    * three are per-row folds via [[maxAdjRunSql]] (most-frequent-value
-    * counts read off `array_sort`ed copies — sorting groups equal
-    * values adjacently, so max multiplicity = max adjacent run), one
-    * projection pass over the corpus, embarrassingly parallel at any
-    * executor count with no skew surface; the only exchange in the
+    * three ride ONE compiled pass per row — the native codegen
+    * [[graft.functions.RepConcentrationExpr]] (`graft_rep_concentration`;
+    * the interpreted [[maxAdjRunSql]]-over-`array_sort` fold family
+    * stays documented there as the cross-engine reference formula the
+    * DuckDB oracle mirrors, spec-pinned bit-equal in FunctionsSpec) —
+    * one projection pass over the corpus, embarrassingly parallel at
+    * any executor count with no skew surface; the only exchange in the
     * plan is the trailing presentation sort's range partitioning over
     * the already-narrow output (spec-pinned). Fractions floor at 1e-6 (the
     * d19 discipline: exact double division in both engines, floor
@@ -176,16 +178,11 @@ object DocumentQueries {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("n_tok", size($"toks").cast("long"))
-      .withColumn("grams", expr(
-        """CASE WHEN size(toks) >= 2 THEN
-             transform(sequence(1, size(toks) - 1),
-               i -> array_join(slice(toks, i, 2), ' '))
-           ELSE CAST(array() AS ARRAY<STRING>) END"""))
-      .withColumn("top_tok_n", expr(maxAdjRunSql("array_sort(toks)")))
-      .withColumn("top_gram_n", expr(maxAdjRunSql("array_sort(grams)")))
-      .withColumn("max_run_len", expr(maxAdjRunSql("toks")))
+      .withColumn("sig", expr("graft_rep_concentration(text)"))
+      .withColumn("n_tok", $"sig.n_tok")
+      .withColumn("top_tok_n", $"sig.top_tok_n")
+      .withColumn("top_gram_n", $"sig.top_gram_n")
+      .withColumn("max_run_len", $"sig.max_run_len")
       .withColumn("top_tok_frac",
         when($"n_tok" === 0, lit(0.0)).otherwise(
           floor($"top_tok_n".cast("double") / $"n_tok" * 1000000)

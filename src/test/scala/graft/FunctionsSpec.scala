@@ -77,6 +77,60 @@ class FunctionsSpec extends SparkSpec {
       plan)
   }
 
+  test("graft_rep_concentration is bit-equal to the HOF reference " +
+    "formulas and fuses into codegen") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("graft_rep_concentration"))
+    // the interpreted reference formulation d51 used through r15's
+    // mid-round bench (and the shape the DuckDB oracle mirrors):
+    // filtered token split, joined bigrams, maxAdjRun folds over
+    // array_sort'ed copies for the frequency censuses and over the raw
+    // stream for the run length
+    def hofCols(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(1, size(toks) - 1),
+               i -> array_join(slice(toks, i, 2), ' '))
+           ELSE CAST(array() AS ARRAY<STRING>) END"""))
+      .select($"doc_id",
+        size($"toks").cast("long").as("r_n"),
+        expr(queries.DocumentQueries.maxAdjRunSql("array_sort(toks)")).as("r_tok"),
+        expr(queries.DocumentQueries.maxAdjRunSql("array_sort(grams)")).as("r_gram"),
+        expr(queries.DocumentQueries.maxAdjRunSql("toks")).as("r_run"))
+    // gate corpus + every documented edge: empty/whitespace-only text,
+    // leading/trailing/double spaces (empty segments), single token,
+    // runs, tab-inside-token (the ' '-only grain), astral code points,
+    // bigram ties, and the repeated-bigram overlap case "a a a"
+    val edges = Seq("", " ", "  ", "solo", "a a a", "a a a a b a a",
+      "x\ty x\ty", " lead", "trail ", "a  b", "𐍈 𐍈 é é é",
+      "spam spam spam ham eggs spam ham eggs", ("y " * 40).trim)
+      .zipWithIndex.map { case (t, i) => (910000L + i, t) }
+    val docs = Tables(spark, sfSmoke, "documents").select($"doc_id", $"text")
+      .union(edges.toDF("doc_id", "text"))
+    val both = hofCols(docs)
+      .join(docs.select($"doc_id",
+        expr("graft_rep_concentration(text)").as("sig")), "doc_id")
+    both.collect().foreach { r =>
+      val sig = r.getStruct(r.fieldIndex("sig"))
+      Seq("r_n" -> 0, "r_tok" -> 1, "r_gram" -> 2, "r_run" -> 3).foreach {
+        case (ref, fi) =>
+          assert(r.getLong(r.fieldIndex(ref)) == sig.getLong(fi),
+            s"doc ${r.getLong(0)} $ref: HOF ${r.getLong(r.fieldIndex(ref))} " +
+              s"vs native ${sig.getLong(fi)}")
+      }
+    }
+    // null text → null struct (the HOF chain's null semantics)
+    val nulls = Seq((1L, null: String), (2L, "a b")).toDF("doc_id", "text")
+      .repartition(2)
+      .select(expr("graft_rep_concentration(text)").as("sig"))
+    val rows = nulls.collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    val plan = nulls.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_rep_concentration.*"),
+      plan)
+  }
+
   test("graft_text_signature is bit-equal to the HOF reference formulas") {
     import spark.implicits._
     import graft.operators.TextHash._
