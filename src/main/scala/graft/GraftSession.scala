@@ -30,13 +30,15 @@ object GraftSession {
       .appName(appName)
       // Engine extensions: native codegen functions (graft_tokenize,
       // graft_text_signature, graft_dot, graft_eq_count, graft_rollhash,
-      // graft_rep_concentration).
+      // graft_rep_concentration, graft_ngram_fps, graft_ngrams).
       .withExtensions(graft.functions.ParseS3LogExpr.register)
       .withExtensions(graft.functions.TextSignatureExpr.register)
       .withExtensions(graft.functions.DotProductExpr.register)
       .withExtensions(graft.functions.EqCountExpr.register)
       .withExtensions(graft.functions.RollingHashExpr.register)
       .withExtensions(graft.functions.RepConcentrationExpr.register)
+      .withExtensions(graft.functions.NgramFpsExpr.register)
+      .withExtensions(graft.functions.NgramsExpr.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

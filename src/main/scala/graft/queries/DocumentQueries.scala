@@ -2209,22 +2209,20 @@ object DocumentQueries {
     import s.implicits._
     require(n >= 1 && k >= 1,
       s"hotNgrams: n and k must be >= 1 (got $n, $k)")
-    def withToks(df: DataFrame) = df
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .filter(size(col("toks")) >= n)
-    val top = withToks(docs)
-      .select($"doc_id", explode(expr(
-        s"""transform(sequence(1, size(toks) - ${n - 1}),
-            i -> md5(array_join(slice(toks, i, $n), ' ')))""")).as("fp"))
-      .distinct()
+    // both passes ride the compiled per-doc n-gram kernel (in-row
+    // dedup): pass 1's (doc_id, fp) DISTINCT exchange is gone — the
+    // explode emits already-distinct rows into the map-side-combinable
+    // df aggregate; pass 2 explodes the distinct gram TEXT (df counts
+    // documents, so within-doc repeats were never relevant)
+    val top = docs
+      .select($"doc_id",
+        explode(expr(s"graft_ngram_fps(text, $n)")).as("fp"))
       .groupBy($"fp")
       .agg(count(lit(1)).as("df"), min($"doc_id").as("example_doc"))
       .filter($"df" >= 2)
       .orderBy($"df".desc, $"fp").limit(k)
-    val gramText = withToks(docs)
-      .select(explode(expr(
-        s"""transform(sequence(1, size(toks) - ${n - 1}),
-            i -> array_join(slice(toks, i, $n), ' '))""")).as("gram"))
+    val gramText = docs
+      .select(explode(expr(s"graft_ngrams(text, $n)")).as("gram"))
       .withColumn("fp", md5($"gram"))
       .join(broadcast(top.select($"fp")), Seq("fp"))
       .groupBy($"fp").agg(min($"gram").as("gram")) // fp determines gram
@@ -2247,13 +2245,17 @@ object DocumentQueries {
   private[graft] def ngramFps(docs: DataFrame, n: Int,
       carry: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     require(n >= 1, s"ngram pass: n must be >= 1 (got $n)")
-    docs
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .filter(size(col("toks")) >= n)
-      .select((col("doc_id") +: carry) :+ explode(expr(
-        s"""transform(sequence(1, size(toks) - ${n - 1}),
-            i -> md5(array_join(slice(toks, i, $n), ' ')))""")).as("fp"): _*)
-      .distinct()
+    // One compiled pass per doc (graft_ngram_fps: tokenize → gram →
+    // md5 → per-doc dedup, all in-row) — the interpreted HOF build +
+    // corpus-wide (doc_id [, carry], fp) DISTINCT exchange it replaces
+    // stays documented on the expression as the cross-engine reference
+    // formula the oracle mirrors (spec-pinned bit-equal). Dedup is a
+    // per-document property (carry columns are functions of the doc),
+    // so the explode emits already-distinct rows and the shuffle that
+    // did nothing but collapse within-doc repeats is GONE from every
+    // operator on this grain.
+    docs.select((col("doc_id") +: carry) :+
+      explode(expr(s"graft_ngram_fps(text, $n)")).as("fp"): _*)
   }
 
   private[graft] def splitNgramFps(docs: DataFrame, n: Int): DataFrame =

@@ -131,6 +131,83 @@ class FunctionsSpec extends SparkSpec {
       plan)
   }
 
+  test("graft_ngram_fps / graft_ngrams match the HOF+DISTINCT reference " +
+    "pipeline per doc and fuse into codegen") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("graft_ngram_fps"))
+    assert(spark.catalog.functionExists("graft_ngrams"))
+    // the interpreted reference formulation ngramFps used through r15
+    // (and the shape duckNgramFps mirrors): HOF gram build + explode +
+    // corpus-wide DISTINCT. Dedup there is post-hash and corpus-grain;
+    // the native kernel dedups per doc in-row — same (doc_id, fp) sets.
+    def hofFps(df: org.apache.spark.sql.DataFrame, n: Int) = df
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .filter(size(col("toks")) >= n)
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+            i -> md5(array_join(slice(toks, i, $n), ' ')))""")).as("fp"))
+      .distinct()
+    val edges = Seq("", " ", "a", "a b", "a b c", "a a a a",
+      "a b a b a b", "x\ty x\ty z", " lead mid trail ", "é 𐍈 é 𐍈",
+      "w w w w w w w w w w").zipWithIndex
+      .map { case (t, i) => (920000L + i, t) }
+    val docs = Tables(spark, sfSmoke, "documents").select($"doc_id", $"text")
+      .union(edges.toDF("doc_id", "text"))
+    Seq(1, 2, 8).foreach { n =>
+      val ref = hofFps(docs, n).groupBy($"doc_id")
+        .agg(sort_array(collect_list($"fp")).as("fps"))
+      val native = docs.select($"doc_id",
+        expr(s"graft_ngram_fps(text, $n)").as("arr"))
+        .select($"doc_id", sort_array($"arr").as("fps"))
+        .filter(size($"fps") > 0)
+      val joined = ref.as("r").join(native.as("v"), "doc_id",
+        "full_outer").collect()
+      joined.foreach { r =>
+        assert(!r.isNullAt(1) && !r.isNullAt(2),
+          s"n=$n doc ${r.getLong(0)}: one side missing")
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n doc ${r.getLong(0)} fps differ")
+      }
+      // gram text: fps of the text grams must equal the fp array —
+      // same kernel, hash applied in-row vs post-hoc
+      docs.select(
+        sort_array(expr(s"graft_ngram_fps(text, $n)")).as("a"),
+        sort_array(expr(s"transform(graft_ngrams(text, $n), g -> md5(g))"))
+          .as("b"))
+        .collect().foreach(r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    }
+    // under-n docs yield an EMPTY array (explode emits nothing), null
+    // text yields null
+    val tiny = Seq((1L, "a b"), (2L, null: String)).toDF("doc_id", "text")
+      .repartition(2)
+      .select(expr("graft_ngram_fps(text, 8)").as("a"))
+    val rows = tiny.collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(rows.filter(!_.isNullAt(0)).forall(_.getSeq[String](0).isEmpty))
+    val plan = tiny.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_ngram_fps.*"),
+      plan)
+  }
+
+  test("ngramFps plans NO distinct exchange: the explode feeds the fp " +
+    "aggregate directly (d30/d32/d39/d47 grain)") {
+    import spark.implicits._
+    val docs = Tables(spark, sfSmoke, "documents")
+    // d47's pass-1 shape: fp-grain df aggregate over the n-gram stream
+    val df = queries.DocumentQueries.ngramFps(docs, 8)
+      .groupBy($"fp").agg(count(lit(1)).as("df"))
+    df.collect()
+    // exactly the ONE hash exchange of the aggregate itself — the
+    // corpus-wide (doc_id, fp) DISTINCT shuffle the in-row dedup
+    // replaced must not reappear. The AQE wrapper is a leaf to
+    // collect(), so unwrap to the finalized inner plan (shuffles
+    // appear there as ShuffleQueryStageExec leaves post-execution).
+    val exchanges = SparkSpec.shuffleCount(df.queryExecution.executedPlan)
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n" +
+      df.queryExecution.executedPlan)
+  }
+
   test("graft_text_signature is bit-equal to the HOF reference formulas") {
     import spark.implicits._
     import graft.operators.TextHash._

@@ -34,4 +34,28 @@ trait SparkSpec extends AnyFunSuite {
 object SparkSpec {
   lazy val session: SparkSession = GraftSession.local(
     cores = sys.env.getOrElse("SPARK_GRAFT_TEST_CPUS", "8"), appName = "graft-test")
+
+  /** Shuffle-exchange census that sees through the AQE wrapper:
+    * `AdaptiveSparkPlanExec` is a LEAF to `collect()`, so a naive
+    * `collect { case e: ShuffleExchangeExec }` on an adaptive plan
+    * finds NOTHING — a `<= k` exchange audit passes vacuously. Unwrap
+    * to the finalized inner plan and count both raw exchanges (pre-
+    * execution) and the `ShuffleQueryStageExec` leaves AQE rewrites
+    * them into (post-execution); reused stages count once per site,
+    * which is the plan-shape question the audits ask. */
+  def shuffleCount(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    plan match {
+      case a: AdaptiveSparkPlanExec => shuffleCount(a.executedPlan)
+      // a shuffle stage IS its exchange — count once, then descend past
+      // the wrapped exchange node so it isn't counted twice
+      case s: ShuffleQueryStageExec =>
+        1 + s.plan.children.map(shuffleCount).sum
+      case q: QueryStageExec => shuffleCount(q.plan)
+      case e: ShuffleExchangeLike => 1 + e.children.map(shuffleCount).sum
+      case p => p.children.map(shuffleCount).sum
+    }
+  }
 }
