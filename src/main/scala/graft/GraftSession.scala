@@ -39,6 +39,7 @@ object GraftSession {
       .withExtensions(graft.functions.RepConcentrationExpr.register)
       .withExtensions(graft.functions.NgramFpsExpr.register)
       .withExtensions(graft.functions.NgramsExpr.register)
+      .withExtensions(graft.functions.HashedFeatsExpr.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

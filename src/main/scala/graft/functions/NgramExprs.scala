@@ -61,10 +61,16 @@ private[functions] object NgramKernel {
   }
   private val HEX = "0123456789abcdef".toCharArray
 
-  private def md5Hex(s: String): String = {
+  /** md5 digest bytes of the string's UTF-8 encoding (thread-local
+    * MessageDigest — one per executor thread, reset per call). */
+  private[functions] def md5Bytes(s: String): Array[Byte] = {
     val d = md.get()
     d.reset()
-    val bytes = d.digest(s.getBytes(UTF_8))
+    d.digest(s.getBytes(UTF_8))
+  }
+
+  private def md5Hex(s: String): String = {
+    val bytes = md5Bytes(s)
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -75,10 +81,10 @@ private[functions] object NgramKernel {
     new String(out)
   }
 
-  /** Distinct n-grams of the filtered token stream, first-occurrence
-    * order; hashed to md5 hex when `hash`. */
-  def ngrams(s: UTF8String, n: Int, hash: Boolean): GenericArrayData = {
-    val text = s.toString
+  /** The `filter(split(text, ' '), t -> t <> '')` token grain: maximal
+    * nonempty runs between single spaces (surrogate units never equal
+    * ' ', so charAt boundary scanning is code-point-safe). */
+  private[functions] def tokens(text: String): java.util.ArrayList[String] = {
     val len = text.length
     val toks = new java.util.ArrayList[String]()
     var i = 0
@@ -90,11 +96,18 @@ private[functions] object NgramKernel {
       }
       i += 1
     }
+    toks
+  }
+
+  /** Distinct n-grams of the filtered token stream, first-occurrence
+    * order; hashed to md5 hex when `hash`. */
+  def ngrams(s: UTF8String, n: Int, hash: Boolean): GenericArrayData = {
+    val toks = tokens(s.toString)
     val nTok = toks.size
     if (nTok < n) return new GenericArrayData(new Array[Any](0))
     val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder()
-    i = 0
+    var i = 0
     while (i <= nTok - n) {
       sb.setLength(0)
       var j = 0

@@ -1225,7 +1225,7 @@ object DocumentQueries {
   /** bucket id = the first `hexChars` md5 hex chars of the feature
     * string read as a base-16 int — exact and engine-portable for any
     * width. hexChars=2 is the spec-pinned gate shape. */
-  private def dsirFeatBucket(colName: String,
+  private[graft] def dsirFeatBucket(colName: String,
       hexChars: Int = QueryConf.DefaultDsirHexChars): String =
     (0 until hexChars).map { k =>
       val scale = 1L << (4 * (hexChars - 1 - k))
@@ -1257,19 +1257,22 @@ object DocumentQueries {
     * d46 (importance weights) and d48 (domain clustering) — one
     * definition of the feature space, so the two operators that reason
     * in it cannot silently diverge. */
-  private[queries] def hashedFeats(d: DataFrame): DataFrame = {
+  private[graft] def hashedFeats(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    d
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .filter(size($"toks") >= 1)
-      .select($"doc_id", explode(concat($"toks", expr(
-        """zip_with(slice(toks, 1, size(toks) - 1),
-                    slice(toks, 2, size(toks) - 1),
-           (a, b) -> concat(a, ' ', b))"""))).as("feat"))
-      .withColumn("fb",
-        expr(dsirFeatBucket("feat", QueryConf.dsirHexChars(s))).cast("long"))
-      .groupBy($"doc_id", $"fb").agg(count(lit(1)).as("c"))
+    // One compiled pass per doc (graft_hashed_feats: tokenize →
+    // unigram+bigram md5 → leading-nibble bucket → in-row count) — the
+    // interpreted explode-then-groupBy(doc_id, fb) formulation it
+    // replaces shipped every distinct (doc, bucket) pair through a
+    // corpus-wide exchange just to count WITHIN each document; the
+    // census is a per-doc property, so the explode now emits finished
+    // (fb, c) rows with no shuffle (spec-pinned, with the reference
+    // formula, in FunctionsSpec). [[dsirFeatBucket]] stays as the
+    // oracle-side bucket arithmetic d45/d48's sign table also rides.
+    d.select($"doc_id", explode(
+      expr(s"graft_hashed_feats(text, ${QueryConf.dsirHexChars(s)})"))
+      .as("f"))
+      .select($"doc_id", $"f.fb".as("fb"), $"f.c".as("c"))
   }
 
   def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame = {

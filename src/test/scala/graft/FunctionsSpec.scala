@@ -190,6 +190,55 @@ class FunctionsSpec extends SparkSpec {
       plan)
   }
 
+  test("graft_hashed_feats matches the explode+groupBy reference census " +
+    "per doc (hexchars 2 and 3) and plans shuffle-free") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("graft_hashed_feats"))
+    // the DataFrame reference formulation hashedFeats used through r15
+    // (and the shape the d46 oracle mirrors): HOF unigram+bigram build,
+    // explode, md5-nibble arithmetic, corpus-wide (doc_id, fb) count
+    def refCensus(df: org.apache.spark.sql.DataFrame, hexChars: Int) = df
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .filter(size(col("toks")) >= 1)
+      .select($"doc_id", explode(concat($"toks", expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+                    slice(toks, 2, size(toks) - 1),
+           (a, b) -> concat(a, ' ', b))"""))).as("feat"))
+      .withColumn("fb", expr(
+        queries.DocumentQueries.dsirFeatBucket("feat", hexChars)).cast("long"))
+      .groupBy($"doc_id", $"fb").agg(count(lit(1)).as("c"))
+    val edges = Seq("", " ", "a", "a a", "a b a b a", "é 𐍈 é",
+      "x\ty x\ty", " lead trail ").zipWithIndex
+      .map { case (t, i) => (930000L + i, t) }
+    val docs = Tables(spark, sfSmoke, "documents").select($"doc_id", $"text")
+      .union(edges.toDF("doc_id", "text"))
+    Seq(2, 3).foreach { hexChars =>
+      val ref = refCensus(docs, hexChars)
+        .groupBy($"doc_id").agg(sort_array(
+          collect_list(struct($"fb", $"c"))).as("feats"))
+      val native = docs.select($"doc_id", expr(
+        s"graft_hashed_feats(text, $hexChars)").as("arr"))
+        .filter(size($"arr") > 0)
+        .select($"doc_id", sort_array($"arr").as("feats"))
+      ref.as("r").join(native.as("v"), Seq("doc_id"), "full_outer")
+        .select($"doc_id", $"r.feats".as("rf"), $"v.feats".as("vf"))
+        .collect().foreach { r =>
+          assert(!r.isNullAt(1) && !r.isNullAt(2),
+            s"hexchars $hexChars doc ${r.getLong(0)}: one side missing")
+          assert(r.getSeq[Any](1) == r.getSeq[Any](2),
+            s"hexchars $hexChars doc ${r.getLong(0)} census differs")
+        }
+    }
+    // the d46/d48 grain plans NO shuffle at all now — the census is
+    // finished before the explode
+    val flat = queries.DocumentQueries.hashedFeats(
+      Tables(spark, sfSmoke, "documents"))
+    flat.collect()
+    val exchanges = SparkSpec.shuffleCount(flat.queryExecution.executedPlan)
+    assert(exchanges == 0, s"hashedFeats must be shuffle-free, got " +
+      s"$exchanges:\n${flat.queryExecution.executedPlan}")
+  }
+
   test("ngramFps plans NO distinct exchange: the explode feeds the fp " +
     "aggregate directly (d30/d32/d39/d47 grain)") {
     import spark.implicits._
