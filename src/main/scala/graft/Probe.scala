@@ -43,7 +43,12 @@ object Probe {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (explain) df.explain("formatted")
-      val n = df.count()
+      // the shared bench action — count() prunes a projection-shaped
+      // plan (d19/d51/s05 family) to a bare row-count scan, so a bare
+      // count here timed nothing for exactly the plans Probe is most
+      // often pointed at (the r15 bench-action lesson, applied to the
+      // attribution tool too)
+      val n = BenchExec.run(df)
       System.err.println(f"[probe] $name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
       if (storage) {
         val infos = spark.sparkContext.getRDDStorageInfo
