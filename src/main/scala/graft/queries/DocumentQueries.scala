@@ -117,21 +117,26 @@ object DocumentQueries {
 
   /** d09's quality columns (n_tok / avg_tok_len / stop_ratio / the
     * bounded composite quality score), added to any text frame. ONE
-    * definition shared by the d09 gate and the d31 funnel's quality
-    * stage. Pure codegen arithmetic, no shuffle. */
+    * definition shared by the d09 gate, the d31 funnel's quality stage
+    * and the streaming ingest gate. The token counts ride the native
+    * [[graft.functions.QualityStatsExpr]] (`graft_quality_stats`: one
+    * compiled scan, no token array — the split + interpreted
+    * filter-lambda reference formulation is documented there and
+    * spec-pinned equal); the ratio/composite arithmetic below is plain
+    * codegen column math. No shuffle. */
   private[graft] def withQuality(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
     docs
-      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("qsig", expr("graft_quality_stats(text)"))
+      .withColumn("n_tok", col("qsig.n_tok"))
       .withColumn("avg_tok_len",
         round((length(col("text")) - col("n_tok") + 1) / col("n_tok"), 4))
       .withColumn("stop_ratio",
-        round(size(filter(toks, t => t.isInCollection(Seq("the", "a"))))
-          / col("n_tok"), 4))
+        round(col("qsig.stop_n") / col("n_tok"), 4))
       .withColumn("quality",
         round(lit(0.4) * least(col("n_tok") / 100.0, lit(1.0)) +
           lit(0.3) * (lit(1.0) - abs(col("avg_tok_len") - 4.5) / 4.5) +
           lit(0.3) * least(col("stop_ratio") * 10.0, lit(1.0)), 4))
+      .drop("qsig")
   }
 
   /** The longest run of EQUAL ADJACENT elements in a string array (0

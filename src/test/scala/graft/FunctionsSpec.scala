@@ -190,6 +190,44 @@ class FunctionsSpec extends SparkSpec {
       plan)
   }
 
+  test("graft_quality_stats matches the split+filter reference counts " +
+    "(empty segments included) and fuses into codegen") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("graft_quality_stats"))
+    // the d09 reference formulation (withQuality through r15): split
+    // KEEPS empty segments — '' is one segment, 'a ' is two
+    def refCols(df: org.apache.spark.sql.DataFrame) = {
+      val toks = split(col("text"), " ")
+      df.select($"doc_id",
+        size(toks).cast("long").as("r_n"),
+        size(filter(toks, t => t.isInCollection(Seq("the", "a"))))
+          .cast("long").as("r_stop"))
+    }
+    val edges = Seq("", " ", "  ", "a", "the", "an a the", "a  the",
+      " the", "the ", "thee ath a", "a𐍈 the é", "that a cat the")
+      .zipWithIndex.map { case (t, i) => (940000L + i, t) }
+    val docs = Tables(spark, sfSmoke, "documents").select($"doc_id", $"text")
+      .union(edges.toDF("doc_id", "text"))
+    refCols(docs)
+      .join(docs.select($"doc_id",
+        expr("graft_quality_stats(text)").as("sig")), "doc_id")
+      .collect().foreach { r =>
+        val sig = r.getStruct(r.fieldIndex("sig"))
+        assert(r.getLong(r.fieldIndex("r_n")) == sig.getLong(0),
+          s"doc ${r.getLong(0)} n_tok: HOF ${r.getLong(1)} vs ${sig.getLong(0)}")
+        assert(r.getLong(r.fieldIndex("r_stop")) == sig.getLong(1),
+          s"doc ${r.getLong(0)} stop_n: HOF ${r.getLong(2)} vs ${sig.getLong(1)}")
+      }
+    val nulls = Seq((1L, null: String), (2L, "a b")).toDF("doc_id", "text")
+      .repartition(2)
+      .select(expr("graft_quality_stats(text)").as("sig"))
+    val rows = nulls.collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    val plan = nulls.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_quality_stats.*"),
+      plan)
+  }
+
   test("graft_hashed_feats matches the explode+groupBy reference census " +
     "per doc (hexchars 2 and 3) and plans shuffle-free") {
     import spark.implicits._
