@@ -102,6 +102,10 @@ private[functions] object NgramKernel {
   /** Distinct n-grams of the filtered token stream, first-occurrence
     * order; hashed to md5 hex when `hash`. */
   def ngrams(s: UTF8String, n: Int, hash: Boolean): GenericArrayData = {
+    // loud guard (the HashedFeatsExpr convention): the functions are
+    // registered session-wide, and n <= 0 would otherwise emit the
+    // empty gram md5 for EVERY position — plausible-looking garbage
+    require(n >= 1, s"graft_ngrams/graft_ngram_fps: n must be >= 1 (got $n)")
     val toks = tokens(s.toString)
     val nTok = toks.size
     if (nTok < n) return new GenericArrayData(new Array[Any](0))

@@ -52,10 +52,15 @@ object QualityStatsExpr {
     StructField("n_tok", LongType, nullable = false),
     StructField("stop_n", LongType, nullable = false)))
 
-  /** Static entry point referenced from generated code. */
+  /** Static entry point referenced from generated code. Scans the raw
+    * UTF-8 BYTES with no String decode at all: this kernel exists for
+    * the streaming-ingest hot path, and 0x20 never occurs inside a
+    * multi-byte UTF-8 sequence, so byte-level space boundaries equal
+    * character-level ones; the stopwords are ASCII, so byte-equality
+    * of a segment to "a"/"the" equals string equality. (The other
+    * kernels must materialize tokens; this one never has to.) */
   def stats(s: UTF8String): InternalRow = {
-    val text = s.toString
-    val len = text.length
+    val len = s.numBytes()
     // segments = spaces + 1 (split keeps empties, '' is one segment);
     // a segment is a stopword iff it is exactly "the" or "a"
     var nTok = 1L
@@ -63,11 +68,11 @@ object QualityStatsExpr {
     var i = 0
     var start = 0
     while (i <= len) {
-      if (i == len || text.charAt(i) == ' ') {
+      if (i == len || s.getByte(i) == 0x20) {
         val segLen = i - start
-        if (segLen == 1 && text.charAt(start) == 'a') stopN += 1
-        else if (segLen == 3 && text.charAt(start) == 't' &&
-          text.charAt(start + 1) == 'h' && text.charAt(start + 2) == 'e')
+        if (segLen == 1 && s.getByte(start) == 'a') stopN += 1
+        else if (segLen == 3 && s.getByte(start) == 't' &&
+          s.getByte(start + 1) == 'h' && s.getByte(start + 2) == 'e')
           stopN += 1
         if (i < len) nTok += 1
         start = i + 1

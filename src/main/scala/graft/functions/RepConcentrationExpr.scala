@@ -79,22 +79,10 @@ object RepConcentrationExpr {
 
   /** Static entry point referenced from generated code. */
   def signals(s: UTF8String): InternalRow = {
-    val text = s.toString
-    val len = text.length
-
-    // tokenize: maximal nonempty runs between single spaces
-    // (split(text, ' ') then drop '' — empty segments from leading/
-    // trailing/consecutive spaces vanish, exactly the HOF's filter)
-    val toks = new java.util.ArrayList[String]()
-    var i = 0
-    var start = 0
-    while (i <= len) {
-      if (i == len || text.charAt(i) == ' ') {
-        if (i > start) toks.add(text.substring(start, i))
-        start = i + 1
-      }
-      i += 1
-    }
+    // the shared filter(split(text, ' ')) token grain — ONE definition
+    // ([[NgramKernel.tokens]]) for every kernel on it, so a boundary
+    // tweak cannot silently diverge d51 from the n-gram family
+    val toks = NgramKernel.tokens(s.toString)
     val n = toks.size
 
     // one scan: token frequency census + longest equal-adjacent run;
@@ -109,7 +97,7 @@ object RepConcentrationExpr {
     var run = 0L
     var maxRun = 0L
     var prev: String = null
-    i = 0
+    var i = 0
     while (i < n) {
       val t = toks.get(i)
       val c = tokCount.getOrDefault(t, 0L) + 1L

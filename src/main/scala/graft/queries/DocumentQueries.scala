@@ -2261,7 +2261,13 @@ object DocumentQueries {
     // per-document property (carry columns are functions of the doc),
     // so the explode emits already-distinct rows and the shuffle that
     // did nothing but collapse within-doc repeats is GONE from every
-    // operator on this grain.
+    // operator on this grain. Input contract made explicit by the
+    // removal: doc_id rows must be UNIQUE — the documents-table key
+    // invariant every operator here assumes (d01/ingest dedup enforce
+    // it upstream). The old corpus-wide DISTINCT incidentally absorbed
+    // duplicated doc ROWS too; in-row dedup cannot, so a replayed/
+    // unioned batch with repeated rows would inflate df counts — dedup
+    // the frame first, as ingest does.
     docs.select((col("doc_id") +: carry) :+
       explode(expr(s"graft_ngram_fps(text, $n)")).as("fp"): _*)
   }

@@ -519,10 +519,11 @@ class OperatorsSpec extends SparkSpec {
     // wrapper (SparkSpec.shuffleCount): the old direct collect saw the
     // adaptive node as a leaf and matched nothing, so <= 1 held
     // vacuously.
-    val exchanges = SparkSpec.shuffleCount(out.queryExecution.executedPlan)
-    assert(exchanges <= 1,
-      s"d51 must shuffle only for the final sort, got $exchanges:\n" +
-        out.queryExecution.executedPlan)
+    val exchanges = SparkSpec.shuffleNodes(out.queryExecution.executedPlan)
+    assert(exchanges.size <= 1 && exchanges.forall(
+      _.outputPartitioning.toString.toLowerCase.contains("range")),
+      s"d51 must shuffle only for the final sort's range partitioning, " +
+        s"got:\n${out.queryExecution.executedPlan}")
   }
 
   test("paragraph salvage keeps above-bar paragraphs in position order, " +

@@ -43,19 +43,34 @@ object SparkSpec {
     * execution) and the `ShuffleQueryStageExec` leaves AQE rewrites
     * them into (post-execution); reused stages count once per site,
     * which is the plan-shape question the audits ask. */
-  def shuffleCount(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+  def shuffleCount(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    shuffleNodes(plan).size
+
+  /** The shuffle sites themselves (for partitioning-shape assertions —
+    * each returned node's `outputPartitioning` is the exchange's).
+    * A reused exchange counts as its own SITE: the plan still shuffles
+    * there even though the blocks are shared. */
+  def shuffleNodes(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
       QueryStageExec, ShuffleQueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec,
+      ShuffleExchangeLike}
     plan match {
-      case a: AdaptiveSparkPlanExec => shuffleCount(a.executedPlan)
+      case a: AdaptiveSparkPlanExec => shuffleNodes(a.executedPlan)
       // a shuffle stage IS its exchange — count once, then descend past
       // the wrapped exchange node so it isn't counted twice
       case s: ShuffleQueryStageExec =>
-        1 + s.plan.children.map(shuffleCount).sum
-      case q: QueryStageExec => shuffleCount(q.plan)
-      case e: ShuffleExchangeLike => 1 + e.children.map(shuffleCount).sum
-      case p => p.children.map(shuffleCount).sum
+        s.plan +: s.plan.children.flatMap(shuffleNodes)
+      case q: QueryStageExec => shuffleNodes(q.plan)
+      case e: ShuffleExchangeLike => e +: e.children.flatMap(shuffleNodes)
+      // reuse wraps broadcast exchanges too — only a reused SHUFFLE is
+      // a shuffle site
+      case r: ReusedExchangeExec => r.child match {
+        case _: ShuffleExchangeLike => Seq(r)
+        case _ => Nil
+      }
+      case p => p.children.flatMap(shuffleNodes)
     }
   }
 }
