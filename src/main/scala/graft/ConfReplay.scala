@@ -17,8 +17,8 @@ package graft
   * }}}
   *
   * Accepted args (any order, all optional): `cells=N probes=N rounds=N
-  * percell=N` — defaults are the gate defaults, so a bare run
-  * reproduces the driver's own s04/s11 rows.
+  * percell=N rarecap=N winnow=N` — defaults are the gate defaults, so a
+  * bare run reproduces the driver's own s04/s11/d52/d53 rows.
   */
 object ConfReplay {
   def main(args: Array[String]): Unit = {
@@ -30,18 +30,23 @@ object ConfReplay {
           s"expected key=value, got '$a'")
       }
     }.toMap
-    val unknown = kv.keySet -- Set("cells", "probes", "rounds", "percell")
+    val unknown = kv.keySet --
+      Set("cells", "probes", "rounds", "percell", "rarecap", "winnow")
     require(unknown.isEmpty, s"unknown knobs: $unknown")
-    import graft.queries.{EmbeddingQueries, QueryConf}
+    import graft.queries.{DocumentQueries, EmbeddingQueries, QueryConf}
     val cells = kv.getOrElse("cells", QueryConf.DefaultIvfCells)
     val probes = kv.getOrElse("probes", QueryConf.DefaultIvfProbes)
     val rounds = kv.getOrElse("rounds", QueryConf.DefaultLloydRounds)
     val perCell = kv.getOrElse("percell", QueryConf.DefaultCoresetPerCell)
+    val rareCap = kv.getOrElse("rarecap", QueryConf.DefaultContainRareCap)
+    val winnowW = kv.getOrElse("winnow", QueryConf.DefaultWinnowWindow)
     val spark = GraftSession.local(appName = "graft-conf-replay")
     spark.conf.set(QueryConf.IvfCellsKey, cells.toString)
     spark.conf.set(QueryConf.IvfProbesKey, probes.toString)
     spark.conf.set(QueryConf.LloydRoundsKey, rounds.toString)
     spark.conf.set(QueryConf.CoresetPerCellKey, perCell.toString)
+    spark.conf.set(QueryConf.ContainRareCapKey, rareCap.toString)
+    spark.conf.set(QueryConf.WinnowWindowKey, winnowW.toString)
     new java.io.File(outDir).mkdirs()
     val targets = Seq(
       "s04_ann_ivf" -> EmbeddingQueries.s04OracleSqlAt(cells, probes, rounds),
@@ -50,12 +55,15 @@ object ConfReplay {
       "s10_sem_decontam" ->
         EmbeddingQueries.s10OracleSqlAt(cells, probes, rounds),
       "s11_coreset_sample" ->
-        EmbeddingQueries.s11OracleSqlAt(cells, rounds, perCell))
+        EmbeddingQueries.s11OracleSqlAt(cells, rounds, perCell),
+      "d52_containment_pairs" -> DocumentQueries.d52OracleSqlAt(rareCap),
+      "d53_winnow_fps" -> DocumentQueries.d53OracleSqlAt(winnowW))
     targets.foreach { case (name, _) =>
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[conf-replay] dumped $name " +
-        s"(cells=$cells probes=$probes rounds=$rounds percell=$perCell)")
+        s"(cells=$cells probes=$probes rounds=$rounds percell=$perCell " +
+        s"rarecap=$rareCap winnow=$winnowW)")
     }
     Verify.writeOracleJson(outDir, targets)
     spark.stop()

@@ -42,6 +42,7 @@ object GraftSession {
       .withExtensions(graft.functions.NgramsExpr.register)
       .withExtensions(graft.functions.HashedFeatsExpr.register)
       .withExtensions(graft.functions.QualityStatsExpr.register)
+      .withExtensions(graft.functions.WinnowExpr.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

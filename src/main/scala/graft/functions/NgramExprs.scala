@@ -69,7 +69,7 @@ private[functions] object NgramKernel {
     d.digest(s.getBytes(UTF_8))
   }
 
-  private def md5Hex(s: String): String = {
+  private[functions] def md5Hex(s: String): String = {
     val bytes = md5Bytes(s)
     val out = new Array[Char](32)
     var i = 0

@@ -927,6 +927,16 @@ object DocumentQueries {
       paragraphSalvage(chunks, qualityMin = 0.5, joinSep = " ")
     },
 
+    // ---- d53: winnowing fingerprints (see [[winnowStats]]) ----------
+    "d53_winnow_fps" -> { (s, dir) =>
+      winnowStats(Tables(s, dir, "documents"))
+    },
+
+    // ---- d52: containment pairs (see [[containmentPairs]]) ----------
+    "d52_containment_pairs" -> { (s, dir) =>
+      containmentPairs(Tables(s, dir, "documents"))
+    },
+
     // ---- d51: concentration signals (see [[repConcentration]]) ------
     "d51_rep_concentration" -> { (s, dir) =>
       repConcentration(Tables(s, dir, "documents"))
@@ -2316,6 +2326,130 @@ object DocumentQueries {
       .orderBy($"doc_id")
   }
 
+  /** d53 — the winnowing seed (distinct from d13's split seed 7 and
+    * d27's sample seed 13; the three hash families must not collide). */
+  private[queries] val WinnowSeed = 17L
+
+  /** d52 containment threshold: the overlap coefficient above which an
+    * ordered pair is reported. Fixed like d06's 0.5 Jaccard bar — a
+    * SEMANTIC constant (the oracle interpolates it), not a scale knob. */
+  private[queries] val ContainThreshold = 0.8
+
+  /** d52 — asymmetric n-gram containment pairs: ordered doc pairs
+    * (doc_a < doc_b) whose n-gram overlap coefficient
+    * |A ∩ B| / min(|A|, |B|) is ≥ [[ContainThreshold]] — the
+    * quote/superset duplication a Jaccard-gated dedup (d06) is
+    * STRUCTURALLY blind to: a 10-token passage fully contained in a
+    * 10k-token page has Jaccard ≈ 0.001 (no LSH band ever collides),
+    * yet its containment is 1.0. The signal RefinedWeb-family pipelines
+    * act on as "exact substring / document-level containment" dedup.
+    *
+    * Candidate generation is RARE-FP BLOCKING, not MinHash banding
+    * (banding estimates Jaccard, which is exactly the quantity that is
+    * near zero here): a pair is nominated iff the two docs share at
+    * least one n-gram fp with document frequency in [2, rareCap]
+    * ([[QueryConf.containRareCap]]). A contained passage shares ALL its
+    * fps with its container, so any pair with one non-boilerplate
+    * shared gram is found; hot fps (df > cap) carry no pair identity —
+    * the d16 MaxBandBucket argument — and docs ALL of whose shared fps
+    * are hot are conceded to d47's boilerplate census. Verification is
+    * exact and runs over the nominated pairs only.
+    *
+    * Scale shape: the corpus fingerprints ONCE at the shared
+    * [[ngramFps]] grain (text never moves); the nominating self-join is
+    * bounded by ≤ rareCap² rows per rare fp; the verify joins move
+    * (pair, fp) rows — candidate pairs × doc fp-count, the volume the
+    * blocking already bounded, never corpus². Input contract: run AFTER
+    * exact dedup (d25) — heavy exact duplication lifts every fp's df
+    * toward the cap and hides containment behind d01's output (at the
+    * gate the planted exact copies are themselves the fixture's
+    * contained pairs, at containment 1.0). Docs with fewer than n
+    * tokens carry no fp and emit no pair (the d30 convention). */
+  def containmentPairs(docs: DataFrame, n: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val rareCap = QueryConf.containRareCap(s)
+    // the fp pass feeds THREE consumers (sizes, df census, the verify
+    // joins) — materialize it once (the d41/d47 lesson)
+    val grams = ngramFps(docs, n).materialize()
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_fps"))
+    val rare = grams.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= rareCap)
+      .select($"fp")
+    val rg = grams.join(rare, Seq("fp"))
+    val pairs = rg.select($"fp", $"doc_id".as("doc_a"))
+      .join(rg.select($"fp".as("fp_b"), $"doc_id".as("doc_b")),
+        $"fp" === $"fp_b" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    // exact intersection counts: fp-keyed equi-joins between fp tables
+    // (inner join per (pair, fp) is an exact count — fps are distinct
+    // within a doc by the ngramFps grain)
+    val nCommon = pairs
+      .join(grams.select($"doc_id".as("doc_a"), $"fp"), Seq("doc_a"))
+      .join(grams.select($"doc_id".as("doc_b"), $"fp"), Seq("doc_b", "fp"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
+    nCommon
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_fps".as("n_a")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_fps".as("n_b")), Seq("doc_b"))
+      .withColumn("containment",
+        floor($"n_common".cast("double") / least($"n_a", $"n_b") * 10000)
+          / 10000.0)
+      .filter($"containment" >= ContainThreshold)
+      .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"n_common", $"containment")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** d53 — winnowing fingerprint selection (Schleimer et al. 2003) +
+    * the d47 census at winnowed density: per doc, how many positional
+    * n-grams it has, how many winnowing SELECTS (distinct window-min
+    * positions over every w-gram window, rightmost-min rule), the
+    * distinct selected fps, and — over the SELECTED index only — how
+    * many of the doc's selected fps appear in ≥1 other doc plus the
+    * hottest one's df. The point at 100 TB: the selected index stores
+    * ~2/(w+1) of the corpus' fps yet still guarantees any shared run of
+    * w + n − 1 tokens is caught — winnowing is how a lake-scale
+    * substring-dup index stays affordable.
+    *
+    * The per-doc selection costs ZERO shuffle: one compiled pass per
+    * row (native [[graft.functions.WinnowExpr]] — tokenize → gram
+    * rolling-hashes → O(n) deque sliding-min → selected-md5 set; the
+    * HOF chain documented there is the spec-pinned reference formula
+    * the oracle mirrors with SQL windows). Only the distinct selected
+    * (doc_id, fp) pairs ever leave the row, at winnowed density; df is
+    * one map-side-combinable aggregate and the join back is fp-keyed
+    * (the d47 shape, ~2/(w+1) the volume). Docs with fewer than n
+    * tokens emit no row (d30); docs with 1..w−1 grams emit an all-zero
+    * selection row (no full window exists). */
+  def winnowStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = QueryConf.winnowWindow(s)
+    val perDoc = docs
+      .select($"doc_id",
+        expr(s"graft_winnow(text, $n, $w, ${WinnowSeed}L)").as("wn"))
+      .select($"doc_id", $"wn.n_grams".as("n_grams"),
+        $"wn.n_sel".as("n_sel"), $"wn.sel_fps".as("sel_fps"))
+      .filter($"n_grams" >= 1)
+      .materialize() // feeds the census explode AND the final join
+    val selFps = perDoc.select($"doc_id", explode($"sel_fps").as("fp"))
+    val dfreq = selFps.groupBy($"fp").agg(count(lit(1)).as("df"))
+    val census = selFps.join(dfreq, Seq("fp"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"df" >= 2, lit(1L)).otherwise(lit(0L)))
+          .as("n_shared_sel"),
+        max($"df").as("max_df"))
+    perDoc
+      .withColumn("n_sel_fps", size($"sel_fps").cast("long"))
+      .drop("sel_fps")
+      .join(census, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams", $"n_sel", $"n_sel_fps",
+        (floor($"n_sel".cast("double") / $"n_grams" * 10000) / 10000.0)
+          .as("density"),
+        coalesce($"n_shared_sel", lit(0L)).as("n_shared_sel"),
+        coalesce($"max_df", lit(0L)).as("max_df"))
+      .orderBy($"doc_id")
+  }
+
   /** d49 as a reusable two-frame operator (the d46/s10 convention):
     * fit the add-one-smoothed unigram LM on `train`, score every `eval`
     * doc by average held-out log-probability + out-of-train token
@@ -2681,6 +2815,91 @@ object DocumentQueries {
             FROM (
               SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
               FROM tk WHERE len(toks) >= 8))"""
+
+  /** d52 oracle generator at an explicit rareCap: rare-fp blocking (df
+    * in [2, rareCap] nominates) + exact overlap-coefficient
+    * verification over the d47 n-gram fp grain. The gate entry is this
+    * at [[QueryConf.DefaultContainRareCap]]; ConfReplay dumps other
+    * operating points through the same text. */
+  def d52OracleSqlAt(rareCap: Int): String =
+    s"""WITH $duckNgramFps,
+         sizes AS (SELECT doc_id, count(*) AS n_fps FROM ng GROUP BY doc_id),
+         dfreq AS (SELECT fp, count(*) AS df FROM ng GROUP BY fp),
+         rare AS (SELECT fp FROM dfreq
+                  WHERE df >= 2 AND df <= $rareCap),
+         rg AS (SELECT doc_id, fp FROM ng JOIN rare USING (fp)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM rg a JOIN rg b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         ncommon AS (
+           SELECT p.doc_a, p.doc_b, count(*) AS n_common
+           FROM pairs p
+             JOIN ng ga ON ga.doc_id = p.doc_a
+             JOIN ng gb ON gb.doc_id = p.doc_b AND gb.fp = ga.fp
+           GROUP BY p.doc_a, p.doc_b)
+         SELECT nc.doc_a, nc.doc_b,
+           sa.n_fps AS n_a, sb.n_fps AS n_b, nc.n_common,
+           floor(CAST(nc.n_common AS DOUBLE)
+             / least(sa.n_fps, sb.n_fps) * 10000) / 10000 AS containment
+         FROM ncommon nc
+           JOIN sizes sa ON sa.doc_id = nc.doc_a
+           JOIN sizes sb ON sb.doc_id = nc.doc_b
+         WHERE floor(CAST(nc.n_common AS DOUBLE)
+             / least(sa.n_fps, sb.n_fps) * 10000) / 10000 >= $ContainThreshold
+         ORDER BY doc_a, doc_b"""
+
+  /** d53 oracle generator at an explicit window: positional token
+    * 8-grams (NOT the distinct ng grain), the d13 rolling hash per gram
+    * string, the key = h*2^31 + (2^31-1-pos) rightmost-min encoding,
+    * window mins via SQL windows over FULL windows only. The gate entry
+    * is this at [[QueryConf.DefaultWinnowWindow]]. */
+  def d53OracleSqlAt(w: Int): String =
+    s"""WITH tkp AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         gp AS (
+           SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+7], ' ') AS gram
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+                 FROM tkp WHERE len(toks) >= 8)),
+         kp AS (
+           SELECT doc_id, pos, md5(gram) AS fp,
+             list_reduce(
+               list_prepend(CAST($WinnowSeed AS BIGINT),
+                 list_transform(range(1, len(gram) + 1),
+                   i -> CAST(ascii(substr(gram, i, 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % ${graft.operators.TextHash.P})
+               * 2147483648 + 2147483647 - pos AS key
+           FROM gp),
+         wm AS (
+           SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN ${w - 1} PRECEDING
+               AND CURRENT ROW) AS wkey
+           FROM kp),
+         sel AS (SELECT DISTINCT doc_id, wkey AS key FROM wm
+                 WHERE pos >= ${w - 1}),
+         stats AS (SELECT doc_id, count(*) AS n_grams FROM gp GROUP BY doc_id),
+         nsel AS (SELECT doc_id, count(*) AS n_sel FROM sel GROUP BY doc_id),
+         sf AS (SELECT DISTINCT k.doc_id, k.fp
+                FROM kp k JOIN sel s ON s.doc_id = k.doc_id AND s.key = k.key),
+         dfq AS (SELECT fp, count(*) AS df FROM sf GROUP BY fp),
+         cen AS (SELECT doc_id, count(*) AS n_sel_fps,
+             sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared_sel,
+             max(df) AS max_df
+           FROM sf JOIN dfq USING (fp) GROUP BY doc_id)
+         SELECT st.doc_id, st.n_grams,
+           CAST(COALESCE(ns.n_sel, 0) AS BIGINT) AS n_sel,
+           CAST(COALESCE(cn.n_sel_fps, 0) AS BIGINT) AS n_sel_fps,
+           floor(CAST(COALESCE(ns.n_sel, 0) AS DOUBLE)
+             / st.n_grams * 10000) / 10000 AS density,
+           CAST(COALESCE(cn.n_shared_sel, 0) AS BIGINT) AS n_shared_sel,
+           CAST(COALESCE(cn.max_df, 0) AS BIGINT) AS max_df
+         FROM stats st
+           LEFT JOIN nsel ns USING (doc_id)
+           LEFT JOIN cen cn USING (doc_id)
+         ORDER BY doc_id"""
 
   /** The d28/d36 shared augmentation CTE text — the oracle-side
     * counterpart of [[augmentedParas]]. */
@@ -3549,6 +3768,13 @@ object DocumentQueries {
     // d47: the shared d30 n-gram grain (distinct md5 8-gram fps per
     // doc), df at fp grain, shared = df >= 2; float division made
     // explicit on both engines, floor-scaled
+    // d52/d53: gate entries are the parameterized generators at the
+    // spec-pinned QueryConf defaults (the s04-family convention —
+    // ConfReplay replays other operating points through the same text)
+    "d52_containment_pairs" ->
+      d52OracleSqlAt(QueryConf.DefaultContainRareCap),
+    "d53_winnow_fps" ->
+      d53OracleSqlAt(QueryConf.DefaultWinnowWindow),
     "d47_dup_ngram_frac" ->
       s"""WITH $duckNgramFps,
          dfreq AS (SELECT fp, count(*) AS df FROM ng GROUP BY fp)

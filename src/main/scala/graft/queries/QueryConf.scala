@@ -64,6 +64,22 @@ object QueryConf {
   val MediaMaxBucketKey = "spark.graft.media.maxbucket"
   val DefaultMediaMaxBucket = 64
 
+  /** d52 rare-fp blocking cap: an n-gram fp shared by more documents
+    * than this is too hot to IDENTIFY a specific containment relation
+    * (boilerplate — it would only blow the candidate self-join up
+    * quadratically, the d16 MaxBandBucket argument at the n-gram
+    * grain). Pairs are still verified over ALL their fps; the cap only
+    * bounds which fps may NOMINATE a pair. */
+  val ContainRareCapKey = "spark.graft.containment.rarecap"
+  val DefaultContainRareCap = 64
+
+  /** d53 winnowing window (Schleimer et al. 2003): any shared run of
+    * w + n - 1 tokens shares at least one selected fingerprint;
+    * expected selected density is 2/(w+1) of the gram stream. Larger w
+    * → smaller dup index, longer minimum guaranteed-detectable match. */
+  val WinnowWindowKey = "spark.graft.winnow.window"
+  val DefaultWinnowWindow = 4
+
   /** Read a positive-int knob from the session conf; loud refusal on a
     * malformed or out-of-range value (a silently-defaulted typo would
     * run the whole job at the wrong scale). */
@@ -97,4 +113,8 @@ object QueryConf {
     posInt(s, CoresetPerCellKey, DefaultCoresetPerCell)
   def mediaMaxBucket(s: SparkSession): Int =
     posInt(s, MediaMaxBucketKey, DefaultMediaMaxBucket)
+  def containRareCap(s: SparkSession): Int =
+    posInt(s, ContainRareCapKey, DefaultContainRareCap)
+  def winnowWindow(s: SparkSession): Int =
+    posInt(s, WinnowWindowKey, DefaultWinnowWindow, max = 1 << 20)
 }

@@ -445,4 +445,67 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(msg(err).contains("HLL estimate outside"), msg(err))
   }
+
+  test("graft_winnow matches the HOF window-min reference formula " +
+    "(incl. repeated grams, astral code points) and fuses into codegen") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("graft_winnow"))
+    // the d53 reference formulation (the one the DuckDB oracle mirrors
+    // with SQL windows): positional grams, graft_rollhash keys with the
+    // rightmost-min encoding h*2^31 + (2^31-1-pos), per-window
+    // array_min, distinct
+    def ref(df: org.apache.spark.sql.DataFrame, n: Int, w: Int, seed: Long) = df
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("gs", expr(
+        s"""CASE WHEN size(toks) >= $n
+              THEN transform(sequence(0, size(toks) - $n),
+                     i -> array_join(slice(toks, i + 1, $n), ' '))
+              ELSE slice(toks, 1, 0) END"""))
+      .withColumn("keys", expr(
+        s"""transform(gs, (g, i) ->
+              graft_rollhash(g, ${seed}L) * 2147483648L + 2147483647L - i)"""))
+      .withColumn("sel_keys", expr(
+        s"""CASE WHEN size(gs) >= $w
+              THEN array_distinct(transform(sequence(${w - 1}, size(gs) - 1),
+                     q -> array_min(slice(keys, q - ${w - 2}, $w))))
+              ELSE array_remove(array(0L), 0L) END"""))
+      .withColumn("r_fps", array_distinct(expr(
+        s"""transform(sel_keys, k -> md5(element_at(gs,
+              CAST(2147483647L - pmod(k, 2147483648L) AS INT) + 1)))""")))
+      .select($"doc_id", size($"gs").cast("long").as("r_n_grams"),
+        size($"sel_keys").cast("long").as("r_n_sel"), $"r_fps")
+    val edges = Seq(
+      "", " ", "one", "a b c d e f g",                // 0..7 toks: sub-gram
+      "a b c d e f g h",                              // exactly one 8-gram
+      "a b c d e f g h i j k",                        // 4 grams = one window
+      "w w w w w w w w w w w w w w w w",              // all grams identical
+      "a𐍈 é b c d e f g h i j k l m n o p q",         // astral + accents
+      (0 until 40).map(i => s"t${i % 6}").mkString(" ")) // heavy gram repeats
+      .zipWithIndex.map { case (t, i) => (950000L + i, t) }
+    val docs = Tables(spark, sfSmoke, "documents").select($"doc_id", $"text")
+      .union(edges.toDF("doc_id", "text"))
+    for ((n, w) <- Seq((8, 4), (2, 3), (1, 1), (3, 9))) {
+      val joined = ref(docs, n, w, 17L)
+        .join(docs.select($"doc_id",
+          expr(s"graft_winnow(text, $n, $w, 17L)").as("wn")), "doc_id")
+      joined.collect().foreach { r =>
+        val wn = r.getStruct(r.fieldIndex("wn"))
+        val id = r.getLong(r.fieldIndex("doc_id"))
+        assert(r.getLong(r.fieldIndex("r_n_grams")) == wn.getLong(0),
+          s"doc $id n_grams (n=$n w=$w)")
+        assert(r.getLong(r.fieldIndex("r_n_sel")) == wn.getLong(1),
+          s"doc $id n_sel (n=$n w=$w)")
+        assert(r.getSeq[String](r.fieldIndex("r_fps")) == wn.getSeq[String](2),
+          s"doc $id sel_fps order/content (n=$n w=$w)")
+      }
+    }
+    // null text yields null; the expression fuses into codegen
+    val nulls = Seq((1L, null: String), (2L, "a b c d e f g h i j k"))
+      .toDF("doc_id", "text").repartition(2)
+      .select(expr("graft_winnow(text, 8, 4, 17L)").as("wn"))
+    val rows = nulls.collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    val plan = nulls.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_winnow.*"), plan)
+  }
 }

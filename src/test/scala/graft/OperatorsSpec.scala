@@ -2407,4 +2407,109 @@ class OperatorsSpec extends SparkSpec {
       assert(f.n_bytes == s"P6\n$w $h\n255\n".length + w * h * 3)
     }
   }
+
+  test("containment pairs: a contained passage scores 1.0 where its " +
+    "Jaccard is far below the d06 bar; sub-threshold and unrelated docs " +
+    "emit nothing (d52)") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val container = words("t", 30)                      // 23 8-grams
+    val toks = container.split(" ")
+    val contained = toks.slice(5, 15).mkString(" ")     // 10 toks → 3 grams, all in T
+    val below = (toks.slice(5, 14) :+ "zzz").mkString(" ") // 2 of 3 in T → 0.6666
+    val docs = Seq(
+      (1L, container),
+      (2L, contained),
+      (3L, below),
+      (4L, words("z", 15)),                             // unrelated
+      (5L, words("x", 12)), (6L, words("x", 12)))       // exact copies
+      .toDF("doc_id", "text")
+    val out = DocumentQueries.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // Jaccard(1,2) = 3/23 ≈ 0.13 — d06 would never surface this pair;
+    // the overlap coefficient is 3/min(23,3) = 1.0
+    assert(out.keySet == Set((1L, 2L), (5L, 6L)),
+      s"expected exactly the contained pair and the exact-copy pair, got ${out.keySet}")
+    assert(out((1L, 2L)) == ((23L, 3L, 3L, 1.0)))
+    assert(out((5L, 6L)) == ((5L, 5L, 5L, 1.0)))
+  }
+
+  test("containment pairs: fps hotter than containment.rarecap nominate " +
+    "no pair (d52 cap semantics, conf-driven)") {
+    import spark.implicits._
+    val text = (0 until 12).map(i => s"h$i").mkString(" ")
+    val docs = (1L to 5L).map(id => (id, text)).toDF("doc_id", "text")
+    // 5 exact copies: every fp has df=5. Under the default cap (64) all
+    // C(5,2)=10 pairs report at containment 1.0 ...
+    val dflt = DocumentQueries.containmentPairs(docs).collect()
+    assert(dflt.length == 10 && dflt.forall(_.getDouble(5) == 1.0))
+    // ... with the cap below the group size, no fp may nominate
+    spark.conf.set(graft.queries.QueryConf.ContainRareCapKey, "3")
+    try
+      assert(DocumentQueries.containmentPairs(docs).collect().isEmpty)
+    finally spark.conf.unset(graft.queries.QueryConf.ContainRareCapKey)
+  }
+
+  test("winnowing census: sub-gram docs emit no row, sub-window docs an " +
+    "all-zero selection row, a shared w+n-1 run is always caught, and " +
+    "the density bounds hold (d53)") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    // shared run of w + n - 1 = 11 tokens between docs 3 and 4, each
+    // wrapped in distinct context — the winnowing guarantee says at
+    // least one SELECTED fp must be common to both
+    val run = words("r", 11)
+    val docs = Seq(
+      (1L, words("a", 7)),                       // < n tokens: no row
+      (2L, words("b", 10)),                      // 3 grams < w: zero row
+      (3L, s"${words("c", 9)} $run ${words("d", 9)}"),
+      (4L, s"${words("e", 9)} $run ${words("f", 9)}"),
+      (5L, words("g", 60)))                      // long unique doc
+      .toDF("doc_id", "text")
+    val out = DocumentQueries.winnowStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 3L, 4L, 5L))
+    val zero = out(2L)
+    assert(zero.getLong(1) == 3L && zero.getLong(2) == 0L &&
+      zero.getLong(3) == 0L && zero.getDouble(4) == 0.0 &&
+      zero.getLong(5) == 0L && zero.getLong(6) == 0L)
+    // guarantee: both run carriers share >=1 selected fp
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id).getLong(5) >= 1L,
+        s"doc $id: shared $run selection missed (n_shared_sel = 0)")
+      assert(out(id).getLong(6) >= 2L)
+    }
+    // density bounds: a position is min of at most w windows, so
+    // n_sel >= ceil((n_grams - w + 1) / w); and n_sel <= n_grams
+    val w = graft.queries.QueryConf.DefaultWinnowWindow
+    Seq(3L, 4L, 5L).foreach { id =>
+      val (ng, ns) = (out(id).getLong(1), out(id).getLong(2))
+      assert(ns <= ng)
+      assert(ns >= (ng - w) / w + 1, s"doc $id: $ns of $ng selected")
+      assert(out(id).getLong(3) <= ns, "distinct fps cannot exceed selections")
+    }
+    // the long unique doc shares nothing
+    assert(out(5L).getLong(5) == 0L && out(5L).getLong(6) == 1L)
+  }
+
+  test("winnowing honors a non-default winnow.window: larger w selects " +
+    "more sparsely (d53 knob liveness)") {
+    import spark.implicits._
+    val docs = Seq((1L, (0 until 80).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def nSel(w: Option[Int]): Long = {
+      w.foreach(v => spark.conf.set(
+        graft.queries.QueryConf.WinnowWindowKey, v.toString))
+      try DocumentQueries.winnowStats(docs).collect().head.getLong(2)
+      finally w.foreach(_ => spark.conf.unset(
+        graft.queries.QueryConf.WinnowWindowKey))
+    }
+    val (atDefault, at16) = (nSel(None), nSel(Some(16)))
+    assert(at16 < atDefault,
+      s"w=16 must select more sparsely than the default ($at16 vs $atDefault)")
+    assert(nSel(Some(1)) == 73L, "w=1 selects every gram position")
+  }
 }

@@ -185,5 +185,33 @@ class QueryConfSpec extends SparkSpec {
     assert(SparkEntry.oracleSql("s09_semdedup") ===
       EmbeddingQueries.s09OracleSqlAt(QueryConf.DefaultIvfCells,
         QueryConf.DefaultLloydRounds))
+    assert(SparkEntry.oracleSql("d52_containment_pairs") ===
+      graft.queries.DocumentQueries.d52OracleSqlAt(
+        QueryConf.DefaultContainRareCap))
+    assert(SparkEntry.oracleSql("d53_winnow_fps") ===
+      graft.queries.DocumentQueries.d53OracleSqlAt(
+        QueryConf.DefaultWinnowWindow))
+  }
+
+  test("the r15b knobs (containment.rarecap, winnow.window) refuse " +
+    "malformed values like the rest of the surface") {
+    for (bad <- Seq("abc", "0", "-1")) {
+      withConf(QueryConf.ContainRareCapKey -> bad) {
+        val e = intercept[IllegalArgumentException](
+          QueryConf.containRareCap(spark))
+        assert(e.getMessage.contains(QueryConf.ContainRareCapKey))
+      }
+      withConf(QueryConf.WinnowWindowKey -> bad) {
+        val e = intercept[IllegalArgumentException](
+          QueryConf.winnowWindow(spark))
+        assert(e.getMessage.contains(QueryConf.WinnowWindowKey))
+      }
+    }
+    withConf(QueryConf.ContainRareCapKey -> " 12 ") {
+      assert(QueryConf.containRareCap(spark) === 12)
+    }
+    assert(QueryConf.containRareCap(spark) ===
+      QueryConf.DefaultContainRareCap)
+    assert(QueryConf.winnowWindow(spark) === QueryConf.DefaultWinnowWindow)
   }
 }
