@@ -17,8 +17,9 @@ package graft
   * }}}
   *
   * Accepted args (any order, all optional): `cells=N probes=N rounds=N
-  * percell=N rarecap=N winnow=N` — defaults are the gate defaults, so a
-  * bare run reproduces the driver's own s04/s11/d52/d53 rows.
+  * percell=N rarecap=N winnow=N maxdf=N` — defaults are the gate
+  * defaults, so a bare run reproduces the driver's own
+  * s04/s11/d52/d53/d54 rows.
   */
 object ConfReplay {
   def main(args: Array[String]): Unit = {
@@ -31,7 +32,8 @@ object ConfReplay {
       }
     }.toMap
     val unknown = kv.keySet --
-      Set("cells", "probes", "rounds", "percell", "rarecap", "winnow")
+      Set("cells", "probes", "rounds", "percell", "rarecap", "winnow",
+        "maxdf")
     require(unknown.isEmpty, s"unknown knobs: $unknown")
     import graft.queries.{DocumentQueries, EmbeddingQueries, QueryConf}
     val cells = kv.getOrElse("cells", QueryConf.DefaultIvfCells)
@@ -40,6 +42,7 @@ object ConfReplay {
     val perCell = kv.getOrElse("percell", QueryConf.DefaultCoresetPerCell)
     val rareCap = kv.getOrElse("rarecap", QueryConf.DefaultContainRareCap)
     val winnowW = kv.getOrElse("winnow", QueryConf.DefaultWinnowWindow)
+    val maxDf = kv.getOrElse("maxdf", QueryConf.DefaultWinnowMaxDf)
     val spark = GraftSession.local(appName = "graft-conf-replay")
     spark.conf.set(QueryConf.IvfCellsKey, cells.toString)
     spark.conf.set(QueryConf.IvfProbesKey, probes.toString)
@@ -47,6 +50,7 @@ object ConfReplay {
     spark.conf.set(QueryConf.CoresetPerCellKey, perCell.toString)
     spark.conf.set(QueryConf.ContainRareCapKey, rareCap.toString)
     spark.conf.set(QueryConf.WinnowWindowKey, winnowW.toString)
+    spark.conf.set(QueryConf.WinnowMaxDfKey, maxDf.toString)
     new java.io.File(outDir).mkdirs()
     val targets = Seq(
       "s04_ann_ivf" -> EmbeddingQueries.s04OracleSqlAt(cells, probes, rounds),
@@ -57,13 +61,15 @@ object ConfReplay {
       "s11_coreset_sample" ->
         EmbeddingQueries.s11OracleSqlAt(cells, rounds, perCell),
       "d52_containment_pairs" -> DocumentQueries.d52OracleSqlAt(rareCap),
-      "d53_winnow_fps" -> DocumentQueries.d53OracleSqlAt(winnowW))
+      "d53_winnow_fps" -> DocumentQueries.d53OracleSqlAt(winnowW),
+      "d54_winnow_matches" ->
+        DocumentQueries.d54OracleSqlAt(winnowW, maxDf))
     targets.foreach { case (name, _) =>
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[conf-replay] dumped $name " +
         s"(cells=$cells probes=$probes rounds=$rounds percell=$perCell " +
-        s"rarecap=$rareCap winnow=$winnowW)")
+        s"rarecap=$rareCap winnow=$winnowW maxdf=$maxDf)")
     }
     Verify.writeOracleJson(outDir, targets)
     spark.stop()

@@ -91,7 +91,21 @@ object ScaleBench {
       // presentation sort — the cell's CLAIM is pure map-side linearity
       // (the flattest band in the set; any growth beyond the corpus
       // read is a regression)
-      "d51_rep_concentration"
+      "d51_rep_concentration" :+
+      // d52 (round 15): rare-fp blocking + exact pair verify — the
+      // cell's CLAIM is that under ScaleGen's dup load the pair term
+      // stays bounded by rare-fp occupancy (<= cap² per rare fp), so
+      // the cell scales with the fp pass like d47, not with pairs²
+      "d52_containment_pairs" :+
+      // d53 (round 15): one compiled winnow pass per row + a census
+      // over the SELECTED fps only — must ride the d47 linear band at
+      // ~2/(w+1) of its exchanged volume (the kernel's whole point)
+      "d53_winnow_fps" :+
+      // d54 (round 15): the winnowed index PROBED — corpus side is the
+      // artifact (never re-winnowed), batch side one compiled pass;
+      // the cell's CLAIM is the probe join stays at winnowed density
+      // with the maxdf cap bounding ScaleGen's dup-group fan-out
+      "d54_winnow_matches"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

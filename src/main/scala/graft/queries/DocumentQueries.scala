@@ -927,6 +927,16 @@ object DocumentQueries {
       paragraphSalvage(chunks, qualityMin = 0.5, joinSep = " ")
     },
 
+    // ---- d54: incremental winnow-index match (see [[winnowMatches]])
+    // — even docs play the standing corpus artifact, odd docs the
+    // incoming batch (the d36/d44 convention) ------------------------
+    "d54_winnow_matches" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      winnowMatches(winnowFpTable(docs.filter($"doc_id" % 2 === 0)),
+        docs.filter($"doc_id" % 2 === 1))
+    },
+
     // ---- d53: winnowing fingerprints (see [[winnowStats]]) ----------
     "d53_winnow_fps" -> { (s, dir) =>
       winnowStats(Tables(s, dir, "documents"))
@@ -2450,6 +2460,65 @@ object DocumentQueries {
       .orderBy($"doc_id")
   }
 
+  /** d53's persistable index artifact: one (doc_id, fp) row per
+    * DISTINCT selected winnowed fingerprint — the signatureTable
+    * convention at substring grain. Compute once per ingestion batch
+    * and store next to the lake: at 100 TB the corpus is never
+    * re-winnowed; each new batch winnows itself and probes this table
+    * ([[winnowMatches]]). ~2/(w+1) the size of the full n-gram fp index
+    * with the winnowing coverage guarantee intact. Contract: a probe
+    * must use the same (n, `spark.graft.winnow.window`, seed) the
+    * artifact was built with — selections at different parameters are
+    * incomparable (the d24 artifact-compatibility rule; parameters are
+    * deployment constants, pin them with the lake). Docs selecting
+    * nothing (< w grams) have no rows — an index only answers for what
+    * it indexed. */
+  def winnowFpTable(docs: DataFrame, n: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = QueryConf.winnowWindow(s)
+    docs.select($"doc_id",
+      explode(expr(s"graft_winnow(text, $n, $w, ${WinnowSeed}L).sel_fps"))
+        .as("fp"))
+  }
+
+  /** d54 — incremental substring-dup match: an INCOMING batch against a
+    * standing [[winnowFpTable]] corpus artifact (the d16/d36 convention
+    * at the winnowed-fp grain). Per batch doc with ≥1 selected fp in
+    * common with the corpus: the best-matching corpus doc (most shared
+    * selected fps, min doc_id tie) and the shared count — the candidate
+    * stage a substring-dedup pipeline thresholds and then verifies
+    * (d28/d06) on the NOMINATED pairs only. Winnowing's guarantee makes
+    * the recall contract precise: any batch doc sharing a run of
+    * w + n − 1 tokens with an indexed doc shares a selected fp, at an
+    * index ~2/(w+1) the size of the full gram index.
+    *
+    * Scale shape: corpus text is never touched (the artifact IS the
+    * corpus side); the batch winnows itself in one compiled pass; the
+    * probe is one fp-keyed equi-join at winnowed density. Selected fps
+    * hotter than `spark.graft.winnow.maxdf` corpus docs are dropped
+    * whole before the probe — boilerplate carries no match identity,
+    * only a quadratic fan-out (the d16 MaxBandBucket argument); a real
+    * deployment stores the df column with the artifact and prunes at
+    * build time. */
+  def winnowMatches(corpusFps: DataFrame, batch: DataFrame,
+      n: Int = 8): DataFrame = {
+    val s = corpusFps.sparkSession
+    import s.implicits._
+    val maxDf = QueryConf.winnowMaxDf(s)
+    val dfs = corpusFps.groupBy($"fp").agg(count(lit(1)).as("df"))
+    val live = corpusFps
+      .join(dfs.filter($"df" <= maxDf).select($"fp"), Seq("fp"))
+    val shared = winnowFpTable(batch, n)
+      .join(live.select($"fp", $"doc_id".as("match_doc_id")), Seq("fp"))
+      .groupBy($"doc_id", $"match_doc_id").agg(count(lit(1)).as("n_shared"))
+    val wBest = Window.partitionBy($"doc_id")
+      .orderBy($"n_shared".desc, $"match_doc_id")
+    shared.withColumn("rn", row_number().over(wBest)).filter($"rn" === 1)
+      .select($"doc_id", $"match_doc_id", $"n_shared")
+      .orderBy($"doc_id")
+  }
+
   /** d49 as a reusable two-frame operator (the d46/s10 convention):
     * fit the add-one-smoothed unigram LM on `train`, score every `eval`
     * doc by average held-out log-probability + out-of-train token
@@ -2848,13 +2917,16 @@ object DocumentQueries {
              / least(sa.n_fps, sb.n_fps) * 10000) / 10000 >= $ContainThreshold
          ORDER BY doc_a, doc_b"""
 
-  /** d53 oracle generator at an explicit window: positional token
-    * 8-grams (NOT the distinct ng grain), the d13 rolling hash per gram
-    * string, the key = h*2^31 + (2^31-1-pos) rightmost-min encoding,
-    * window mins via SQL windows over FULL windows only. The gate entry
-    * is this at [[QueryConf.DefaultWinnowWindow]]. */
-  def d53OracleSqlAt(w: Int): String =
-    s"""WITH tkp AS (
+  /** The d53/d54 shared winnow-selection CTE chain at window `w`:
+    * positional token 8-grams (NOT the distinct ng grain), the d13
+    * rolling hash per gram string, the key = h*2^31 + (2^31-1-pos)
+    * rightmost-min encoding, window mins via SQL windows over FULL
+    * windows only; `sf` = the distinct selected (doc_id, fp) set —
+    * the oracle-side counterpart of [[winnowFpTable]]. ONE definition:
+    * the census and the incremental matcher must agree on what "the
+    * selection" is. */
+  private def duckWinnowSelCtes(w: Int): String =
+    s"""tkp AS (
            SELECT doc_id,
              list_filter(string_split(text, ' '), t -> t <> '') AS toks
            FROM documents),
@@ -2880,10 +2952,16 @@ object DocumentQueries {
            FROM kp),
          sel AS (SELECT DISTINCT doc_id, wkey AS key FROM wm
                  WHERE pos >= ${w - 1}),
+         sf AS (SELECT DISTINCT k.doc_id, k.fp
+                FROM kp k JOIN sel s ON s.doc_id = k.doc_id AND s.key = k.key)"""
+
+  /** d53 oracle generator at an explicit window (see
+    * [[duckWinnowSelCtes]]). The gate entry is this at
+    * [[QueryConf.DefaultWinnowWindow]]. */
+  def d53OracleSqlAt(w: Int): String =
+    s"""WITH ${duckWinnowSelCtes(w)},
          stats AS (SELECT doc_id, count(*) AS n_grams FROM gp GROUP BY doc_id),
          nsel AS (SELECT doc_id, count(*) AS n_sel FROM sel GROUP BY doc_id),
-         sf AS (SELECT DISTINCT k.doc_id, k.fp
-                FROM kp k JOIN sel s ON s.doc_id = k.doc_id AND s.key = k.key),
          dfq AS (SELECT fp, count(*) AS df FROM sf GROUP BY fp),
          cen AS (SELECT doc_id, count(*) AS n_sel_fps,
              sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared_sel,
@@ -2900,6 +2978,29 @@ object DocumentQueries {
            LEFT JOIN nsel ns USING (doc_id)
            LEFT JOIN cen cn USING (doc_id)
          ORDER BY doc_id"""
+
+  /** d54 oracle generator at an explicit (window, maxDf): the gate's
+    * even/odd corpus/batch split (the d36/d44 convention) replayed over
+    * the shared winnow selection — df cap on the corpus side, fp-join,
+    * best match per batch doc by (n_shared desc, doc_id). */
+  def d54OracleSqlAt(w: Int, maxDf: Int): String =
+    s"""WITH ${duckWinnowSelCtes(w)},
+         corp AS (SELECT doc_id, fp FROM sf WHERE doc_id % 2 = 0),
+         bat AS (SELECT doc_id, fp FROM sf WHERE doc_id % 2 = 1),
+         dfs AS (SELECT fp, count(*) AS df FROM corp GROUP BY fp),
+         live AS (SELECT c.doc_id, c.fp FROM corp c
+                  JOIN dfs USING (fp) WHERE df <= $maxDf),
+         shared AS (
+           SELECT b.doc_id, l.doc_id AS match_doc_id, count(*) AS n_shared
+           FROM bat b JOIN live l ON l.fp = b.fp
+           GROUP BY b.doc_id, l.doc_id),
+         rk AS (
+           SELECT doc_id, match_doc_id, n_shared,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY n_shared DESC, match_doc_id) AS rn
+           FROM shared)
+         SELECT doc_id, match_doc_id, CAST(n_shared AS BIGINT) AS n_shared
+         FROM rk WHERE rn = 1 ORDER BY doc_id"""
 
   /** The d28/d36 shared augmentation CTE text — the oracle-side
     * counterpart of [[augmentedParas]]. */
@@ -3775,6 +3876,9 @@ object DocumentQueries {
       d52OracleSqlAt(QueryConf.DefaultContainRareCap),
     "d53_winnow_fps" ->
       d53OracleSqlAt(QueryConf.DefaultWinnowWindow),
+    "d54_winnow_matches" ->
+      d54OracleSqlAt(QueryConf.DefaultWinnowWindow,
+        QueryConf.DefaultWinnowMaxDf),
     "d47_dup_ngram_frac" ->
       s"""WITH $duckNgramFps,
          dfreq AS (SELECT fp, count(*) AS df FROM ng GROUP BY fp)

@@ -80,6 +80,14 @@ object QueryConf {
   val WinnowWindowKey = "spark.graft.winnow.window"
   val DefaultWinnowWindow = 4
 
+  /** d54 corpus-side selectivity cap: a SELECTED fingerprint present in
+    * more corpus docs than this is boilerplate the winnowed index
+    * cannot use to IDENTIFY a match (it would only fan the fp-keyed
+    * probe join out quadratically) — the d16 MaxBandBucket discipline
+    * at the winnowed-fp grain. */
+  val WinnowMaxDfKey = "spark.graft.winnow.maxdf"
+  val DefaultWinnowMaxDf = 200
+
   /** Read a positive-int knob from the session conf; loud refusal on a
     * malformed or out-of-range value (a silently-defaulted typo would
     * run the whole job at the wrong scale). */
@@ -117,4 +125,6 @@ object QueryConf {
     posInt(s, ContainRareCapKey, DefaultContainRareCap)
   def winnowWindow(s: SparkSession): Int =
     posInt(s, WinnowWindowKey, DefaultWinnowWindow, max = 1 << 20)
+  def winnowMaxDf(s: SparkSession): Int =
+    posInt(s, WinnowMaxDfKey, DefaultWinnowMaxDf)
 }

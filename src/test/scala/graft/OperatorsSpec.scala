@@ -2495,6 +2495,49 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5L).getLong(5) == 0L && out(5L).getLong(6) == 1L)
   }
 
+  test("winnow-index match: a batch doc carrying an indexed w+n-1 run " +
+    "matches its corpus doc; hot fps above winnow.maxdf nominate " +
+    "nothing; the artifact round-trips through parquet (d54)") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val run = words("r", 11) // w + n - 1 tokens: the guarantee grain
+    val corpusDocs = Seq(
+      (2L, s"${words("a", 15)} $run ${words("b", 15)}"), // carries run
+      (4L, words("c", 40)),                              // unrelated
+      (6L, words("d", 40)))                              // unrelated
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"${words("e", 9)} $run ${words("f", 9)}"),   // shares run
+      (3L, words("z", 30)))                              // matches nothing
+      .toDF("doc_id", "text")
+    // artifact round-trip: the probe reads the PERSISTED index (the
+    // d16 signatureTable convention)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("winnow-idx").toString
+    DocumentQueries.winnowFpTable(corpusDocs)
+      .write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val out = DocumentQueries.winnowMatches(idx, batch).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L),
+      s"only the run carrier matches, got ${out.map(_.getLong(0)).toSeq}")
+    assert(out.head.getLong(1) == 2L && out.head.getLong(2) >= 1L)
+    // hot-fp cap: with maxdf below the dup-group size, a batch doc
+    // whose only common fps are that hot cannot be nominated
+    val hotCorpus = (10L to 18L by 2).map(id => (id, words("h", 30)))
+      .toDF("doc_id", "text") // 5 identical corpus docs: every fp df=5
+    val hotBatch = Seq((11L, words("h", 30))).toDF("doc_id", "text")
+    val hotIdx = DocumentQueries.winnowFpTable(hotCorpus)
+    assert(DocumentQueries.winnowMatches(hotIdx, hotBatch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((11L, 10L)),
+      "default cap: the copy group matches (best = min doc_id)")
+    spark.conf.set(graft.queries.QueryConf.WinnowMaxDfKey, "3")
+    try
+      assert(DocumentQueries.winnowMatches(hotIdx, hotBatch).collect().isEmpty,
+        "df=5 > maxdf=3: boilerplate fps must not nominate")
+    finally spark.conf.unset(graft.queries.QueryConf.WinnowMaxDfKey)
+  }
+
   test("winnowing honors a non-default winnow.window: larger w selects " +
     "more sparsely (d53 knob liveness)") {
     import spark.implicits._

@@ -191,6 +191,9 @@ class QueryConfSpec extends SparkSpec {
     assert(SparkEntry.oracleSql("d53_winnow_fps") ===
       graft.queries.DocumentQueries.d53OracleSqlAt(
         QueryConf.DefaultWinnowWindow))
+    assert(SparkEntry.oracleSql("d54_winnow_matches") ===
+      graft.queries.DocumentQueries.d54OracleSqlAt(
+        QueryConf.DefaultWinnowWindow, QueryConf.DefaultWinnowMaxDf))
   }
 
   test("the r15b knobs (containment.rarecap, winnow.window) refuse " +
@@ -205,6 +208,11 @@ class QueryConfSpec extends SparkSpec {
         val e = intercept[IllegalArgumentException](
           QueryConf.winnowWindow(spark))
         assert(e.getMessage.contains(QueryConf.WinnowWindowKey))
+      }
+      withConf(QueryConf.WinnowMaxDfKey -> bad) {
+        val e = intercept[IllegalArgumentException](
+          QueryConf.winnowMaxDf(spark))
+        assert(e.getMessage.contains(QueryConf.WinnowMaxDfKey))
       }
     }
     withConf(QueryConf.ContainRareCapKey -> " 12 ") {
