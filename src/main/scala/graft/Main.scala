@@ -34,16 +34,17 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       notifications arrive through the `graft-queue` connector over a
   *       [[graft.sources.FileQueue]] at `queueDir` — leases, sink-side
   *       ack after the transform lands, redelivery on crash.
-  *   ingest [--once] [--sigs <sigDir>] [--spansigs <dir>] [--decontam <dir>] <dropDir> <corpusDir> <checkpointDir>
+  *   ingest [--once] [--sigs <sigDir>] [--spansigs <dir>] [--winnowsigs <dir>] [--decontam <dir>] <dropDir> <corpusDir> <checkpointDir>
   *       training-corpus ingestion ([[graft.streaming.DocumentIngest]]):
   *       JSON-lines crawl drop → watermarked content-fingerprint dedup →
   *       lang-partitioned parquet corpus. `--sigs` maintains the d16
   *       signature-table artifact per micro-batch alongside the corpus;
-  *       `--spansigs` the d36 span-signature sidecar; `--decontam` the
+  *       `--spansigs` the d36 span-signature sidecar; `--winnowsigs`
+  *       the d53/d54 winnowed-fp index sidecar; `--decontam` the
   *       d39 ingest gate (each batch's train-side docs dispositioned
   *       against the standing eval n-gram artifact, report + artifact
   *       fold per batch).
-  *   compact <lakeDir> [--flat | --sigs | --spansigs | --evalsigs | <partitionCol>...]
+  *   compact <lakeDir> [--flat | --sigs | --spansigs | --evalsigs | --winnowsigs | <partitionCol>...]
   *       small-file compaction ([[graft.etl.Compact]]); partition columns
   *       auto-detected from the lake's hive directory names. `--flat`
   *       compacts an unpartitioned dir (e.g. the streaming signature
@@ -103,8 +104,8 @@ object Main {
       |  graft.Main transform [-o <outDir>] [--loop <seconds> [--iterations <n>]] [<input>...]
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
       |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
-      |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] [--decontam <dir> [--decontam-n <k>]] [--quality-min <q> [--rejects <dir>]] <dropDir> <corpusDir> <checkpointDir>
-      |  graft.Main compact <lakeDir> [--flat | --sigs | --spansigs | --evalsigs | <partitionCol>...]
+      |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] [--winnowsigs <dir>] [--decontam <dir> [--decontam-n <k>]] [--quality-min <q> [--rejects <dir>]] <dropDir> <corpusDir> <checkpointDir>
+      |  graft.Main compact <lakeDir> [--flat | --sigs | --spansigs | --evalsigs | --winnowsigs | <partitionCol>...]
       |  graft.Main dedup <corpusDir> <outDir> [--best]
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
       |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>] [--best]
@@ -213,6 +214,11 @@ object Main {
         val ingestStream = graft.streaming.DocumentIngest.stream(spark, drop)
         val sigDir = iOpts.named.get("--sigs")
         val spanSigDir = iOpts.named.get("--spansigs")
+        // --winnowsigs <dir>: the d53/d54 winnowed-fp index sidecar —
+        // each micro-batch winnows itself once and appends its selected
+        // (doc_id, fp) rows; the standing table is what winnowMatches
+        // probes, so the lake is never re-winnowed
+        val winnowDir = iOpts.named.get("--winnowsigs")
         // --decontam <dir>: the d39 ingest gate — per micro-batch,
         // disposition the batch's train-side docs against the standing
         // eval n-gram artifact (<dir>/evalsigs) and fold the batch's
@@ -250,13 +256,13 @@ object Main {
             "nothing is ever rejected")
         val writer =
           if (sigDir.isEmpty && spanSigDir.isEmpty && decontamDir.isEmpty &&
-              qualityMin.isEmpty)
+              qualityMin.isEmpty && winnowDir.isEmpty)
             graft.streaming.DocumentIngest
               .writer(ingestStream, corpus, checkpoint)
           else graft.streaming.DocumentIngest.writerWithArtifacts(
             ingestStream, corpus, sigDir, spanSigDir,
             iOpts.getOrElse("--span-sep", "\n\n"), checkpoint, decontamDir,
-            decontamN, qualityMin, rejectsDir)
+            decontamN, qualityMin, rejectsDir, winnowDir)
         val query =
           if (rest.contains("--once"))
             writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

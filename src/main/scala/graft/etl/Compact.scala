@@ -130,7 +130,14 @@ object Compact {
         ((graft.queries.DocumentQueries.foldEvalNgramSignatures _,
           (df: DataFrame) =>
             longs(df, Seq(coalesce(sum(col("eval_df")), lit(0L)),
-              countDistinct(col("fp")))))))
+              countDistinct(col("fp")))))),
+      // winnowed-fp index (d53/d54): identity fold like --sigs —
+      // batches are doc-disjoint under the unique-doc_id ingest
+      // contract, so the generations just concatenate; conserve = row
+      // count + distinct doc count
+      "--winnowsigs" -> ((identity[DataFrame] _,
+        (df: DataFrame) =>
+          longs(df, Seq(count(lit(1)), countDistinct(col("doc_id")))))))
   }
 
   /** Generation compaction for the `batch=`-partitioned signature

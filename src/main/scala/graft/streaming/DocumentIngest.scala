@@ -104,10 +104,13 @@ object DocumentIngest {
       checkpointDir, decontamDir = None)
 
   /** The general artifact-maintaining writer: corpus append plus any
-    * combination of the d16 doc-signature sidecar (`sigDir`) and the
+    * combination of the d16 doc-signature sidecar (`sigDir`), the
     * d36 SPAN-signature sidecar (`spanSigDir`, documents segmented on
     * the literal `spanSep` — [[graft.queries.DocumentQueries
-    * .corpusParas]], the same segmentation the batch spandedup uses).
+    * .corpusParas]], the same segmentation the batch spandedup uses)
+    * and the d53/d54 winnowed-fp index sidecar (`winnowDir` —
+    * [[graft.queries.DocumentQueries.winnowFpTable]] rows, the
+    * standing corpus side `winnowMatches` probes).
     * Each sidecar follows the same idempotency contract: one
     * overwrite-mode `batch=<id>` partition dir per micro-batch, so a
     * crash-replayed batch REPLACES its previous attempt. The span
@@ -133,7 +136,8 @@ object DocumentIngest {
       decontamDir: Option[String] = None,
       decontamN: Int = 8,
       qualityMin: Option[Double] = None,
-      rejectsDir: Option[String] = None): DataStreamWriter[Row] =
+      rejectsDir: Option[String] = None,
+      winnowDir: Option[String] = None): DataStreamWriter[Row] =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -174,6 +178,17 @@ object DocumentIngest {
             graft.queries.DocumentQueries
               .spanSignatures(graft.queries.DocumentQueries.corpusParas(
                 pinned.select(col("doc_id"), col("text")), spanSep))
+              .write.mode("overwrite").parquet(s"$d/batch=$batchId")
+          }
+          // the d53/d54 winnowed-fp index sidecar: one compiled
+          // graft_winnow pass over JUST the batch; the standing table
+          // is d54's corpus side, so the lake is never re-winnowed.
+          // Build-time parameters (n=8, spark.graft.winnow.window,
+          // seed) must stay fixed for the artifact's lifetime — the
+          // winnowFpTable compatibility contract
+          winnowDir.foreach { d =>
+            graft.queries.DocumentQueries
+              .winnowFpTable(pinned.select(col("doc_id"), col("text")))
               .write.mode("overwrite").parquet(s"$d/batch=$batchId")
           }
           decontamDir.foreach(d => decontamBatch(pinned, d, batchId, decontamN))

@@ -269,6 +269,46 @@ class MainSpec extends SparkSpec {
       s"$disp")
   }
 
+  test("ingest --winnowsigs maintains the winnowed-fp index sidecar; " +
+    "the folded table answers a d54 probe without re-reading the lake") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-winnow").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/drop"))
+    def words(prefix: String, n: Int) =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val run = words("r", 11) // w + n - 1: the winnowing guarantee grain
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"crawl",""" +
+        s""""event_ts":"2024-01-01T00:0$id:00.000Z"}"""
+    Files.write(java.nio.file.Paths.get(s"$tmp/drop/b1.jsonl"),
+      Seq(doc(1, s"${words("a", 12)} $run ${words("b", 12)}"),
+          doc(2, words("c", 40)))
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = Main.run(spark, Seq("ingest", "--once",
+      "--winnowsigs", s"$tmp/winnow",
+      s"$tmp/drop", s"$tmp/corpus", s"$tmp/ckpt"), Map.empty)
+    assert(out == Seq("ingest query terminated"))
+    val raw = spark.read.parquet(s"$tmp/winnow")
+    assert(raw.schema.fieldNames.toSet == Set("doc_id", "fp", "batch"))
+    // the sidecar rows ARE winnowFpTable of the ingested corpus — the
+    // lake never needs re-winnowing
+    val expected = graft.queries.DocumentQueries
+      .winnowFpTable(spark.read.parquet(s"$tmp/corpus")
+        .select($"doc_id", $"text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(raw.select("doc_id", "fp").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == expected)
+    // and the standing table answers a d54 probe: a batch doc carrying
+    // the indexed run matches doc 1
+    val probe = graft.queries.DocumentQueries.winnowMatches(
+      raw.select("doc_id", "fp"),
+      Seq((7L, s"${words("x", 9)} $run ${words("y", 9)}"))
+        .toDF("doc_id", "text")).collect()
+    assert(probe.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 1L)), s"probe: ${probe.mkString(",")}")
+  }
+
   test("bpetrain writes the merge table off the driver-side production path") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-cli-bpe").toString
@@ -361,6 +401,21 @@ class MainSpec extends SparkSpec {
       "2 -> 1 generations"), out2.mkString("\n"))
     assert(spark.read.parquet(s"$tmp/sigs")
       .select("doc_id").distinct().count() == 40)
+    // the d53/d54 winnowed-fp sidecar: identity fold like --sigs,
+    // (row count, distinct docs) conserved and a d54 probe unchanged
+    val wdocs = docs.withColumn("text",
+      org.apache.spark.sql.functions.expr(
+        "concat(text, ' ', text)")) // ensure >= w grams per doc
+    DocumentQueries.winnowFpTable(wdocs.filter($"doc_id" < 20))
+      .write.parquet(s"$tmp/winnow/batch=0")
+    DocumentQueries.winnowFpTable(wdocs.filter($"doc_id" >= 20))
+      .write.parquet(s"$tmp/winnow/batch=3")
+    val preRows = spark.read.parquet(s"$tmp/winnow").count()
+    val out3 = Main.run(spark, Seq("compact", s"$tmp/winnow", "--winnowsigs"),
+      Map.empty)
+    assert(out3.head.startsWith(s"compact task ended, $preRows rows kept, " +
+      "2 -> 1 generations"), out3.mkString("\n"))
+    assert(spark.read.parquet(s"$tmp/winnow").count() == preRows)
     // a non-sidecar dir is refused loudly, not flattened
     val e = intercept[IllegalArgumentException] {
       Main.run(spark, Seq("compact", s"$tmp/sigs/batch=7", "--sigs"),
