@@ -105,7 +105,11 @@ object ScaleBench {
       // artifact (never re-winnowed), batch side one compiled pass;
       // the cell's CLAIM is the probe join stays at winnowed density
       // with the maxdf cap bounding ScaleGen's dup-group fan-out
-      "d54_winnow_matches"
+      "d54_winnow_matches" :+
+      // d55 (round 15): three translate() length-diffs in one codegen
+      // projection — the d51 flat-band claim (map-side linearity, the
+      // presentation sort the only exchange)
+      "d55_encoding_anomaly"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

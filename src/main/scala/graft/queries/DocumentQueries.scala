@@ -927,6 +927,21 @@ object DocumentQueries {
       paragraphSalvage(chunks, qualityMin = 0.5, joinSep = " ")
     },
 
+    // ---- d55: encoding-anomaly census (see [[encodingAnomaly]]) —
+    // the gate injects deterministic artifacts (the d28/d50 synthesized-
+    // structure convention, the testdata prose being clean ASCII):
+    // doc_id%5 gets a mojibake tail + replacement char, doc_id%7 two
+    // surviving C0 controls; both can hit (doc_id%35) ------------------
+    "d55_encoding_anomaly" -> { (s, dir) =>
+      import s.implicits._
+      encodingAnomaly(Tables(s, dir, "documents")
+        .withColumn("text", concat($"text",
+          when($"doc_id" % 5 === 0, lit(
+            " \u00C3\u00E9\u00E2\u20AC\u2122\uFFFD")).otherwise(lit("")),
+          when($"doc_id" % 7 === 0,
+            lit("\u0007\u001B")).otherwise(lit("")))))
+    },
+
     // ---- d54: incremental winnow-index match (see [[winnowMatches]])
     // — even docs play the standing corpus artifact, odd docs the
     // incoming batch (the d36/d44 convention) ------------------------
@@ -2386,7 +2401,13 @@ object DocumentQueries {
     val rare = grams.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= rareCap)
       .select($"fp")
-    val rg = grams.join(rare, Seq("fp"))
+    // the rare-gram frame feeds BOTH sides of the nominating self-join
+    // — materialized so the df census + rare join run once, not once
+    // per side (Catalyst shares no common subplans across join inputs;
+    // the d41/d47 multi-consumer lesson, confirmed in this plan's
+    // probe: two identical fp-grain aggregate subtrees before this
+    // barrier, one after)
+    val rg = grams.join(rare, Seq("fp")).materialize()
     val pairs = rg.select($"fp", $"doc_id".as("doc_a"))
       .join(rg.select($"fp".as("fp_b"), $"doc_id".as("doc_b")),
         $"fp" === $"fp_b" && $"doc_a" < $"doc_b")
@@ -2516,6 +2537,55 @@ object DocumentQueries {
       .orderBy($"n_shared".desc, $"match_doc_id")
     shared.withColumn("rn", row_number().over(wBest)).filter($"rn" === 1)
       .select($"doc_id", $"match_doc_id", $"n_shared")
+      .orderBy($"doc_id")
+  }
+
+  /** d55 marker sets — SEMANTIC constants (the oracle mirrors them via
+    * chr() code points; changing one changes gate hashes):
+    * mojibake = the cp1252-double-decode indicator chars (Â Ã â € ™ —
+    * the bytes of a UTF-8-encoded accent/quote re-decoded as cp1252
+    * always surface one of these); ctrl = C0 controls that survive into
+    * crawl text and break tokenizers (BEL BS VT ESC — NUL excluded:
+    * DuckDB varchar cannot carry it, and a NUL-bearing doc fails far
+    * earlier than this census). */
+  private[queries] val MojiMarkers =
+    "\u00C2\u00C3\u00E2\u20AC\u2122" // Â Ã â € ™
+  private[queries] val CtrlMarkers =
+    "\u0007\u0008\u000B\u001B" // BEL BS VT ESC
+  private[queries] val ReplacementChar = "\uFFFD"
+
+  /** d55 — encoding-anomaly census (the ftfy-class curation signal): per
+    * doc, the U+FFFD replacement-char count (a decoder already gave up),
+    * the cp1252-mojibake marker-char count ([[MojiMarkers]] — a
+    * heuristic single-char census, deliberately: the signal real
+    * pipelines threshold is the FRACTION, and a clean accented text
+    * ('café') contributes zero because é itself is not a marker), the
+    * surviving-C0-control count, and the combined anomaly fraction at
+    * the 1e-6 grain (the d19/d51 floor discipline). A doc that was
+    * double-decoded scores moji_n ≈ one per non-ASCII char; a binary
+    * blob misfiled as text scores repl_n/ctrl_n high — both are drop
+    * rules a curation funnel applies before any token-grain work.
+    *
+    * Scale shape: three `translate` length-diffs in ONE codegen
+    * projection — zero shuffle below the presentation sort, the d51
+    * flat band. Counts are code-point exact on both engines (all
+    * markers are BMP; Spark `length`/`translate` and DuckDB
+    * `len`/`translate` both operate on code points — the
+    * RollingHashExpr probe). */
+  def encodingAnomaly(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    def cnt(markers: String) =
+      (length($"text") - length(translate($"text", markers, ""))).cast("long")
+    docs
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        cnt(ReplacementChar).as("repl_n"),
+        cnt(MojiMarkers).as("moji_n"),
+        cnt(CtrlMarkers).as("ctrl_n"))
+      .withColumn("anomaly_frac",
+        floor(($"repl_n" + $"moji_n" + $"ctrl_n").cast("double")
+          / greatest($"n_chars", lit(1L)) * 1000000) / 1000000.0)
       .orderBy($"doc_id")
   }
 
@@ -3879,6 +3949,40 @@ object DocumentQueries {
     "d54_winnow_matches" ->
       d54OracleSqlAt(QueryConf.DefaultWinnowWindow,
         QueryConf.DefaultWinnowMaxDf),
+    // d55: the injected artifacts and marker sets mirrored via chr()
+    // code points (Â=194 Ã=195 â=226 €=8364 ™=8482, é=233 — NOT a
+    // marker; BEL=7 BS=8 VT=11 ESC=27; U+FFFD=65533); counts are
+    // translate() length-diffs, code-point exact on both engines
+    "d55_encoding_anomaly" ->
+      """WITH a AS (
+           SELECT doc_id,
+             text ||
+               CASE WHEN doc_id % 5 = 0
+                 THEN ' ' || chr(195) || chr(233) || chr(226)
+                   || chr(8364) || chr(8482) || chr(65533)
+                 ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0
+                 THEN chr(7) || chr(27) ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_chars,
+           CAST(len(t) - len(translate(t, chr(65533), ''))
+             AS BIGINT) AS repl_n,
+           CAST(len(t) - len(translate(t,
+             chr(194) || chr(195) || chr(226) || chr(8364) || chr(8482),
+             '')) AS BIGINT) AS moji_n,
+           CAST(len(t) - len(translate(t,
+             chr(7) || chr(8) || chr(11) || chr(27), ''))
+             AS BIGINT) AS ctrl_n,
+           floor((3 * len(t)
+               - len(translate(t, chr(65533), ''))
+               - len(translate(t,
+                   chr(194) || chr(195) || chr(226) || chr(8364) || chr(8482),
+                   ''))
+               - len(translate(t, chr(7) || chr(8) || chr(11) || chr(27), '')))
+             / CAST(greatest(len(t), 1) AS DOUBLE) * 1000000) / 1000000
+             AS anomaly_frac
+         FROM a ORDER BY doc_id""",
     "d47_dup_ngram_frac" ->
       s"""WITH $duckNgramFps,
          dfreq AS (SELECT fp, count(*) AS df FROM ng GROUP BY fp)

@@ -2538,6 +2538,33 @@ class OperatorsSpec extends SparkSpec {
     finally spark.conf.unset(graft.queries.QueryConf.WinnowMaxDfKey)
   }
 
+  test("encoding anomaly: mojibake markers count exactly, clean accents " +
+    "are NOT flagged, controls and replacement chars census, empty doc " +
+    "is a zero row (d55)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean ascii prose only"),
+      (2L, "café résumé exposé"),   // clean accents: é is no marker
+      (3L, "cafÃ© already double-decoded"),   // Ã = 1 moji hit
+      (4L, "bad\u20AC\u2122 quote \u00E2\u20AC\u2122 end"), // 5 moji hits
+      (5L, "binary blob \u0007x\u001B\uFFFD junk \uFFFD"), // 2 ctrl + 2 repl
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val out = DocumentQueries.encodingAnomaly(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(out(1L)._2 == 0 && out(1L)._3 == 0 && out(1L)._4 == 0 &&
+      out(1L)._5 == 0.0)
+    assert(out(2L)._3 == 0, "clean accented text must not be flagged")
+    assert(out(3L)._3 == 1)
+    assert(out(4L)._3 == 5)
+    assert(out(5L) == ((23L, 2L, 0L, 2L,
+      math.floor(4.0 / 23.0 * 1000000) / 1000000.0)))
+    assert(out(6L) == ((0L, 0L, 0L, 0L, 0.0)),
+      "empty doc: a zero census row, not a crash or a NaN")
+  }
+
   test("winnowing honors a non-default winnow.window: larger w selects " +
     "more sparsely (d53 knob liveness)") {
     import spark.implicits._
