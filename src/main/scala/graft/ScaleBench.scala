@@ -109,7 +109,10 @@ object ScaleBench {
       // d55 (round 15): three translate() length-diffs in one codegen
       // projection — the d51 flat-band claim (map-side linearity, the
       // presentation sort the only exchange)
-      "d55_encoding_anomaly"
+      "d55_encoding_anomaly" :+
+      // m06 (round 15): generate + parse + census per row in one
+      // batched mapPartitions — zero shuffle, the m01/m02 decode band
+      "m06_audio_census"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

@@ -405,6 +405,157 @@ object Multimodal {
     }
   }
 
+  /** One decoded audio object's census (m06). Integer-exact by
+    * construction: `sum_abs_dev` is the summed |sample − 128| over the
+    * unsigned-8-bit PCM stream (the DC-centered absolute deviation — the
+    * cheap loudness proxy a silence/clip gate thresholds),
+    * `mean_abs_dev_bp` its integer-division basis points,
+    * `duration_ms` = n·1000 div rate; `silence_n` counts samples within
+    * ±2 of the midline, `clip_n` samples pinned at 0/255. */
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, n_samples: Long, duration_ms: Long,
+      sum_abs_dev: Long, mean_abs_dev_bp: Long, silence_n: Long,
+      clip_n: Long)
+
+  /** Decoded WAV essentials handed to the census. */
+  final case class DecodedWav(sampleRate: Int, nSamples: Long,
+      sumAbsDev: Long, silenceN: Long, clipN: Long)
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def fourCC(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Real RIFF/WAVE decode (PCM, unsigned 8-bit, mono — the format
+    * [[wavBytes]] writes and the one every WAV writer can emit): walks
+    * the chunk list honoring the RIFF odd-size pad byte, validates the
+    * `fmt ` chunk (PCM format tag 1, 1 channel, 8 bits, positive rate),
+    * skips unknown chunks (LIST/INFO metadata is everywhere in crawl
+    * audio), and requires exactly one `data` chunk whose declared size
+    * fits the payload. Malformed payloads are REJECTED loudly — the
+    * decodePpm/decodeBmp discipline: a corrupt header must never
+    * silently yield a plausible census. The census itself is one pass
+    * over the sample bytes in exact integer arithmetic. */
+  def decodeWav(bytes: Array[Byte]): DecodedWav = {
+    if (bytes.length < 12 || fourCC(bytes, 0) != "RIFF") bad("not RIFF")
+    if (leU32(bytes, 4) != bytes.length - 8L)
+      bad(s"RIFF size ${leU32(bytes, 4)} != payload ${bytes.length - 8}")
+    if (fourCC(bytes, 8) != "WAVE") bad("RIFF without WAVE form")
+    var i = 12
+    var rate = -1
+    var fmtSeen = false
+    var dataStart = -1
+    var dataLen = -1L
+    while (i + 8 <= bytes.length) {
+      val id = fourCC(bytes, i)
+      val size = leU32(bytes, i + 4)
+      val body = i + 8
+      if (body + size > bytes.length)
+        bad(s"chunk $id declares $size bytes past payload end")
+      id match {
+        case "fmt " =>
+          if (size < 16) bad(s"fmt chunk $size bytes, need >= 16")
+          val tag = leU16(bytes, body)
+          val channels = leU16(bytes, body + 2)
+          val r = leU32(bytes, body + 4)
+          val bits = leU16(bytes, body + 14)
+          if (tag != 1) bad(s"WAV format tag $tag unsupported (PCM=1 only)")
+          if (channels != 1) bad(s"WAV channels $channels unsupported (mono only)")
+          if (bits != 8) bad(s"WAV bits $bits unsupported (u8 only)")
+          if (r <= 0 || r > Int.MaxValue) bad(s"WAV sample rate $r out of range")
+          rate = r.toInt
+          fmtSeen = true
+        case "data" =>
+          if (!fmtSeen) bad("data chunk before fmt")
+          if (dataStart >= 0) bad("multiple data chunks")
+          dataStart = body
+          dataLen = size
+        case _ => () // LIST/INFO/fact/... — skipped, per the RIFF spec
+      }
+      // chunks are word-aligned: an odd-size chunk carries one pad byte
+      i = body + size.toInt + (size.toInt & 1)
+    }
+    if (!fmtSeen) bad("no fmt chunk")
+    if (dataStart < 0) bad("no data chunk")
+    var sumAbs = 0L
+    var silence = 0L
+    var clip = 0L
+    var j = dataStart
+    val end = dataStart + dataLen.toInt
+    while (j < end) {
+      val v = bytes(j) & 0xff
+      val dev = math.abs(v - 128)
+      sumAbs += dev
+      if (dev <= 2) silence += 1
+      if (v == 0 || v == 255) clip += 1
+      j += 1
+    }
+    DecodedWav(rate, dataLen, sumAbs, silence, clip)
+  }
+
+  /** Serialize one PCM-u8 mono WAV — the generation half of the m06
+    * contract (44-byte canonical header + samples + RIFF pad byte when
+    * the sample count is odd). */
+  def wavBytes(rate: Int, samples: Array[Byte]): Array[Byte] = {
+    val n = samples.length
+    val pad = n & 1
+    val out = java.nio.ByteBuffer.allocate(44 + n + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n + pad)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate) // byte rate = rate * 1 ch * 1 B
+      .putShort(1).putShort(8) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(n)
+      .put(samples)
+    if (pad == 1) out.put(0.toByte)
+    out.array()
+  }
+
+  /** m06 — per-object audio census over [[decodeWav]]: the batched
+    * zero-shuffle mapPartitions shape of [[extractFeatures]]; only the
+    * 8-column integer census leaves the decode stage, never samples. */
+  def audioFeatures(ds: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val d = decodeWav(r.media)
+          AudioFeatures(r.doc_id, d.sampleRate, d.nSamples,
+            d.nSamples * 1000L / d.sampleRate, d.sumAbsDev,
+            if (d.nSamples == 0) 0L else d.sumAbsDev * 10000L / d.nSamples,
+            d.silenceN, d.clipN)
+        }
+      }
+    }
+  }
+
+  /** Documents table → VALID PCM-u8 mono WAV payloads — the m06 media
+    * fixture (the [[ppmFromDocuments]] convention on the audio axis):
+    * samples are the text's code points mod 256 ('.' = 46 for the empty
+    * doc, so every object has >= 1 sample), sample rate varies per doc
+    * (8000 + doc_id%9 kHz steps). The FEATURES are thereby pure SQL
+    * functions of the text — the oracle recomputes the generation
+    * contract, the engine must recover it by PARSING the real bytes it
+    * wrote here. Binary little-endian header fields cannot ride a
+    * UTF-8 string concat, so the payload is built in a typed map. */
+  def wavFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val cps = text.codePoints().toArray
+        val samples =
+          if (cps.isEmpty) Array('.'.toByte)
+          else cps.map(cp => (cp % 256).toByte)
+        MediaRecord(id, wavBytes(8000 + (id % 9).toInt * 1000, samples),
+          "audio/wav")
+    }
+  }
+
   /** Documents table → media records (text payload as stand-in bytes). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._

@@ -85,6 +85,18 @@ object MultimodalQueries {
         .select($"doc_id", $"n_frames", $"n_shared", $"shared_frac",
           $"max_df")
         .orderBy($"doc_id")
+    },
+
+    // ---- m06: audio census — REAL RIFF/WAVE decode (chunk walk, fmt
+    // validation, odd-size pad bytes) over generated PCM-u8 payloads;
+    // the engine must parse the binary header it wrote, the oracle
+    // recomputes the generation contract (samples = code points mod
+    // 256) in SQL — the m01 convention on the audio axis --------------
+    "m06_audio_census" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.audioFeatures(
+        Multimodal.wavFromDocuments(s, Tables(s, dir, "documents")))
+        .toDF().orderBy($"doc_id")
     })
 
   /** m04 as a reusable operator over a (doc_id, text) frame — the
@@ -271,6 +283,34 @@ object MultimodalQueries {
             CAST(max(df) AS BIGINT) AS max_df
           FROM f JOIN dfreq USING (fhash)
           GROUP BY doc_id ORDER BY doc_id""",
+    // m06: the generation contract replayed — samples are the text's
+    // code points mod 256 ('.' = 46 for empty docs), rate = 8000 +
+    // (doc_id % 9) kHz steps; duration/mean use // (positive-operand
+    // integer division, identical to the engine's Long division)
+    "m06_audio_census" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CASE WHEN len(text) = 0 THEN [46]
+                  ELSE list_transform(range(1, len(text) + 1),
+                         i -> ascii(substr(text, i, 1)) % 256) END AS vs
+           FROM documents),
+         u AS (SELECT doc_id, unnest(vs) AS v FROM s),
+         agg AS (
+           SELECT doc_id, count(*) AS n_samples,
+             sum(abs(v - 128)) AS sum_abs,
+             sum(CASE WHEN abs(v - 128) <= 2 THEN 1 ELSE 0 END) AS silence_n,
+             sum(CASE WHEN v = 0 OR v = 255 THEN 1 ELSE 0 END) AS clip_n
+           FROM u GROUP BY doc_id)
+         SELECT doc_id,
+           CAST(8000 + (doc_id % 9) * 1000 AS INTEGER) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(n_samples * 1000 // (8000 + (doc_id % 9) * 1000)
+             AS BIGINT) AS duration_ms,
+           CAST(sum_abs AS BIGINT) AS sum_abs_dev,
+           CAST(sum_abs * 10000 // n_samples AS BIGINT) AS mean_abs_dev_bp,
+           CAST(silence_n AS BIGINT) AS silence_n,
+           CAST(clip_n AS BIGINT) AS clip_n
+         FROM agg ORDER BY doc_id""",
     "m03_media_resize" ->
       s"""WITH s AS (
             SELECT doc_id,

@@ -2538,6 +2538,45 @@ class OperatorsSpec extends SparkSpec {
     finally spark.conf.unset(graft.queries.QueryConf.WinnowMaxDfKey)
   }
 
+  test("WAV decode: hand-computed census, LIST chunks and odd-size pads " +
+    "walked per the RIFF spec, malformed payloads rejected loudly (m06)") {
+    import graft.operators.Multimodal
+    // hand-computable stream: 128 (silent), 130 (silent, dev 2), 0
+    // (clip, dev 128), 255 (clip, dev 127), 100 (dev 28)
+    val samples = Array[Byte](128.toByte, 130.toByte, 0, 255.toByte, 100)
+    val wav = Multimodal.wavBytes(8000, samples)
+    // odd sample count ⇒ RIFF pad byte, total = 44 + 5 + 1
+    assert(wav.length == 50)
+    val d = Multimodal.decodeWav(wav)
+    assert(d == Multimodal.DecodedWav(8000, 5L, 2 + 128 + 127 + 28, 2L, 2L))
+    // a LIST metadata chunk between fmt and data must be skipped (with
+    // its own odd-size pad): splice one in by hand
+    val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'I', 'N', 'F', 'O', 'x', 0) // size 5 ⇒ 1 pad byte
+    val spliced = wav.slice(0, 36) ++ list ++ wav.slice(36, wav.length)
+    // RIFF size field must cover the spliced bytes
+    val fixed = spliced.clone()
+    val newSize = spliced.length - 8
+    fixed(4) = (newSize & 0xff).toByte
+    fixed(5) = ((newSize >> 8) & 0xff).toByte
+    assert(Multimodal.decodeWav(fixed) == d,
+      "LIST chunk must be skipped, census unchanged")
+    def rejects(mutate: Array[Byte] => Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Multimodal.decodeWav(mutate(wav.clone()))
+      }
+      assert(e.getMessage.contains("malformed media payload"), s"$what: $e")
+    }
+    rejects(b => b.slice(0, 10), "truncated header")
+    rejects(b => { b(0) = 'X'; b }, "bad magic")
+    rejects(b => { b(22) = 2; b }, "stereo")
+    rejects(b => { b(34) = 16; b }, "16-bit")
+    rejects(b => { b(20) = 3; b }, "non-PCM float")
+    rejects(b => { b(4) = 99; b }, "wrong RIFF size")
+    // a data chunk whose declared size runs past the payload
+    rejects(b => { b(40) = 100; b }, "data size past end")
+  }
+
   test("encoding anomaly: mojibake markers count exactly, clean accents " +
     "are NOT flagged, controls and replacement chars census, empty doc " +
     "is a zero row (d55)") {
