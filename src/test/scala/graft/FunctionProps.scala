@@ -51,6 +51,53 @@ object FunctionProps extends Properties("functions") {
       fast == a.zip(b).count { case (x, y) => x == y }
     }
 
+  // --- graft_winnow vs a brute-force reference (the paper's definition
+  // written naively: every full window's min key, distinct) — random
+  // small-vocab token streams force repeated grams, equal hashes and
+  // rightmost-tie decisions; random (n, w) cover sub-gram and
+  // sub-window degenerate shapes
+  private val tokenText: Gen[String] = for {
+    len <- Gen.chooseNum(0, 40)
+    toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "aa", "x1", "q"))
+    seps <- Gen.listOfN(math.max(len - 1, 0), Gen.oneOf(" ", "  "))
+  } yield toks.zipAll(seps, "", "").map { case (t, s) => t + s }.mkString
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bruteWinnow(text: String, n: Int, w: Int,
+      seed: Long): (Long, Long, Seq[String]) = {
+    val toks = text.split(' ').filter(_.nonEmpty)
+    val grams = (0 to toks.length - n)
+      .map(i => toks.slice(i, i + n).mkString(" "))
+    if (grams.isEmpty) return (0L, 0L, Nil)
+    val keys = grams.zipWithIndex.map { case (g, p) =>
+      graft.functions.RollingHashExpr.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(g), seed) *
+        (1L << 31) + ((1L << 31) - 1 - p)
+    }
+    if (grams.length < w) return (grams.length.toLong, 0L, Nil)
+    val selKeys = (w - 1 until grams.length)
+      .map(q => (q - w + 1 to q).map(keys).min).distinct
+    val fps = selKeys
+      .map(k => md5hex(grams(((1L << 31) - 1 - (k & ((1L << 31) - 1))).toInt)))
+      .distinct
+    (grams.length.toLong, selKeys.length.toLong, fps)
+  }
+
+  property("graft_winnow == the naive every-window-min definition") =
+    forAll(tokenText, Gen.chooseNum(1, 4), Gen.chooseNum(1, 6),
+      Gen.oneOf(7L, 13L, 17L)) { (text, n, w, seed) =>
+      val row = graft.functions.WinnowExpr.winnow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), n, w, seed)
+      val got = (row.getLong(0), row.getLong(1),
+        row.getArray(2).toSeq[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString))
+      val ref = bruteWinnow(text, n, w, seed)
+      got._1 == ref._1 && got._2 == ref._2 && got._3 == ref._3
+    }
+
   property("dimension mismatch is rejected loudly") =
     forAll(Gen.chooseNum(1, 32)) { n =>
       val a = new GenericArrayData(Array.fill(n)(Double.box(1.0)))
