@@ -60,6 +60,8 @@ object ConfReplay {
         EmbeddingQueries.s10OracleSqlAt(cells, probes, rounds),
       "s11_coreset_sample" ->
         EmbeddingQueries.s11OracleSqlAt(cells, rounds, perCell),
+      "s12_pq_encode_incremental" ->
+        EmbeddingQueries.s12OracleSqlAt(cells, rounds),
       "d52_containment_pairs" -> DocumentQueries.d52OracleSqlAt(rareCap),
       "d53_winnow_fps" -> DocumentQueries.d53OracleSqlAt(winnowW),
       "d54_winnow_matches" ->

@@ -112,7 +112,12 @@ object ScaleBench {
       "d55_encoding_anomaly" :+
       // m06 (round 15): generate + parse + census per row in one
       // batched mapPartitions — zero shuffle, the m01/m02 decode band
-      "m06_audio_census"
+      "m06_audio_census" :+
+      // s12 (round 15): artifact-driven batch encode — one broadcast
+      // assign + the subvector explode/groupBy-free encode projection;
+      // must ride the s-family near-flat band (the trainer cost is the
+      // only corpus-proportional term and it halves to the even side)
+      "s12_pq_encode_incremental"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

@@ -182,6 +182,46 @@ object EmbeddingQueries {
     c
   }
 
+  /** s12 — encode a batch of vectors against a standing coarse-quantizer
+    * artifact (a [[trainCentroids]] table, possibly parquet-round-
+    * tripped): home-cell assign (one broadcast join against the ≤cells-
+    * row table), then s08's residual-PQ encode verbatim — normalized
+    * residual, per-8-dim-subvector (lo, scale), exact int8 codes. The
+    * batch never sees the training corpus; the artifact IS the corpus
+    * side (the d16/d54 incremental convention for vectors). Output one
+    * row per (vec_id, subvector): floor-scaled lo/scale + the code
+    * string — the stored representation, hash-pinnable cross-engine
+    * because every step is IEEE-identical elementwise arithmetic.
+    * Artifact contract: the encode is only comparable under the
+    * (cells, rounds) the artifact was trained with — the d24 rule. */
+  def pqEncode(centroids: DataFrame, batch: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val cu = centroids.select($"cell",
+      expr("transform(cv_sum, x -> x / cnorm)").as("cunit"))
+    assignTo(batch, centroids).filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+      .join(broadcast(cu), "cell")
+      .withColumn("r", expr(
+        "zip_with(transform(v, x -> x / nrm), cunit, (x, c) -> x - c)"))
+      .select($"vec_id", $"cell", posexplode(expr(
+        "transform(sequence(0, 7), sv -> slice(r, sv * 8 + 1, 8))"))
+        .as(Seq("sidx", "rs")))
+      .withColumn("lo", expr("array_min(rs)"))
+      .withColumn("hi", expr("array_max(rs)"))
+      .withColumn("scale", when($"hi" === $"lo", lit(1.0))
+        .otherwise(($"hi" - $"lo") / lit(255.0)))
+      .withColumn("codes", expr("transform(rs, x -> " +
+        "least(CAST(floor((x - lo) / scale) AS BIGINT), CAST(255 AS BIGINT)))"))
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        $"sidx".cast("long").as("sidx"),
+        (floor($"lo" * 10000) / 10000.0).as("lo_q"),
+        (floor($"scale" * 10000) / 10000.0).as("scale_q"),
+        expr("array_join(transform(codes, c -> CAST(c AS STRING)), '-')")
+          .as("codes"))
+      .orderBy($"vec_id", $"sidx")
+  }
+
   /** embeddings with double vector + L2 norm. Norms and every dot product
     * below run through the codegen [[graft.functions.DotProductExpr]] —
     * bit-equal to the HOF `aggregate(zip_with(...))` reference formula
@@ -678,6 +718,24 @@ object EmbeddingQueries {
     // the coarse scan joins the ≤16-row centroid broadcast and the
     // nprobe-cell equi-join against the quantized table only; full
     // vectors are touched for the ≤20×Q survivors via an id equi-join.
+    // ---- s12: incremental PQ encode off a PERSISTED coarse-quantizer
+    // artifact — the embedding-side d16/d54: at 100 TB the centroid
+    // table is trained once, stored with the lake, and every ingest
+    // batch encodes ITSELF against it (assign + residual-PQ, s08's
+    // exact encode discipline) without the corpus or the trainer ever
+    // re-running. Gate split is the d36/d44 convention: even vec_ids
+    // play the standing training corpus, odd vec_ids the incoming
+    // batch. Output = the stored representation itself (per subvector:
+    // floor-scaled lo/scale + the exact int8 code string), so the
+    // oracle hash pins the artifact-driven encode bit-for-bit.
+    "s12_pq_encode_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir)
+      val c1 = trainCentroids(e.filter($"vec_id" % 2 === 0),
+        QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
+      pqEncode(c1, e.filter($"vec_id" % 2 === 1))
+    },
+
     "s08_ivfpq_rerank" -> { (s, dir) =>
       import s.implicits._
       val e = vecs(s, dir)
@@ -947,6 +1005,44 @@ object EmbeddingQueries {
          FROM corpus c LEFT JOIN lo ON c.vec_id = lo.vec_id
          ORDER BY c.vec_id"""
 
+  /** s12's oracle at arbitrary (cells, rounds): trainer replayed over
+    * the EVEN vec_ids only (the trainPred discipline s10 introduced),
+    * batch = the odd vec_ids' home-cell assignment against
+    * centroids$rounds, then s08's encode CTEs verbatim down to the
+    * stored (lo, scale, codes) representation. The gate entry is this
+    * generator at the QueryConf defaults. */
+  private[graft] def s12OracleSqlAt(cells: Int, rounds: Int): String =
+    s"""WITH ${duckIvfPreludeAt(cells, rounds, " AND vec_id % 2 = 0")},
+         corpus AS (
+           SELECT vec_id, v, nrm, cell FROM cells$rounds
+           WHERE rn = 1 AND vec_id % 2 = 1),
+         cu AS (
+           SELECT cell, list_transform(cv_sum, x -> x / cnorm) AS cunit
+           FROM centroids$rounds),
+         res AS (
+           SELECT vec_id, corpus.cell AS cell,
+             list_transform(range(1, 65), i -> v[i] / nrm - cunit[i]) AS r
+           FROM corpus JOIN cu ON corpus.cell = cu.cell),
+         sub AS (
+           SELECT vec_id, cell, sv.s AS sidx,
+             r[sv.s * 8 + 1 : sv.s * 8 + 8] AS rs
+           FROM res, (SELECT unnest(range(8)) AS s) sv),
+         sp AS (
+           SELECT *, CASE WHEN hi = lo THEN 1.0
+                          ELSE (hi - lo) / 255.0 END AS scale
+           FROM (SELECT *, list_min(rs) AS lo, list_max(rs) AS hi FROM sub)),
+         codes AS (
+           SELECT *, list_transform(rs, x ->
+             least(CAST(floor((x - lo) / scale) AS BIGINT), 255)) AS cs
+           FROM sp)
+         SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           CAST(sidx AS BIGINT) AS sidx,
+           floor(lo * 10000) / 10000 AS lo_q,
+           floor(scale * 10000) / 10000 AS scale_q,
+           array_to_string(list_transform(cs, c -> CAST(c AS VARCHAR)), '-')
+             AS codes
+         FROM codes ORDER BY vec_id, sidx"""
+
   /** s08's oracle at arbitrary (cells, rounds) — the ConfReplay
     * surface; the probe count stays s08's own fixed 12 (its recall
     * operating point, not the s04/s10 `ivf.probes` knob). The gate
@@ -1082,6 +1178,9 @@ object EmbeddingQueries {
     // residual encode/reconstruct replayed elementwise and the two
     // deterministic ranking stages
     "s08_ivfpq_rerank" -> s08OracleSqlAt(ivfCells,
+      QueryConf.DefaultLloydRounds),
+    // s12: the even-side trainer + odd-side artifact-driven encode
+    "s12_pq_encode_incremental" -> s12OracleSqlAt(ivfCells,
       QueryConf.DefaultLloydRounds),
     // s09: the s04 prelude (same trained quantizer), then the within-cell
     // pair scan and the farther-from-centroid keep policy replayed on

@@ -2538,6 +2538,34 @@ class OperatorsSpec extends SparkSpec {
     finally spark.conf.unset(graft.queries.QueryConf.WinnowMaxDfKey)
   }
 
+  test("incremental PQ encode: the parquet-round-tripped centroid " +
+    "artifact encodes bit-identically to the in-memory trainer, and the " +
+    "batch never includes train-side vectors (s12)") {
+    import spark.implicits._
+    val e = Tables(spark, sfSmoke, "embeddings")
+      .withColumn("v", org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", org.apache.spark.sql.functions.expr(
+        "sqrt(graft_dot(v, v))"))
+      .select($"vec_id", $"v", $"nrm")
+    val c1 = EmbeddingQueries.trainCentroids(
+      e.filter($"vec_id" % 2 === 0), 16, 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-artifact").toString
+    c1.write.mode("overwrite").parquet(dir)
+    val batch = e.filter($"vec_id" % 2 === 1)
+    def rows(cents: org.apache.spark.sql.DataFrame) =
+      EmbeddingQueries.pqEncode(cents, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getString(5))).toSeq
+    val live = rows(c1)
+    assert(live.nonEmpty && live.size % 8 == 0,
+      "8 subvector rows per encoded vector")
+    assert(live.forall(_._1 % 2 == 1), "train-side vectors must not encode")
+    assert(rows(spark.read.parquet(dir)) == live,
+      "the persisted artifact must drive a bit-identical encode")
+  }
+
   test("WAV decode: hand-computed census, LIST chunks and odd-size pads " +
     "walked per the RIFF spec, malformed payloads rejected loudly (m06)") {
     import graft.operators.Multimodal

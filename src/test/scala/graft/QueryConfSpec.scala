@@ -194,6 +194,9 @@ class QueryConfSpec extends SparkSpec {
     assert(SparkEntry.oracleSql("d54_winnow_matches") ===
       graft.queries.DocumentQueries.d54OracleSqlAt(
         QueryConf.DefaultWinnowWindow, QueryConf.DefaultWinnowMaxDf))
+    assert(SparkEntry.oracleSql("s12_pq_encode_incremental") ===
+      EmbeddingQueries.s12OracleSqlAt(QueryConf.DefaultIvfCells,
+        QueryConf.DefaultLloydRounds))
   }
 
   test("the r15b knobs (containment.rarecap, winnow.window) refuse " +
