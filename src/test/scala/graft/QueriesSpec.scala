@@ -88,8 +88,12 @@ class QueriesSpec extends SparkSpec {
     // the optimized plan this audit sees is truncated lineage with no
     // join left. Its hint is audited at the source instead: see the
     // assignTo analyzed-plan check in the hinted-side audit below.)
+    // s12: the same assignment cross-join, against the PERSISTED
+    // <=cells-row centroid artifact (the batch side carries no keys to
+    // equi-join on until the argmax picks a cell)
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
       "s04_ann_ivf", "s08_ivfpq_rerank", "s09_semdedup", "s10_sem_decontam",
+      "s12_pq_encode_incremental",
       "s06_quantized_rerank", "s07_truncated_rerank",
       "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
@@ -157,6 +161,9 @@ class QueriesSpec extends SparkSpec {
         "<=16-row trained-centroid table (s04's quantizer, SemDeDup cells)",
       "s10_sem_decontam" ->
         "<=16-row trained-centroid table (s04's quantizer; decontam cells)",
+      "s12_pq_encode_incremental" ->
+        ("<=cells-row persisted centroid/cunit artifact (s04's quantizer; " +
+          "bounded by QueryConf.ivfCells configuration, not data)"),
       // s11 is deliberately ABSENT: its assignment frame is eagerly
       // Materialize()d, so its optimized plan carries no hinted join for
       // this walk to find (the d06/d14 situation) — the staleness check
