@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Stall-retry trigger (round-15 driver lesson): a contended session
+    * can freeze a single run for 8–22 s while the sibling runs of the
+    * SAME query sit at 0.2–0.7 s; with runs=2 one such artifact poisons
+    * the reported min's spread diagnostics and — when it hits run 1 AND
+    * run 2 differently — the cross-round total. When any run exceeds 5×
+    * the min of its siblings, ONE bounded extra run is taken (the min is
+    * then steady-state with high probability; an unbounded loop under
+    * real load would never converge and is exactly what the calib
+    * band/degraded flags are for). Pure so the trigger is spec-pinnable
+    * without timing a real stall. */
+  private[graft] def stallRetryNeeded(times: Seq[Double]): Boolean =
+    times.nonEmpty && times.min > 0 && times.max / times.min > 5.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(appName = "graft-bench")
@@ -128,7 +141,7 @@ object Bench {
       val nRuns =
         if (graft.queries.DedupQueries.scopedQueryNames(name)) math.max(runs, 3)
         else runs
-      val times = (1 to nRuns).map { _ =>
+      def timedRun(): Double = {
         val t0 = System.nanoTime()
         try { BenchExec.run(fn(spark, sfDir)) }
         catch { case _: Throwable => -1L }
@@ -142,6 +155,15 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         dt
       }
+      val base = (1 to nRuns).map(_ => timedRun())
+      // one bounded stall-retry (see stallRetryNeeded): a transient
+      // scheduler freeze in one run must not ride into the artifact
+      val times =
+        if (stallRetryNeeded(base)) {
+          System.err.println(f"[bench] $name%-28s stall artifact " +
+            f"(max/min ${base.max / base.min}%.1fx) — one retry run")
+          base :+ timedRun()
+        } else base
       System.err.println(f"[bench] $name%-28s ${times.min}%8.2f s  (runs: ${
         times.map(t => f"$t%.2f").mkString(" ")})")
       name -> times

@@ -216,8 +216,9 @@ object Main {
         val spanSigDir = iOpts.named.get("--spansigs")
         // --winnowsigs <dir>: the d53/d54 winnowed-fp index sidecar —
         // each micro-batch winnows itself once and appends its selected
-        // (doc_id, fp) rows; the standing table is what winnowMatches
-        // probes, so the lake is never re-winnowed
+        // (doc_id, fp, df) rows (df batch-local; global after compact's
+        // fold); the standing table is what winnowMatches probes, so
+        // the lake is never re-winnowed and never re-censused
         val winnowDir = iOpts.named.get("--winnowsigs")
         // --decontam <dir>: the d39 ingest gate — per micro-batch,
         // disposition the batch's train-side docs against the standing

@@ -39,7 +39,25 @@ object Probe {
     // accumulate-across-queries mode to attribute storage-pressure skew.
     val storage = sys.env.contains("SPARK_GRAFT_STORAGE")
     val unpersist = sys.env.contains("SPARK_GRAFT_UNPERSIST")
+    // SPARK_GRAFT_SHUFFLE: per-query total shuffle WRITE bytes/records
+    // (summed over completed stages). Byte counters are data-dependent,
+    // not clock-dependent, so unlike wall time they survive a contended
+    // box — the honest cross-run metric for "this rewrite moves less
+    // data", where wall-clock A/Bs need a quiet session.
+    val shuffleAcct = sys.env.contains("SPARK_GRAFT_SHUFFLE")
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufRecs = new java.util.concurrent.atomic.AtomicLong(0L)
+    if (shuffleAcct)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shufBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          shufRecs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      })
     args.foreach { name =>
+      shufBytes.set(0L); shufRecs.set(0L)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (explain) df.explain("formatted")
@@ -56,6 +74,15 @@ object Probe {
         val disk = infos.map(_.diskSize).sum / 1e6
         System.err.println(f"[probe-storage] ${infos.length}%3d cached RDDs, " +
           f"$mem%8.1f MB mem, $disk%8.1f MB disk")
+      }
+      if (shuffleAcct) {
+        // the listener bus is async: let it drain before reading tallies
+        var prev = -1L
+        while (prev != shufBytes.get()) {
+          prev = shufBytes.get(); Thread.sleep(200)
+        }
+        System.err.println(f"[probe-shuffle] ${shufBytes.get() / 1e6}%10.2f MB " +
+          f"written, ${shufRecs.get()}%12d records")
       }
       if (unpersist)
         spark.sparkContext.getPersistentRDDs.values

@@ -155,8 +155,29 @@ object ScaleBench {
     })
     val results = scala.collection.mutable.ListBuffer
       .empty[(String, String, Double, Int, Double, Long)]
-    for ((label, dir) <- scales) {
-      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    // Heap-sizing guard (round-15 lesson, SCALE.md "driver heap sizing"):
+    // d47/d48/d52's x100+ cells need ~24g of driver heap for honest
+    // slopes — under the 8g default the measured "slope" is mostly GC
+    // tax (d52: 4.5x at 8g vs the real 1.38x at 24g), which reads as a
+    // scale defect that isn't there. Warn LOUDLY up front rather than
+    // report a silently poisoned sweep; SPARK_DRIVER_MEM=24g is the fix.
+    val docCounts = scales.map { case (label, dir) =>
+      (label, dir, spark.read.parquet(s"$dir/documents.parquet").count())
+    }
+    val heapGiB = Runtime.getRuntime.maxMemory / (1L << 30)
+    val bigScales = docCounts.collect { case (l, _, n) if n >= 500000 => (l, n) }
+    if (bigScales.nonEmpty && heapGiB < 12) {
+      System.err.println("=" * 72)
+      System.err.println(
+        s"[scale] WARNING: sweeping ${bigScales.map(_._1).mkString(",")} " +
+          s"(${bigScales.map(_._2).max} docs) under a ${heapGiB} GiB driver " +
+          "heap -- x100+ cells measured under <12g report GC-TAXED slopes " +
+          "(d52 showed 4.5x at 8g vs the honest 1.38x at 24g; " +
+          "SCALE.md driver-heap-sizing finding). " +
+          "Re-run with SPARK_DRIVER_MEM=24g for honest numbers.")
+      System.err.println("=" * 72)
+    }
+    for ((label, dir, nDocs) <- docCounts) {
       for (q <- Queries if selected(q)) {
         val fn = SparkEntry.queries(q)
         var lastJobs = 0

@@ -131,13 +131,17 @@ object Compact {
           (df: DataFrame) =>
             longs(df, Seq(coalesce(sum(col("eval_df")), lit(0L)),
               countDistinct(col("fp")))))),
-      // winnowed-fp index (d53/d54): identity fold like --sigs —
-      // batches are doc-disjoint under the unique-doc_id ingest
-      // contract, so the generations just concatenate; conserve = row
-      // count + distinct doc count
-      "--winnowsigs" -> ((identity[DataFrame] _,
+      // winnowed-fp index (d53/d54): rows are doc-disjoint under the
+      // unique-doc_id ingest contract, but each generation carries
+      // BATCH-LOCAL df — the fold recomputes the GLOBAL per-fp df
+      // (foldWinnowSignatures, the read-side fold) so winnowMatches
+      // probes a stored column instead of re-aggregating the whole
+      // standing artifact per batch; conserve = row count + distinct
+      // doc count + distinct fp count (df VALUES change by design)
+      "--winnowsigs" -> ((graft.queries.DocumentQueries.foldWinnowSignatures _,
         (df: DataFrame) =>
-          longs(df, Seq(count(lit(1)), countDistinct(col("doc_id")))))))
+          longs(df, Seq(count(lit(1)), countDistinct(col("doc_id")),
+            countDistinct(col("fp")))))))
   }
 
   /** Generation compaction for the `batch=`-partitioned signature

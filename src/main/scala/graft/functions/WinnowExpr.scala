@@ -108,6 +108,12 @@ object WinnowExpr {
     if (nGrams <= 0)
       return new GenericInternalRow(Array[Any](0L, 0L,
         new GenericArrayData(new Array[Any](0))))
+    // no full window exists: the all-zero selection row, BEFORE any gram
+    // is materialized or hashed (the keys are only consumed by the
+    // sliding minimum below)
+    if (nGrams < w)
+      return new GenericInternalRow(Array[Any](nGrams.toLong, 0L,
+        new GenericArrayData(new Array[Any](0))))
     val sb = new java.lang.StringBuilder()
     def gram(p: Int): String = {
       sb.setLength(0)
@@ -128,9 +134,6 @@ object WinnowExpr {
       keys(p) = h * PosRange + (PosRange - 1 - p)
       p += 1
     }
-    if (nGrams < w)
-      return new GenericInternalRow(Array[Any](nGrams.toLong, 0L,
-        new GenericArrayData(new Array[Any](0))))
     // monotonic deque sliding minimum: indices ascending front→back,
     // keys strictly increasing (keys are pairwise distinct — the
     // position component guarantees it). Window-min positions are

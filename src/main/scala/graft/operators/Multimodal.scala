@@ -406,20 +406,27 @@ object Multimodal {
   }
 
   /** One decoded audio object's census (m06). Integer-exact by
-    * construction: `sum_abs_dev` is the summed |sample − 128| over the
-    * unsigned-8-bit PCM stream (the DC-centered absolute deviation — the
+    * construction, and defined at the u8-EQUIVALENT grain for every
+    * supported format (16-bit quantized by `(v+32768) >> 8`, stereo
+    * downmixed by the floor channel average BEFORE quantization) so the
+    * loudness/silence/clip gates threshold ONE scale across a
+    * mixed-format crawl: `sum_abs_dev` is the summed |sample − 128| over
+    * the u8-equivalent stream (the DC-centered absolute deviation — the
     * cheap loudness proxy a silence/clip gate thresholds),
     * `mean_abs_dev_bp` its integer-division basis points,
-    * `duration_ms` = n·1000 div rate; `silence_n` counts samples within
-    * ±2 of the midline, `clip_n` samples pinned at 0/255. */
+    * `duration_ms` = frames·1000 div rate; `silence_n` counts frames
+    * within ±2 of the midline, `clip_n` frames pinned at 0/255;
+    * `n_samples` counts FRAMES (one per sample instant, not per
+    * channel). */
   final case class AudioFeatures(
-      doc_id: Long, sample_rate: Int, n_samples: Long, duration_ms: Long,
+      doc_id: Long, sample_rate: Int, bits: Int, channels: Int,
+      n_samples: Long, duration_ms: Long,
       sum_abs_dev: Long, mean_abs_dev_bp: Long, silence_n: Long,
       clip_n: Long)
 
   /** Decoded WAV essentials handed to the census. */
-  final case class DecodedWav(sampleRate: Int, nSamples: Long,
-      sumAbsDev: Long, silenceN: Long, clipN: Long)
+  final case class DecodedWav(sampleRate: Int, bits: Int, channels: Int,
+      nSamples: Long, sumAbsDev: Long, silenceN: Long, clipN: Long)
 
   private def leU16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -429,16 +436,26 @@ object Multimodal {
   private def fourCC(b: Array[Byte], i: Int): String =
     new String(b, i, 4, "US-ASCII")
 
-  /** Real RIFF/WAVE decode (PCM, unsigned 8-bit, mono — the format
-    * [[wavBytes]] writes and the one every WAV writer can emit): walks
-    * the chunk list honoring the RIFF odd-size pad byte, validates the
-    * `fmt ` chunk (PCM format tag 1, 1 channel, 8 bits, positive rate),
-    * skips unknown chunks (LIST/INFO metadata is everywhere in crawl
-    * audio), and requires exactly one `data` chunk whose declared size
-    * fits the payload. Malformed payloads are REJECTED loudly — the
-    * decodePpm/decodeBmp discipline: a corrupt header must never
-    * silently yield a plausible census. The census itself is one pass
-    * over the sample bytes in exact integer arithmetic. */
+  /** Real RIFF/WAVE decode — PCM, unsigned 8-bit or signed 16-bit LE,
+    * mono or stereo (the formats that cover essentially all crawl WAV;
+    * real crawl audio is dominantly s16le). Walks the chunk list
+    * honoring the RIFF odd-size pad byte, validates the `fmt ` chunk
+    * (PCM format tag 1, 1–2 channels, 8/16 bits, positive rate, block
+    * align consistent with channels×bytes — a header whose fields
+    * disagree must not pick one silently), skips unknown chunks
+    * (LIST/INFO metadata is everywhere in crawl audio), and requires
+    * exactly one `fmt ` and exactly one `data` chunk whose declared
+    * size fits the payload and is frame-aligned. Malformed payloads are
+    * REJECTED loudly — the decodePpm/decodeBmp discipline: a corrupt
+    * header must never silently yield a plausible census.
+    *
+    * The census itself is one pass over the sample frames in exact
+    * integer arithmetic, at the u8-equivalent grain: stereo frames
+    * downmix by the floor channel average (`(l + r) >> 1`, arithmetic
+    * shift — defined for odd sums) at the NATIVE bit depth, 16-bit
+    * values then quantize by `(v + 32768) >> 8` into 0..255 — so every
+    * format feeds the same |v−128| deviation, ±2 silence band and
+    * 0/255 clip rails. */
   def decodeWav(bytes: Array[Byte]): DecodedWav = {
     if (bytes.length < 12 || fourCC(bytes, 0) != "RIFF") bad("not RIFF")
     if (leU32(bytes, 4) != bytes.length - 8L)
@@ -446,6 +463,8 @@ object Multimodal {
     if (fourCC(bytes, 8) != "WAVE") bad("RIFF without WAVE form")
     var i = 12
     var rate = -1
+    var bits = -1
+    var channels = -1
     var fmtSeen = false
     var dataStart = -1
     var dataLen = -1L
@@ -457,16 +476,27 @@ object Multimodal {
         bad(s"chunk $id declares $size bytes past payload end")
       id match {
         case "fmt " =>
+          // mirror the data-chunk guard: a second fmt would silently
+          // overwrite the decode parameters of everything that follows
+          if (fmtSeen) bad("multiple fmt chunks")
           if (size < 16) bad(s"fmt chunk $size bytes, need >= 16")
           val tag = leU16(bytes, body)
-          val channels = leU16(bytes, body + 2)
+          val ch = leU16(bytes, body + 2)
           val r = leU32(bytes, body + 4)
-          val bits = leU16(bytes, body + 14)
+          val blockAlign = leU16(bytes, body + 12)
+          val b = leU16(bytes, body + 14)
           if (tag != 1) bad(s"WAV format tag $tag unsupported (PCM=1 only)")
-          if (channels != 1) bad(s"WAV channels $channels unsupported (mono only)")
-          if (bits != 8) bad(s"WAV bits $bits unsupported (u8 only)")
+          if (ch != 1 && ch != 2)
+            bad(s"WAV channels $ch unsupported (mono/stereo only)")
+          if (b != 8 && b != 16)
+            bad(s"WAV bits $b unsupported (u8/s16le only)")
+          if (blockAlign != ch * (b / 8))
+            bad(s"WAV block align $blockAlign inconsistent with " +
+              s"$ch channel(s) x ${b / 8} byte(s)")
           if (r <= 0 || r > Int.MaxValue) bad(s"WAV sample rate $r out of range")
           rate = r.toInt
+          bits = b
+          channels = ch
           fmtSeen = true
         case "data" =>
           if (!fmtSeen) bad("data chunk before fmt")
@@ -480,20 +510,36 @@ object Multimodal {
     }
     if (!fmtSeen) bad("no fmt chunk")
     if (dataStart < 0) bad("no data chunk")
+    val frameBytes = channels * (bits / 8)
+    if (dataLen % frameBytes != 0)
+      bad(s"data chunk $dataLen bytes not a multiple of the " +
+        s"$frameBytes-byte frame")
+    // s16le: low byte unsigned, high byte sign-extending — a plain Int
+    // `or` yields the signed 16-bit value
+    def s16(at: Int): Int = (bytes(at) & 0xff) | (bytes(at + 1).toInt << 8)
     var sumAbs = 0L
     var silence = 0L
     var clip = 0L
     var j = dataStart
     val end = dataStart + dataLen.toInt
     while (j < end) {
-      val v = bytes(j) & 0xff
-      val dev = math.abs(v - 128)
+      val v8 =
+        if (bits == 8) {
+          val a = bytes(j) & 0xff
+          if (channels == 2) (a + (bytes(j + 1) & 0xff)) >> 1 else a
+        } else {
+          val a = s16(j)
+          val m = if (channels == 2) (a + s16(j + 2)) >> 1 else a
+          (m + 32768) >> 8
+        }
+      val dev = math.abs(v8 - 128)
       sumAbs += dev
       if (dev <= 2) silence += 1
-      if (v == 0 || v == 255) clip += 1
-      j += 1
+      if (v8 == 0 || v8 == 255) clip += 1
+      j += frameBytes
     }
-    DecodedWav(rate, dataLen, sumAbs, silence, clip)
+    DecodedWav(rate, bits, channels, dataLen / frameBytes, sumAbs, silence,
+      clip)
   }
 
   /** Serialize one PCM-u8 mono WAV — the generation half of the m06
@@ -516,6 +562,28 @@ object Multimodal {
     out.array()
   }
 
+  /** Serialize one PCM-s16le WAV, mono or stereo — `values` is the
+    * interleaved channel stream (length a multiple of `channels`); the
+    * 16-bit frame size is even, so no RIFF pad byte ever applies. */
+  def wavBytes16(rate: Int, channels: Int, values: Array[Short]): Array[Byte] = {
+    require(channels == 1 || channels == 2, s"channels $channels")
+    require(values.length % channels == 0,
+      s"${values.length} values not a whole number of $channels-ch frames")
+    val n = values.length * 2
+    val blockAlign = channels * 2
+    val out = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort) // PCM
+      .putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    values.foreach(out.putShort)
+    out.array()
+  }
+
   /** m06 — per-object audio census over [[decodeWav]]: the batched
     * zero-shuffle mapPartitions shape of [[extractFeatures]]; only the
     * 8-column integer census leaves the decode stage, never samples. */
@@ -525,8 +593,8 @@ object Multimodal {
       it.grouped(64).flatMap { batch =>
         batch.map { r =>
           val d = decodeWav(r.media)
-          AudioFeatures(r.doc_id, d.sampleRate, d.nSamples,
-            d.nSamples * 1000L / d.sampleRate, d.sumAbsDev,
+          AudioFeatures(r.doc_id, d.sampleRate, d.bits, d.channels,
+            d.nSamples, d.nSamples * 1000L / d.sampleRate, d.sumAbsDev,
             if (d.nSamples == 0) 0L else d.sumAbsDev * 10000L / d.nSamples,
             d.silenceN, d.clipN)
         }
@@ -534,25 +602,37 @@ object Multimodal {
     }
   }
 
-  /** Documents table → VALID PCM-u8 mono WAV payloads — the m06 media
-    * fixture (the [[ppmFromDocuments]] convention on the audio axis):
-    * samples are the text's code points mod 256 ('.' = 46 for the empty
-    * doc, so every object has >= 1 sample), sample rate varies per doc
-    * (8000 + doc_id%9 kHz steps). The FEATURES are thereby pure SQL
-    * functions of the text — the oracle recomputes the generation
-    * contract, the engine must recover it by PARSING the real bytes it
-    * wrote here. Binary little-endian header fields cannot ride a
-    * UTF-8 string concat, so the payload is built in a typed map. */
+  /** Documents table → VALID mixed-format PCM WAV payloads — the m06
+    * media fixture (the [[ppmFromDocuments]] convention on the audio
+    * axis), format cycling by doc_id%3 so one census run crosses the
+    * real crawl formats: 0 → u8 mono, 1 → s16le mono, 2 → s16le stereo.
+    * The u8-grain sample stream is the text's code points mod 256
+    * ('.' = 46 for the empty doc, so every object has >= 1 frame); s16
+    * carries it as `(v−128)·256` (so the decoder's `(v+32768)>>8`
+    * quantization recovers v exactly); the stereo right channel is the
+    * left shifted by +2 mod 256 — l and (l+2)%256 always share parity,
+    * so the decoder's floor channel average is the exact integer
+    * `(l+r)/2` the oracle mirrors. Sample rate varies per doc (8000 +
+    * doc_id%9 kHz steps). The FEATURES are thereby pure SQL functions
+    * of the text — the oracle recomputes the generation contract, the
+    * engine must recover it by PARSING the real bytes it wrote here.
+    * Binary little-endian header fields cannot ride a UTF-8 string
+    * concat, so the payload is built in a typed map. */
   def wavFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
       case (id, text) =>
         val cps = text.codePoints().toArray
-        val samples =
-          if (cps.isEmpty) Array('.'.toByte)
-          else cps.map(cp => (cp % 256).toByte)
-        MediaRecord(id, wavBytes(8000 + (id % 9).toInt * 1000, samples),
-          "audio/wav")
+        val v8 = if (cps.isEmpty) Array(46) else cps.map(_ % 256)
+        val rate = 8000 + (id % 9).toInt * 1000
+        def s16of(v: Int): Short = ((v - 128) * 256).toShort
+        val payload = (id % 3).toInt match {
+          case 0 => wavBytes(rate, v8.map(_.toByte))
+          case 1 => wavBytes16(rate, 1, v8.map(s16of))
+          case _ => wavBytes16(rate, 2,
+            v8.flatMap(v => Array(s16of(v), s16of((v + 2) % 256))))
+        }
+        MediaRecord(id, payload, "audio/wav")
     }
   }
 

@@ -948,7 +948,7 @@ object DocumentQueries {
     "d54_winnow_matches" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      winnowMatches(winnowFpTable(docs.filter($"doc_id" % 2 === 0)),
+      winnowMatches(winnowFpArtifact(docs.filter($"doc_id" % 2 === 0)),
         docs.filter($"doc_id" % 2 === 1))
     },
 
@@ -2414,14 +2414,23 @@ object DocumentQueries {
       .select($"doc_a", $"doc_b").distinct()
     // exact intersection counts: fp-keyed equi-joins between fp tables
     // (inner join per (pair, fp) is an exact count — fps are distinct
-    // within a doc by the ngramFps grain)
-    val nCommon = pairs
-      .join(grams.select($"doc_id".as("doc_a"), $"fp"), Seq("doc_a"))
-      .join(grams.select($"doc_id".as("doc_b"), $"fp"), Seq("doc_b", "fp"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
-    nCommon
+    // within a doc by the ngramFps grain). The first fan-out is keyed on
+    // the pair's SMALLER side (containment is |A∩B|/min(|A|,|B|), so the
+    // contained doc's fp set bounds both the answer and — probed first —
+    // the shuffled volume): a 10-token passage inside a 10k-token page
+    // ships ~10 (pair, fp) rows into the intersect join, not ~10k.
+    // n_common is symmetric, so the probe-side choice is hash-invariant.
+    val keyed = pairs
       .join(sizes.select($"doc_id".as("doc_a"), $"n_fps".as("n_a")), Seq("doc_a"))
       .join(sizes.select($"doc_id".as("doc_b"), $"n_fps".as("n_b")), Seq("doc_b"))
+      .withColumn("probe", when($"n_a" <= $"n_b", $"doc_a").otherwise($"doc_b"))
+      .withColumn("other", when($"n_a" <= $"n_b", $"doc_b").otherwise($"doc_a"))
+    val nCommon = keyed
+      .join(grams.select($"doc_id".as("probe"), $"fp"), Seq("probe"))
+      .join(grams.select($"doc_id".as("other"), $"fp"), Seq("other", "fp"))
+      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
+      .agg(count(lit(1)).as("n_common"))
+    nCommon
       .withColumn("containment",
         floor($"n_common".cast("double") / least($"n_a", $"n_b") * 10000)
           / 10000.0)
@@ -2503,6 +2512,32 @@ object DocumentQueries {
         .as("fp"))
   }
 
+  /** The PERSISTED form of [[winnowFpTable]]: (doc_id, fp, df) with the
+    * fp's document frequency stored IN the artifact — df is a property
+    * of the index, so it is paid once at build time (one fp-partitioned
+    * window count), not re-aggregated over the whole standing corpus on
+    * every probe (which at 100 TB is a full artifact pass per ingest
+    * batch). The `--winnowsigs` ingest sidecar writes this shape with
+    * BATCH-LOCAL df; global df is restored by [[foldWinnowSignatures]]
+    * (the read-side fold, and what `compact --winnowsigs` persists), the
+    * same generational contract as the d36 span-signature artifact. */
+  def winnowFpArtifact(docs: DataFrame, n: Int = 8): DataFrame =
+    foldWinnowSignatures(winnowFpTable(docs, n))
+
+  /** The winnow artifact's generation fold (the d36/d39 convention):
+    * rows are distinct (doc_id, fp) under the unique-doc_id ingest
+    * contract, so the fold is pure df recomputation — count rows per fp
+    * across every generation read. ONE definition shared by the read
+    * path and `compact --winnowsigs`, so compaction cannot disagree
+    * with what readers compute. */
+  def foldWinnowSignatures(fps: DataFrame): DataFrame = {
+    val s = fps.sparkSession
+    import s.implicits._
+    val base = if (fps.columns.contains("df")) fps.drop("df") else fps
+    base.withColumn("df",
+      count(lit(1)).over(Window.partitionBy($"fp")))
+  }
+
   /** d54 — incremental substring-dup match: an INCOMING batch against a
     * standing [[winnowFpTable]] corpus artifact (the d16/d36 convention
     * at the winnowed-fp grain). Per batch doc with ≥1 selected fp in
@@ -2519,17 +2554,22 @@ object DocumentQueries {
     * probe is one fp-keyed equi-join at winnowed density. Selected fps
     * hotter than `spark.graft.winnow.maxdf` corpus docs are dropped
     * whole before the probe — boilerplate carries no match identity,
-    * only a quadratic fan-out (the d16 MaxBandBucket argument); a real
-    * deployment stores the df column with the artifact and prunes at
-    * build time. */
+    * only a quadratic fan-out (the d16 MaxBandBucket argument). The df
+    * is READ from the artifact ([[winnowFpArtifact]]'s stored column —
+    * a pushed-down filter, zero corpus-side aggregates in the probe
+    * plan); generational artifacts restore global df via
+    * [[foldWinnowSignatures]] at compact or read time, never per probe. */
   def winnowMatches(corpusFps: DataFrame, batch: DataFrame,
       n: Int = 8): DataFrame = {
     val s = corpusFps.sparkSession
     import s.implicits._
+    require(corpusFps.columns.contains("df"),
+      "winnowMatches probes the winnowFpArtifact shape (doc_id, fp, df) " +
+        "— build the index with winnowFpArtifact / fold generations with " +
+        "foldWinnowSignatures; a df-less (doc_id, fp) table would force " +
+        "a full corpus-artifact aggregate on every probe")
     val maxDf = QueryConf.winnowMaxDf(s)
-    val dfs = corpusFps.groupBy($"fp").agg(count(lit(1)).as("df"))
-    val live = corpusFps
-      .join(dfs.filter($"df" <= maxDf).select($"fp"), Seq("fp"))
+    val live = corpusFps.filter($"df" <= maxDf)
     val shared = winnowFpTable(batch, n)
       .join(live.select($"fp", $"doc_id".as("match_doc_id")), Seq("fp"))
       .groupBy($"doc_id", $"match_doc_id").agg(count(lit(1)).as("n_shared"))

@@ -88,10 +88,13 @@ object MultimodalQueries {
     },
 
     // ---- m06: audio census — REAL RIFF/WAVE decode (chunk walk, fmt
-    // validation, odd-size pad bytes) over generated PCM-u8 payloads;
-    // the engine must parse the binary header it wrote, the oracle
-    // recomputes the generation contract (samples = code points mod
-    // 256) in SQL — the m01 convention on the audio axis --------------
+    // validation, odd-size pad bytes) over generated MIXED-FORMAT PCM
+    // payloads (doc_id%3: u8 mono / s16le mono / s16le stereo — real
+    // crawl audio is dominantly s16le); the engine must parse the
+    // binary headers and frames it wrote, the oracle recomputes the
+    // generation contract (u8-grain samples = code points mod 256;
+    // stereo = the exact (l + (l+2)%256)/2 downmix) in SQL — the m01
+    // convention on the audio axis ------------------------------------
     "m06_audio_census" -> { (s, dir) =>
       import s.implicits._
       Multimodal.audioFeatures(
@@ -283,10 +286,14 @@ object MultimodalQueries {
             CAST(max(df) AS BIGINT) AS max_df
           FROM f JOIN dfreq USING (fhash)
           GROUP BY doc_id ORDER BY doc_id""",
-    // m06: the generation contract replayed — samples are the text's
-    // code points mod 256 ('.' = 46 for empty docs), rate = 8000 +
-    // (doc_id % 9) kHz steps; duration/mean use // (positive-operand
-    // integer division, identical to the engine's Long division)
+    // m06: the generation contract replayed — u8-grain samples are the
+    // text's code points mod 256 ('.' = 46 for empty docs); stereo docs
+    // (doc_id%3=2) downmix to the exact integer (l + (l+2)%256)/2 (the
+    // parities match, so the engine's floor average is this // 2); s16
+    // carries (v-128)*256 which the decoder's (v+32768)>>8 inverts, so
+    // mono censuses are format-invariant. rate = 8000 + (doc_id % 9)
+    // kHz steps; duration/mean use // (positive-operand integer
+    // division, identical to the engine's Long division)
     "m06_audio_census" ->
       """WITH s AS (
            SELECT doc_id,
@@ -294,7 +301,11 @@ object MultimodalQueries {
                   ELSE list_transform(range(1, len(text) + 1),
                          i -> ascii(substr(text, i, 1)) % 256) END AS vs
            FROM documents),
-         u AS (SELECT doc_id, unnest(vs) AS v FROM s),
+         u AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 2 THEN (v0 + (v0 + 2) % 256) // 2
+                  ELSE v0 END AS v
+           FROM (SELECT doc_id, unnest(vs) AS v0 FROM s)),
          agg AS (
            SELECT doc_id, count(*) AS n_samples,
              sum(abs(v - 128)) AS sum_abs,
@@ -303,6 +314,10 @@ object MultimodalQueries {
            FROM u GROUP BY doc_id)
          SELECT doc_id,
            CAST(8000 + (doc_id % 9) * 1000 AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER)
+             AS bits,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS INTEGER)
+             AS channels,
            CAST(n_samples AS BIGINT) AS n_samples,
            CAST(n_samples * 1000 // (8000 + (doc_id % 9) * 1000)
              AS BIGINT) AS duration_ms,

@@ -109,7 +109,7 @@ object DocumentIngest {
     * the literal `spanSep` — [[graft.queries.DocumentQueries
     * .corpusParas]], the same segmentation the batch spandedup uses)
     * and the d53/d54 winnowed-fp index sidecar (`winnowDir` —
-    * [[graft.queries.DocumentQueries.winnowFpTable]] rows, the
+    * [[graft.queries.DocumentQueries.winnowFpArtifact]] rows, the
     * standing corpus side `winnowMatches` probes).
     * Each sidecar follows the same idempotency contract: one
     * overwrite-mode `batch=<id>` partition dir per micro-batch, so a
@@ -183,12 +183,16 @@ object DocumentIngest {
           // the d53/d54 winnowed-fp index sidecar: one compiled
           // graft_winnow pass over JUST the batch; the standing table
           // is d54's corpus side, so the lake is never re-winnowed.
-          // Build-time parameters (n=8, spark.graft.winnow.window,
-          // seed) must stay fixed for the artifact's lifetime — the
-          // winnowFpTable compatibility contract
+          // The artifact shape carries df (BATCH-LOCAL here; global
+          // after `compact --winnowsigs` / foldWinnowSignatures) so
+          // the d54 probe filters a stored column instead of paying a
+          // full index aggregate per batch. Build-time parameters
+          // (n=8, spark.graft.winnow.window, seed) must stay fixed for
+          // the artifact's lifetime — the winnowFpTable compatibility
+          // contract
           winnowDir.foreach { d =>
             graft.queries.DocumentQueries
-              .winnowFpTable(pinned.select(col("doc_id"), col("text")))
+              .winnowFpArtifact(pinned.select(col("doc_id"), col("text")))
               .write.mode("overwrite").parquet(s"$d/batch=$batchId")
           }
           decontamDir.foreach(d => decontamBatch(pinned, d, batchId, decontamN))

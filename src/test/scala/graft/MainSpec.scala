@@ -290,7 +290,7 @@ class MainSpec extends SparkSpec {
       s"$tmp/drop", s"$tmp/corpus", s"$tmp/ckpt"), Map.empty)
     assert(out == Seq("ingest query terminated"))
     val raw = spark.read.parquet(s"$tmp/winnow")
-    assert(raw.schema.fieldNames.toSet == Set("doc_id", "fp", "batch"))
+    assert(raw.schema.fieldNames.toSet == Set("doc_id", "fp", "df", "batch"))
     // the sidecar rows ARE winnowFpTable of the ingested corpus — the
     // lake never needs re-winnowing
     val expected = graft.queries.DocumentQueries
@@ -299,10 +299,11 @@ class MainSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(raw.select("doc_id", "fp").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet == expected)
-    // and the standing table answers a d54 probe: a batch doc carrying
-    // the indexed run matches doc 1
+    // and the standing table answers a d54 probe through the read-side
+    // fold (one ingest batch, so folded df == the stored batch-local
+    // df): a batch doc carrying the indexed run matches doc 1
     val probe = graft.queries.DocumentQueries.winnowMatches(
-      raw.select("doc_id", "fp"),
+      graft.queries.DocumentQueries.foldWinnowSignatures(raw.drop("batch")),
       Seq((7L, s"${words("x", 9)} $run ${words("y", 9)}"))
         .toDF("doc_id", "text")).collect()
     assert(probe.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
@@ -401,21 +402,34 @@ class MainSpec extends SparkSpec {
       "2 -> 1 generations"), out2.mkString("\n"))
     assert(spark.read.parquet(s"$tmp/sigs")
       .select("doc_id").distinct().count() == 40)
-    // the d53/d54 winnowed-fp sidecar: identity fold like --sigs,
-    // (row count, distinct docs) conserved and a d54 probe unchanged
+    // the d53/d54 winnowed-fp sidecar: the fold recomputes GLOBAL df
+    // over the concatenated generations (each wrote batch-local df);
+    // (row count, distinct docs, distinct fps) conserved
     val wdocs = docs.withColumn("text",
       org.apache.spark.sql.functions.expr(
         "concat(text, ' ', text)")) // ensure >= w grams per doc
-    DocumentQueries.winnowFpTable(wdocs.filter($"doc_id" < 20))
+    DocumentQueries.winnowFpArtifact(wdocs.filter($"doc_id" < 20))
       .write.parquet(s"$tmp/winnow/batch=0")
-    DocumentQueries.winnowFpTable(wdocs.filter($"doc_id" >= 20))
+    DocumentQueries.winnowFpArtifact(wdocs.filter($"doc_id" >= 20))
       .write.parquet(s"$tmp/winnow/batch=3")
     val preRows = spark.read.parquet(s"$tmp/winnow").count()
     val out3 = Main.run(spark, Seq("compact", s"$tmp/winnow", "--winnowsigs"),
       Map.empty)
     assert(out3.head.startsWith(s"compact task ended, $preRows rows kept, " +
       "2 -> 1 generations"), out3.mkString("\n"))
-    assert(spark.read.parquet(s"$tmp/winnow").count() == preRows)
+    val folded = spark.read.parquet(s"$tmp/winnow")
+    assert(folded.count() == preRows)
+    // the stored df IS the global census now: every row's df equals the
+    // fp's row count over the folded artifact (what a probe would
+    // otherwise have to re-aggregate)
+    val dfErrs = folded
+      .groupBy($"fp").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min($"df").as("lo"),
+        org.apache.spark.sql.functions.max($"df").as("hi"))
+      .filter($"n" =!= $"lo" || $"n" =!= $"hi").count()
+    assert(dfErrs == 0, s"$dfErrs fps with stored df != global row count")
     // a non-sidecar dir is refused loudly, not flattened
     val e = intercept[IllegalArgumentException] {
       Main.run(spark, Seq("compact", s"$tmp/sigs/batch=7", "--sigs"),

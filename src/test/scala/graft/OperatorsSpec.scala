@@ -2512,13 +2512,31 @@ class OperatorsSpec extends SparkSpec {
       (3L, words("z", 30)))                              // matches nothing
       .toDF("doc_id", "text")
     // artifact round-trip: the probe reads the PERSISTED index (the
-    // d16 signatureTable convention)
+    // d16 signatureTable convention) carrying its stored df column
     val idxDir = java.nio.file.Files
       .createTempDirectory("winnow-idx").toString
-    DocumentQueries.winnowFpTable(corpusDocs)
+    DocumentQueries.winnowFpArtifact(corpusDocs)
       .write.mode("overwrite").parquet(idxDir)
     val idx = spark.read.parquet(idxDir)
-    val out = DocumentQueries.winnowMatches(idx, batch).collect()
+    val probeFrame = DocumentQueries.winnowMatches(idx, batch)
+    // 100x plan audit: df comes from the artifact's STORED column, so
+    // the probe plans exactly ONE aggregate (the n_shared groupBy) —
+    // a corpus-wide df census here would be a full standing-index pass
+    // per ingest batch at 100 TB
+    val aggs = probeFrame.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1,
+      s"d54 probe must not re-aggregate the corpus artifact " +
+        s"(expected 1 Aggregate — the n_shared groupBy — got ${aggs.size})")
+    assert(aggs.head.groupingExpressions.size == 2,
+      "the probe's one aggregate is the (doc_id, match_doc_id) groupBy")
+    // a df-less index is refused loudly, not silently re-censused
+    val dfLess = intercept[IllegalArgumentException] {
+      DocumentQueries.winnowMatches(idx.drop("df"), batch)
+    }
+    assert(dfLess.getMessage.contains("winnowFpArtifact"))
+    val out = probeFrame.collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(1L),
       s"only the run carrier matches, got ${out.map(_.getLong(0)).toSeq}")
     assert(out.head.getLong(1) == 2L && out.head.getLong(2) >= 1L)
@@ -2527,7 +2545,7 @@ class OperatorsSpec extends SparkSpec {
     val hotCorpus = (10L to 18L by 2).map(id => (id, words("h", 30)))
       .toDF("doc_id", "text") // 5 identical corpus docs: every fp df=5
     val hotBatch = Seq((11L, words("h", 30))).toDF("doc_id", "text")
-    val hotIdx = DocumentQueries.winnowFpTable(hotCorpus)
+    val hotIdx = DocumentQueries.winnowFpArtifact(hotCorpus)
     assert(DocumentQueries.winnowMatches(hotIdx, hotBatch).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((11L, 10L)),
       "default cap: the copy group matches (best = min doc_id)")
@@ -2576,7 +2594,8 @@ class OperatorsSpec extends SparkSpec {
     // odd sample count ⇒ RIFF pad byte, total = 44 + 5 + 1
     assert(wav.length == 50)
     val d = Multimodal.decodeWav(wav)
-    assert(d == Multimodal.DecodedWav(8000, 5L, 2 + 128 + 127 + 28, 2L, 2L))
+    assert(d == Multimodal.DecodedWav(8000, 8, 1, 5L, 2 + 128 + 127 + 28,
+      2L, 2L))
     // a LIST metadata chunk between fmt and data must be skipped (with
     // its own odd-size pad): splice one in by hand
     val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
@@ -2589,20 +2608,63 @@ class OperatorsSpec extends SparkSpec {
     fixed(5) = ((newSize >> 8) & 0xff).toByte
     assert(Multimodal.decodeWav(fixed) == d,
       "LIST chunk must be skipped, census unchanged")
-    def rejects(mutate: Array[Byte] => Array[Byte], what: String): Unit = {
+    def rejects(bytes: Array[Byte], what: String): Unit = {
       val e = intercept[IllegalArgumentException] {
-        Multimodal.decodeWav(mutate(wav.clone()))
+        Multimodal.decodeWav(bytes)
       }
       assert(e.getMessage.contains("malformed media payload"), s"$what: $e")
     }
-    rejects(b => b.slice(0, 10), "truncated header")
-    rejects(b => { b(0) = 'X'; b }, "bad magic")
-    rejects(b => { b(22) = 2; b }, "stereo")
-    rejects(b => { b(34) = 16; b }, "16-bit")
-    rejects(b => { b(20) = 3; b }, "non-PCM float")
-    rejects(b => { b(4) = 99; b }, "wrong RIFF size")
+    def mut(f: Array[Byte] => Array[Byte]): Array[Byte] = f(wav.clone())
+    rejects(mut(b => b.slice(0, 10)), "truncated header")
+    rejects(mut(b => { b(0) = 'X'; b }), "bad magic")
+    // header claims stereo / 16-bit but block align still says 1 byte:
+    // inconsistent fmt fields must reject, never decode by one of them
+    rejects(mut(b => { b(22) = 2; b }), "stereo with block align 1")
+    rejects(mut(b => { b(34) = 16; b }), "16-bit with block align 1")
+    rejects(mut(b => { b(34) = 12; b(32) = 2; b }), "12-bit depth")
+    rejects(mut(b => { b(22) = 3; b(32) = 3; b }), "3 channels")
+    rejects(mut(b => { b(20) = 3; b }), "non-PCM float")
+    rejects(mut(b => { b(4) = 99; b }), "wrong RIFF size")
     // a data chunk whose declared size runs past the payload
-    rejects(b => { b(40) = 100; b }, "data size past end")
+    rejects(mut(b => { b(40) = 100; b }), "data size past end")
+    // a second fmt chunk must reject loudly, not overwrite the first
+    // (same discipline as the multiple-data guard): splice a copy of
+    // the fmt chunk (24 bytes at offset 12) before data, fix RIFF size
+    val twoFmt = {
+      val s2 = wav.slice(0, 36) ++ wav.slice(12, 36) ++
+        wav.slice(36, wav.length)
+      val n2 = s2.length - 8
+      s2(4) = (n2 & 0xff).toByte
+      s2(5) = ((n2 >> 8) & 0xff).toByte
+      s2
+    }
+    rejects(twoFmt, "multiple fmt chunks")
+
+    // --- s16le mono: the same u8-grain stream carried as (v-128)*256;
+    // the quantizer must recover the identical census at bits=16
+    val s16 = Multimodal.wavBytes16(8000, 1,
+      samples.map(b => (((b & 0xff) - 128) * 256).toShort))
+    assert(Multimodal.decodeWav(s16) ==
+      Multimodal.DecodedWav(8000, 16, 1, 5L, 2 + 128 + 127 + 28, 2L, 2L))
+    // --- s16le stereo: hand-built frames; downmix = floor((l+r)/2) at
+    // the 16-bit grain, then quantize. Frames (u8-grain l, r):
+    // (128,130)->129 dev 1 silent; (0,2)->1 dev 127; (255,253)->254
+    // dev 126; (100,104)->102 dev 26
+    val st = Multimodal.wavBytes16(8000, 2,
+      Array(128, 130, 0, 2, 255, 253, 100, 104)
+        .map(v => ((v - 128) * 256).toShort))
+    assert(Multimodal.decodeWav(st) ==
+      Multimodal.DecodedWav(8000, 16, 2, 4L, 1 + 127 + 126 + 26, 1L, 0L))
+    // s16 data not frame-aligned: chop one byte off data, fix sizes
+    val ragged = {
+      val r = s16.slice(0, s16.length - 1)
+      val n2 = r.length - 8
+      r(4) = (n2 & 0xff).toByte
+      r(5) = ((n2 >> 8) & 0xff).toByte
+      r(40) = ((s16(40) & 0xff) - 1).toByte // data size 10 -> 9
+      r
+    }
+    rejects(ragged, "s16 data not frame-aligned")
   }
 
   test("encoding anomaly: mojibake markers count exactly, clean accents " +
