@@ -8,7 +8,15 @@ import org.apache.spark.sql.SparkSession
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local(appName = "graft-probe")
+    // SPARK_GRAFT_CONF="k=v,k2=v2": extra session confs (e.g. a
+    // graft.exp.* experiment key) layered on the canonical session —
+    // the PerfAB injection point, available to byte/job probes too
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF")
+      .map(_.split(",").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }.toMap).getOrElse(Map.empty[String, String])
+    val spark = GraftSession.local(appName = "graft-probe",
+      extraConf = extraConf)
     val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     if (sys.env.contains("SPARK_GRAFT_JOBS")) {
       // durations come from the EVENTS' own time fields, not a clock read

@@ -69,23 +69,7 @@ object ScaleEtl {
     // e03's line shape + e02's duplicate discipline; key/bytes vary per
     // line, timestamps cover a full day so all 24 hour-partitions exist
     def genLines(n: Long, dir: String): Unit = {
-      val base = spark.range(n).select(concat_ws(" ",
-        lit("deadbeefowner0123456789abcdef"),
-        concat(lit("bucket-"), pmod($"id", lit(8))),
-        concat(lit("["),
-          date_format(timestamp_seconds(lit(1700000000L) + pmod($"id" * 131, lit(86400))),
-            "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000]")),
-        lit("192.0.2.9"), lit("arn:aws:iam::123456789012:user/t"),
-        concat(lit("R"), $"id"),
-        lit("REST.GET.OBJECT"),
-        concat(lit("data/k"), pmod($"id", lit(9973)), lit(".bin")),
-        concat(lit("\"GET /data/k"), pmod($"id", lit(9973)), lit(".bin HTTP/1.1\"")),
-        lit("200"), lit("-"),
-        pmod($"id" * 37, lit(1 << 20)).cast("string"),
-        lit("-"), lit("11"), lit("3"), lit("\"-\""),
-        lit("\"agent build x\""), lit("-"), lit("hostid/ex="), lit("SigV4"),
-        lit("ECDHE-RSA-AES128-GCM-SHA256"), lit("AuthHeader"),
-        lit("s3.example.com"), lit("TLSv1.2"), lit("-"), lit("Yes")).as("value"))
+      val base = ScaleEtl.logLines(spark, n)
       val dups = base.filter(pmod(xxhash64($"value"), lit(7)) === 0)
       base.unionAll(dups).repartition(32)
         .write.mode("overwrite").text(dir)
@@ -134,5 +118,33 @@ object ScaleEtl {
         Long.box(out), Int.box(f)))
     }
     spark.stop()
+  }
+
+  /** e03's synthetic access-log line shape, generated DISTRIBUTEDLY
+    * (spark.range → one concat_ws projection — no driver
+    * materialization): key/bytes vary per line, request ids are unique
+    * (line-level dedup keeps every base line), timestamps spread over a
+    * full day so the sink writes all 24 hour partitions. Shared by
+    * [[ScaleEtl]] and [[ScaleQueue]] so the file-fed and queue-fed
+    * measurements push byte-identical line populations. */
+  private[graft] def logLines(spark: SparkSession, n: Long) = {
+    import spark.implicits._
+    spark.range(n).select(concat_ws(" ",
+      lit("deadbeefowner0123456789abcdef"),
+      concat(lit("bucket-"), pmod($"id", lit(8))),
+      concat(lit("["),
+        date_format(timestamp_seconds(lit(1700000000L) + pmod($"id" * 131, lit(86400))),
+          "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000]")),
+      lit("192.0.2.9"), lit("arn:aws:iam::123456789012:user/t"),
+      concat(lit("R"), $"id"),
+      lit("REST.GET.OBJECT"),
+      concat(lit("data/k"), pmod($"id", lit(9973)), lit(".bin")),
+      concat(lit("\"GET /data/k"), pmod($"id", lit(9973)), lit(".bin HTTP/1.1\"")),
+      lit("200"), lit("-"),
+      pmod($"id" * 37, lit(1 << 20)).cast("string"),
+      lit("-"), lit("11"), lit("3"), lit("\"-\""),
+      lit("\"agent build x\""), lit("-"), lit("hostid/ex="), lit("SigV4"),
+      lit("ECDHE-RSA-AES128-GCM-SHA256"), lit("AuthHeader"),
+      lit("s3.example.com"), lit("TLSv1.2"), lit("-"), lit("Yes")).as("value"))
   }
 }

@@ -2414,23 +2414,22 @@ object DocumentQueries {
       .select($"doc_a", $"doc_b").distinct()
     // exact intersection counts: fp-keyed equi-joins between fp tables
     // (inner join per (pair, fp) is an exact count — fps are distinct
-    // within a doc by the ngramFps grain). The first fan-out is keyed on
-    // the pair's SMALLER side (containment is |A∩B|/min(|A|,|B|), so the
-    // contained doc's fp set bounds both the answer and — probed first —
-    // the shuffled volume): a 10-token passage inside a 10k-token page
-    // ships ~10 (pair, fp) rows into the intersect join, not ~10k.
-    // n_common is symmetric, so the probe-side choice is hash-invariant.
-    val keyed = pairs
+    // within a doc by the ngramFps grain). The doc_a-first keying was
+    // A/B'd against a probe-from-the-smaller-side rewrite (round 16,
+    // SCALE.md "d52 verify-keying A/B"): in the broadcast regime the
+    // candidate-pair frame rides a broadcast and the verify fan never
+    // touches shuffle AT ALL in either keying (byte-identical at 1M
+    // docs), with broadcasts force-disabled the small-side keying saves
+    // only the fan term (−17% bytes on a 75×-asymmetric corpus), and on
+    // the symmetric gate corpus it cost 2–4× WALL same-session — so the
+    // simple keying ships and the measurement stands in SCALE.md.
+    val nCommon = pairs
+      .join(grams.select($"doc_id".as("doc_a"), $"fp"), Seq("doc_a"))
+      .join(grams.select($"doc_id".as("doc_b"), $"fp"), Seq("doc_b", "fp"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
+    nCommon
       .join(sizes.select($"doc_id".as("doc_a"), $"n_fps".as("n_a")), Seq("doc_a"))
       .join(sizes.select($"doc_id".as("doc_b"), $"n_fps".as("n_b")), Seq("doc_b"))
-      .withColumn("probe", when($"n_a" <= $"n_b", $"doc_a").otherwise($"doc_b"))
-      .withColumn("other", when($"n_a" <= $"n_b", $"doc_b").otherwise($"doc_a"))
-    val nCommon = keyed
-      .join(grams.select($"doc_id".as("probe"), $"fp"), Seq("probe"))
-      .join(grams.select($"doc_id".as("other"), $"fp"), Seq("other", "fp"))
-      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
-      .agg(count(lit(1)).as("n_common"))
-    nCommon
       .withColumn("containment",
         floor($"n_common".cast("double") / least($"n_a", $"n_b") * 10000)
           / 10000.0)
