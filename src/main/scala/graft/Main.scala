@@ -34,17 +34,17 @@ import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Trans
   *       notifications arrive through the `graft-queue` connector over a
   *       [[graft.sources.FileQueue]] at `queueDir` — leases, sink-side
   *       ack after the transform lands, redelivery on crash.
-  *   ingest [--once] [--sigs <sigDir>] [--spansigs <dir>] [--winnowsigs <dir>] [--decontam <dir>] <dropDir> <corpusDir> <checkpointDir>
+  *   ingest [--once] [--sigs <sigDir>] [--spansigs <dir>] [--winnowsigs <dir>] [--repsigs <dir>] [--decontam <dir>] <dropDir> <corpusDir> <checkpointDir>
   *       training-corpus ingestion ([[graft.streaming.DocumentIngest]]):
   *       JSON-lines crawl drop → watermarked content-fingerprint dedup →
   *       lang-partitioned parquet corpus. `--sigs` maintains the d16
   *       signature-table artifact per micro-batch alongside the corpus;
-  *       `--spansigs` the d36 span-signature sidecar; `--winnowsigs`
+  *       `--spansigs` the d36 span-signature sidecar; `--repsigs` the d16/d24 rep-index sidecar; `--winnowsigs`
   *       the d53/d54 winnowed-fp index sidecar; `--decontam` the
   *       d39 ingest gate (each batch's train-side docs dispositioned
   *       against the standing eval n-gram artifact, report + artifact
   *       fold per batch).
-  *   compact <lakeDir> [--flat | --sigs | --spansigs | --evalsigs | --winnowsigs | <partitionCol>...]
+  *   compact <lakeDir> [--flat | --sigs | --spansigs | --evalsigs | --winnowsigs | --repsigs | <partitionCol>...]
   *       small-file compaction ([[graft.etl.Compact]]); partition columns
   *       auto-detected from the lake's hive directory names. `--flat`
   *       compacts an unpartitioned dir (e.g. the streaming signature
@@ -104,8 +104,8 @@ object Main {
       |  graft.Main transform [-o <outDir>] [--loop <seconds> [--iterations <n>]] [<input>...]
       |  graft.Main stream [--once] <landingDir> <outDir> <checkpointDir>
       |  graft.Main stream [--once] --queue-dir <queueDir> [--objects <objDir>] <outDir> <checkpointDir>
-      |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] [--winnowsigs <dir>] [--decontam <dir> [--decontam-n <k>]] [--quality-min <q> [--rejects <dir>]] <dropDir> <corpusDir> <checkpointDir>
-      |  graft.Main compact <lakeDir> [--flat | --sigs | --spansigs | --evalsigs | --winnowsigs | <partitionCol>...]
+      |  graft.Main ingest [--once] [--sigs <sigDir>] [--spansigs <dir> [--span-sep <s>]] [--winnowsigs <dir>] [--repsigs <dir>] [--decontam <dir> [--decontam-n <k>]] [--quality-min <q> [--rejects <dir>]] <dropDir> <corpusDir> <checkpointDir>
+      |  graft.Main compact <lakeDir> [--flat | --sigs | --spansigs | --evalsigs | --winnowsigs | --repsigs | <partitionCol>...]
       |  graft.Main dedup <corpusDir> <outDir> [--best]
       |  graft.Main spandedup <corpusDir> <outDir> [--sep <separator>]
       |  graft.Main curate <corpusDir> <outDir> [--quality-min <score>] [--best]
@@ -220,6 +220,13 @@ object Main {
         // fold); the standing table is what winnowMatches probes, so
         // the lake is never re-winnowed and never re-censused
         val winnowDir = iOpts.named.get("--winnowsigs")
+        // --repsigs <dir>: the d16/d24 probe-ready rep-index sidecar —
+        // each micro-batch signs itself once and appends rep-grain
+        // (fp, rep, mh, bands, bucket_ns, split) rows (rep/occupancy
+        // batch-local; global after compact's fold); the standing table
+        // is what incrementalMatchesIndexed probes, so the corpus is
+        // never re-collapsed or re-bucket-counted per ingest
+        val repSigDir = iOpts.named.get("--repsigs")
         // --decontam <dir>: the d39 ingest gate — per micro-batch,
         // disposition the batch's train-side docs against the standing
         // eval n-gram artifact (<dir>/evalsigs) and fold the batch's
@@ -257,13 +264,13 @@ object Main {
             "nothing is ever rejected")
         val writer =
           if (sigDir.isEmpty && spanSigDir.isEmpty && decontamDir.isEmpty &&
-              qualityMin.isEmpty && winnowDir.isEmpty)
+              qualityMin.isEmpty && winnowDir.isEmpty && repSigDir.isEmpty)
             graft.streaming.DocumentIngest
               .writer(ingestStream, corpus, checkpoint)
           else graft.streaming.DocumentIngest.writerWithArtifacts(
             ingestStream, corpus, sigDir, spanSigDir,
             iOpts.getOrElse("--span-sep", "\n\n"), checkpoint, decontamDir,
-            decontamN, qualityMin, rejectsDir, winnowDir)
+            decontamN, qualityMin, rejectsDir, winnowDir, repSigDir)
         val query =
           if (rest.contains("--once"))
             writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

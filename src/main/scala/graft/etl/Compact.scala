@@ -113,7 +113,7 @@ object Compact {
        org.apache.spark.sql.DataFrame => Seq[Long])] = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{coalesce, count, countDistinct,
-      lit, sum}
+      lit, min, sum}
     def longs(df: DataFrame,
         aggs: Seq[org.apache.spark.sql.Column]): Seq[Long] = {
       val r = df.agg(aggs.head, aggs.tail: _*).head
@@ -141,7 +141,15 @@ object Compact {
       "--winnowsigs" -> ((graft.queries.DocumentQueries.foldWinnowSignatures _,
         (df: DataFrame) =>
           longs(df, Seq(count(lit(1)), countDistinct(col("doc_id")),
-            countDistinct(col("fp")))))))
+            countDistinct(col("fp")))))),
+      // d16/d24 rep index: same-fp rows across generations MERGE (min
+      // rep = the global exact-dup representative) and bucket_ns is
+      // recomputed over the folded rep set — so row count shrinks by
+      // design; conserve = distinct fp count + the global min rep id
+      "--repsigs" -> ((graft.queries.DedupQueries.foldRepIndex _,
+        (df: DataFrame) =>
+          longs(df, Seq(countDistinct(col("fp")),
+            coalesce(min(col("rep")), lit(0L)))))))
   }
 
   /** Generation compaction for the `batch=`-partitioned signature

@@ -361,44 +361,142 @@ object DedupQueries {
     * Everything that shuffles is signatures and band keys — never text. */
   def incrementalMatches(corpusSigs: DataFrame, batchSigs: DataFrame): DataFrame = {
     val s = corpusSigs.sparkSession
-    import s.implicits._
     // persist only what this call materializes itself — a caller that
     // already cached its signature table keeps its cache afterwards
     val none = org.apache.spark.storage.StorageLevel.NONE
     val ownCorpus = corpusSigs.storageLevel == none
-    val ownBatch = batchSigs.storageLevel == none
     val corpus = if (ownCorpus) corpusSigs.persist() else corpusSigs
+    try incrementalMatchesIndexed(repIndex(corpus).materialize(), batchSigs)
+    finally { if (ownCorpus) corpus.unpersist(blocking = false) }
+  }
+
+  /** d16's probe-ready corpus artifact (round 16 — the d54/winnow
+    * convention at the signature grain): one row per DISTINCT content
+    * fingerprint, `(fp, rep, mh, bands, bucket_ns[, split])` —
+    * rep = the fp group's exact-dup representative (min doc_id, the ONE
+    * rep rule), mh/bands carried via first() (sound: an fp group is
+    * byte-identical text), and `bucket_ns` = the per-band-position
+    * occupancy of the rep's LSH buckets over the NON-SENTINEL rep set
+    * (null for the empty-doc sentinel fp, which never enters the near
+    * tier). Everything the incremental probe needs is thereby a STORED
+    * column: the exact tier is one fp equi-join, the near tier explodes
+    * bands zipped with their stored occupancy and filters the
+    * [[MaxBandBucket]] cap as a probe-time knob — at 100 TB each ingest
+    * batch probes the standing index without re-collapsing corpus reps
+    * or re-counting band buckets (which a raw signature table forces on
+    * EVERY probe — two full corpus-artifact aggregates per batch).
+    * Sidecar producer: ingest `--repsigs` writes this shape per batch
+    * with BATCH-LOCAL rep/occupancy; [[foldRepIndex]] (read-side fold,
+    * and what `compact --repsigs` persists) restores the global values —
+    * the winnowFpArtifact/foldWinnowSignatures contract. */
+  def repIndex(sigs: DataFrame): DataFrame = {
+    val s = sigs.sparkSession
+    import s.implicits._
+    val extra =
+      if (sigs.columns.contains("split")) Seq(first($"split").as("split"))
+      else Nil
+    val aggs = Seq(min($"doc_id").as("rep"), first($"mh").as("mh"),
+      first($"bands").as("bands")) ++ extra
+    withBucketNs(sigs.groupBy($"fp").agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** The rep-index generation fold: same-fp rows across generations
+    * merge (min rep — the global exact-dup representative; mh/bands are
+    * identical per fp by construction) and `bucket_ns` is recomputed
+    * over the folded rep set. ONE definition shared by the read path
+    * and `compact --repsigs`. */
+  def foldRepIndex(index: DataFrame): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    val extra =
+      if (index.columns.contains("split")) Seq(first($"split").as("split"))
+      else Nil
+    val aggs = Seq(min($"rep").as("rep"), first($"mh").as("mh"),
+      first($"bands").as("bands")) ++ extra
+    withBucketNs(index.drop("bucket_ns").groupBy($"fp").agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Attach `bucket_ns` (band-position-aligned LSH bucket occupancy over
+    * the non-sentinel rep set) to a rep-grain frame — the build/fold
+    * half of the [[repIndex]] contract. The reps frame feeds both the
+    * occupancy derivation and the final join, so it is materialized
+    * once (the d41/d47 multi-consumer barrier); this is artifact-BUILD
+    * code, never probe code, so the eager barrier is the point. */
+  private def withBucketNs(reps0: DataFrame): DataFrame = {
+    val s = reps0.sparkSession
+    import s.implicits._
+    val reps = reps0.materialize()
+    val ns = reps
+      .filter(element_at($"mh", 1) =!= P)
+      .select($"fp", posexplode_outer($"bands").as(Seq("band_id", "band_key")))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy($"band_id", $"band_key")))
+      .groupBy($"fp")
+      .agg(expr("transform(array_sort(collect_list(struct(band_id, bucket_n)))," +
+        " x -> x.bucket_n)").as("bucket_ns"))
+    reps.join(ns, Seq("fp"), "left")
+  }
+
+  /** [[incrementalMatches]] over a stored [[repIndex]] artifact — the
+    * probe itself: zero corpus-side aggregates in the plan (spec-pinned
+    * in OperatorsSpec). The batch side signs and collapses ITSELF (one
+    * ingest's docs); the corpus side is read, never recomputed. */
+  def incrementalMatchesIndexed(index: DataFrame, batchSigs: DataFrame): DataFrame = {
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val ownBatch = batchSigs.storageLevel == none
     val batch = if (ownBatch) batchSigs.persist() else batchSigs
-    try {
-      val exact = batch
-        .join(corpus.groupBy($"fp").agg(min($"doc_id").as("match_id")), "fp")
-        .select($"doc_id", $"match_id", lit(1.0).as("sim"))
-      val cBands = cappedBands(representatives(corpus), col("mh"))
-      val bBands = representatives(batch)
-        .select($"doc_id".as("b_id"), $"mh".as("b_mh"),
-          posexplode_outer($"bands").as(Seq("b_band_id", "b_band_key")))
-      val nearRep = bBands
-        .join(cBands,
-          $"b_band_id" === $"band_id" && $"b_band_key" === $"band_key")
-        .select($"b_id", $"doc_id".as("c_id"),
-          round(expr("graft_eq_count(b_mh, mh)") / lit(K.toDouble), 4)
-            .as("sim"))
-        .distinct()
-        .filter($"sim" >= 0.5)
-      val batchRepOf = memberReps(batch)
-      val near = batchRepOf
-        .join(nearRep, $"rep" === $"b_id")
-        .select($"doc_id", $"c_id".as("match_id"), $"sim")
-      val w = Window.partitionBy($"doc_id").orderBy($"sim".desc, $"match_id")
-      exact.union(near)
-        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-        .select($"doc_id", $"match_id".as("match_doc_id"),
-          $"sim".as("similarity"))
-        .materialize()
-    } finally {
-      if (ownCorpus) corpus.unpersist(blocking = false)
-      if (ownBatch) batch.unpersist(blocking = false)
-    }
+    try indexedProbePlan(index, batch).materialize()
+    finally { if (ownBatch) batch.unpersist(blocking = false) }
+  }
+
+  /** The indexed probe's LAZY plan — split out so OperatorsSpec can
+    * audit it for corpus-side aggregates (the shipped probe
+    * materializes eagerly, which truncates lineage before any plan walk
+    * could see the shape being asserted). */
+  private[graft] def indexedProbePlan(index: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    require(Seq("rep", "bucket_ns").forall(index.columns.contains),
+      "incrementalMatchesIndexed probes the repIndex shape (fp, rep, mh, " +
+        "bands, bucket_ns) — build the standing index with repIndex / fold " +
+        "generations with foldRepIndex; a raw signature table would force " +
+        "corpus-wide rep + bucket aggregates on every probe")
+    val exact = batch
+      .join(index.select($"fp", $"rep".as("match_id")), "fp")
+      .select($"doc_id", $"match_id", lit(1.0).as("sim"))
+    // near tier off STORED occupancy: bands zipped with bucket_ns by
+    // position, the MaxBandBucket cap filtering a stored column (the
+    // winnow.maxdf shape — the cap stays a probe-time knob); sentinel
+    // fps (empty docs) are a projection filter, not an aggregate
+    val cBands = index
+      .filter(element_at($"mh", 1) =!= P)
+      .select($"rep".as("doc_id"), $"mh",
+        posexplode_outer(expr("arrays_zip(bands, bucket_ns)"))
+          .as(Seq("band_id", "bz")))
+      .select($"doc_id", $"mh", $"band_id",
+        $"bz.bands".as("band_key"), $"bz.bucket_ns".as("bucket_n"))
+      .filter($"bucket_n" <= MaxBandBucket)
+    val bBands = representatives(batch)
+      .select($"doc_id".as("b_id"), $"mh".as("b_mh"),
+        posexplode_outer($"bands").as(Seq("b_band_id", "b_band_key")))
+    val nearRep = bBands
+      .join(cBands,
+        $"b_band_id" === $"band_id" && $"b_band_key" === $"band_key")
+      .select($"b_id", $"doc_id".as("c_id"),
+        round(expr("graft_eq_count(b_mh, mh)") / lit(K.toDouble), 4)
+          .as("sim"))
+      .distinct()
+      .filter($"sim" >= 0.5)
+    val batchRepOf = memberReps(batch)
+    val near = batchRepOf
+      .join(nearRep, $"rep" === $"b_id")
+      .select($"doc_id", $"c_id".as("match_id"), $"sim")
+    val w = Window.partitionBy($"doc_id").orderBy($"sim".desc, $"match_id")
+    exact.union(near)
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"doc_id", $"match_id".as("match_doc_id"),
+        $"sim".as("similarity"))
   }
 
   /** d24: INCREMENTAL train/test contamination — the per-ingest form of

@@ -137,7 +137,8 @@ object DocumentIngest {
       decontamN: Int = 8,
       qualityMin: Option[Double] = None,
       rejectsDir: Option[String] = None,
-      winnowDir: Option[String] = None): DataStreamWriter[Row] =
+      winnowDir: Option[String] = None,
+      repSigDir: Option[String] = None): DataStreamWriter[Row] =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -193,6 +194,17 @@ object DocumentIngest {
           winnowDir.foreach { d =>
             graft.queries.DocumentQueries
               .winnowFpArtifact(pinned.select(col("doc_id"), col("text")))
+              .write.mode("overwrite").parquet(s"$d/batch=$batchId")
+          }
+          // the d16/d24 probe-ready rep-index sidecar: one signature
+          // pass over JUST the batch collapsed to rep grain with
+          // batch-local bucket occupancy; global rep/occupancy restored
+          // by `compact --repsigs` / foldRepIndex — each future ingest
+          // probes the standing index without re-aggregating the corpus
+          repSigDir.foreach { d =>
+            graft.queries.DedupQueries.repIndex(
+              graft.queries.DedupQueries.signatureTable(
+                pinned.select(col("doc_id"), col("text")), withSplit = true))
               .write.mode("overwrite").parquet(s"$d/batch=$batchId")
           }
           decontamDir.foreach(d => decontamBatch(pinned, d, batchId, decontamN))

@@ -286,9 +286,20 @@ class MainSpec extends SparkSpec {
         .mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val out = Main.run(spark, Seq("ingest", "--once",
-      "--winnowsigs", s"$tmp/winnow",
+      "--winnowsigs", s"$tmp/winnow", "--repsigs", s"$tmp/repidx",
       s"$tmp/drop", s"$tmp/corpus", s"$tmp/ckpt"), Map.empty)
     assert(out == Seq("ingest query terminated"))
+    // the rep-index sidecar rides the same batch: probe-ready shape,
+    // and a d16 probe through it finds the planted run carrier's twin
+    val ridx = spark.read.parquet(s"$tmp/repidx")
+    assert(ridx.schema.fieldNames.toSet ==
+      Set("fp", "rep", "mh", "bands", "bucket_ns", "split", "batch"))
+    val riProbe = graft.queries.DedupQueries.incrementalMatchesIndexed(
+      graft.queries.DedupQueries.foldRepIndex(ridx.drop("batch")),
+      graft.queries.DedupQueries.signatureTable(
+        Seq((9L, words("c", 40))).toDF("doc_id", "text"))).collect()
+    assert(riProbe.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((9L, 2L)), s"rep-index probe: ${riProbe.mkString(",")}")
     val raw = spark.read.parquet(s"$tmp/winnow")
     assert(raw.schema.fieldNames.toSet == Set("doc_id", "fp", "df", "batch"))
     // the sidecar rows ARE winnowFpTable of the ingested corpus — the
@@ -430,6 +441,23 @@ class MainSpec extends SparkSpec {
         org.apache.spark.sql.functions.max($"df").as("hi"))
       .filter($"n" =!= $"lo" || $"n" =!= $"hi").count()
     assert(dfErrs == 0, s"$dfErrs fps with stored df != global row count")
+    // the d16/d24 rep-index sidecar: same-fp rows MERGE across
+    // generations (global min rep), bucket_ns recomputed over the
+    // folded rep set — the result must equal the single-build index
+    DedupQueries.repIndex(DedupQueries.signatureTable(docs.filter($"doc_id" < 20)))
+      .write.parquet(s"$tmp/repidx/batch=0")
+    DedupQueries.repIndex(DedupQueries.signatureTable(docs.filter($"doc_id" >= 20)))
+      .write.parquet(s"$tmp/repidx/batch=5")
+    val out4 = Main.run(spark, Seq("compact", s"$tmp/repidx", "--repsigs"),
+      Map.empty)
+    assert(out4.head.contains("2 -> 1 generations"), out4.mkString("\n"))
+    def idxRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("fp", "rep", "bucket_ns").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getSeq[Long](2)).map(_.toList))).toSet
+    assert(idxRows(spark.read.parquet(s"$tmp/repidx").drop("batch")) ==
+      idxRows(DedupQueries.repIndex(DedupQueries.signatureTable(docs))),
+      "compacted rep index != single-build index")
     // a non-sidecar dir is refused loudly, not flattened
     val e = intercept[IllegalArgumentException] {
       Main.run(spark, Seq("compact", s"$tmp/sigs/batch=7", "--sigs"),

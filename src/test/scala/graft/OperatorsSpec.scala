@@ -2025,6 +2025,62 @@ class OperatorsSpec extends SparkSpec {
       s"stored-signature matches diverge: ${viaStored.size} vs ${direct.size}")
   }
 
+  test("rep-index artifact: the stored (fp, rep, mh, bands, bucket_ns) " +
+    "table answers a d16 probe bit-identically with zero corpus-side " +
+    "aggregates; generations fold; a raw signature table is refused (d16/r16)") {
+    import spark.implicits._
+    val docs = Tables(spark, sfSmoke, "documents")
+    val corpusDocs = docs.filter(col("doc_id") % 7 =!= 0)
+    val batchSigs = DedupQueries.signatureTable(docs.filter(col("doc_id") % 7 === 0))
+    // build + parquet round-trip (the d54 winnow-artifact convention)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-repidx").toString
+    DedupQueries.repIndex(DedupQueries.signatureTable(corpusDocs))
+      .write.parquet(s"$tmp/idx")
+    val idx = spark.read.parquet(s"$tmp/idx")
+    // 100x plan audit over the LAZY probe plan (the shipped probe
+    // materializes eagerly): every aggregate must be batch- or
+    // pair-scoped. An aggregate whose subtree reads ONLY the stored
+    // index is a corpus-wide pass per ingest batch — exactly the cost
+    // the artifact exists to remove (pair-scoped aggregates like the
+    // candidate distinct legitimately have the index among their JOIN
+    // inputs and are fine)
+    val offenders = DedupQueries.indexedProbePlan(idx, batchSigs)
+      .queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.collectLeaves().nonEmpty && a.collectLeaves()
+              .forall(_.toString.contains("graft-repidx")) => a
+      }
+    assert(offenders.isEmpty,
+      s"d16 probe re-aggregates the stored index:\n${offenders.mkString("\n")}")
+    // equivalence: indexed probe == the raw-signature convenience path
+    val direct = DedupQueries.incrementalMatches(
+        DedupQueries.signatureTable(corpusDocs), batchSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIdx = DedupQueries.incrementalMatchesIndexed(idx, batchSigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIdx == direct && direct.nonEmpty,
+      s"indexed matches diverge: ${viaIdx.size} vs ${direct.size}")
+    // generation fold: two batch-local generations merge to the global
+    // index — same fps, global min rep, occupancy == the single-build one
+    val g0 = DedupQueries.repIndex(
+      DedupQueries.signatureTable(corpusDocs.filter(col("doc_id") < 300)))
+    val g1 = DedupQueries.repIndex(
+      DedupQueries.signatureTable(corpusDocs.filter(col("doc_id") >= 300)))
+    val folded = DedupQueries.foldRepIndex(g0.unionByName(g1))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getSeq[Long](4)).map(_.toList))).toSet
+    val oneShot = DedupQueries.repIndex(DedupQueries.signatureTable(corpusDocs))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getSeq[Long](4)).map(_.toList))).toSet
+    assert(folded == oneShot, "folded generations != single-build index")
+    // a raw signature table is refused loudly, never silently re-censused
+    val raw = intercept[IllegalArgumentException] {
+      DedupQueries.incrementalMatchesIndexed(
+        DedupQueries.signatureTable(corpusDocs), batchSigs)
+    }
+    assert(raw.getMessage.contains("repIndex"), raw.getMessage)
+  }
+
   test("contamination matches a brute-force recompute on the gate corpus (d14)") {
     val docs = Tables(spark, sfSmoke, "documents")
     val splits = DocumentQueries.queries("d13_split_assign")(spark, sfSmoke)
