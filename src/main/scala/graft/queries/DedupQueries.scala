@@ -534,111 +534,162 @@ object DedupQueries {
     * fingerprints back to the signature table instead of window-shuffling
     * the whole corpus. Nothing that moves is wider than a signature row. */
   def incrementalContamination(corpusSigs: DataFrame, batchSigs: DataFrame): DataFrame = {
-    val s = corpusSigs.sparkSession
-    import s.implicits._
-    // loud schema gate: an artifact written before the split column
-    // existed (pre-round-11 `--sigs` output) must fail HERE with a
-    // migration message, not as an unresolved-column error deep in the
-    // plan — and never as a silently-empty result (a mixed-schema sigDir
-    // read without mergeSchema can surface the column but null it for
-    // old partitions; see the DocumentIngest migration note)
-    for ((df, side) <- Seq((corpusSigs, "corpus"), (batchSigs, "batch")))
-      require(df.columns.contains("split"),
-        s"incrementalContamination: $side signature table has no 'split' " +
-          "column — it was written by a pre-split signatureTable; re-sign " +
-          "that corpus once with signatureTable(docs, withSplit = true)")
-    // ...and the column-exists check alone cannot catch the MIXED dir
-    // (new-schema footer sampled, old partitions read split=null — the
-    // silently-empty shape): a per-row null trip riding the existing
-    // projection turns that into a loud error too. signatureTable never
-    // emits a null split, so any null here IS a pre-split partition.
-    def guarded(df: DataFrame, side: String): DataFrame =
-      df.withColumn("split",
-        when($"split".isNull, raise_error(lit(
-          s"incrementalContamination: null 'split' in the $side signature " +
-            "table — mixed pre-/post-split partitions under one sigDir; " +
-            "re-sign the corpus (see DocumentIngest migration note)")))
-          .otherwise($"split"))
+    requireSplitColumn(corpusSigs, "corpus")
+    requireSplitColumn(batchSigs, "batch")
     val none = org.apache.spark.storage.StorageLevel.NONE
     val ownCorpus = corpusSigs.storageLevel == none
     val ownBatch = batchSigs.storageLevel == none
-    val corpus = if (ownCorpus) guarded(corpusSigs, "corpus").persist()
-                 else guarded(corpusSigs, "corpus")
-    val batch = if (ownBatch) guarded(batchSigs, "batch").persist()
-                else guarded(batchSigs, "batch")
+    val corpus = if (ownCorpus) splitGuarded(corpusSigs, "corpus").persist()
+                 else splitGuarded(corpusSigs, "corpus")
+    val batch = if (ownBatch) splitGuarded(batchSigs, "batch").persist()
+                else splitGuarded(batchSigs, "batch")
     var ownedPairs: Option[DataFrame] = None
     try {
-      // exact-dup representatives per side — the shared collapse, split
-      // carried through it (sound: an fp group is byte-identical text,
-      // and identical text has identical split bucket); fp retained for
-      // the member expansion below
-      def reps(sigs: DataFrame): DataFrame =
-        representatives(sigs, keepFp = true, "split")
-          .withColumnRenamed("doc_id", "rep")
-      val cReps = reps(corpus)
-      val bReps = reps(batch)
-      // corpus bands capped (the d16 asymmetry: degenerate CORPUS buckets
-      // carry no selectivity); batch bands exploded plain — the batch is
-      // one ingest's docs. `fp` rides the explode (one md5 per band row)
-      // so the hit fingerprints fall out of repPairs directly — the
-      // alternative, joining hits back to cReps, would re-run the
-      // corpus-wide fp groupBy a second time inside the same action.
-      val cBands = cappedBands(
-        cReps.select($"rep".as("doc_id"), $"mh", $"bands", $"split", $"fp"),
-        col("mh"), col("split"), col("fp"))
-      val bBands = bReps
-        .select($"rep".as("b_rep"), $"mh".as("b_mh"), $"split".as("b_split"),
-          posexplode_outer($"bands").as(Seq("b_band_id", "b_band_key")))
-      // cached: referenced twice below (hit-fp broadcast + member
-      // expansion) — without the persist the dominant stage chain (reps
-      // groupBy → capped-band window → band join → distinct) would plan
-      // and run twice inside the one checkpoint action, the same
-      // double-evaluation d14 caches its `nd` to avoid
-      val repPairs = bBands
-        .join(cBands,
-          $"b_band_id" === $"band_id" && $"b_band_key" === $"band_key")
-        .select($"b_rep", $"b_split", $"doc_id".as("c_rep"),
-          $"split".as("c_split"), $"fp".as("c_fp"),
-          round(expr("graft_eq_count(b_mh, mh)") / lit(K.toDouble), 4)
-            .as("sim"))
-        .distinct()
-        .filter($"sim" >= 0.5)
-        .filter(($"b_split" === "test" && $"c_split" === "train") ||
-          ($"b_split" === "train" && $"c_split" === "test"))
-        .persist()
-      ownedPairs = Some(repPairs)
-      // member expansion. Corpus side: only fp groups that actually hit —
-      // a broadcast of the (bounded) hit fingerprints back onto the
-      // signature table, never a corpus-wide window (and never a second
-      // corpus groupBy: c_fp rode the band join). Batch side: plain
-      // fp-group join, batch-sized.
-      val cHitFps = repPairs.select($"c_rep", $"c_fp".as("fp")).distinct()
-      val cMembers = corpus.select($"doc_id".as("c_member"), $"fp")
-        .join(broadcast(cHitFps), "fp")
-        .select($"c_member", $"c_rep")
-      val bMembers = batch.select($"doc_id".as("b_member"), $"fp")
-        .join(bReps.select($"fp", $"rep".as("b_rep")), "fp")
-        .select($"b_member", $"b_rep")
-      val memberPairs = repPairs
-        .join(bMembers, "b_rep")
-        .join(cMembers, "c_rep")
-        .select(
-          when($"b_split" === "test", $"b_member").otherwise($"c_member")
-            .as("test_id"),
-          when($"b_split" === "test", $"c_member").otherwise($"b_member")
-            .as("train_id"),
-          $"sim")
-      val w = Window.partitionBy($"test_id").orderBy($"sim".desc, $"train_id")
-      memberPairs
-        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-        .select($"test_id".as("doc_id"), $"train_id".as("train_doc_id"),
-          $"sim".as("similarity"))
+      // inline index build (the persisted-artifact path is
+      // incrementalContaminationIndexed): the guarded corpus feeds the
+      // build, so a mixed pre-/post-split sigDir trips loudly here too
+      val idx = repIndex(corpus).materialize()
+      indexedContamProbe(idx, corpus, batch,
+        { df => val p = df.persist(); ownedPairs = Some(p); p })
         .materialize()
     } finally {
       ownedPairs.foreach(_.unpersist(blocking = false))
       if (ownCorpus) corpus.unpersist(blocking = false)
       if (ownBatch) batch.unpersist(blocking = false)
     }
+  }
+
+  /** [[incrementalContamination]] over a stored [[repIndex]] artifact
+    * (the `--repsigs` sidecar, split carried — build it from withSplit
+    * signature tables): the corpus-side rep collapse AND the bucket
+    * census come from STORED columns, so the probe plans zero
+    * corpus-wide aggregates. The doc-grain `corpusSigs` table is still
+    * an input — the member expansion needs fp-group MEMBERS — but it is
+    * touched only by a broadcast semi-join of the (bounded) hit
+    * fingerprints, never aggregated. */
+  def incrementalContaminationIndexed(index: DataFrame,
+      corpusSigs: DataFrame, batchSigs: DataFrame): DataFrame = {
+    require(Seq("rep", "bucket_ns", "split").forall(index.columns.contains),
+      "incrementalContaminationIndexed probes the split-carrying repIndex " +
+        "shape (fp, rep, mh, bands, bucket_ns, split) — build the standing " +
+        "index with repIndex over signatureTable(docs, withSplit = true) " +
+        "(the --repsigs sidecar) / fold generations with foldRepIndex")
+    requireSplitColumn(corpusSigs, "corpus")
+    requireSplitColumn(batchSigs, "batch")
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val ownCorpus = corpusSigs.storageLevel == none
+    val ownBatch = batchSigs.storageLevel == none
+    val corpus = if (ownCorpus) splitGuarded(corpusSigs, "corpus").persist()
+                 else splitGuarded(corpusSigs, "corpus")
+    val batch = if (ownBatch) splitGuarded(batchSigs, "batch").persist()
+                else splitGuarded(batchSigs, "batch")
+    var ownedPairs: Option[DataFrame] = None
+    try indexedContamProbe(index, corpus, batch,
+        { df => val p = df.persist(); ownedPairs = Some(p); p })
+      .materialize()
+    finally {
+      ownedPairs.foreach(_.unpersist(blocking = false))
+      if (ownCorpus) corpus.unpersist(blocking = false)
+      if (ownBatch) batch.unpersist(blocking = false)
+    }
+  }
+
+  /** Loud schema gate: an artifact written before the split column
+    * existed (pre-round-11 `--sigs` output) must fail HERE with a
+    * migration message, not as an unresolved-column error deep in the
+    * plan — and never as a silently-empty result (a mixed-schema sigDir
+    * read without mergeSchema can surface the column but null it for
+    * old partitions; see the DocumentIngest migration note). */
+  private def requireSplitColumn(df: DataFrame, side: String): Unit =
+    require(df.columns.contains("split"),
+      s"incrementalContamination: $side signature table has no 'split' " +
+        "column — it was written by a pre-split signatureTable; re-sign " +
+        "that corpus once with signatureTable(docs, withSplit = true)")
+
+  /** The column-exists check alone cannot catch the MIXED dir
+    * (new-schema footer sampled, old partitions read split=null — the
+    * silently-empty shape): a per-row null trip riding the existing
+    * projection turns that into a loud error too. signatureTable never
+    * emits a null split, so any null here IS a pre-split partition. */
+  private def splitGuarded(df: DataFrame, side: String): DataFrame =
+    df.withColumn("split",
+      when(col("split").isNull, raise_error(lit(
+        s"incrementalContamination: null 'split' in the $side signature " +
+          "table — mixed pre-/post-split partitions under one sigDir; " +
+          "re-sign the corpus (see DocumentIngest migration note)")))
+        .otherwise(col("split")))
+
+  /** d24's probe body over a rep-index corpus side — LAZY (the public
+    * entry points materialize; OperatorsSpec audits this plan), with
+    * `cache` as the caller's persistence hook for the twice-consumed
+    * rep-pair frame. */
+  private[graft] def indexedContamProbe(index: DataFrame, corpus: DataFrame,
+      batch: DataFrame,
+      cache: DataFrame => DataFrame = identity): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    // corpus side entirely from STORED columns: sentinel fps filtered by
+    // projection, bands zipped with their stored bucket occupancy, the
+    // MaxBandBucket cap a probe-time filter (the d16-indexed shape);
+    // `fp` rides the explode so the hit fingerprints fall out of
+    // repPairs directly — never a join back through a corpus aggregate
+    val cBands = index
+      .filter(element_at($"mh", 1) =!= P)
+      .select($"rep".as("doc_id"), $"mh", $"split", $"fp",
+        posexplode_outer(expr("arrays_zip(bands, bucket_ns)"))
+          .as(Seq("band_id", "bz")))
+      .select($"doc_id", $"mh", $"split", $"fp", $"band_id",
+        $"bz.bands".as("band_key"), $"bz.bucket_ns".as("bucket_n"))
+      .filter($"bucket_n" <= MaxBandBucket)
+    // batch side signs and collapses ITSELF (one ingest's docs; split
+    // carried — sound: an fp group is byte-identical text, and identical
+    // text has identical split bucket)
+    val bReps = representatives(batch, keepFp = true, "split")
+      .withColumnRenamed("doc_id", "rep")
+    val bBands = bReps
+      .select($"rep".as("b_rep"), $"mh".as("b_mh"), $"split".as("b_split"),
+        posexplode_outer($"bands").as(Seq("b_band_id", "b_band_key")))
+    // cached by the caller: referenced twice below (hit-fp broadcast +
+    // member expansion) — without the persist the dominant stage chain
+    // (band join → distinct) would plan and run twice inside the one
+    // checkpoint action, the same double-evaluation d14 caches its `nd`
+    // to avoid
+    val repPairs = cache(bBands
+      .join(cBands,
+        $"b_band_id" === $"band_id" && $"b_band_key" === $"band_key")
+      .select($"b_rep", $"b_split", $"doc_id".as("c_rep"),
+        $"split".as("c_split"), $"fp".as("c_fp"),
+        round(expr("graft_eq_count(b_mh, mh)") / lit(K.toDouble), 4)
+          .as("sim"))
+      .distinct()
+      .filter($"sim" >= 0.5)
+      .filter(($"b_split" === "test" && $"c_split" === "train") ||
+        ($"b_split" === "train" && $"c_split" === "test")))
+    // member expansion. Corpus side: only fp groups that actually hit —
+    // a broadcast of the (bounded) hit fingerprints back onto the
+    // doc-grain signature table, never a corpus-wide window or groupBy.
+    // Batch side: plain fp-group join, batch-sized.
+    val cHitFps = repPairs.select($"c_rep", $"c_fp".as("fp")).distinct()
+    val cMembers = corpus.select($"doc_id".as("c_member"), $"fp")
+      .join(broadcast(cHitFps), "fp")
+      .select($"c_member", $"c_rep")
+    val bMembers = batch.select($"doc_id".as("b_member"), $"fp")
+      .join(bReps.select($"fp", $"rep".as("b_rep")), "fp")
+      .select($"b_member", $"b_rep")
+    val memberPairs = repPairs
+      .join(bMembers, "b_rep")
+      .join(cMembers, "c_rep")
+      .select(
+        when($"b_split" === "test", $"b_member").otherwise($"c_member")
+          .as("test_id"),
+        when($"b_split" === "test", $"c_member").otherwise($"b_member")
+          .as("train_id"),
+        $"sim")
+    val w = Window.partitionBy($"test_id").orderBy($"sim".desc, $"train_id")
+    memberPairs
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"test_id".as("doc_id"), $"train_id".as("train_doc_id"),
+        $"sim".as("similarity"))
   }
 
   /** d14: train/test contamination — the question a training pipeline

@@ -2081,6 +2081,45 @@ class OperatorsSpec extends SparkSpec {
     assert(raw.getMessage.contains("repIndex"), raw.getMessage)
   }
 
+  test("rep-index artifact drives the d24 contamination probe: stored " +
+    "split-carrying index == raw path, zero index-side aggregates, " +
+    "split-less index refused (d24/r16)") {
+    import spark.implicits._
+    val docs = Tables(spark, sfSmoke, "documents")
+    val corpusSigs = DedupQueries.signatureTable(
+      docs.filter($"doc_id" % 2 === 0), withSplit = true)
+    val batchSigs = DedupQueries.signatureTable(
+      docs.filter($"doc_id" % 2 === 1), withSplit = true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-repidx24").toString
+    DedupQueries.repIndex(corpusSigs).write.parquet(s"$tmp/idx")
+    val idx = spark.read.parquet(s"$tmp/idx")
+    assert(idx.columns.contains("split"),
+      "a withSplit signature table must yield a split-carrying index")
+    // plan audit on the lazy probe body: no aggregate may read ONLY the
+    // stored index (pair-scoped aggregates legitimately join it)
+    val offenders = DedupQueries.indexedContamProbe(idx, corpusSigs, batchSigs)
+      .queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.collectLeaves().nonEmpty && a.collectLeaves()
+              .forall(_.toString.contains("graft-repidx24")) => a
+      }
+    assert(offenders.isEmpty,
+      s"d24 probe re-aggregates the stored index:\n${offenders.mkString("\n")}")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = rows(DedupQueries.incrementalContamination(corpusSigs, batchSigs))
+    val viaIdx = rows(DedupQueries.incrementalContaminationIndexed(
+      idx, corpusSigs, batchSigs))
+    assert(viaIdx == direct, s"indexed d24 diverges: ${viaIdx.size} vs ${direct.size}")
+    // a split-less index (built from a split-less sig table) is refused
+    val noSplit = intercept[IllegalArgumentException] {
+      DedupQueries.incrementalContaminationIndexed(
+        DedupQueries.repIndex(DedupQueries.signatureTable(
+          docs.filter($"doc_id" % 2 === 0))), corpusSigs, batchSigs)
+    }
+    assert(noSplit.getMessage.contains("withSplit"), noSplit.getMessage)
+  }
+
   test("contamination matches a brute-force recompute on the gate corpus (d14)") {
     val docs = Tables(spark, sfSmoke, "documents")
     val splits = DocumentQueries.queries("d13_split_assign")(spark, sfSmoke)
