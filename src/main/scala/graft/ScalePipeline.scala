@@ -24,14 +24,20 @@ import org.apache.spark.sql.functions._
   *   pack            curated corpus → sequence slice table
   *
   * Usage: `runMain graft.ScalePipeline <scaleGenDir> <workDir>
-  * [seqLen]` — per-stage wall on stderr, one summary JSON line on
-  * stdout.
+  * [seqLen] [--sidecars]` — per-stage wall on stderr, one summary JSON
+  * line on stdout. `--sidecars` runs the ingest with EVERY standing
+  * artifact maintained per micro-batch (`--sigs --spansigs
+  * --winnowsigs --repsigs --decontam` — the d16/d36/d53-d54/d24/d39
+  * producers), so the ingest-stage wall then measures the full
+  * artifact-maintenance overhead a real lake pays per ingested batch.
   */
 object ScalePipeline {
   def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val work = args(1)
-    val seqLen = if (args.length > 2) args(2) else "1024"
+    val sidecars = args.contains("--sidecars")
+    val pos = args.filterNot(_ == "--sidecars")
+    val src = pos(0)
+    val work = pos(1)
+    val seqLen = if (pos.length > 2) pos(2) else "1024"
     val spark = GraftSession.local(appName = "graft-scale-pipeline")
     import spark.implicits._
     // $GRAFT_CHECKPOINT_DIR passes through to every stage (the same
@@ -88,9 +94,16 @@ object ScalePipeline {
     }
     val nIn = spark.read.parquet(s"$src/documents.parquet").count()
     val stages = Seq(
-      timed("ingest") {
-        Main.run(spark, Seq("ingest", "--once", s"$work/drop",
-          s"$work/corpus", s"$work/ckpt"), env)
+      timed(if (sidecars) "ingest+art" else "ingest") {
+        val artifactFlags =
+          if (sidecars) Seq("--sigs", s"$work/sigs",
+            "--spansigs", s"$work/spansigs",
+            "--winnowsigs", s"$work/winnow",
+            "--repsigs", s"$work/repidx",
+            "--decontam", s"$work/decontam")
+          else Nil
+        Main.run(spark, Seq("ingest", "--once") ++ artifactFlags ++
+          Seq(s"$work/drop", s"$work/corpus", s"$work/ckpt"), env)
         ()
       },
       timed("spandedup") {
@@ -144,7 +157,8 @@ object ScalePipeline {
       .map { case (l, s, _) => s""""$l":${num(s)}""" }.mkString(",")
     println(s"""{"metric":"pipeline_total","value":${num(total)},""" +
       s""""unit":"sec","docs_in":$nIn,"docs_kept":$nKept,""" +
-      s""""sequences":$nSeqs,"jobs":$pipelineJobs,$stageJson}""")
+      s""""sequences":$nSeqs,"jobs":$pipelineJobs,""" +
+      s""""sidecars":$sidecars,$stageJson}""")
     spark.stop()
   }
 }
