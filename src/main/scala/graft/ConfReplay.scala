@@ -17,9 +17,9 @@ package graft
   * }}}
   *
   * Accepted args (any order, all optional): `cells=N probes=N rounds=N
-  * percell=N rarecap=N winnow=N maxdf=N` — defaults are the gate
-  * defaults, so a bare run reproduces the driver's own
-  * s04/s11/d52/d53/d54 rows.
+  * percell=N rarecap=N winnow=N maxdf=N maxbucket=N` — defaults are the
+  * gate defaults, so a bare run reproduces the driver's own
+  * s04/s11/d52/d53/d54/d03 rows.
   */
 object ConfReplay {
   def main(args: Array[String]): Unit = {
@@ -33,7 +33,7 @@ object ConfReplay {
     }.toMap
     val unknown = kv.keySet --
       Set("cells", "probes", "rounds", "percell", "rarecap", "winnow",
-        "maxdf")
+        "maxdf", "maxbucket")
     require(unknown.isEmpty, s"unknown knobs: $unknown")
     import graft.queries.{DocumentQueries, EmbeddingQueries, QueryConf}
     val cells = kv.getOrElse("cells", QueryConf.DefaultIvfCells)
@@ -43,6 +43,7 @@ object ConfReplay {
     val rareCap = kv.getOrElse("rarecap", QueryConf.DefaultContainRareCap)
     val winnowW = kv.getOrElse("winnow", QueryConf.DefaultWinnowWindow)
     val maxDf = kv.getOrElse("maxdf", QueryConf.DefaultWinnowMaxDf)
+    val maxBucket = kv.getOrElse("maxbucket", QueryConf.DefaultDedupMaxBucket)
     val spark = GraftSession.local(appName = "graft-conf-replay")
     spark.conf.set(QueryConf.IvfCellsKey, cells.toString)
     spark.conf.set(QueryConf.IvfProbesKey, probes.toString)
@@ -51,6 +52,7 @@ object ConfReplay {
     spark.conf.set(QueryConf.ContainRareCapKey, rareCap.toString)
     spark.conf.set(QueryConf.WinnowWindowKey, winnowW.toString)
     spark.conf.set(QueryConf.WinnowMaxDfKey, maxDf.toString)
+    spark.conf.set(QueryConf.DedupMaxBucketKey, maxBucket.toString)
     new java.io.File(outDir).mkdirs()
     val targets = Seq(
       "s04_ann_ivf" -> EmbeddingQueries.s04OracleSqlAt(cells, probes, rounds),
@@ -65,13 +67,16 @@ object ConfReplay {
       "d52_containment_pairs" -> DocumentQueries.d52OracleSqlAt(rareCap),
       "d53_winnow_fps" -> DocumentQueries.d53OracleSqlAt(winnowW),
       "d54_winnow_matches" ->
-        DocumentQueries.d54OracleSqlAt(winnowW, maxDf))
+        DocumentQueries.d54OracleSqlAt(winnowW, maxDf),
+      "d03_minhash_dedup_pairs" ->
+        graft.queries.DedupQueries.d03OracleSqlAt(maxBucket))
     targets.foreach { case (name, _) =>
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[conf-replay] dumped $name " +
         s"(cells=$cells probes=$probes rounds=$rounds percell=$perCell " +
-        s"rarecap=$rareCap winnow=$winnowW maxdf=$maxDf)")
+        s"rarecap=$rareCap winnow=$winnowW maxdf=$maxDf " +
+        s"maxbucket=$maxBucket)")
     }
     Verify.writeOracleJson(outDir, targets)
     spark.stop()

@@ -43,8 +43,11 @@ import graft.operators.TextHash._
 object DedupQueries {
 
   /** Max distinct-text members of one LSH band bucket before the key is
-    * considered degenerate and dropped (guard 3 above). */
-  val MaxBandBucket = 200
+    * considered degenerate and dropped (guard 3 above). Since round 16
+    * the live value is the `spark.graft.dedup.maxbucket` session knob
+    * ([[QueryConf.dedupMaxBucket]] — the skew lever a 100 TB run sizes);
+    * this is its spec-pinned gate default. */
+  val MaxBandBucket: Int = QueryConf.DefaultDedupMaxBucket
 
   /** The one-pass signature expression: every gate query and scope runs
     * the codegen [[graft.functions.TextSignatureExpr]] — the HOF strings
@@ -119,7 +122,7 @@ object DedupQueries {
     val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
     exploded
       .withColumn("bucket_n", count(lit(1)).over(bucketW))
-      .filter(col("bucket_n") <= MaxBandBucket)
+      .filter(col("bucket_n") <= QueryConf.dedupMaxBucket(reps.sparkSession))
   }
 
   /** A cache-scope handle owning ONE materialized signature table shared
@@ -476,7 +479,7 @@ object DedupQueries {
           .as(Seq("band_id", "bz")))
       .select($"doc_id", $"mh", $"band_id",
         $"bz.bands".as("band_key"), $"bz.bucket_ns".as("bucket_n"))
-      .filter($"bucket_n" <= MaxBandBucket)
+      .filter($"bucket_n" <= QueryConf.dedupMaxBucket(s))
     val bBands = representatives(batch)
       .select($"doc_id".as("b_id"), $"mh".as("b_mh"),
         posexplode_outer($"bands").as(Seq("b_band_id", "b_band_key")))
@@ -640,7 +643,7 @@ object DedupQueries {
           .as(Seq("band_id", "bz")))
       .select($"doc_id", $"mh", $"split", $"fp", $"band_id",
         $"bz.bands".as("band_key"), $"bz.bucket_ns".as("bucket_n"))
-      .filter($"bucket_n" <= MaxBandBucket)
+      .filter($"bucket_n" <= QueryConf.dedupMaxBucket(s))
     // batch side signs and collapses ITSELF (one ingest's docs; split
     // carried — sound: an fp group is byte-identical text, and identical
     // text has identical split bucket)
@@ -983,7 +986,11 @@ object DedupQueries {
   /** DuckDB CTEs mirroring representatives() + cappedBands() exactly:
     * same fingerprint collapse, sentinel exclusion, and bucket cap, so
     * the pair sets hash-match by construction. */
-  private val duckReps =
+  /** The shared rep/banding CTE chain at an explicit bucket cap — the
+    * oracle-side counterpart of guards 1–3 ([[duckReps]] is this at the
+    * gate default; ConfReplay replays other caps via
+    * [[d03OracleSqlAt]]). */
+  private def duckRepsAt(cap: Int) =
     s"""sigs AS (
           SELECT doc_id, md5(text) AS fp, sh, mh, ${duckBands("mh")} AS bands
           FROM (SELECT doc_id, text, sh, ${duckMinhash("sh")} AS mh
@@ -1003,7 +1010,24 @@ object DedupQueries {
           SELECT * FROM (
             SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
             FROM expl)
-          WHERE bucket_n <= $MaxBandBucket)"""
+          WHERE bucket_n <= $cap)"""
+
+  private val duckReps = duckRepsAt(MaxBandBucket)
+
+  /** d03 oracle generator at an explicit bucket cap: the gate entry is
+    * this at [[QueryConf.DefaultDedupMaxBucket]]; ConfReplay
+    * `maxbucket=N` DuckDB-verifies the knob away from the default. */
+  def d03OracleSqlAt(cap: Int): String =
+    s"""WITH ${duckRepsAt(cap)}
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            round(len(list_filter(range(1, ${K + 1}), i -> a.mh[i] = b.mh[i]))
+                  / ${K}.0, 4) AS sim_est
+          FROM capped a JOIN capped b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+          WHERE round(len(list_filter(range(1, ${K + 1}), i -> a.mh[i] = b.mh[i]))
+                  / ${K}.0, 4) >= 0.5
+          ORDER BY doc_a, doc_b"""
 
   /** The gate queries whose execution materializes a per-invocation
     * cache scope (eager signature-table persist + localCheckpoint):
@@ -1174,17 +1198,7 @@ object DedupQueries {
             bands[1] AS band0, bands[2] AS band1, bands[3] AS band2,
             bands[4] AS band3
           FROM sigs ORDER BY doc_id""",
-    "d03_minhash_dedup_pairs" ->
-      s"""WITH $duckReps
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            round(len(list_filter(range(1, ${K + 1}), i -> a.mh[i] = b.mh[i]))
-                  / ${K}.0, 4) AS sim_est
-          FROM capped a JOIN capped b
-            ON a.band_id = b.band_id AND a.band_key = b.band_key
-              AND a.doc_id < b.doc_id
-          WHERE round(len(list_filter(range(1, ${K + 1}), i -> a.mh[i] = b.mh[i]))
-                  / ${K}.0, 4) >= 0.5
-          ORDER BY doc_a, doc_b""",
+    "d03_minhash_dedup_pairs" -> d03OracleSqlAt(MaxBandBucket),
     "d11_dup_clusters" ->
       s"""WITH RECURSIVE $duckReps,
           pairs AS (

@@ -58,6 +58,19 @@ object QueryConf {
   val CoresetPerCellKey = "spark.graft.coreset.percell"
   val DefaultCoresetPerCell = 20
 
+  /** The dedup family's LSH band-bucket selectivity cap (guard 3 of the
+    * d03/d06/d11/d14/d16/d24/d25/d34 scope, and the d16/d24 indexed
+    * probes): a band key shared by more distinct rep texts than this
+    * has no selectivity — it would only fan the candidate join out
+    * quadratically — and its bucket is dropped whole. THE skew lever at
+    * 100 TB (viral boilerplate lifts bucket occupancy, never match
+    * quality; raise it only with the memory to verify the extra
+    * candidates). Stored rep-index artifacts carry RAW occupancy
+    * (`bucket_ns`), so changing the cap re-filters at probe time and
+    * never needs an index rebuild. */
+  val DedupMaxBucketKey = "spark.graft.dedup.maxbucket"
+  val DefaultDedupMaxBucket = 200
+
   /** m04 band-bucket selectivity cap: buckets shared by more distinct
     * rasters than this carry no signal and are dropped (the d16
     * MaxBandBucket discipline at the media grain). */
@@ -119,6 +132,8 @@ object QueryConf {
     posInt(s, DsirHexCharsKey, DefaultDsirHexChars, max = 8)
   def coresetPerCell(s: SparkSession): Int =
     posInt(s, CoresetPerCellKey, DefaultCoresetPerCell)
+  def dedupMaxBucket(s: SparkSession): Int =
+    posInt(s, DedupMaxBucketKey, DefaultDedupMaxBucket)
   def mediaMaxBucket(s: SparkSession): Int =
     posInt(s, MediaMaxBucketKey, DefaultMediaMaxBucket)
   def containRareCap(s: SparkSession): Int =

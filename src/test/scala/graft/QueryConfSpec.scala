@@ -146,6 +146,55 @@ class QueryConfSpec extends SparkSpec {
         "corpus with planted near-dups")
   }
 
+  test("the dedup band-bucket cap is a live session knob (dedup.maxbucket, " +
+    "r16): malformed refuses, cap=1 kills every near-pair nomination, " +
+    "the stored rep-index probe re-filters without an index rebuild") {
+    for (bad <- Seq("abc", "0", "-3"))
+      withConf(QueryConf.DedupMaxBucketKey -> bad) {
+        val e = intercept[IllegalArgumentException] {
+          SparkEntry.queries("d03_minhash_dedup_pairs")(spark, sfSmoke).count()
+        }
+        assert(e.getMessage.contains(QueryConf.DedupMaxBucketKey),
+          e.getMessage)
+      }
+    // every near pair needs BOTH reps in one band bucket (occupancy >= 2),
+    // so cap=1 deterministically nominates nothing — knob liveness on the
+    // scope path without a fixture that guesses band collisions
+    val dflt = SparkEntry.queries("d03_minhash_dedup_pairs")(spark, sfSmoke)
+      .count()
+    assert(dflt > 0, "gate corpus must carry near pairs for this test")
+    withConf(QueryConf.DedupMaxBucketKey -> "1") {
+      assert(SparkEntry.queries("d03_minhash_dedup_pairs")(spark, sfSmoke)
+        .count() == 0,
+        "cap=1 must drop every >=2-member band bucket")
+    }
+    // the stored artifact carries RAW occupancy: a cap change re-filters
+    // the SAME index at probe time — no rebuild, the whole point of
+    // storing counts instead of a pre-capped band list. (Unlike the
+    // within-corpus scope above, an INDEXED near hit needs only
+    // corpus-side occupancy >= 1 — the batch rep is not in the stored
+    // count — so liveness is pinned on the plan literal, not row
+    // counts.) The probe plan must carry the session value as a plain
+    // pushable filter over the stored column.
+    import graft.queries.DedupQueries
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables(spark, sfSmoke, "documents")
+    val idx = graft.Materialize(DedupQueries.repIndex(
+      DedupQueries.signatureTable(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 4))))
+    val batchSigs = DedupQueries.signatureTable(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 4))
+    val plan7 = withConf(QueryConf.DedupMaxBucketKey -> "7") {
+      DedupQueries.indexedProbePlan(idx, batchSigs)
+        .queryExecution.optimizedPlan.toString
+    }
+    assert(plan7.contains("<= 7)"),
+      s"probe plan must filter the stored bucket_n at the session cap:\n$plan7")
+    assert(!DedupQueries.indexedProbePlan(idx, batchSigs)
+      .queryExecution.optimizedPlan.toString.contains("<= 7)"),
+      "the default plan must not carry the non-default cap")
+  }
+
   test("d46/d48 honor non-default dsir.hexchars and domain.cells") {
     // the last two knobs of the matrix: d46's hashed-feature space at
     // 4096 buckets (hexchars=3) and d48's cluster count at 4 — each
