@@ -201,6 +201,45 @@ object DocumentQueries {
       .orderBy($"doc_id")
   }
 
+  /** d57 — character-distribution census, the code-point-grain
+    * complement of d51's token concentration: per document the
+    * code-point count, distinct-code-point count, most frequent code
+    * point's occupancy fraction, and the Shannon entropy of the
+    * character distribution in nats. Low entropy flags keyboard-mash /
+    * padding-run spam, high entropy flags binary spew and base64 blobs
+    * — the two character-level tails a crawl quality gate trims before
+    * tokenization (C4 §2.2 / Gopher app. A1.1 heuristics).
+    *
+    * Scale shape: ZERO shuffle, zero explode — all four signals ride
+    * ONE compiled pass per row, the native codegen
+    * [[graft.functions.CharEntropyExpr]] (`graft_char_entropy`; the
+    * explode+groupBy census is the cross-engine reference formulation
+    * the DuckDB oracle mirrors and FunctionsSpec pins bit-equal). The
+    * only exchange in the plan is the trailing presentation sort.
+    * Entropy is fixed-point micro-NATS (per-distinct-char
+    * `floor((k/n)·ln(n/k)·1e6)` summed as integers — order-free, so
+    * census iteration order cannot leak; nats because bits would
+    * divide by a second transcendental whose ulp is
+    * implementation-defined), presented as `ent_q/1e6`. Same 1e-6
+    * floor grid for the top-char fraction (the d19/d51 discipline).
+    * Empty docs: the all-zero row. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("sig", expr("graft_char_entropy(text)"))
+      .withColumn("n_chars", $"sig.n_chars")
+      .withColumn("n_distinct", $"sig.n_distinct")
+      .withColumn("top_char_frac",
+        when($"n_chars" === 0, lit(0.0)).otherwise(
+          floor($"sig.top_char_n".cast("double") / $"n_chars" * 1000000)
+            / 1000000.0))
+      .withColumn("entropy", $"sig.ent_q" / 1000000.0)
+      .select($"doc_id", $"n_chars", $"n_distinct", $"top_char_frac",
+        $"entropy")
+      .orderBy($"doc_id")
+  }
+
   /** d27's sampling bucket: the d13 rolling char hash with a DIFFERENT
     * seed (13, not 7) and modulus (10000, not 100) — the sampling
     * decision must not correlate with the train/val/test split (same
@@ -965,6 +1004,11 @@ object DocumentQueries {
     // ---- d51: concentration signals (see [[repConcentration]]) ------
     "d51_rep_concentration" -> { (s, dir) =>
       repConcentration(Tables(s, dir, "documents"))
+    },
+
+    // ---- d57: character-distribution census (see [[charEntropy]]) ---
+    "d57_char_entropy" -> { (s, dir) =>
+      charEntropy(Tables(s, dir, "documents"))
     },
 
     // ---- d48: domain clustering (see [[domainClusters]]) ------------
@@ -3910,6 +3954,36 @@ object DocumentQueries {
          LEFT JOIN topg USING (doc_id)
          LEFT JOIN runs USING (doc_id)
          ORDER BY doc_id""",
+    // d57: positional code-point stream (the d51 toks[i] pattern at
+    // character grain: ascii(substr) is DuckDB's code-point read) +
+    // GROUP BY census; entropy replays the engine's fixed-point
+    // micro-nat terms — floor((k/n)*ln(n/k)*1e6) per distinct char,
+    // summed as BIGINT (order-free, so GROUP BY order vs the engine's
+    // hash-census order cannot diverge). Same 1e-6 floor as d51.
+    "d57_char_entropy" ->
+      """WITH cs AS (
+           SELECT doc_id, ascii(substr(text, i, 1)) AS cp
+           FROM (SELECT doc_id, text,
+                   unnest(range(1, len(text) + 1)) AS i FROM documents)),
+         f AS (SELECT doc_id, cp, count(*) AS k FROM cs GROUP BY 1, 2),
+         n AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars
+               FROM documents),
+         e AS (
+           SELECT f.doc_id,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(k) AS BIGINT) AS top_k,
+             sum(CAST(floor(CAST(k AS DOUBLE) / n.n_chars
+               * ln(CAST(n.n_chars AS DOUBLE) / k) * 1000000) AS BIGINT))
+               AS ent_q
+           FROM f JOIN n ON n.doc_id = f.doc_id GROUP BY 1)
+         SELECT n.doc_id, n.n_chars,
+           CAST(coalesce(e.n_distinct, 0) AS BIGINT) AS n_distinct,
+           CASE WHEN n.n_chars = 0 THEN 0.0
+                ELSE floor(CAST(e.top_k AS DOUBLE) / n.n_chars * 1000000)
+                     / 1000000 END AS top_char_frac,
+           coalesce(e.ent_q, 0) / 1000000.0 AS entropy
+         FROM n LEFT JOIN e ON e.doc_id = n.doc_id
+         ORDER BY n.doc_id""",
     // d48: the d46 feature CTEs (no split), md5-derived ±1 seeds, one
     // fixed-point Lloyd round (BIGINT floor sums — exact like the
     // engine's DECIMAL), sorted-list centroid norms, exact DECIMAL

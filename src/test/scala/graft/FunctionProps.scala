@@ -98,6 +98,33 @@ object FunctionProps extends Properties("functions") {
       got._1 == ref._1 && got._2 == ref._2 && got._3 == ref._3
     }
 
+  // --- graft_char_entropy vs a plain Scala code-point census fold —
+  // tiny alphabets force heavy multiplicity; mixed-plane glyphs (an
+  // astral 𐍈 and a 2-byte é) exercise the code-point grain against
+  // naive UTF-16-unit counting
+  private val charText: Gen[String] = for {
+    len <- Gen.chooseNum(0, 120)
+    cs <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", " ", "é", "𐍈"))
+  } yield cs.mkString
+
+  property("graft_char_entropy == the naive code-point census") =
+    forAll(charText) { text =>
+      val row = graft.functions.CharEntropyExpr.signals(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val cps = text.codePoints().toArray.toSeq
+      val census = cps.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = cps.size.toLong
+      val entQ =
+        if (n == 0) 0L
+        else census.values.map(k =>
+          math.floor(k.toDouble / n * math.log(n.toDouble / k)
+            * 1000000.0).toLong).sum
+      row.getLong(0) == n &&
+        row.getLong(1) == census.size.toLong &&
+        row.getLong(2) == (if (n == 0) 0L else census.values.max) &&
+        row.getLong(3) == entQ
+    }
+
   property("dimension mismatch is rejected loudly") =
     forAll(Gen.chooseNum(1, 32)) { n =>
       val a = new GenericArrayData(Array.fill(n)(Double.box(1.0)))

@@ -526,6 +526,59 @@ class OperatorsSpec extends SparkSpec {
         s"got:\n${out.queryExecution.executedPlan}")
   }
 
+  test("character-distribution census: code-point grain, fixed-point " +
+    "micro-nat entropy, with the edge rows exact (d57)") {
+    import spark.implicits._
+    val docs = Seq(
+      // single repeated char: zero entropy, top fraction exactly 1.0
+      (1L, "aaaa"),
+      // the two-symbol coin flip: entropy = 2·floor(0.5·ln 2·1e6)/1e6
+      (2L, "ab"),
+      // empty doc: the all-zero row, never missing
+      (3L, ""),
+      // spaces are code points too: 'a'×2 'b'×2 ' '×3 over n=7
+      (4L, "a b a b"),
+      // an astral pair is TWO code points, not four UTF-16 units
+      (5L, "𐍈𐍈"))
+      .toDF("doc_id", "text")
+    val out = DocumentQueries.charEntropy(docs)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      "one row per input doc in id order, empty docs included")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    def frac(n: Int, d: Int): Double = math.floor(n.toDouble / d * 1e6) / 1e6
+    // the engine's per-distinct-char fixed-point term, replayed
+    def entOf(ks: Seq[Int]): Double = {
+      val n = ks.sum
+      ks.map(k => math.floor(
+        k.toDouble / n * math.log(n.toDouble / k) * 1e6).toLong).sum / 1e6
+    }
+    assert(byId(1L).getLong(1) == 4L && byId(1L).getLong(2) == 1L &&
+      byId(1L).getDouble(3) == 1.0 && byId(1L).getDouble(4) == 0.0,
+      "uniform doc: zero entropy, full top-char occupancy")
+    assert(byId(2L).getLong(1) == 2L && byId(2L).getLong(2) == 2L &&
+      byId(2L).getDouble(3) == frac(1, 2) &&
+      byId(2L).getDouble(4) == entOf(Seq(1, 1)),
+      "coin-flip doc: ln 2 nats, floored per term")
+    assert(byId(3L).getLong(1) == 0L && byId(3L).getLong(2) == 0L &&
+      byId(3L).getDouble(3) == 0.0 && byId(3L).getDouble(4) == 0.0,
+      "empty doc must be the all-zero row")
+    assert(byId(4L).getLong(1) == 7L && byId(4L).getLong(2) == 3L &&
+      byId(4L).getDouble(3) == frac(3, 7) &&
+      byId(4L).getDouble(4) == entOf(Seq(2, 2, 3)),
+      "spaces census like any code point")
+    assert(byId(5L).getLong(1) == 2L && byId(5L).getLong(2) == 1L &&
+      byId(5L).getDouble(3) == 1.0 && byId(5L).getDouble(4) == 0.0,
+      "astral glyphs count once each — the code-point grain")
+    // the scale claim, pinned (the d51 discipline): the only exchange
+    // in the physical plan is the trailing presentation sort
+    val exchanges = SparkSpec.shuffleNodes(out.queryExecution.executedPlan)
+    assert(exchanges.size <= 1 && exchanges.forall(
+      _.outputPartitioning.toString.toLowerCase.contains("range")),
+      s"d57 must shuffle only for the final sort's range partitioning, " +
+        s"got:\n${out.queryExecution.executedPlan}")
+  }
+
   test("paragraph salvage keeps above-bar paragraphs in position order, " +
     "all-junk docs survive as empty rebuilds (d50)") {
     import spark.implicits._
