@@ -33,7 +33,7 @@ object ConfReplay {
     }.toMap
     val unknown = kv.keySet --
       Set("cells", "probes", "rounds", "percell", "rarecap", "winnow",
-        "maxdf", "maxbucket")
+        "maxdf", "maxbucket", "bm25k")
     require(unknown.isEmpty, s"unknown knobs: $unknown")
     import graft.queries.{DocumentQueries, EmbeddingQueries, QueryConf}
     val cells = kv.getOrElse("cells", QueryConf.DefaultIvfCells)
@@ -44,6 +44,7 @@ object ConfReplay {
     val winnowW = kv.getOrElse("winnow", QueryConf.DefaultWinnowWindow)
     val maxDf = kv.getOrElse("maxdf", QueryConf.DefaultWinnowMaxDf)
     val maxBucket = kv.getOrElse("maxbucket", QueryConf.DefaultDedupMaxBucket)
+    val bm25K = kv.getOrElse("bm25k", QueryConf.DefaultBm25TopK)
     val spark = GraftSession.local(appName = "graft-conf-replay")
     spark.conf.set(QueryConf.IvfCellsKey, cells.toString)
     spark.conf.set(QueryConf.IvfProbesKey, probes.toString)
@@ -53,6 +54,7 @@ object ConfReplay {
     spark.conf.set(QueryConf.WinnowWindowKey, winnowW.toString)
     spark.conf.set(QueryConf.WinnowMaxDfKey, maxDf.toString)
     spark.conf.set(QueryConf.DedupMaxBucketKey, maxBucket.toString)
+    spark.conf.set(QueryConf.Bm25TopKKey, bm25K.toString)
     new java.io.File(outDir).mkdirs()
     val targets = Seq(
       "s04_ann_ivf" -> EmbeddingQueries.s04OracleSqlAt(cells, probes, rounds),
@@ -69,14 +71,15 @@ object ConfReplay {
       "d54_winnow_matches" ->
         DocumentQueries.d54OracleSqlAt(winnowW, maxDf),
       "d03_minhash_dedup_pairs" ->
-        graft.queries.DedupQueries.d03OracleSqlAt(maxBucket))
+        graft.queries.DedupQueries.d03OracleSqlAt(maxBucket),
+      "d56_bm25_topk" -> DocumentQueries.d56OracleSqlAt(bm25K))
     targets.foreach { case (name, _) =>
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[conf-replay] dumped $name " +
         s"(cells=$cells probes=$probes rounds=$rounds percell=$perCell " +
         s"rarecap=$rareCap winnow=$winnowW maxdf=$maxDf " +
-        s"maxbucket=$maxBucket)")
+        s"maxbucket=$maxBucket bm25k=$bm25K)")
     }
     Verify.writeOracleJson(outDir, targets)
     spark.stop()

@@ -240,6 +240,93 @@ object DocumentQueries {
       .orderBy($"doc_id")
   }
 
+  /** d56 — BM25 top-k retrieval (Robertson/Sparck Jones Okapi BM25, the
+    * probabilistic-IR workhorse): score every corpus document against a
+    * small set of probe queries and keep each query's k best. The
+    * training-data uses: decontamination triage ("which corpus docs
+    * smell like this benchmark prompt"), targeted curation ("pull the
+    * docs most relevant to an underrepresented topic"), and the lexical
+    * half of every hybrid (BM25 + embedding) retrieval stack.
+    *
+    * `probes` is (query_id, qtext); terms are the shared whitespace
+    * [[termStream]] grain, DISTINCT per query (standard BM25 ignores
+    * query-side multiplicity). Per (query, doc) the score is
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with the
+    * Robertson idf ln(1 + (N − df + 0.5)/(df + 0.5)), k1 = 1.2,
+    * b = 0.75 (the Okapi defaults — spec-pinned semantic constants like
+    * the d48 seeds, not knobs). `dl` = the doc's token count, `avgdl`
+    * its corpus mean, `df` the term's document frequency, N the corpus
+    * doc count (empty docs included — they simply match nothing).
+    *
+    * Cross-engine exactness (the d48 fixed-point discipline): each
+    * per-term contribution is floored to an integer MICRO-score —
+    * floor(idf · w · 1e6) — and the per-(query, doc) score sums those
+    * BIGINTs, so Spark's partial-aggregation order and DuckDB's GROUP
+    * BY order cannot diverge; every fractional literal is written
+    * CAST-to-DOUBLE on the oracle side (a bare DuckDB `2.2` is DECIMAL,
+    * and DECIMAL·BIGINT→DOUBLE rounds differently than DOUBLE·BIGINT).
+    * idf > 0 always (df ≤ N), so scores are nonnegative and the top-k
+    * window needs no sign care; ties break doc_id-ascending.
+    *
+    * Scale shape: the corpus explodes ONCE into the (doc, term) tf
+    * census (shuffle 1, map-side combine; dl rides the groupBy key —
+    * it is functionally dependent on doc_id, so it costs nothing). The
+    * census is then restricted to the PROBE TERMS by a broadcast hash
+    * join (the probe set is bounded — the gate's is GlobalLimit-capped,
+    * plan-audited) and the restriction is Materialize()d ONCE: the df
+    * census and the scoring join both read the cut, not the corpus
+    * (the d52 convention — without it the tf shuffle runs twice). df
+    * and the (N, Σdl) scalar ride tiny broadcast-back aggregates
+    * (≤ |probe terms| and 1 row — the d17/d23 pattern; df joins back
+    * unhinted, AQE broadcasts it from runtime stats). The only
+    * corpus-proportional exchanges are the tf census and the final
+    * per-query top-k (WindowGroupLimit-bounded rank over the matched
+    * docs). Text never shuffles. */
+  def bm25TopK(corpus: DataFrame, probes: DataFrame,
+      k: Int = QueryConf.DefaultBm25TopK): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qt = probes
+      .select($"query_id", explode(split($"qtext", " ")).as("term"))
+      .filter($"term" =!= "").distinct()
+    val termSet = qt.select($"term").distinct()
+    // dl at the FILTERED termStream grain — the same tokens tf counts
+    // (graft_quality_stats.n_tok is the split-SEGMENT count: '' → 1,
+    // double spaces inflate it — the wrong denominator here)
+    val dlCol = size(expr("filter(split(text, ' '), t -> t <> '')"))
+      .cast("long")
+    val tf = corpus
+      .withColumn("dl", dlCol)
+      .select($"doc_id", $"dl", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    // the corpus cut at the probe terms — materialized once, read twice
+    val hits = graft.Materialize(tf.join(broadcast(termSet), "term"))
+    val dfT = hits.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(dlCol), lit(0L)).as("sum_dl"))
+    val scored = hits
+      .join(dfT, "term")
+      .join(broadcast(qt), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
+      .withColumn("w",
+        $"tf" * 2.2 / ($"tf" +
+          lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+      .withColumn("sq", floor($"idf" * $"w" * 1000000).cast("long"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sq".desc, $"doc_id")
+    scored.groupBy($"query_id", $"doc_id").agg(sum($"sq").as("sq"))
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .filter($"rk" <= k)
+      .withColumn("score", $"sq" / 1000000.0)
+      .select($"query_id", $"rk", $"doc_id", $"score")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** d27's sampling bucket: the d13 rolling char hash with a DIFFERENT
     * seed (13, not 7) and modulus (10000, not 100) — the sampling
     * decision must not correlate with the train/val/test split (same
@@ -1009,6 +1096,25 @@ object DocumentQueries {
     // ---- d57: character-distribution census (see [[charEntropy]]) ---
     "d57_char_entropy" -> { (s, dir) =>
       charEntropy(Tables(s, dir, "documents"))
+    },
+
+    // ---- d56: BM25 top-k retrieval (see [[bm25TopK]]) — the d46 split
+    // convention on the retrieval axis: the 50 lowest-id TEST-split
+    // docs play the probe queries (first 5 tokens each — a prompt-
+    // sized probe), the train split the corpus being searched. The
+    // orderBy+limit probe cap is the structural bound the 100×
+    // broadcast audit checks ----------------------------------------
+    "d56_bm25_topk" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("split", splitOfBucket(splitBucketCol))
+      val probes = docs.filter($"split" === "test")
+        .orderBy($"doc_id").limit(50)
+        .select($"doc_id".as("query_id"), expr(
+          "array_join(slice(filter(split(text, ' '), t -> t <> ''), 1, 5), ' ')")
+          .as("qtext"))
+      bm25TopK(docs.filter($"split" === "train").select($"doc_id", $"text"),
+        probes, k = QueryConf.bm25TopK(s))
     },
 
     // ---- d48: domain clustering (see [[domainClusters]]) ------------
@@ -3038,6 +3144,74 @@ object DocumentQueries {
               SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
               FROM tk WHERE len(toks) >= 8))"""
 
+  /** d56 oracle generator at an explicit top-k: the full BM25 replay —
+    * split CTE, probe derivation (50 lowest-id test docs, first-5-token
+    * probes), the shared token grain, the fixed-point micro-score
+    * terms. EVERY fractional literal is CAST(… AS DOUBLE) — a bare
+    * DuckDB `2.2` is DECIMAL(2,1), and DECIMAL·BIGINT is exact-decimal
+    * arithmetic that rounds to double DIFFERENTLY than the engine's
+    * double·long (6.6 vs 2.2·3 differ in the last ulp). The gate entry
+    * is this at [[QueryConf.DefaultBm25TopK]]; ConfReplay dumps other
+    * operating points through the same text. */
+  def d56OracleSqlAt(k: Int): String =
+    s"""WITH $duckSplits,
+         tr AS (
+           SELECT d.doc_id, d.text FROM documents d
+           JOIN splits s ON s.doc_id = d.doc_id AND s.split = 'train'),
+         q AS (
+           SELECT d.doc_id AS query_id,
+             list_filter(string_split(d.text, ' '), t -> t <> '')[1:5]
+               AS qtoks
+           FROM documents d
+           JOIN splits s ON s.doc_id = d.doc_id AND s.split = 'test'
+           ORDER BY d.doc_id LIMIT 50),
+         qt AS (
+           SELECT DISTINCT query_id, t AS term
+           FROM (SELECT query_id, unnest(qtoks) AS t FROM q)
+           WHERE t <> ''),
+         ts AS (SELECT DISTINCT term FROM qt),
+         tk AS (
+           SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS dl,
+             unnest(string_split(text, ' ')) AS term
+           FROM tr),
+         tf AS (
+           SELECT doc_id, CAST(dl AS BIGINT) AS dl, term,
+             count(*) AS tf
+           FROM tk WHERE term <> '' GROUP BY 1, 2, 3),
+         h0 AS (SELECT tf.* FROM tf JOIN ts USING (term)),
+         dfq AS (SELECT term, count(*) AS df FROM h0 GROUP BY 1),
+         st AS (
+           SELECT count(*) AS n_docs,
+             coalesce(sum(
+               len(list_filter(string_split(text, ' '), t -> t <> ''))),
+               0) AS sum_dl
+           FROM tr),
+         sc AS (
+           SELECT qt.query_id, h0.doc_id,
+             CAST(floor(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (st.n_docs - dfq.df + CAST(0.5 AS DOUBLE))
+                    / (dfq.df + CAST(0.5 AS DOUBLE)))
+               * (h0.tf * CAST(2.2 AS DOUBLE)
+                  / (h0.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * h0.dl
+                          / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+               * 1000000) AS BIGINT) AS sq
+           FROM h0 JOIN dfq USING (term) JOIN qt USING (term), st),
+         agg AS (
+           SELECT query_id, doc_id, sum(sq) AS sq
+           FROM sc GROUP BY 1, 2),
+         r AS (
+           SELECT query_id, doc_id, sq,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY sq DESC, doc_id) AS BIGINT) AS rk
+           FROM agg)
+         SELECT query_id, rk, doc_id, CAST(sq AS BIGINT) / 1000000.0 AS score
+         FROM r WHERE rk <= $k ORDER BY query_id, rk"""
+
   /** d52 oracle generator at an explicit rareCap: rare-fp blocking (df
     * in [2, rareCap] nominates) + exact overlap-coefficient
     * verification over the d47 n-gram fp grain. The gate entry is this
@@ -4055,6 +4229,10 @@ object DocumentQueries {
     // d52/d53: gate entries are the parameterized generators at the
     // spec-pinned QueryConf defaults (the s04-family convention —
     // ConfReplay replays other operating points through the same text)
+    // d56: gate entry = the parameterized generator at the spec-pinned
+    // default top-k (the d52/d53 convention)
+    "d56_bm25_topk" ->
+      d56OracleSqlAt(QueryConf.DefaultBm25TopK),
     "d52_containment_pairs" ->
       d52OracleSqlAt(QueryConf.DefaultContainRareCap),
     "d53_winnow_fps" ->

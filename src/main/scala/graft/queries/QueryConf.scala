@@ -101,6 +101,12 @@ object QueryConf {
   val WinnowMaxDfKey = "spark.graft.winnow.maxdf"
   val DefaultWinnowMaxDf = 200
 
+  /** d56 BM25 result depth: how many top-scoring corpus docs each probe
+    * query retrieves. A recall/cost knob like [[IvfProbesKey]] — the
+    * scoring is exact for any k, only the returned window grows. */
+  val Bm25TopKKey = "spark.graft.bm25.topk"
+  val DefaultBm25TopK = 10
+
   /** Read a positive-int knob from the session conf; loud refusal on a
     * malformed or out-of-range value (a silently-defaulted typo would
     * run the whole job at the wrong scale). */
@@ -142,4 +148,6 @@ object QueryConf {
     posInt(s, WinnowWindowKey, DefaultWinnowWindow, max = 1 << 20)
   def winnowMaxDf(s: SparkSession): Int =
     posInt(s, WinnowMaxDfKey, DefaultWinnowMaxDf)
+  def bm25TopK(s: SparkSession): Int =
+    posInt(s, Bm25TopKKey, DefaultBm25TopK)
 }

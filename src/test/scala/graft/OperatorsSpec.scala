@@ -2842,6 +2842,70 @@ class OperatorsSpec extends SparkSpec {
       "empty doc: a zero census row, not a crash or a NaN")
   }
 
+  test("BM25 top-k retrieval: Okapi scores replayed exactly, distinct " +
+    "query terms, doc-id ties, no-match queries absent (d56)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      // an exact copy of doc 2: identical score, the doc_id tie-break
+      (3L, "banana cherry"),
+      (4L, "durian durian durian durian"),
+      // empty doc: counts toward N and avgdl, matches nothing
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val probes = Seq(
+      // repeated 'apple' must count ONCE (distinct query terms)
+      (101L, "apple banana apple"),
+      (102L, "cherry"),
+      // no corpus hit / token-less probe: absent from the output
+      (103L, "zzz"),
+      (104L, ""))
+      .toDF("query_id", "qtext")
+    val out = DocumentQueries.bm25TopK(corpus, probes, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the engine's fixed-point term, replayed in plain Scala
+    val n = 5L
+    val avgdl = 11.0 / n // 3 + 2 + 2 + 4 + 0 tokens
+    def sq(tf: Long, dl: Long, df: Long): Long =
+      math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        * 1000000).toLong
+    // df: apple 1 (doc1), banana 3 (1,2,3), cherry 2 (2,3)
+    val q101 = Map(
+      1L -> (sq(2, 3, 1) + sq(1, 3, 3)), // apple×2 + banana×1
+      2L -> sq(1, 2, 3), 3L -> sq(1, 2, 3))
+    val q102 = Map(2L -> sq(1, 2, 2), 3L -> sq(1, 2, 2))
+    def expect(qid: Long, m: Map[Long, Long]) = m.toSeq
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, s), i) => (qid, i + 1L, id, s / 1000000.0) }
+    assert(out.toSeq == expect(101L, q101) ++ expect(102L, q102),
+      s"got:\n${out.mkString("\n")}")
+    // the tie pair surfaced in id order with EQUAL scores
+    val tie = out.filter(r => r._1 == 102L)
+    assert(tie.map(_._3).toSeq == Seq(2L, 3L) && tie(0)._4 == tie(1)._4)
+    assert(!out.exists(r => r._1 == 103L || r._1 == 104L),
+      "no-hit and token-less probes must emit nothing")
+    // k truncates: the same corpus at k=1 keeps only each query's best
+    val top1 = DocumentQueries.bm25TopK(corpus, probes, k = 1).collect()
+    assert(top1.length == 2 && top1.forall(_.getLong(1) == 1L))
+  }
+
+  test("BM25 honors a non-default bm25.topk (d56 knob liveness)") {
+    import spark.implicits._
+    def depth(k: Option[Int]): Long = {
+      k.foreach(v => spark.conf.set(
+        graft.queries.QueryConf.Bm25TopKKey, v.toString))
+      try DocumentQueries.queries("d56_bm25_topk")(spark, sfSmoke)
+        .agg(org.apache.spark.sql.functions.max("rk"))
+        .collect().head.getLong(0)
+      finally k.foreach(_ => spark.conf.unset(
+        graft.queries.QueryConf.Bm25TopKKey))
+    }
+    assert(depth(Some(2)) == 2L, "topk=2 must cap every query at rank 2")
+    assert(depth(None) > 2L, "the default depth must exceed the override")
+  }
+
   test("winnowing honors a non-default winnow.window: larger w selects " +
     "more sparsely (d53 knob liveness)") {
     import spark.implicits._

@@ -102,6 +102,9 @@ class QueriesSpec extends SparkSpec {
       "d46_dsir_weights",
       // d49: the n_train and union-vocab scalars (d23's pattern)
       "d49_heldout_logprob",
+      // d56: the (N, Σdl) corpus-stats scalar (no-grouping aggregate)
+      // cross-joined onto the probe-term hit frame
+      "d56_bm25_topk",
       "d26_pack_sequences", "d40_epoch_shuffle", "d27_temperature_sample",
       "d31_curation_funnel", "d35_bigram_logprob",
       "d38_mix_epochs", "d42_budget_select")

@@ -246,6 +246,9 @@ class QueryConfSpec extends SparkSpec {
     assert(SparkEntry.oracleSql("s12_pq_encode_incremental") ===
       EmbeddingQueries.s12OracleSqlAt(QueryConf.DefaultIvfCells,
         QueryConf.DefaultLloydRounds))
+    assert(SparkEntry.oracleSql("d56_bm25_topk") ===
+      graft.queries.DocumentQueries.d56OracleSqlAt(
+        QueryConf.DefaultBm25TopK))
   }
 
   test("the r15b knobs (containment.rarecap, winnow.window) refuse " +
@@ -265,6 +268,11 @@ class QueryConfSpec extends SparkSpec {
         val e = intercept[IllegalArgumentException](
           QueryConf.winnowMaxDf(spark))
         assert(e.getMessage.contains(QueryConf.WinnowMaxDfKey))
+      }
+      withConf(QueryConf.Bm25TopKKey -> bad) {
+        val e = intercept[IllegalArgumentException](
+          QueryConf.bm25TopK(spark))
+        assert(e.getMessage.contains(QueryConf.Bm25TopKKey))
       }
     }
     withConf(QueryConf.ContainRareCapKey -> " 12 ") {
