@@ -455,8 +455,57 @@ object Multimodal {
     * shift — defined for odd sums) at the NATIVE bit depth, 16-bit
     * values then quantize by `(v + 32768) >> 8` into 0..255 — so every
     * format feeds the same |v−128| deviation, ±2 silence band and
-    * 0/255 clip rails. */
+    * 0/255 clip rails. The chunk-walk validation itself lives in
+    * [[parseWav]], shared with the m07 windowed census
+    * ([[decodeWavEnergy]]).
+    */
+  /** Validated PCM geometry shared by the censuses ([[decodeWav]] /
+    * [[decodeWavEnergy]]) — the header walk runs ONCE ([[parseWav]]) so
+    * a validation fix cannot silently diverge the two consumers. */
+  private[operators] final case class WavPcm(rate: Int, bits: Int,
+      channels: Int, dataStart: Int, dataLen: Long) {
+    def frameBytes: Int = channels * (bits / 8)
+    def nFrames: Long = dataLen / frameBytes
+  }
+
+  /** One frame's u8-equivalent sample (the [[decodeWav]] grain: stereo
+    * downmixed by the floor channel average at native depth, 16-bit
+    * quantized by `(v+32768) >> 8`). `at` is the frame's byte offset. */
+  @inline private def u8Frame(bytes: Array[Byte], at: Int, bits: Int,
+      channels: Int): Int = {
+    // s16le: low byte unsigned, high byte sign-extending — a plain Int
+    // `or` yields the signed 16-bit value
+    @inline def s16(p: Int): Int = (bytes(p) & 0xff) | (bytes(p + 1).toInt << 8)
+    if (bits == 8) {
+      val a = bytes(at) & 0xff
+      if (channels == 2) (a + (bytes(at + 1) & 0xff)) >> 1 else a
+    } else {
+      val a = s16(at)
+      val m = if (channels == 2) (a + s16(at + 2)) >> 1 else a
+      (m + 32768) >> 8
+    }
+  }
+
   def decodeWav(bytes: Array[Byte]): DecodedWav = {
+    val h = parseWav(bytes)
+    var sumAbs = 0L
+    var silence = 0L
+    var clip = 0L
+    var j = h.dataStart
+    val end = h.dataStart + h.dataLen.toInt
+    while (j < end) {
+      val v8 = u8Frame(bytes, j, h.bits, h.channels)
+      val dev = math.abs(v8 - 128)
+      sumAbs += dev
+      if (dev <= 2) silence += 1
+      if (v8 == 0 || v8 == 255) clip += 1
+      j += h.frameBytes
+    }
+    DecodedWav(h.rate, h.bits, h.channels, h.nFrames, sumAbs, silence,
+      clip)
+  }
+
+  private[operators] def parseWav(bytes: Array[Byte]): WavPcm = {
     if (bytes.length < 12 || fourCC(bytes, 0) != "RIFF") bad("not RIFF")
     if (leU32(bytes, 4) != bytes.length - 8L)
       bad(s"RIFF size ${leU32(bytes, 4)} != payload ${bytes.length - 8}")
@@ -514,32 +563,7 @@ object Multimodal {
     if (dataLen % frameBytes != 0)
       bad(s"data chunk $dataLen bytes not a multiple of the " +
         s"$frameBytes-byte frame")
-    // s16le: low byte unsigned, high byte sign-extending — a plain Int
-    // `or` yields the signed 16-bit value
-    def s16(at: Int): Int = (bytes(at) & 0xff) | (bytes(at + 1).toInt << 8)
-    var sumAbs = 0L
-    var silence = 0L
-    var clip = 0L
-    var j = dataStart
-    val end = dataStart + dataLen.toInt
-    while (j < end) {
-      val v8 =
-        if (bits == 8) {
-          val a = bytes(j) & 0xff
-          if (channels == 2) (a + (bytes(j + 1) & 0xff)) >> 1 else a
-        } else {
-          val a = s16(j)
-          val m = if (channels == 2) (a + s16(j + 2)) >> 1 else a
-          (m + 32768) >> 8
-        }
-      val dev = math.abs(v8 - 128)
-      sumAbs += dev
-      if (dev <= 2) silence += 1
-      if (v8 == 0 || v8 == 255) clip += 1
-      j += frameBytes
-    }
-    DecodedWav(rate, bits, channels, dataLen / frameBytes, sumAbs, silence,
-      clip)
+    WavPcm(rate, bits, channels, dataStart, dataLen)
   }
 
   /** Serialize one PCM-u8 mono WAV — the generation half of the m06
@@ -597,6 +621,86 @@ object Multimodal {
             d.nSamples, d.nSamples * 1000L / d.sampleRate, d.sumAbsDev,
             if (d.nSamples == 0) 0L else d.sumAbsDev * 10000L / d.nSamples,
             d.silenceN, d.clipN)
+        }
+      }
+    }
+  }
+
+  /** m07 window length in sample frames. A SEMANTIC constant (the
+    * oracle replays it), not a scale knob: 64 frames ≈ 8 ms at 8 kHz,
+    * the short-time-analysis grain a VAD/silence-trimmer works at. */
+  val EnergyWin = 64
+
+  /** One decoded audio object's windowed-energy census (m07). */
+  final case class WavEnergy(nSamples: Long, nWindows: Long,
+      activeN: Long, firstActive: Long, peakIdx: Long, peakSum: Long)
+
+  /** m07 per-object output row: [[WavEnergy]] + identity. */
+  final case class FrameEnergy(doc_id: Long, n_samples: Long,
+      n_windows: Long, active_n: Long, first_active: Long,
+      peak_idx: Long, peak_sum: Long)
+
+  /** Windowed frame-energy census — the short-time complement of
+    * [[decodeWav]]'s whole-object census and the primitive a
+    * voice-activity / silence-trimming gate thresholds: the u8-grain
+    * sample stream (the [[u8Frame]] downmix/quantize contract — ONE
+    * scale across a mixed-format crawl) is cut into consecutive
+    * `win`-frame windows (the tail keeps its true partial length) and
+    * each window's summed |v−128| deviation censused in exact integer
+    * arithmetic:
+    *   - `activeN` / `firstActive` — windows whose deviation MEAN
+    *     clears the ±2 silence band (`sum > 2·len`, the exact-integer
+    *     form; the band is [[decodeWav]]'s per-sample silence
+    *     threshold at window grain). firstActive = −1 when none: the
+    *     leading-silence trim point.
+    *   - `peakIdx` / `peakSum` — the loudest window (FIRST index on
+    *     equal sums; −1/0 for a zero-frame object).
+    * Same loud [[parseWav]] validation; one pass, no allocation. */
+  def decodeWavEnergy(bytes: Array[Byte], win: Int = EnergyWin): WavEnergy = {
+    require(win >= 1, s"energy window must be >= 1 (got $win)")
+    val h = parseWav(bytes)
+    var wi = 0L
+    var wSum = 0L
+    var wLen = 0
+    var activeN = 0L
+    var firstActive = -1L
+    var peakIdx = -1L
+    var peakSum = 0L
+    def closeWindow(): Unit = {
+      if (wSum > 2L * wLen) {
+        activeN += 1
+        if (firstActive < 0) firstActive = wi
+      }
+      if (peakIdx < 0 || wSum > peakSum) { peakSum = wSum; peakIdx = wi }
+      wi += 1
+      wSum = 0L
+      wLen = 0
+    }
+    var j = h.dataStart
+    val end = h.dataStart + h.dataLen.toInt
+    while (j < end) {
+      wSum += math.abs(u8Frame(bytes, j, h.bits, h.channels) - 128)
+      wLen += 1
+      if (wLen == win) closeWindow()
+      j += h.frameBytes
+    }
+    if (wLen > 0) closeWindow()
+    WavEnergy(h.nFrames, wi, activeN, firstActive, peakIdx, peakSum)
+  }
+
+  /** m07 — per-object windowed-energy census over [[decodeWavEnergy]]:
+    * the batched zero-shuffle mapPartitions shape of [[audioFeatures]];
+    * only the 7-column integer census leaves the decode stage, never
+    * samples. */
+  def audioFrameEnergy(ds: Dataset[MediaRecord],
+      win: Int = EnergyWin): Dataset[FrameEnergy] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val e = decodeWavEnergy(r.media, win)
+          FrameEnergy(r.doc_id, e.nSamples, e.nWindows, e.activeN,
+            e.firstActive, e.peakIdx, e.peakSum)
         }
       }
     }

@@ -100,6 +100,18 @@ object MultimodalQueries {
       Multimodal.audioFeatures(
         Multimodal.wavFromDocuments(s, Tables(s, dir, "documents")))
         .toDF().orderBy($"doc_id")
+    },
+
+    // ---- m07: windowed frame-energy census — the VAD/silence-trim
+    // primitive over the SAME mixed-format WAV fixture as m06: the
+    // engine parses the binary frames it wrote and censuses 64-frame
+    // windows (active count, first-active trim point, loudest window);
+    // the oracle replays the generation contract + windowing in SQL --
+    "m07_frame_energy" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.audioFrameEnergy(
+        Multimodal.wavFromDocuments(s, Tables(s, dir, "documents")))
+        .toDF().orderBy($"doc_id")
     })
 
   /** m04 as a reusable operator over a (doc_id, text) frame — the
@@ -326,6 +338,49 @@ object MultimodalQueries {
            CAST(silence_n AS BIGINT) AS silence_n,
            CAST(clip_n AS BIGINT) AS clip_n
          FROM agg ORDER BY doc_id""",
+    // m07: the m06 generation replay + positional windowing — window
+    // id = (i-1) // 64 over the 1-based sample index (the d51 toks[i]
+    // pattern), per-window integer deviation sums, the active test in
+    // exact-integer form (s > 2·len), first-index-on-ties peak via a
+    // min() over the rows attaining the per-doc max
+    "m07_frame_energy" ->
+      s"""WITH s AS (
+           SELECT doc_id,
+             CASE WHEN len(text) = 0 THEN [46]
+                  ELSE list_transform(range(1, len(text) + 1),
+                         i -> ascii(substr(text, i, 1)) % 256) END AS vs
+           FROM documents),
+         u AS (
+           SELECT doc_id, (i - 1) // ${Multimodal.EnergyWin} AS wi,
+             CASE WHEN doc_id % 3 = 2 THEN (v0 + (v0 + 2) % 256) // 2
+                  ELSE v0 END AS v
+           FROM (SELECT doc_id, i, vs[i] AS v0
+                 FROM (SELECT doc_id, vs,
+                         unnest(range(1, len(vs) + 1)) AS i FROM s))),
+         w AS (
+           SELECT doc_id, wi, sum(abs(v - 128)) AS dev,
+             count(*) AS wlen
+           FROM u GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN dev > 2 * wlen THEN 1 ELSE 0 END)
+               AS BIGINT) AS active_n,
+             CAST(coalesce(min(CASE WHEN dev > 2 * wlen THEN wi END), -1)
+               AS BIGINT) AS first_active,
+             max(dev) AS peak
+           FROM w GROUP BY 1),
+         pk AS (
+           SELECT w.doc_id, CAST(min(w.wi) AS BIGINT) AS peak_idx
+           FROM w JOIN agg ON agg.doc_id = w.doc_id AND w.dev = agg.peak
+           GROUP BY 1)
+         SELECT s.doc_id, CAST(len(s.vs) AS BIGINT) AS n_samples,
+           agg.n_windows, agg.active_n, agg.first_active,
+           pk.peak_idx, CAST(agg.peak AS BIGINT) AS peak_sum
+         FROM s
+         JOIN agg ON agg.doc_id = s.doc_id
+         JOIN pk ON pk.doc_id = s.doc_id
+         ORDER BY s.doc_id""",
     "m03_media_resize" ->
       s"""WITH s AS (
             SELECT doc_id,

@@ -2732,6 +2732,61 @@ class OperatorsSpec extends SparkSpec {
       "the persisted artifact must drive a bit-identical encode")
   }
 
+  test("windowed frame-energy census: hand-computed windows, partial " +
+    "tail, first-on-tie peak, zero-frame object, format parity (m07)") {
+    import graft.operators.Multimodal
+    // [128,130 | 0,255 | 100] at win=2: w0 dev 0+2=2 (silent: 2 !> 4),
+    // w1 128+127=255 (active), w2 tail len 1 dev 28 (active: 28 > 2)
+    val samples = Array[Byte](128.toByte, 130.toByte, 0, 255.toByte, 100)
+    val wav = Multimodal.wavBytes(8000, samples)
+    assert(Multimodal.decodeWavEnergy(wav, win = 2) ==
+      Multimodal.WavEnergy(5L, 3L, 2L, 1L, 1L, 255L))
+    // exact window boundary: no phantom empty tail window
+    val even = Multimodal.wavBytes(8000,
+      Array[Byte](128.toByte, 130.toByte, 0, 255.toByte))
+    assert(Multimodal.decodeWavEnergy(even, win = 2) ==
+      Multimodal.WavEnergy(4L, 2L, 1L, 1L, 1L, 255L))
+    // equal-sum windows: the FIRST index wins the peak
+    val tie = Multimodal.wavBytes(8000, Array[Byte](200.toByte, 200.toByte))
+    assert(Multimodal.decodeWavEnergy(tie, win = 1) ==
+      Multimodal.WavEnergy(2L, 2L, 2L, 0L, 0L, 72L))
+    // all-silence object: no active window, firstActive = -1, but the
+    // peak still points at the (quiet) loudest window
+    val quiet = Multimodal.wavBytes(8000,
+      Array[Byte](128.toByte, 129.toByte, 127.toByte, 126.toByte))
+    assert(Multimodal.decodeWavEnergy(quiet, win = 4) ==
+      Multimodal.WavEnergy(4L, 1L, 0L, -1L, 0L, 4L))
+    // a valid zero-frame WAV: zero windows, both indices -1
+    assert(Multimodal.decodeWavEnergy(Multimodal.wavBytes(8000, Array())) ==
+      Multimodal.WavEnergy(0L, 0L, 0L, -1L, -1L, 0L))
+    // format parity (the u8-equivalent grain): the same logical stream
+    // censuses identically through u8 mono, s16le mono, s16le stereo
+    val v8 = Array(128, 130, 0, 255, 100)
+    def s16of(v: Int): Short = ((v - 128) * 256).toShort
+    val u8 = Multimodal.decodeWavEnergy(
+      Multimodal.wavBytes(8000, v8.map(_.toByte)), win = 2)
+    assert(Multimodal.decodeWavEnergy(
+      Multimodal.wavBytes16(8000, 1, v8.map(s16of)), win = 2) == u8)
+    // stereo right = left (equal channels: the floor average is l)
+    assert(Multimodal.decodeWavEnergy(
+      Multimodal.wavBytes16(8000, 2,
+        v8.flatMap(v => Array(s16of(v), s16of(v)))), win = 2) == u8)
+    // degenerate window refused loudly
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWavEnergy(wav, win = 0))
+    // the Dataset operator is the same census, batched per partition
+    import spark.implicits._
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, wav, "audio/wav"),
+      Multimodal.MediaRecord(2L, quiet, "audio/wav"))
+      .toDS().repartition(2)
+    val rows = Multimodal.audioFrameEnergy(ds, win = 2).collect()
+      .sortBy(_.doc_id)
+    assert(rows.toSeq == Seq(
+      Multimodal.FrameEnergy(1L, 5L, 3L, 2L, 1L, 1L, 255L),
+      Multimodal.FrameEnergy(2L, 4L, 2L, 0L, -1L, 1L, 3L)))
+  }
+
   test("WAV decode: hand-computed census, LIST chunks and odd-size pads " +
     "walked per the RIFF spec, malformed payloads rejected loudly (m06)") {
     import graft.operators.Multimodal
