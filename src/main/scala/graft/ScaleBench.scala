@@ -117,7 +117,18 @@ object ScaleBench {
       // assign + the subvector explode/groupBy-free encode projection;
       // must ride the s-family near-flat band (the trainer cost is the
       // only corpus-proportional term and it halves to the even side)
-      "s12_pq_encode_incremental"
+      "s12_pq_encode_incremental" :+
+      // d56 (round 16): ONE corpus tf census + probe-bounded joins —
+      // the cell's CLAIM is that the probe set being fixed (50 queries)
+      // while the corpus grows leaves only the census + the hit cut as
+      // corpus-proportional terms (no pairwise/per-query corpus pass)
+      "d56_bm25_topk" :+
+      // d57 (round 16): one compiled code-point pass per row — the d51
+      // flat-band claim (map-side linearity, presentation sort only)
+      "d57_char_entropy" :+
+      // m07 (round 16): generate + parse + windowed census per row in
+      // one batched mapPartitions — the m06 zero-shuffle decode band
+      "m07_frame_energy"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

@@ -686,6 +686,68 @@ object EmbeddingQueries {
         .orderBy($"q_id", $"rnk")
     },
 
+    // ---- s13: 1-bit sign quantization + Hamming coarse scan + exact
+    // rerank — the BINARY-quantization end of the s05/s06/s07/s08
+    // memory-layout family and the cheapest corpus-wide scan that
+    // exists: each vector stored as its 64 SIGN BITS packed into two
+    // BIGINT words (16 bytes — 16× less than f32, 32× less than the
+    // double working form; the layout every billion-vector "binary
+    // quantization + rescore" stack ships). The coarse stage scans
+    // ONLY the packed words — Hamming distance = popcount(xor) per
+    // half, integer-exact on any engine — for a top-40 candidate set:
+    // DEEPER than s06/s07's 20 on purpose, the binary-quantization
+    // trade (a 1-bit code is coarser than int8/half-dims, so real
+    // rescore stacks widen the rescore window 2-5x — 20 candidates
+    // measured 0.45 recall@5 on this corpus, 40 clears the 0.6 bar
+    // s07 holds); full-precision vectors are touched ONLY for the
+    // ≤40×Q survivors via an id equi-join (the s06 two-stage
+    // contract). Bits pack
+    // little-endian per half (bit i−1 ⇔ dim i, dims 1–32 / 33–64) with
+    // shifts, never 2^i doubles — bit 32 of a single-word packing
+    // would be sign-ambiguous cross-engine, two halves keep every
+    // intermediate < 2³². Sign test is v[i] > 0 (zeros quantize to 0,
+    // IEEE-exact on both engines). Determinism: integer Hamming +
+    // c_id tie at the coarse stage, rounded sims + c_id at the rerank
+    // — full SQL oracle; OperatorsSpec pins recall vs the exact s01
+    // baseline. Scale: the candidate join is the s01/s02 bounded
+    // probe-set broadcast (audited); the corpus-wide term reads 16
+    // bytes/vector.
+    "s13_hamming_rerank" -> { (s, dir) =>
+      import s.implicits._
+      val packed = vecs(s, dir)
+        .withColumn("blo", expr(
+          """aggregate(sequence(1, 32), 0L, (acc, i) ->
+               acc + IF(element_at(v, i) > 0D, shiftleft(1L, i - 1), 0L))"""))
+        .withColumn("bhi", expr(
+          """aggregate(sequence(33, 64), 0L, (acc, i) ->
+               acc + IF(element_at(v, i) > 0D, shiftleft(1L, i - 33), 0L))"""))
+      val q = packed.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"blo".as("qlo"), $"bhi".as("qhi"))
+      val c = packed
+        .select($"vec_id".as("c_id"), $"blo".as("clo"), $"bhi".as("chi"))
+      val preW = Window.partitionBy($"q_id").orderBy($"ham", $"c_id")
+      val coarse = c.join(broadcast(q), $"q_id" =!= $"c_id")
+        .withColumn("ham",
+          bit_count($"qlo".bitwiseXOR($"clo")) +
+            bit_count($"qhi".bitwiseXOR($"chi")))
+        .withColumn("prnk", row_number().over(preW))
+        .filter($"prnk" <= 40)
+        .select($"q_id", $"c_id")
+      val exact = vecs(s, dir)
+      val rnkW = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"c_id")
+      coarse
+        .join(exact.select($"vec_id".as("c_id"), $"v".as("cv"),
+          $"nrm".as("cn")), "c_id")
+        .join(broadcast(exact.filter($"vec_id" < 20)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))),
+          "q_id")
+        .withColumn("cos_sim", round(dot("qv", "cv") / ($"qn" * $"cn"), 4))
+        .withColumn("rnk", row_number().over(rnkW).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"q_id", $"rnk", $"c_id", $"cos_sim")
+        .orderBy($"q_id", $"rnk")
+    },
+
     // ---- s08: IVF + PQ-style residual quantization + exact rerank --------
     // The memory shape real 100 TB ANN deployments run: s04's TRAINED
     // coarse quantizer prunes the scan to nprobe cells, and inside a
@@ -1283,6 +1345,47 @@ object EmbeddingQueries {
            JOIN m2 qq ON qq.vec_id = t.q_id
            JOIN m2 cc ON cc.vec_id = t.c_id
            WHERE t.prnk <= 20),
+         r AS (
+           SELECT q_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk,
+             c_id, cos_sim
+           FROM rer)
+         SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5
+         ORDER BY q_id, rnk""",
+    // s13: the sign-bit packing replayed with shifts (never 2^i
+    // doubles), Hamming = popcount(xor) per BIGINT half — integer-
+    // exact like the engine; the rerank is the s07 exact stage
+    "s13_hamming_rerank" ->
+      """WITH n AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (
+           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             CAST(list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS blo,
+             CAST(list_sum(list_transform(range(33, 65),
+               i -> CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 33))
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bhi
+           FROM n),
+         pre AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             bit_count(xor(q.blo, c.blo)) + bit_count(xor(q.bhi, c.bhi))
+               AS ham
+           FROM m q JOIN m c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         ptop AS (
+           SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY ham, c_id) AS prnk
+           FROM pre),
+         rer AS (
+           SELECT t.q_id, t.c_id,
+             round(list_dot_product(qq.v, cc.v) / (qq.nrm * cc.nrm), 4) AS cos_sim
+           FROM ptop t
+           JOIN m qq ON qq.vec_id = t.q_id
+           JOIN m cc ON cc.vec_id = t.c_id
+           WHERE t.prnk <= 40),
          r AS (
            SELECT q_id,
              CAST(row_number() OVER (PARTITION BY q_id

@@ -46,6 +46,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("binary-hamming rerank: packing exact on a hand vector, recall " +
+    "vs the exact top-5, rerank sims exact (s13 vs s01)") {
+    import spark.implicits._
+    // hand-checkable packing: dims 1, 3, 33 positive, everything else
+    // <= 0 (zeros must NOT set bits) → blo = 1 + 4, bhi = 1
+    val hand = (1 to 64).map {
+      case 1 | 3 | 33 => 0.5; case 2 => -0.1; case _ => 0.0
+    }.toArray
+    val packed = Seq((0L, hand)).toDF("vec_id", "v")
+      .selectExpr(
+        """aggregate(sequence(1, 32), 0L, (acc, i) ->
+             acc + IF(element_at(v, i) > 0D, shiftleft(1L, i - 1), 0L)) AS blo""",
+        """aggregate(sequence(33, 64), 0L, (acc, i) ->
+             acc + IF(element_at(v, i) > 0D, shiftleft(1L, i - 33), 0L)) AS bhi""")
+      .collect().head
+    assert((packed.getLong(0), packed.getLong(1)) == ((5L, 1L)),
+      "sign-bit packing must be little-endian per half, zeros unset")
+    val exact = EmbeddingQueries.queries("s01_knn_bruteforce")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = EmbeddingQueries.queries("s13_hamming_rerank")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    val recall = (pairs & exact).size.toDouble / exact.size
+    // 64 sign bits keeping 20 candidates must recover most of the true
+    // top-5 — the binary-quantization literature's "rescoring fixes it"
+    // claim, pinned; a packing/popcount bug craters this
+    assert(recall >= 0.6, s"hamming-rerank recall too low: $recall")
+    // the rerank stage is EXACT: every returned similarity equals the
+    // s01 value for the same (query, candidate) pair
+    val exactSims = EmbeddingQueries
+      .queries("s01_knn_bruteforce")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    got.foreach { case (q, c, sim) =>
+      exactSims.get((q, c)).foreach(es =>
+        assert(es == sim, s"rerank sim diverges from exact for ($q,$c)"))
+    }
+  }
+
   test("LSH band joins stay bounded under pathological skew (hot-band guards)") {
     import spark.implicits._
     // 800 byte-identical docs + 100 sub-3-token docs (shared sentinel

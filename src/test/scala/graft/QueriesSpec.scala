@@ -95,6 +95,8 @@ class QueriesSpec extends SparkSpec {
       "s04_ann_ivf", "s08_ivfpq_rerank", "s09_semdedup", "s10_sem_decontam",
       "s12_pq_encode_incremental",
       "s06_quantized_rerank", "s07_truncated_rerank",
+      // s13: the same fixed-query-set probe join at the binary axis
+      "s13_hamming_rerank",
       "d17_tfidf_keywords",
       "d22_boilerplate", "d23_unigram_logprob", "q30_sliding_window",
       // d46: the two feature-total scalars (no-grouping aggregates)
@@ -174,6 +176,7 @@ class QueriesSpec extends SparkSpec {
       // (assignTo, analyzed plan) at the end of this test.
       "s06_quantized_rerank" -> "fixed query set (coarse scan + rerank sides)",
       "s07_truncated_rerank" -> "fixed query set (prefix scan + rerank sides)",
+      "s13_hamming_rerank" -> "fixed query set (packed-bit scan + rerank sides)",
       "q30_sliding_window" -> "<=6-row per-year boundary stitch",
       // the planner sees a checkpointed LogicalRDD (the trained vocab);
       // the real bound is Heaps' law — the distinct-word table at
