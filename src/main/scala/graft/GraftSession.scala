@@ -44,6 +44,7 @@ object GraftSession {
       .withExtensions(graft.functions.QualityStatsExpr.register)
       .withExtensions(graft.functions.WinnowExpr.register)
       .withExtensions(graft.functions.CharEntropyExpr.register)
+      .withExtensions(graft.functions.TermCountsExpr.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

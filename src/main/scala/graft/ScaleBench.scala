@@ -128,7 +128,13 @@ object ScaleBench {
       "d57_char_entropy" :+
       // m07 (round 16): generate + parse + windowed census per row in
       // one batched mapPartitions — the m06 zero-shuffle decode band
-      "m07_frame_energy"
+      "m07_frame_energy" :+
+      // s13 (round 16): the packed-bit scan IS deliberately linear
+      // (×|probes| narrow rows through the coarse window, the s01/s02
+      // brute-scan asymptotics) — the cell's CLAIM is the bandwidth
+      // constant: the corpus-proportional term reads 16 bytes/vector,
+      // so the cell must track the s02 band, not the float-scan one
+      "s13_hamming_rerank"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

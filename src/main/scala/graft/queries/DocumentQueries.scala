@@ -268,14 +268,16 @@ object DocumentQueries {
     * idf > 0 always (df ≤ N), so scores are nonnegative and the top-k
     * window needs no sign care; ties break doc_id-ascending.
     *
-    * Scale shape: the corpus explodes ONCE into the (doc, term) tf
-    * census (shuffle 1, map-side combine; dl rides the groupBy key —
-    * it is functionally dependent on doc_id, so it costs nothing). The
-    * census is then restricted to the PROBE TERMS by a broadcast hash
-    * join (the probe set is bounded — the gate's is GlobalLimit-capped,
-    * plan-audited) and the restriction is Materialize()d ONCE: the df
-    * census and the scoring join both read the cut, not the corpus
-    * (the d52 convention — without it the tf shuffle runs twice). df
+    * Scale shape: the corpus explodes ONCE, is cut to the PROBE TERMS
+    * by a broadcast hash join BEFORE the tf census (per-(doc, term)
+    * counts are independent of other terms, so the pre-filter is
+    * exact; the probe set is bounded — the gate's is GlobalLimit-
+    * capped, plan-audited), and only probe-term occurrences shuffle
+    * into the (doc, term) census (map-side combine; dl rides the
+    * groupBy key — functionally dependent on doc_id, it costs
+    * nothing). The cut is Materialize()d ONCE: the df census and the
+    * scoring join both read it, not the corpus (the d52 convention —
+    * without it the explode runs twice). df
     * and the (N, Σdl) scalar ride tiny broadcast-back aggregates
     * (≤ |probe terms| and 1 row — the d17/d23 pattern; df joins back
     * unhinted, AQE broadcasts it from runtime stats). The only
@@ -290,22 +292,30 @@ object DocumentQueries {
       .select($"query_id", explode(split($"qtext", " ")).as("term"))
       .filter($"term" =!= "").distinct()
     val termSet = qt.select($"term").distinct()
-    // dl at the FILTERED termStream grain — the same tokens tf counts
-    // (graft_quality_stats.n_tok is the split-SEGMENT count: '' → 1,
-    // double spaces inflate it — the wrong denominator here)
-    val dlCol = size(expr("filter(split(text, ' '), t -> t <> '')"))
-      .cast("long")
-    val tf = corpus
-      .withColumn("dl", dlCol)
-      .select($"doc_id", $"dl", explode(split($"text", " ")).as("term"))
-      .filter($"term" =!= "")
-      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
-    // the corpus cut at the probe terms — materialized once, read twice
-    val hits = graft.Materialize(tf.join(broadcast(termSet), "term"))
+    // the corpus cut at the probe terms: the tf census folds IN-ROW
+    // (native graft_term_counts — one compiled pass; the explode+
+    // groupBy census shipped every token occurrence through an
+    // exchange and owned half the x100 wall in the scale sweep), so
+    // term rows are born pre-aggregated at the distinct-term grain,
+    // the broadcast term-set join prunes them in the same stage, and
+    // NOTHING corpus-wide ever shuffles. dl = the census's n_tok (the
+    // filtered termStream grain — graft_quality_stats.n_tok is the
+    // split-SEGMENT count: '' → 1, double spaces inflate it — the
+    // wrong denominator here). Materialized once, read by the df
+    // census + the scoring join.
+    val hits = graft.Materialize(corpus
+      .withColumn("sig", expr("graft_term_counts(text)"))
+      .select($"doc_id", $"sig.n_tok".as("dl"),
+        explode($"sig.terms").as("tc"))
+      .select($"doc_id", $"dl", $"tc.term".as("term"), $"tc.n".as("tf"))
+      .join(broadcast(termSet), "term"))
     val dfT = hits.groupBy($"term").agg(count(lit(1)).as("df"))
+    // the (N, Σdl) scalar is its own map-only pass — size(filter(...))
+    // counts the same filtered grain without the census's hash map
     val stats = corpus.agg(
       count(lit(1)).as("n_docs"),
-      coalesce(sum(dlCol), lit(0L)).as("sum_dl"))
+      coalesce(sum(size(expr("filter(split(text, ' '), t -> t <> '')"))
+        .cast("long")), lit(0L)).as("sum_dl"))
     val scored = hits
       .join(dfT, "term")
       .join(broadcast(qt), "term")

@@ -125,6 +125,27 @@ object FunctionProps extends Properties("functions") {
         row.getLong(3) == entQ
     }
 
+  // --- graft_term_counts vs a plain Scala census — the tokenText
+  // generator's tiny vocab forces heavy multiplicity and empty-segment
+  // edges (double separators)
+  property("graft_term_counts == the naive token census, " +
+    "first-appearance order") =
+    forAll(tokenText) { text =>
+      val row = graft.functions.TermCountsExpr.census(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val toks = text.split(' ').filter(_.nonEmpty).toSeq
+      val order = toks.distinct
+      val census = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val arr = row.getArray(1)
+      val got = (0 until arr.numElements()).map { i =>
+        val e = arr.getStruct(i, 2)
+        (e.getUTF8String(0).toString, e.getLong(1))
+      }
+      row.getLong(0) == toks.size.toLong &&
+        got.map(_._1) == order &&
+        got.forall { case (t, n) => census(t) == n }
+    }
+
   property("dimension mismatch is rejected loudly") =
     forAll(Gen.chooseNum(1, 32)) { n =>
       val a = new GenericArrayData(Array.fill(n)(Double.box(1.0)))
