@@ -94,6 +94,22 @@ object DocumentQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
 
+  /** The per-document term-frequency census (doc_id, term, c) at the
+    * [[termStream]] grain, folded IN-ROW by the native
+    * [[graft.functions.TermCountsExpr]] (round 16): rows are born
+    * pre-aggregated at the distinct-term grain, so the tf consumers
+    * (d17/d18/d23/d49/d56) never ship a token occurrence through an
+    * exchange — the explode+groupBy formulation stays documented at
+    * the kernel as the spec-pinned reference. ONE definition so the
+    * grain cannot diverge between the operators that must agree on
+    * it. */
+  private def termCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr("graft_term_counts(text)").getField("terms"))
+          .as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.n").as("c"))
+
   /** d07's marker-scored language prediction, added as columns (en_n /
     * de_n / fr_n hit counts + pred_lang argmax, deterministic tie order,
     * 'und' when nothing matches). ONE definition shared by the d07 gate
@@ -308,7 +324,7 @@ object DocumentQueries {
       .select($"doc_id", $"sig.n_tok".as("dl"),
         explode($"sig.terms").as("tc"))
       .select($"doc_id", $"dl", $"tc.term".as("term"), $"tc.n".as("tf"))
-      .join(broadcast(termSet), "term"))
+      .join(broadcast(termSet), "term")) // termCounts + the dl column
     val dfT = hits.groupBy($"term").agg(count(lit(1)).as("df"))
     // the (N, Σdl) scalar is its own map-only pass — size(filter(...))
     // counts the same filtered grain without the census's hash map
@@ -591,10 +607,13 @@ object DocumentQueries {
     "d17_tfidf_keywords" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      val terms = DocumentQueries.termStream(docs)
-      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val docFreq = terms.select($"doc_id", $"term").distinct()
-        .groupBy($"term").agg(count(lit(1)).as("df"))
+      // tf folds IN-ROW (termCounts, round 16 — the d56 kernel): rows
+      // arrive pre-aggregated at the distinct-term grain, so the old
+      // occurrence-grain groupBy exchange AND df's distinct pre-pass
+      // both vanish — df is a plain count over (doc, term)-unique rows
+      val tf = DocumentQueries.termCounts(docs)
+        .withColumnRenamed("c", "tf")
+      val docFreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val total = docs.agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"score".desc, $"term")
@@ -615,10 +634,12 @@ object DocumentQueries {
     // rows), never a full sort of the vocabulary.
     "d18_vocab_topk" -> { (s, dir) =>
       import s.implicits._
-      DocumentQueries.termStream(Tables(s, dir, "documents"))
+      // the in-row census (round 16): rows arrive (doc, term)-unique
+      // with their multiplicities, so n_occ is a sum, and the old
+      // two-phase countDistinct expansion collapses to a plain count
+      DocumentQueries.termCounts(Tables(s, dir, "documents"))
         .groupBy($"term")
-        .agg(count(lit(1)).as("n_occ"),
-          countDistinct($"doc_id").as("n_docs"))
+        .agg(sum($"c").as("n_occ"), count(lit(1)).as("n_docs"))
         .orderBy($"n_occ".desc, $"term")
         .limit(100)
     },
@@ -697,8 +718,10 @@ object DocumentQueries {
     // the data on any partitioning.
     "d23_unigram_logprob" -> { (s, dir) =>
       import s.implicits._
-      val toks = DocumentQueries.termStream(Tables(s, dir, "documents"))
-      val perDoc = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      // perDoc folds IN-ROW (termCounts, round 16 — the d56 kernel):
+      // pre-aggregated (doc, term, c) rows replace the old
+      // occurrence-grain groupBy exchange
+      val perDoc = DocumentQueries.termCounts(Tables(s, dir, "documents"))
       val tf = perDoc.groupBy($"term").agg(sum($"c").as("tf"))
       val total = perDoc.agg(sum($"c").as("n_tokens"))
       perDoc.join(tf, "term").crossJoin(broadcast(total))
@@ -2806,12 +2829,11 @@ object DocumentQueries {
     // scalar, the union vocabulary) and eval two (vocabulary, the
     // score join) — without the barrier the corpus scan+tokenize
     // re-runs per consumer
-    val trainPd = termStream(train.select($"doc_id", $"text"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
-      .materialize()
-    val evalPd = termStream(eval.select($"doc_id", $"text"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
-      .materialize()
+    // in-row censuses (graft_term_counts, round 16) — the materialize
+    // barrier still pays for the multi-consumer reads, but the frames
+    // behind it are now shuffle-free projections
+    val trainPd = termCounts(train.select($"doc_id", $"text")).materialize()
+    val evalPd = termCounts(eval.select($"doc_id", $"text")).materialize()
     val tfTrain = trainPd.groupBy($"term").agg(sum($"c").as("tf_train"))
     val nTrain = trainPd.agg(coalesce(sum($"c"), lit(0L)).as("n_train"))
     val vocab = trainPd.select($"term").union(evalPd.select($"term"))
