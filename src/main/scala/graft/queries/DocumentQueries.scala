@@ -300,13 +300,48 @@ object DocumentQueries {
     * corpus-proportional exchanges are the tf census and the final
     * per-query top-k (WindowGroupLimit-bounded rank over the matched
     * docs). Text never shuffles. */
+  /** The d56/d58 probe-side term derivation: DISTINCT (query_id, term)
+    * at the [[termStream]] grain — ONE definition so the inline and
+    * indexed paths cannot diverge on what a query term is. */
+  private def bm25QueryTerms(probes: DataFrame): DataFrame =
+    probes
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+
+  /** The d56/d58 scorer over query-relevant postings: `hits` carries
+    * (doc_id, dl, term, tf, df, n_docs, sum_dl) — however those were
+    * produced (d56 censuses inline, d58 reads the stored artifact) —
+    * and the Okapi fixed-point micro-score sum + per-query top-k
+    * happen HERE ONCE, so a formula fix cannot split the two paths.
+    * Scale: the one corpus-proportional exchange is the (query, doc)
+    * BIGINT partial-agg sum; the rank is WindowGroupLimit-bounded. */
+  private def bm25Rank(hits: DataFrame, qt: DataFrame, k: Int): DataFrame = {
+    val s = hits.sparkSession
+    import s.implicits._
+    val scored = hits
+      .join(broadcast(qt), "term")
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
+      .withColumn("w",
+        $"tf" * 2.2 / ($"tf" +
+          lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+      .withColumn("sq", floor($"idf" * $"w" * 1000000).cast("long"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sq".desc, $"doc_id")
+    scored.groupBy($"query_id", $"doc_id").agg(sum($"sq").as("sq"))
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .filter($"rk" <= k)
+      .withColumn("score", $"sq" / 1000000.0)
+      .select($"query_id", $"rk", $"doc_id", $"score")
+      .orderBy($"query_id", $"rk")
+  }
+
   def bm25TopK(corpus: DataFrame, probes: DataFrame,
       k: Int = QueryConf.DefaultBm25TopK): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qt = probes
-      .select($"query_id", explode(split($"qtext", " ")).as("term"))
-      .filter($"term" =!= "").distinct()
+    val qt = bm25QueryTerms(probes)
     val termSet = qt.select($"term").distinct()
     // the corpus cut at the probe terms: the tf census folds IN-ROW
     // (native graft_term_counts — one compiled pass; the explode+
@@ -332,25 +367,67 @@ object DocumentQueries {
       count(lit(1)).as("n_docs"),
       coalesce(sum(size(expr("filter(split(text, ' '), t -> t <> '')"))
         .cast("long")), lit(0L)).as("sum_dl"))
-    val scored = hits
-      .join(dfT, "term")
-      .join(broadcast(qt), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
-      .withColumn("idf",
-        log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
-      .withColumn("w",
-        $"tf" * 2.2 / ($"tf" +
-          lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
-      .withColumn("sq", floor($"idf" * $"w" * 1000000).cast("long"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy($"query_id").orderBy($"sq".desc, $"doc_id")
-    scored.groupBy($"query_id", $"doc_id").agg(sum($"sq").as("sq"))
-      .withColumn("rk", row_number().over(win).cast("long"))
-      .filter($"rk" <= k)
-      .withColumn("score", $"sq" / 1000000.0)
-      .select($"query_id", $"rk", $"doc_id", $"score")
-      .orderBy($"query_id", $"rk")
+    bm25Rank(hits.join(dfT, "term").crossJoin(broadcast(stats)), qt, k)
+  }
+
+  /** d58 (build half) — the d56 inverted index as a PERSISTABLE
+    * artifact, the d16/d54/s12 incremental convention on the retrieval
+    * axis: at 100 TB the index is built once, stored with the lake,
+    * and every probe batch scores against it without the corpus (or
+    * any census) re-running. One row per posting (doc_id, dl, term,
+    * tf) via the in-row [[graft.functions.TermCountsExpr]] census,
+    * with everything a probe needs DENORMALIZED on (the d54 stored-df
+    * discipline): per-term df, and the collection scalars (n_docs,
+    * sum_dl — N counts token-less docs: they shape avgdl even though
+    * they emit no posting, so the scalars must come from the corpus,
+    * not the postings). The constant columns RLE away in parquet.
+    *
+    * Build shape: the census is one compiled map pass; df is a
+    * map-side-combinable term groupBy joined back term-keyed (NOT the
+    * d54 window fold — raw-term df has stopword-grade skew a single
+    * window partition would buffer whole, while AQE splits a skewed
+    * join); the scalars ride one broadcast scalar agg. Paid once per
+    * build, like every index. */
+  def bm25Index(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val postings = graft.Materialize(corpus
+      .withColumn("sig", expr("graft_term_counts(text)"))
+      .select($"doc_id", $"sig.n_tok".as("dl"),
+        explode($"sig.terms").as("tc"))
+      .select($"doc_id", $"dl", $"tc.term".as("term"), $"tc.n".as("tf")))
+    val dfT = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(expr("filter(split(text, ' '), t -> t <> '')"))
+        .cast("long")), lit(0L)).as("sum_dl"))
+    postings.join(dfT, "term").crossJoin(broadcast(stats))
+  }
+
+  /** d58 (probe half) — score a probe-query batch against a standing
+    * [[bm25Index]] artifact: identical output to [[bm25TopK]] over the
+    * same corpus (same [[bm25QueryTerms]] grain, same [[bm25Rank]]
+    * scorer — spec-pinned), but the plan touches ONLY the artifact:
+    * the probe-term broadcast join prunes postings (a pushed-down
+    * filter at winnowMatches' discipline), df and the collection
+    * scalars are READ from stored columns, and the only aggregate over
+    * the index is the (query, doc) score sum (plan-audit spec-pinned).
+    * A stats-less postings table is refused loudly — silently
+    * re-censusing the corpus per probe batch is exactly the 100 TB
+    * failure mode the artifact exists to prevent. */
+  def bm25Probe(index: DataFrame, probes: DataFrame,
+      k: Int = QueryConf.DefaultBm25TopK): DataFrame = {
+    val missing = Seq("df", "n_docs", "sum_dl")
+      .filterNot(index.columns.contains)
+    require(missing.isEmpty,
+      s"bm25Probe requires a bm25Index artifact (stored ${missing.mkString("/")} " +
+        "absent) — a stats-less postings table would re-census the corpus " +
+        "per probe batch; rebuild with bm25Index")
+    val s = index.sparkSession
+    import s.implicits._
+    val qt = bm25QueryTerms(probes)
+    val termSet = qt.select($"term").distinct()
+    bm25Rank(index.join(broadcast(termSet), "term"), qt, k)
   }
 
   /** d27's sampling bucket: the d13 rolling char hash with a DIFFERENT
@@ -1147,6 +1224,26 @@ object DocumentQueries {
           "array_join(slice(filter(split(text, ' '), t -> t <> ''), 1, 5), ' ')")
           .as("qtext"))
       bm25TopK(docs.filter($"split" === "train").select($"doc_id", $"text"),
+        probes, k = QueryConf.bm25TopK(s))
+    },
+
+    // ---- d58: BM25 probe over the STORED inverted index (see
+    // [[bm25Probe]]) — the d16/d54/s12 incremental convention at the
+    // retrieval axis: same split, same probes, same scores as d56, but
+    // the corpus side is the persisted [[bm25Index]] artifact and the
+    // probe plan never censuses it (plan-audit spec-pinned) ----------
+    "d58_bm25_probe" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("split", splitOfBucket(splitBucketCol))
+      val probes = docs.filter($"split" === "test")
+        .orderBy($"doc_id").limit(50)
+        .select($"doc_id".as("query_id"), expr(
+          "array_join(slice(filter(split(text, ' '), t -> t <> ''), 1, 5), ' ')")
+          .as("qtext"))
+      bm25Probe(
+        bm25Index(docs.filter($"split" === "train")
+          .select($"doc_id", $"text")),
         probes, k = QueryConf.bm25TopK(s))
     },
 
@@ -4264,6 +4361,12 @@ object DocumentQueries {
     // d56: gate entry = the parameterized generator at the spec-pinned
     // default top-k (the d52/d53 convention)
     "d56_bm25_topk" ->
+      d56OracleSqlAt(QueryConf.DefaultBm25TopK),
+    // d58: the indexed probe is output-identical to d56 BY CONTRACT
+    // (shared query grain + scorer; the artifact only changes WHERE
+    // df/stats come from) — the oracle is the same replay, so the gate
+    // hash-pins that contract cross-engine
+    "d58_bm25_probe" ->
       d56OracleSqlAt(QueryConf.DefaultBm25TopK),
     "d52_containment_pairs" ->
       d52OracleSqlAt(QueryConf.DefaultContainRareCap),

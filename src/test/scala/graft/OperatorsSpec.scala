@@ -2985,6 +2985,53 @@ class OperatorsSpec extends SparkSpec {
     assert(top1.length == 2 && top1.forall(_.getLong(1) == 1L))
   }
 
+  test("BM25 indexed probe: parquet-round-tripped artifact scores " +
+    "identically to the inline path, probe plan never censuses the " +
+    "index, stats-less artifact refused (d58)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "banana cherry"), (4L, "durian durian durian durian"),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val probes = Seq(
+      (101L, "apple banana apple"), (102L, "cherry"), (103L, "zzz"))
+      .toDF("query_id", "qtext")
+    val inline = DocumentQueries.bm25TopK(corpus, probes, k = 10)
+      .collect().toSeq
+    // the artifact survives a parquet round trip (the d16/d54
+    // signatureTable convention) and drives identical scores
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("bm25-idx").toString
+    DocumentQueries.bm25Index(corpus).write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val probeFrame = DocumentQueries.bm25Probe(idx, probes, k = 10)
+    assert(probeFrame.collect().toSeq == inline,
+      "the persisted index must drive the exact inline scores")
+    // 100x plan audit: df and the collection scalars come from STORED
+    // columns, so the only aggregates over the ARTIFACT subtree are
+    // the (query, doc) score sum — a df census or stats scalar here
+    // would be a full standing-index pass per probe batch at 100 TB
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val overIndex = probeFrame.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.child.exists {
+        case _: LogicalRelation => true
+        case _ => false
+      } => a
+    }
+    assert(overIndex.size == 1,
+      s"d58 probe must not re-aggregate the index artifact (expected 1 " +
+        s"Aggregate — the score sum — got ${overIndex.size})")
+    assert(overIndex.head.groupingExpressions.size == 2,
+      "the probe's one index-side aggregate is the (query_id, doc_id) sum")
+    // a stats-less postings table is refused loudly, not re-censused
+    val statsLess = intercept[IllegalArgumentException] {
+      DocumentQueries.bm25Probe(idx.drop("df", "sum_dl"), probes)
+    }
+    assert(statsLess.getMessage.contains("bm25Index"))
+  }
+
   test("BM25 honors a non-default bm25.topk (d56 knob liveness)") {
     import spark.implicits._
     def depth(k: Option[Int]): Long = {

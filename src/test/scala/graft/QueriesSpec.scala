@@ -107,6 +107,8 @@ class QueriesSpec extends SparkSpec {
       // d56: the (N, Σdl) corpus-stats scalar (no-grouping aggregate)
       // cross-joined onto the probe-term hit frame
       "d56_bm25_topk",
+      // d58: the same scalar cross-join, at index BUILD time
+      "d58_bm25_probe",
       "d26_pack_sequences", "d40_epoch_shuffle", "d27_temperature_sample",
       "d31_curation_funnel", "d35_bigram_logprob",
       "d38_mix_epochs", "d42_budget_select")
