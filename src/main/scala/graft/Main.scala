@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{avg, coalesce, col, count, expr, lit, max, sum, when}
+import org.apache.spark.sql.functions.{avg, coalesce, col, count, count_distinct, expr, lit, max, sum, when}
 
 import graft.etl.{AccessLogParser, Compact, EtlConfig, StreamingTransform, Transform}
 
@@ -119,6 +119,8 @@ object Main {
       |  graft.Main semdecontam <trainEmbDir> <evalEmbDir> <outDir> [--tau <t>]
       |  graft.Main dsir <rawCorpusDir> <targetCorpusDir> <outDir>
       |  graft.Main cluster <corpusDir> <outDir>
+      |  graft.Main bm25index <corpusDir> <outDir>
+      |  graft.Main bm25 <indexDir> <probesDir> <outDir> [--topk <k>]
       |  graft.Main salvage <corpusDir> <outDir> [--quality-min <q>] [--sep <s>]
       |      (writes a MANIFEST (doc_id, n_paras, n_dropped, salvaged), not a
       |       corpus — join it back on doc_id like a spandedup manifest)""".stripMargin
@@ -958,6 +960,73 @@ object Main {
         }.mkString(", ")
         Seq(s"cluster task ended, ${sizes.map(_._2).sum} docs over " +
           s"${sizes.length} clusters (largest $head)")
+      case "bm25index" :: rest =>
+        // d58 build half as a pipeline command: write the persistable
+        // inverted-index artifact (postings + stored df + collection
+        // scalars) the `bm25` probe verb reads — built once per corpus,
+        // the d16/d54 artifact discipline at the retrieval axis.
+        val opts = flags(rest)
+        val (corpusDir, out) = opts.positional match {
+          case Seq(c, o) => (c, o)
+          case _ => fail(s"bm25index needs <corpusDir> <outDir>\n$usage")
+        }
+        def q12(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q12(out) == q12(corpusDir))
+          fail("bm25index: the output dir must differ from the corpus " +
+            "dir — overwrite would destroy the table")
+        graft.queries.DocumentQueries.bm25Index(
+            spark.read.parquet(corpusDir).select(col("doc_id"), col("text")))
+          .write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .parquet(out)
+        val idx = spark.read.parquet(out)
+        val c0 = idx.agg(count(lit(1)),
+          count_distinct(col("term")), max(col("n_docs"))).head
+        if (c0.getLong(0) == 0L) Seq("bm25index task ended, empty corpus")
+        else Seq(s"bm25index task ended, ${c0.getLong(0)} postings over " +
+          s"${c0.getLong(1)} terms (${c0.getLong(2)} docs)")
+      case "bm25" :: rest =>
+        // d58 probe half: score a probe batch (parquet with query_id,
+        // qtext) against a stored index; a postings table without the
+        // stored df/stats refuses inside bm25Probe.
+        val opts = flags(rest)
+        val (idxDir, probesDir, out) = opts.positional match {
+          case Seq(i, p, o) => (i, p, o)
+          case _ => fail(s"bm25 needs <indexDir> <probesDir> <outDir>\n$usage")
+        }
+        def q13(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q13(out) == q13(idxDir) || q13(out) == q13(probesDir))
+          fail("bm25: the output dir must differ from the index and " +
+            "probes dirs — overwrite would destroy a table")
+        val topK = opts.named.get("--topk").map { v =>
+          val k = try v.toInt catch {
+            case _: NumberFormatException =>
+              fail(s"bm25: --topk must be an integer, got '$v'")
+          }
+          if (k < 1) fail(s"bm25: --topk must be >= 1, got $v")
+          k
+        }.getOrElse(graft.queries.QueryConf.bm25TopK(spark))
+        val probes = spark.read.parquet(probesDir)
+        if (!Seq("query_id", "qtext").forall(probes.columns.contains))
+          fail("bm25: the probes table needs (query_id, qtext) columns")
+        graft.queries.DocumentQueries.bm25Probe(
+            spark.read.parquet(idxDir), probes.select(col("query_id"),
+              col("qtext")), k = topK)
+          .write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .parquet(out)
+        val res = spark.read.parquet(out)
+        val c1 = res.agg(count(lit(1)), count_distinct(col("query_id"))).head
+        Seq(s"bm25 task ended, ${c1.getLong(0)} results over " +
+          s"${c1.getLong(1)} queries (top-$topK)")
       case "stream" :: rest if {
           // the two modes take different positional arities; an arity
           // that matches NEITHER mode (e.g. --queue-dir plus a landing

@@ -1041,6 +1041,59 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("bm25index + bm25: index built once, probe scores through the " +
+    "stored artifact, topk honored, refusals loud") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-bm25").toString
+    Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian durian"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
+    Seq((101L, "apple banana"), (102L, "cherry"))
+      .toDF("query_id", "qtext").write.parquet(s"$tmp/probes")
+    val built = Main.run(spark, Seq("bm25index", s"$tmp/corpus",
+      s"$tmp/idx"), Map.empty)
+    // postings: doc1 {apple, banana}, doc2 {banana, cherry}, doc3
+    // {durian} = 5 rows over 4 terms
+    assert(built.head ==
+      "bm25index task ended, 5 postings over 4 terms (3 docs)",
+      built.mkString("\n"))
+    val probed = Main.run(spark, Seq("bm25", s"$tmp/idx", s"$tmp/probes",
+      s"$tmp/hits"), Map.empty)
+    assert(probed.head.startsWith("bm25 task ended, 3 results over 2 " +
+      "queries"), probed.mkString("\n"))
+    // the CLI path scores exactly like the library inline path
+    val inline = graft.queries.DocumentQueries.bm25TopK(
+      spark.read.parquet(s"$tmp/corpus"),
+      spark.read.parquet(s"$tmp/probes").select($"query_id", $"qtext"))
+      .collect().toSeq
+    val viaCli = spark.read.parquet(s"$tmp/hits")
+      .orderBy($"query_id", $"rk").collect().toSeq
+    assert(viaCli == inline, "CLI probe must equal the inline scores")
+    // --topk truncation
+    val top1 = Main.run(spark, Seq("bm25", s"$tmp/idx", s"$tmp/probes",
+      s"$tmp/hits1", "--topk", "1"), Map.empty)
+    assert(top1.head.startsWith("bm25 task ended, 2 results over 2 " +
+      "queries (top-1)"), top1.mkString("\n"))
+    // refusals: output clash, malformed topk, probes without qtext,
+    // a bare corpus where the index should be
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("bm25index", s"$tmp/corpus", s"$tmp/corpus"), Map.empty))
+      .getMessage.contains("must differ"))
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("bm25", s"$tmp/idx", s"$tmp/probes", s"$tmp/hits2",
+        "--topk", "zero"), Map.empty))
+      .getMessage.contains("--topk"))
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("bm25", s"$tmp/idx", s"$tmp/corpus", s"$tmp/hits3"), Map.empty))
+      .getMessage.contains("query_id"))
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("bm25", s"$tmp/corpus", s"$tmp/probes", s"$tmp/hits4"),
+        Map.empty))
+      .getMessage.contains("bm25Index"))
+  }
+
   test("cluster: assignment manifest written, census names dominant " +
     "sources, refusals loud") {
     import spark.implicits._
