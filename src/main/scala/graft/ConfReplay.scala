@@ -33,7 +33,7 @@ object ConfReplay {
     }.toMap
     val unknown = kv.keySet --
       Set("cells", "probes", "rounds", "percell", "rarecap", "winnow",
-        "maxdf", "maxbucket", "bm25k")
+        "maxdf", "maxbucket", "bm25k", "knnk")
     require(unknown.isEmpty, s"unknown knobs: $unknown")
     import graft.queries.{DocumentQueries, EmbeddingQueries, QueryConf}
     val cells = kv.getOrElse("cells", QueryConf.DefaultIvfCells)
@@ -45,6 +45,7 @@ object ConfReplay {
     val maxDf = kv.getOrElse("maxdf", QueryConf.DefaultWinnowMaxDf)
     val maxBucket = kv.getOrElse("maxbucket", QueryConf.DefaultDedupMaxBucket)
     val bm25K = kv.getOrElse("bm25k", QueryConf.DefaultBm25TopK)
+    val knnK = kv.getOrElse("knnk", QueryConf.DefaultKnnK)
     val spark = GraftSession.local(appName = "graft-conf-replay")
     spark.conf.set(QueryConf.IvfCellsKey, cells.toString)
     spark.conf.set(QueryConf.IvfProbesKey, probes.toString)
@@ -55,6 +56,7 @@ object ConfReplay {
     spark.conf.set(QueryConf.WinnowMaxDfKey, maxDf.toString)
     spark.conf.set(QueryConf.DedupMaxBucketKey, maxBucket.toString)
     spark.conf.set(QueryConf.Bm25TopKKey, bm25K.toString)
+    spark.conf.set(QueryConf.KnnKKey, knnK.toString)
     new java.io.File(outDir).mkdirs()
     val targets = Seq(
       "s04_ann_ivf" -> EmbeddingQueries.s04OracleSqlAt(cells, probes, rounds),
@@ -72,14 +74,15 @@ object ConfReplay {
         DocumentQueries.d54OracleSqlAt(winnowW, maxDf),
       "d03_minhash_dedup_pairs" ->
         graft.queries.DedupQueries.d03OracleSqlAt(maxBucket),
-      "d56_bm25_topk" -> DocumentQueries.d56OracleSqlAt(bm25K))
+      "d56_bm25_topk" -> DocumentQueries.d56OracleSqlAt(bm25K),
+      "s14_knn_graph" -> EmbeddingQueries.s14OracleSqlAt(cells, rounds, knnK))
     targets.foreach { case (name, _) =>
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[conf-replay] dumped $name " +
         s"(cells=$cells probes=$probes rounds=$rounds percell=$perCell " +
         s"rarecap=$rareCap winnow=$winnowW maxdf=$maxDf " +
-        s"maxbucket=$maxBucket bm25k=$bm25K)")
+        s"maxbucket=$maxBucket bm25k=$bm25K knnk=$knnK)")
     }
     Verify.writeOracleJson(outDir, targets)
     spark.stop()

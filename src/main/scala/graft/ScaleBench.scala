@@ -134,7 +134,16 @@ object ScaleBench {
       // brute-scan asymptotics) — the cell's CLAIM is the bandwidth
       // constant: the corpus-proportional term reads 16 bytes/vector,
       // so the cell must track the s02 band, not the float-scan one
-      "s13_hamming_rerank"
+      "s13_hamming_rerank" :+
+      // s14 (round 16): the s09 within-cell pair scan minus the tau
+      // filter — n²/k with the FIXED k=16 gate quantizer, so the cell
+      // shows the same per-cell quadratic degradation s09 documents
+      // (the cells knob is the lever real runs raise)
+      "s14_knn_graph" :+
+      // d58 (round 16): index build + artifact probe in one call — the
+      // build (census + df groupBy) owns the corpus-proportional term,
+      // the probe side must stay at d56's post-census shape
+      "d58_bm25_probe"
 
   // dev subset filter (comma-separated ids, matched on the short prefix
   // like Bench's): sweep just the named cells — unset sweeps everything

@@ -300,6 +300,51 @@ object EmbeddingQueries {
     * it is a cell equi-join: vectors shuffle ONCE on the int cell key,
     * each cell's pairs compute independently, and the ≤16-row centroid
     * table is a broadcast. Nothing corpus-wide ever cross-joins. */
+  /** s14 — k-NN GRAPH construction over the trained IVF cells: per
+    * vector, its `k` most-cosine-similar neighbors WITHIN its home
+    * cell. The graph is the input artifact of a whole family of
+    * curation passes — SemDeDup-style pruning (s09 consumes exactly
+    * these pairs), density/outlier scoring, connectivity analyses,
+    * graph-based diversity sampling — built once and reused, which is
+    * why it earns its own operator instead of living inside each
+    * consumer. Within-cell restriction is the standard approximate-
+    * graph trade (NN-Descent/IVF practice): recall is bounded by the
+    * quantizer (raise `spark.graft.ivf.cells`' dual — more, smaller
+    * cells — for speed, fewer for recall; spec pins measured recall vs
+    * the exact s01 baseline), singleton-cell vectors emit no row (no
+    * in-cell neighbor exists; SemDeDup already treats them as unique).
+    *
+    * Determinism (→ full SQL oracle): the s04 trained quantizer is
+    * decimal-exact; ranking is on ROUNDED sims + nbr-id ties (the
+    * s01 discipline).
+    *
+    * Scale shape: the pair scan is a cell equi-join — n²/k bounded
+    * like s09, one shuffle on the int cell key, never a corpus cross
+    * join; the per-vector top-k is a WindowGroupLimit-bounded rank
+    * over narrow (src, nbr, sim) rows. Cell count is the documented
+    * n²/k lever (SemDeDup's paper runs ~50k cells at LAION scale). */
+  def knnGraph(emb: DataFrame, k: Int = QueryConf.DefaultKnnK): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val e = emb.select($"vec_id", $"v")
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val c1 = trainCentroids(e, QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
+    val corpus = assignTo(e, c1).filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    val a = corpus.select($"vec_id".as("src"), $"v".as("av"),
+      $"nrm".as("an"), $"cell")
+    val b = corpus.select($"vec_id".as("nbr"), $"v".as("bv"),
+      $"nrm".as("bn"), $"cell".as("b_cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"cos_sim".desc, $"nbr")
+    a.join(b, $"cell" === $"b_cell" && $"src" =!= $"nbr")
+      .withColumn("cos_sim", round(dot("av", "bv") / ($"an" * $"bn"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"src".as("vec_id"), $"rk", $"nbr", $"cos_sim")
+      .orderBy($"vec_id", $"rk")
+  }
+
   def semDedup(emb: DataFrame, tau: Double = semTau): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
@@ -874,6 +919,11 @@ object EmbeddingQueries {
       semDedup(vecs(s, dir), semTau)
     },
 
+    // ---- s14: within-cell k-NN graph (see [[knnGraph]]) ------------------
+    "s14_knn_graph" -> { (s, dir) =>
+      knnGraph(vecs(s, dir), QueryConf.knnK(s))
+    },
+
     // ---- s10: semantic decontamination over the trained IVF cells --------
     // Gate split follows the d30/d39 convention (a deterministic id rule
     // standing in for the real eval-registry join): vec_id % 10 == 0 is
@@ -1202,7 +1252,31 @@ object EmbeddingQueries {
          FROM corpus c LEFT JOIN lo ON c.vec_id = lo.vec_id
          ORDER BY c.vec_id"""
 
+  /** s14 oracle generator: the shared IVF prelude's trained cells +
+    * the symmetric within-cell pair scan + the per-vector rank — the
+    * s01 rounded-sim + id-tie discipline. */
+  private[graft] def s14OracleSqlAt(cells: Int, rounds: Int, k: Int): String =
+    s"""WITH ${duckIvfPreludeAt(cells, rounds)},
+         corpus AS (
+           SELECT vec_id, v, nrm, cell FROM cells$rounds WHERE rn = 1),
+         p AS (
+           SELECT a.vec_id AS src, b.vec_id AS nbr,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+               AS cos_sim
+           FROM corpus a JOIN corpus b
+             ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         r AS (
+           SELECT src, nbr, cos_sim,
+             CAST(row_number() OVER (PARTITION BY src
+               ORDER BY cos_sim DESC, nbr) AS BIGINT) AS rk
+           FROM p)
+         SELECT src AS vec_id, rk, nbr, cos_sim FROM r WHERE rk <= $k
+         ORDER BY vec_id, rk"""
+
   val oracleSql: ListMap[String, String] = ListMap(
+    // s14: gate entry = the generator at the spec-pinned defaults
+    "s14_knn_graph" -> s14OracleSqlAt(ivfCells,
+      QueryConf.DefaultLloydRounds, QueryConf.DefaultKnnK),
     // s11: the s04 prelude's trained cells + a per-cell periphery-first
     // row_number on the rounded centroid cosine
     "s11_coreset_sample" -> s11OracleSqlAt(ivfCells,

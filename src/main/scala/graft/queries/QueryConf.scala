@@ -107,6 +107,12 @@ object QueryConf {
   val Bm25TopKKey = "spark.graft.bm25.topk"
   val DefaultBm25TopK = 10
 
+  /** s14 k-NN graph degree: neighbors kept per vector (within its
+    * trained IVF cell). Graph-consumer driven — SemDeDup-style pruning
+    * reads small k, connectivity analyses larger. */
+  val KnnKKey = "spark.graft.knn.k"
+  val DefaultKnnK = 3
+
   /** Read a positive-int knob from the session conf; loud refusal on a
     * malformed or out-of-range value (a silently-defaulted typo would
     * run the whole job at the wrong scale). */
@@ -150,4 +156,6 @@ object QueryConf {
     posInt(s, WinnowMaxDfKey, DefaultWinnowMaxDf)
   def bm25TopK(s: SparkSession): Int =
     posInt(s, Bm25TopKKey, DefaultBm25TopK)
+  def knnK(s: SparkSession): Int =
+    posInt(s, KnnKKey, DefaultKnnK)
 }

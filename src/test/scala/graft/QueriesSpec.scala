@@ -94,6 +94,8 @@ class QueriesSpec extends SparkSpec {
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
       "s04_ann_ivf", "s08_ivfpq_rerank", "s09_semdedup", "s10_sem_decontam",
       "s12_pq_encode_incremental",
+      // s14: the same <=cells-row trained-centroid assignment scan
+      "s14_knn_graph",
       "s06_quantized_rerank", "s07_truncated_rerank",
       // s13: the same fixed-query-set probe join at the binary axis
       "s13_hamming_rerank",
@@ -168,6 +170,8 @@ class QueriesSpec extends SparkSpec {
         "<=16-row trained-centroid table (s04's quantizer, SemDeDup cells)",
       "s10_sem_decontam" ->
         "<=16-row trained-centroid table (s04's quantizer; decontam cells)",
+      "s14_knn_graph" ->
+        "<=16-row trained-centroid table (s04's quantizer; graph cells)",
       "s12_pq_encode_incremental" ->
         ("<=cells-row persisted centroid/cunit artifact (s04's quantizer; " +
           "bounded by QueryConf.ivfCells configuration, not data)"),

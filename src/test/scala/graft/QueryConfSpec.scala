@@ -249,6 +249,9 @@ class QueryConfSpec extends SparkSpec {
     assert(SparkEntry.oracleSql("d56_bm25_topk") ===
       graft.queries.DocumentQueries.d56OracleSqlAt(
         QueryConf.DefaultBm25TopK))
+    assert(SparkEntry.oracleSql("s14_knn_graph") ===
+      EmbeddingQueries.s14OracleSqlAt(QueryConf.DefaultIvfCells,
+        QueryConf.DefaultLloydRounds, QueryConf.DefaultKnnK))
   }
 
   test("the r15b knobs (containment.rarecap, winnow.window) refuse " +
@@ -273,6 +276,10 @@ class QueryConfSpec extends SparkSpec {
         val e = intercept[IllegalArgumentException](
           QueryConf.bm25TopK(spark))
         assert(e.getMessage.contains(QueryConf.Bm25TopKKey))
+      }
+      withConf(QueryConf.KnnKKey -> bad) {
+        val e = intercept[IllegalArgumentException](QueryConf.knnK(spark))
+        assert(e.getMessage.contains(QueryConf.KnnKKey))
       }
     }
     withConf(QueryConf.ContainRareCapKey -> " 12 ") {
