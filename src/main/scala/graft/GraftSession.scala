@@ -45,8 +45,17 @@ object GraftSession {
       .withExtensions(graft.functions.WinnowExpr.register)
       .withExtensions(graft.functions.CharEntropyExpr.register)
       .withExtensions(graft.functions.TermCountsExpr.register)
+      .withExtensions(graft.functions.TopKAgg.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate (graft_topk's exec) falls back to SORT-BASED
+      // aggregation after this many distinct in-memory keys — the 128
+      // default re-introduces exactly the 156M-row sort the bounded
+      // top-k buffer exists to avoid (s14 has ~n/cells keys per
+      // partition). Buffers are k·16 bytes, so millions of keys are
+      // still tiny; raise far past any real group count.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
       .config("spark.sql.session.timeZone", "UTC")
       // Parquet TIMESTAMP(NANOS) (the events table) is otherwise rejected
       // by Spark 4; read as long and convert in Tables().

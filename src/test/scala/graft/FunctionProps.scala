@@ -146,6 +146,39 @@ object FunctionProps extends Properties("functions") {
         got.forall { case (t, n) => census(t) == n }
     }
 
+  // --- graft_topk's insertion buffer vs the sort reference, under
+  // arbitrary partial-aggregation splits — ties forced by a tiny score
+  // range, merge() associativity by replaying random splits
+  private val scored: Gen[List[(Double, Long)]] = for {
+    n <- Gen.chooseNum(0, 60)
+    xs <- Gen.listOfN(n, for {
+      s <- Gen.chooseNum(0, 4)
+      id <- Gen.chooseNum(0L, 30L)
+    } yield (s.toDouble, id))
+  } yield xs
+
+  property("graft_topk buffer == sort-take reference under random " +
+    "partial-merge splits") =
+    forAll(scored, Gen.chooseNum(1, 6), Gen.chooseNum(1, 5)) {
+      (xs, k, nSplits) =>
+        val ref = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+        // split the stream into chunks, build per-chunk buffers, merge
+        val chunks = xs.grouped(math.max(1, xs.size / nSplits + 1)).toList
+        val bufs = chunks.map { ch =>
+          val b = new graft.functions.TopKAgg.Buf(k)
+          ch.foreach { case (s, id) => b.offer(s, id) }
+          b
+        }
+        val merged = bufs.foldLeft(new graft.functions.TopKAgg.Buf(k)) {
+          (acc, b) =>
+            (0 until b.n).foreach(i => acc.offer(b.scores(i), b.ids(i)))
+            acc
+        }
+        val got = (0 until merged.n).map(i =>
+          (merged.scores(i), merged.ids(i))).toList
+        got == ref
+    }
+
   property("dimension mismatch is rejected loudly") =
     forAll(Gen.chooseNum(1, 32)) { n =>
       val a = new GenericArrayData(Array.fill(n)(Double.box(1.0)))
