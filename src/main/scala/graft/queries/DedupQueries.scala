@@ -90,16 +90,25 @@ object DedupQueries {
     else grouped.select(("doc_id" +: carried).map(col): _*)
   }
 
-  /** doc → its exact-dup representative (min doc_id per fingerprint) as
-    * a WINDOW over an already-materialized signature frame, `carry`
-    * columns riding along — the member-expansion twin of
+  /** doc → its exact-dup representative (min doc_id per fingerprint),
+    * `carry` columns riding along — the member-expansion twin of
     * [[representatives]]' groupBy form, used where every member row must
     * survive rather than one per group. ONE definition of the rep rule:
-    * d14, d16 and d25 all expand members through this. */
-  private def memberReps(sigs: DataFrame, carry: String*): DataFrame =
+    * d14, d16 and d25 all expand members through this.
+    *
+    * Shape (r17): a map-side-combinable fp groupBy joined back fp-keyed
+    * — NOT a `min().over(partitionBy(fp))` window, which funnels every
+    * member of a viral fp (a million-copy crawl dup) through ONE task's
+    * sort buffer before the rep is known. The groupBy collapses dup
+    * groups in the map-side partial, the join-back is AQE
+    * skew-splittable, and the output is row-identical (the bm25Index df
+    * discipline, SCALE.md "hot-key fold A/B"). */
+  private def memberReps(sigs: DataFrame, carry: String*): DataFrame = {
+    val reps = sigs.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
     sigs.select((Seq("doc_id", "fp") ++ carry).map(col): _*)
-      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .drop("fp")
+      .join(reps, Seq("fp"))
+      .select((Seq("doc_id") ++ carry :+ "rep").map(col): _*)
+  }
 
   /** band-exploded representatives with degenerate buckets dropped
     * (guard 3). posexplode_outer, NOT posexplode: the non-outer Generate
@@ -113,16 +122,27 @@ object DedupQueries {
     * buckets are dropped whole by the cap, so the count computed here is
     * exact for every surviving row, and downstream consumers
     * ([[DedupScope.verifiedPairs]]'s candidate-doc filter) read it as a
-    * plain column instead of re-running the identical window shuffle on
-    * the same frame. */
+    * plain column instead of re-deriving the occupancy on the same
+    * frame.
+    *
+    * Occupancy shape (r17): a map-side-combinable (band_id, band_key)
+    * groupBy count joined back on the band key — NOT a `count().over(
+    * partitionBy(band_id, band_key))` window. The cap DROPS a hot band,
+    * but the window form buffers the whole bucket in one task BEFORE the
+    * cap can apply — a template-spam band funnels there first; the
+    * groupBy's partial aggregation counts it map-side, the join-back is
+    * AQE skew-splittable, and the cap then filters a plain column. Rows
+    * and hashes identical (bands are never null — length-4 arrays by
+    * TextSignatureExpr construction — so the equi-join drops nothing). */
   private def cappedBands(reps: DataFrame, extra: Column*): DataFrame = {
     val exploded = reps.select(
       (col("doc_id") +: extra) :+
         posexplode_outer(col("bands")).as(Seq("band_id", "band_key")): _*)
-    val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
-    exploded
-      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+    val occupancy = exploded.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= QueryConf.dedupMaxBucket(reps.sparkSession))
+    exploded.join(occupancy, Seq("band_id", "band_key"))
+      .select(exploded.columns.map(col) :+ col("bucket_n"): _*)
   }
 
   /** A cache-scope handle owning ONE materialized signature table shared
@@ -429,11 +449,19 @@ object DedupQueries {
     val s = reps0.sparkSession
     import s.implicits._
     val reps = reps0.materialize()
-    val ns = reps
+    // occupancy = map-side-combinable (band_id, band_key) groupBy joined
+    // back band-keyed (r17) — NOT a count window: a template-spam band
+    // key would buffer its whole bucket in one window task at build
+    // time, while the groupBy partial-aggregates it map-side and the
+    // join-back splits under AQE (the cappedBands/bm25Index discipline).
+    // Occupancy is stored RAW (uncapped) — the MaxBandBucket cap is a
+    // probe-time knob reading this column.
+    val exploded = reps
       .filter(element_at($"mh", 1) =!= P)
       .select($"fp", posexplode_outer($"bands").as(Seq("band_id", "band_key")))
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy($"band_id", $"band_key")))
+    val occupancy = exploded.groupBy($"band_id", $"band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+    val ns = exploded.join(occupancy, Seq("band_id", "band_key"))
       .groupBy($"fp")
       .agg(expr("transform(array_sort(collect_list(struct(band_id, bucket_n)))," +
         " x -> x.bucket_n)").as("bucket_ns"))

@@ -2793,28 +2793,43 @@ object DocumentQueries {
 
   /** The PERSISTED form of [[winnowFpTable]]: (doc_id, fp, df) with the
     * fp's document frequency stored IN the artifact — df is a property
-    * of the index, so it is paid once at build time (one fp-partitioned
-    * window count), not re-aggregated over the whole standing corpus on
+    * of the index, so it is paid once at build time (one fp groupBy
+    * joined back), not re-aggregated over the whole standing corpus on
     * every probe (which at 100 TB is a full artifact pass per ingest
     * batch). The `--winnowsigs` ingest sidecar writes this shape with
     * BATCH-LOCAL df; global df is restored by [[foldWinnowSignatures]]
     * (the read-side fold, and what `compact --winnowsigs` persists), the
     * same generational contract as the d36 span-signature artifact. */
   def winnowFpArtifact(docs: DataFrame, n: Int = 8): DataFrame =
-    foldWinnowSignatures(winnowFpTable(docs, n))
+    // materialized ONCE: the fold's df groupBy and its join-back both
+    // read the winnowed rows — without the barrier the compiled winnow
+    // pass runs twice (the bm25Index postings convention). The
+    // read-side fold (compact over stored generations) deliberately
+    // does NOT materialize: a double parquet scan beats caching a
+    // standing artifact.
+    foldWinnowSignatures(graft.Materialize(winnowFpTable(docs, n)))
 
   /** The winnow artifact's generation fold (the d36/d39 convention):
     * rows are distinct (doc_id, fp) under the unique-doc_id ingest
     * contract, so the fold is pure df recomputation — count rows per fp
     * across every generation read. ONE definition shared by the read
     * path and `compact --winnowsigs`, so compaction cannot disagree
-    * with what readers compute. */
+    * with what readers compute.
+    *
+    * Shape (r17): a map-side-combinable fp groupBy count joined back
+    * fp-keyed — NOT a `count().over(partitionBy(fp))` window: a
+    * boilerplate fp has stopword-grade skew (the very fps
+    * winnow.maxdf later drops), and the window form buffers that whole
+    * group in one task before the df exists, while the groupBy counts
+    * it map-side and the join-back splits under AQE (the bm25Index df
+    * discipline). */
   def foldWinnowSignatures(fps: DataFrame): DataFrame = {
     val s = fps.sparkSession
     import s.implicits._
     val base = if (fps.columns.contains("df")) fps.drop("df") else fps
-    base.withColumn("df",
-      count(lit(1)).over(Window.partitionBy($"fp")))
+    val dfT = base.groupBy($"fp").agg(count(lit(1)).as("df"))
+    base.join(dfT, Seq("fp"))
+      .select(base.columns.map(col) :+ $"df": _*)
   }
 
   /** d54 — incremental substring-dup match: an INCOMING batch against a
