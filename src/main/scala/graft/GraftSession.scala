@@ -48,14 +48,14 @@ object GraftSession {
       .withExtensions(graft.functions.TopKAgg.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
-      // ObjectHashAggregate (graft_topk's exec) falls back to SORT-BASED
-      // aggregation after this many distinct in-memory keys — the 128
-      // default re-introduces exactly the 156M-row sort the bounded
-      // top-k buffer exists to avoid (s14 has ~n/cells keys per
-      // partition). Buffers are k·16 bytes, so millions of keys are
-      // still tiny; raise far past any real group count.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "10000000")
+      // NOTE: the ObjectHashAggregate sort-based fallback threshold is
+      // deliberately NOT raised session-wide: it would govern EVERY
+      // ObjectHashAggregateExec (collect_list/collect_set included),
+      // holding up to that many in-memory group buffers regardless of
+      // per-group state size (ADVICE r16). The one operator that needs
+      // it — s14's graft_topk, whose buffers are a bounded k·16 bytes —
+      // scopes it at execution via QueryConf.withSessionConf
+      // (EmbeddingQueries.knnGraph).
       .config("spark.sql.session.timeZone", "UTC")
       // Parquet TIMESTAMP(NANOS) (the events table) is otherwise rejected
       // by Spark 4; read as long and convert in Tables().

@@ -132,10 +132,24 @@ object TopKAgg {
     val scores: Array[Double] = new Array[Double](k)
     val ids: Array[Long] = new Array[Long](k)
 
-    private def beats(s: Double, id: Long, i: Int): Boolean =
-      s > scores(i) || (s == scores(i) && id < ids(i))
+    // TOTAL order (java.lang.Double.compare), not raw </==: a NaN score
+    // (reachable upstream from a zero-norm vector's cos_sim) makes every
+    // raw comparison false — it would lodge mid-buffer, break the
+    // (score desc, id asc) invariant, and block better candidates once
+    // n==k. Under total order NaN > +Inf, which matches Spark SQL's and
+    // DuckDB's sort semantics (NaN first under DESC), so the buffer
+    // agrees with the row_number reference even on NaN inputs
+    // (FunctionProps pins this).
+    private def beats(s: Double, id: Long, i: Int): Boolean = {
+      val c = java.lang.Double.compare(s, scores(i))
+      c > 0 || (c == 0 && id < ids(i))
+    }
 
-    def offer(s: Double, id: Long): Unit = {
+    def offer(s0: Double, id: Long): Unit = {
+      // collapse -0.0 to 0.0: total order ranks 0.0 above -0.0, but SQL
+      // engines compare them equal — normalizing keeps the id tie-break
+      // in charge, matching the reference ordering
+      val s = if (s0 == 0.0d) 0.0d else s0
       if (n == k && !beats(s, id, n - 1)) return
       // find insertion point from the tail (offers arrive unordered)
       var i = math.min(n, k - 1)

@@ -1967,15 +1967,36 @@ object DocumentQueries {
     // initial symbols are CODE POINTS (Spark's substring(term, i, 1)
     // counts characters, not UTF-16 code units — a surrogate pair is
     // one symbol on both paths)
-    val words: Array[(Array[String], Long)] = termStream(docs)
+    //
+    // Collect ceiling (r17, the ScaleBench heap-guard discipline):
+    // Heaps' law bounds this table for prose, but a noisy crawl's
+    // distinct-"word" set (URLs, base64, hash-mangled junk) can exceed
+    // driver heap, and dying inside collect() loses the diagnosis. The
+    // filtered table is CACHED, counted, and refused loudly above
+    // spark.graft.bpe.maxwords — the cache means the guard costs no
+    // second corpus pass (count fills it, collect reads it).
+    val wordTable = termStream(docs)
       .groupBy($"term").agg(count(lit(1)).as("c"))
       .filter($"c" >= minCount)
-      .collect()
-      .map { r =>
-        val syms = r.getString(0).codePoints().toArray
-          .map(cp => new String(Character.toChars(cp)))
-        (syms, r.getLong(1))
-      }
+      .persist()
+    val words: Array[(Array[String], Long)] =
+      try {
+        val nWords = wordTable.count()
+        val maxWords = QueryConf.bpeMaxWords(s)
+        require(nWords <= maxWords,
+          s"bpeMergesDriver: $nWords distinct words (after minCount=" +
+            s"$minCount) exceed ${QueryConf.BpeMaxWordsKey}=$maxWords — " +
+            "the driver-side merge loop would collect past driver heap. " +
+            "Raise --min-count (2 prunes the hapax noise that dominates " +
+            "web-scale word tables), raise the knob with more driver " +
+            "memory, or train on a curated sample.")
+        wordTable.collect()
+          .map { r =>
+            val syms = r.getString(0).codePoints().toArray
+              .map(cp => new String(Character.toChars(cp)))
+            (syms, r.getLong(1))
+          }
+      } finally wordTable.unpersist(blocking = false)
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var vocab = words
     var rank = 1

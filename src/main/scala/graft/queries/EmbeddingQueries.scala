@@ -342,7 +342,7 @@ object EmbeddingQueries {
     // per-vector buffers, combines map-side on the cell-partitioned
     // pairs, and shuffles only k-row buffers. Same (score desc, id asc)
     // order, spec-pinned equal to the window formulation.
-    a.join(b, $"cell" === $"b_cell" && $"src" =!= $"nbr")
+    val graph = a.join(b, $"cell" === $"b_cell" && $"src" =!= $"nbr")
       .withColumn("cos_sim", round(dot("av", "bv") / ($"an" * $"bn"), 4))
       .groupBy($"src")
       .agg(expr(s"graft_topk(cos_sim, nbr, $k)").as("top"))
@@ -350,6 +350,19 @@ object EmbeddingQueries {
       .select($"vec_id", ($"pos" + 1).cast("long").as("rk"),
         $"t.id".as("nbr"), $"t.score".as("cos_sim"))
       .orderBy($"vec_id", $"rk")
+    // EAGER under a scoped fallback-threshold raise: ObjectHashAggregate
+    // (graft_topk's exec) falls back to sort-based aggregation after 128
+    // distinct in-memory keys by default — re-introducing exactly the
+    // per-partition candidate sort the bounded buffer exists to avoid.
+    // graft_topk's buffers are k·16 bytes, so millions of keys are tiny;
+    // but the raise must not leak to collect_list-style aggregates with
+    // unbounded per-group state, hence scoped set/restore around the one
+    // materializing action (ADVICE r16), not a session-global config.
+    QueryConf.withSessionConf(s,
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "10000000") {
+      graft.Materialize(graph)
+    }
   }
 
   def semDedup(emb: DataFrame, tau: Double = semTau): DataFrame = {

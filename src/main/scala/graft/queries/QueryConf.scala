@@ -158,4 +158,36 @@ object QueryConf {
     posInt(s, Bm25TopKKey, DefaultBm25TopK)
   def knnK(s: SparkSession): Int =
     posInt(s, KnnKKey, DefaultKnnK)
+
+  /** d29 driver-trainer collect ceiling: the most distinct words
+    * [[DocumentQueries.bpeMergesDriver]] will collect to the driver.
+    * Heaps' law bounds the distinct-word table for prose, but a noisy
+    * web crawl's "words" (URLs, base64, hash-mangled tokens) can push
+    * the constant past driver heap — the trainer counts the (cached)
+    * filtered table first and refuses loudly above this bound instead
+    * of dying in collect() (the ScaleBench heap-guard discipline).
+    * ~20M rows ≈ a few GiB of driver heap at typical word lengths. */
+  val BpeMaxWordsKey = "spark.graft.bpe.maxwords"
+  val DefaultBpeMaxWords = 20000000
+  def bpeMaxWords(s: SparkSession): Int =
+    posInt(s, BpeMaxWordsKey, DefaultBpeMaxWords, max = Int.MaxValue)
+
+  /** Run `f` with `key` set to `value`, restoring the previous value (or
+    * unsetting) afterwards — the scoped-session-conf discipline for
+    * Spark confs a single operator needs at EXECUTION time (the caller
+    * must force execution inside `f`; a lazy frame returned out of the
+    * scope would plan under the restored conf). Scoping beats a
+    * session-global set because session confs leak to every other query
+    * on the session (ADVICE r16: the raised ObjectHashAggregate fallback
+    * threshold must not govern unrelated collect_list aggregates). */
+  def withSessionConf[A](s: SparkSession, key: String, value: String)(
+      f: => A): A = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try f
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 }

@@ -179,6 +179,47 @@ object FunctionProps extends Properties("functions") {
         got == ref
     }
 
+  // NaN / signed-zero hardening (ADVICE r16): NaN scores (a zero-norm
+  // vector's cos_sim upstream) must rank FIRST under desc — Spark's and
+  // DuckDB's sort semantics — not lodge mid-buffer blocking better
+  // candidates; -0.0 must tie with 0.0 so the id tie-break decides.
+  private val scoredNaN: Gen[List[(Double, Long)]] = for {
+    n <- Gen.chooseNum(0, 60)
+    xs <- Gen.listOfN(n, for {
+      s <- Gen.oneOf(Gen.chooseNum(0, 4).map(_.toDouble),
+        Gen.const(Double.NaN), Gen.const(-0.0), Gen.const(0.0))
+      id <- Gen.chooseNum(0L, 30L)
+    } yield (s, id))
+  } yield xs
+
+  property("graft_topk ranks NaN first and ties -0.0 with 0.0, " +
+    "matching the SQL sort reference") =
+    forAll(scoredNaN, Gen.chooseNum(1, 6), Gen.chooseNum(1, 5)) {
+      (xs, k, nSplits) =>
+        def nz(s: Double) = if (s == 0.0d) 0.0d else s
+        val ref = xs.map { case (s, id) => (nz(s), id) }
+          .sortWith { case ((sa, ia), (sb, ib)) =>
+            val c = java.lang.Double.compare(sa, sb)
+            c > 0 || (c == 0 && ia < ib)
+          }.take(k)
+        val chunks = xs.grouped(math.max(1, xs.size / nSplits + 1)).toList
+        val bufs = chunks.map { ch =>
+          val b = new graft.functions.TopKAgg.Buf(k)
+          ch.foreach { case (s, id) => b.offer(s, id) }
+          b
+        }
+        val merged = bufs.foldLeft(new graft.functions.TopKAgg.Buf(k)) {
+          (acc, b) =>
+            (0 until b.n).foreach(i => acc.offer(b.scores(i), b.ids(i)))
+            acc
+        }
+        val got = (0 until merged.n).map(i =>
+          (merged.scores(i), merged.ids(i))).toList
+        got.zip(ref).forall { case ((gs, gi), (rs, ri)) =>
+          java.lang.Double.compare(gs, rs) == 0 && gi == ri
+        } && got.size == ref.size
+    }
+
   property("dimension mismatch is rejected loudly") =
     forAll(Gen.chooseNum(1, 32)) { n =>
       val a = new GenericArrayData(Array.fill(n)(Double.box(1.0)))

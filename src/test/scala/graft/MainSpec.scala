@@ -346,6 +346,26 @@ class MainSpec extends SparkSpec {
         "--merges", "0"), Map.empty)
     }
     assert(badK.getMessage.contains(">= 1"), badK.getMessage)
+    // driver-heap collect ceiling (r17): with the bound lowered under
+    // the fixture's distinct-word count, the trainer refuses BEFORE the
+    // collect with the sizing message, and --min-count is named as the
+    // escape valve; no output dir is written
+    val maxKey = graft.queries.QueryConf.BpeMaxWordsKey
+    spark.conf.set(maxKey, "2") // fixture has 3 distinct words
+    try {
+      val tooBig = intercept[IllegalArgumentException] {
+        Main.run(spark, Seq("bpetrain", s"$tmp/corpus", s"$tmp/guarded"),
+          Map.empty)
+      }
+      assert(tooBig.getMessage.contains(maxKey) &&
+        tooBig.getMessage.contains("--min-count"), tooBig.getMessage)
+      assert(!Files.exists(java.nio.file.Paths.get(s"$tmp/guarded")),
+        "a refused train run must not write an artifact")
+      // the named escape valve works: min-count 2 prunes below the bound
+      val pruned = Main.run(spark, Seq("bpetrain", s"$tmp/corpus",
+        s"$tmp/guarded", "--min-count", "2"), Map.empty)
+      assert(pruned.head.startsWith("bpetrain task ended"), pruned)
+    } finally spark.conf.unset(maxKey)
     // tokenize consumes the saved artifact: after ALL 4 merges each
     // word is one symbol -> n_bpe_tokens == n_words per doc (3 each)
     val tok = Main.run(spark, Seq("tokenize", s"$tmp/corpus", s"$tmp/bpe",
