@@ -75,6 +75,7 @@ object ConfReplay {
       "d03_minhash_dedup_pairs" ->
         graft.queries.DedupQueries.d03OracleSqlAt(maxBucket),
       "d56_bm25_topk" -> DocumentQueries.d56OracleSqlAt(bm25K),
+      "d59_hybrid_topk" -> DocumentQueries.d59OracleSqlAt(bm25K),
       "s14_knn_graph" -> EmbeddingQueries.s14OracleSqlAt(cells, rounds, knnK))
     targets.foreach { case (name, _) =>
       SparkEntry.queries(name)(spark, sfDir)

@@ -430,6 +430,61 @@ object DocumentQueries {
     bm25Rank(index.join(broadcast(termSet), "term"), qt, k)
   }
 
+  /** d59 — reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09:
+    * `Σ_systems 1/(rrfK + rank)`, rrfK = 60 — the paper's constant and
+    * the production default everywhere RRF ships): fuse ANY number of
+    * per-query rank lists into one ranking. The training-data use is
+    * the hybrid retrieval stack this repo now carries both halves of —
+    * lexical BM25 ranks (d56/d58) fused with semantic ANN cosine ranks
+    * (s01/s04-shaped) for decontamination triage and targeted curation;
+    * RRF needs only RANKS, so heterogeneous scores (BM25 micro-sums vs
+    * cosines) fuse without calibration, which is exactly why it is the
+    * standard fusion.
+    *
+    * Inputs: each ranking is (query_id, doc_id, rk) — rk the 1-based
+    * rank within its query (any deeper columns are ignored). A doc
+    * absent from one list simply contributes nothing from it. Output:
+    * per query the `k` best fused docs as (query_id, rk, doc_id, rrf).
+    *
+    * Cross-engine exactness (the d56 fixed-point discipline): each
+    * contribution is the exact integer `1e12 div (rrfK + rk)` summed as
+    * BIGINTs — no float summation order to diverge; `rrf` presents the
+    * sum /1e12 (one IEEE division of an exact integer). Ties break
+    * doc_id-ascending.
+    *
+    * Scale shape: inputs arrive top-k'd per query, so everything here
+    * is bounded by |queries| · k · |systems| — the union is
+    * map-side-combinable into the (query, doc) sum, and the final
+    * per-query rank is WindowGroupLimit-bounded over ≤ k·|systems| rows
+    * per query (a bounded-window fold, not a hot-key hazard). At 100 TB
+    * the semantic input is the s04 IVF (or s14 graft_topk) rank table
+    * and the lexical input the d58 stored-index probe — fusion itself
+    * never touches a corpus. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = QueryConf.DefaultBm25TopK,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: at least one ranking")
+    require(rrfK >= 0, s"rrfFuse: rrfK must be >= 0 (got $rrfK)")
+    rankings.foreach { r =>
+      val missing = Seq("query_id", "doc_id", "rk")
+        .filterNot(r.columns.contains)
+      require(missing.isEmpty,
+        s"rrfFuse rankings need (query_id, doc_id, rk) — ${missing.mkString("/")} " +
+          "absent; rank lists are the d56/d58/s01-shaped per-query top-k tables")
+    }
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"1000000000000L div (${rrfK}L + rk)").as("c")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_q"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .withColumn("rrf", col("rrf_q") / 1000000000000.0)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** d27's sampling bucket: the d13 rolling char hash with a DIFFERENT
     * seed (13, not 7) and modulus (10000, not 100) — the sampling
     * decision must not correlate with the train/val/test split (same
@@ -1245,6 +1300,47 @@ object DocumentQueries {
         bm25Index(docs.filter($"split" === "train")
           .select($"doc_id", $"text")),
         probes, k = QueryConf.bm25TopK(s))
+    },
+
+    // ---- d59: hybrid retrieval — RRF fusion of the d56 lexical ranks
+    // with semantic cosine ranks (see [[rrfFuse]]). Same split + probe
+    // convention as d56; the semantic half ranks the train-split
+    // embedding of each doc against the probe doc's embedding (vec_id
+    // aligns with doc_id in the testdata, the s10 id-rule convention)
+    // by exact brute-force cosine — the s01 oracle-checkable baseline;
+    // at scale the s04 IVF rank table plugs into the same rrfFuse
+    // contract ------------------------------------------------------
+    "d59_hybrid_topk" -> { (s, dir) =>
+      import s.implicits._
+      val k = QueryConf.bm25TopK(s)
+      val docs = Tables(s, dir, "documents")
+        .withColumn("split", splitOfBucket(splitBucketCol))
+      val probes = docs.filter($"split" === "test")
+        .orderBy($"doc_id").limit(50)
+        .select($"doc_id".as("query_id"), expr(
+          "array_join(slice(filter(split(text, ' '), t -> t <> ''), 1, 5), ' ')")
+          .as("qtext"))
+      val lex = bm25TopK(docs.filter($"split" === "train")
+        .select($"doc_id", $"text"), probes, k)
+      val em = Tables(s, dir, "embeddings")
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      val qv = probes.select($"query_id")
+        .join(em, $"query_id" === $"vec_id")
+        .select($"query_id", $"v".as("qv"), $"nrm".as("qn"))
+      val cv = em
+        .join(docs.filter($"split" === "train").select($"doc_id"),
+          $"vec_id" === $"doc_id")
+        .select($"doc_id", $"v", $"nrm")
+      val rnkW = Window.partitionBy($"query_id")
+        .orderBy($"cos_sim".desc, $"doc_id")
+      val sem = cv.crossJoin(broadcast(qv))
+        .withColumn("cos_sim",
+          round(expr("graft_dot(qv, v)") / ($"qn" * $"nrm"), 4))
+        .withColumn("rk", row_number().over(rnkW).cast("long"))
+        .filter($"rk" <= k)
+        .select($"query_id", $"doc_id", $"rk")
+      rrfFuse(Seq(lex.select($"query_id", $"doc_id", $"rk"), sem), k)
     },
 
     // ---- d48: domain clustering (see [[domainClusters]]) ------------
@@ -3318,8 +3414,12 @@ object DocumentQueries {
     * double·long (6.6 vs 2.2·3 differ in the last ulp). The gate entry
     * is this at [[QueryConf.DefaultBm25TopK]]; ConfReplay dumps other
     * operating points through the same text. */
-  def d56OracleSqlAt(k: Int): String =
-    s"""WITH $duckSplits,
+  /** The d56 CTE chain up to the ranked scores (`r`) — shared verbatim
+    * by the d56/d58 oracle and d59's lexical half so the three gates
+    * cannot drift on what a BM25 rank is. `k` applies only in the
+    * consumer's final WHERE. */
+  private def d56OracleCtes: String =
+    s"""$duckSplits,
          tr AS (
            SELECT d.doc_id, d.text FROM documents d
            JOIN splits s ON s.doc_id = d.doc_id AND s.split = 'train'),
@@ -3373,9 +3473,63 @@ object DocumentQueries {
            SELECT query_id, doc_id, sq,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY sq DESC, doc_id) AS BIGINT) AS rk
-           FROM agg)
+           FROM agg)"""
+
+  def d56OracleSqlAt(k: Int): String =
+    s"""WITH $d56OracleCtes
          SELECT query_id, rk, doc_id, CAST(sq AS BIGINT) / 1000000.0 AS score
          FROM r WHERE rk <= $k ORDER BY query_id, rk"""
+
+  /** d59 oracle generator: the d56 lexical CTEs + a brute-force cosine
+    * semantic half over the train-split embeddings (vec_id = doc_id,
+    * the gate's id rule), fused by exact-integer reciprocal-rank
+    * contributions `1e12 // (60 + rk)` summed per (query, doc) — the
+    * [[rrfFuse]] fixed-point discipline, so no float summation order
+    * can diverge between engines. */
+  def d59OracleSqlAt(k: Int): String =
+    s"""WITH $d56OracleCtes,
+         lex AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= $k),
+         em AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         en AS (
+           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM em),
+         qe AS (
+           SELECT q.query_id, en.v AS qv, en.nrm AS qn
+           FROM q JOIN en ON en.vec_id = q.query_id),
+         ce AS (
+           SELECT en.vec_id AS doc_id, en.v, en.nrm
+           FROM en JOIN splits s
+             ON s.doc_id = en.vec_id AND s.split = 'train'),
+         sp AS (
+           SELECT qe.query_id, ce.doc_id,
+             round(list_dot_product(qe.qv, ce.v) / (qe.qn * ce.nrm), 4)
+               AS cos_sim
+           FROM qe, ce),
+         sr AS (
+           SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rk
+           FROM sp),
+         sem AS (SELECT query_id, doc_id, rk FROM sr WHERE rk <= $k),
+         u AS (
+           SELECT query_id, doc_id, 1000000000000 // (60 + rk) AS c
+           FROM lex
+           UNION ALL
+           SELECT query_id, doc_id, 1000000000000 // (60 + rk) AS c
+           FROM sem),
+         g AS (
+           SELECT query_id, doc_id, sum(c) AS rrf_q
+           FROM u GROUP BY 1, 2),
+         fr AS (
+           SELECT query_id, doc_id, rrf_q,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rk
+           FROM g)
+         SELECT query_id, rk, doc_id,
+           CAST(rrf_q AS BIGINT) / 1000000000000.0 AS rrf
+         FROM fr WHERE rk <= $k ORDER BY query_id, rk"""
 
   /** d52 oracle generator at an explicit rareCap: rare-fp blocking (df
     * in [2, rareCap] nominates) + exact overlap-coefficient
@@ -4404,6 +4558,10 @@ object DocumentQueries {
     // hash-pins that contract cross-engine
     "d58_bm25_probe" ->
       d56OracleSqlAt(QueryConf.DefaultBm25TopK),
+    // d59: the d56 lexical CTEs + brute-force semantic half + exact-
+    // integer RRF contributions (see d59OracleSqlAt)
+    "d59_hybrid_topk" ->
+      d59OracleSqlAt(QueryConf.DefaultBm25TopK),
     "d52_containment_pairs" ->
       d52OracleSqlAt(QueryConf.DefaultContainRareCap),
     "d53_winnow_fps" ->

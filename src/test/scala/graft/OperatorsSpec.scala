@@ -3116,6 +3116,39 @@ class OperatorsSpec extends SparkSpec {
     assert(depth(None) > 2L, "the default depth must exceed the override")
   }
 
+  test("RRF fusion: a doc mid-rank in BOTH halves fuses to top-1, " +
+    "single-list docs still score, exact-integer contributions, ties " +
+    "break doc_id-asc, malformed rankings refused (d59)") {
+    import spark.implicits._
+    // lexical: A(rk1) B(rk2) C(rk3); semantic: D(rk1) B(rk2) E(rk3).
+    // B is top of NEITHER half, but 2/(60+2) beats 1/(60+1) — only the
+    // fusion surfaces it. A and D then tie exactly (same single-half
+    // rank-1 contribution) → doc_id ascending decides.
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    val sem = Seq((1L, 40L, 1L), (1L, 20L, 2L), (1L, 50L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    val fused = DocumentQueries.rrfFuse(Seq(lex, sem), k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fused.map(_._2).toSeq == Seq(20L, 10L, 40L, 30L, 50L),
+      s"fused order: ${fused.mkString(",")}")
+    // exact integer arithmetic: contributions are 1e12 div (60 + rk)
+    val div = (rk: Long) => 1000000000000L / (60L + rk)
+    assert(fused.head._3 == (div(2) + div(2)) / 1e12)
+    assert(fused(1)._3 == div(1) / 1e12 && fused(1)._3 == fused(2)._3)
+    // k caps the fused depth
+    assert(DocumentQueries.rrfFuse(Seq(lex, sem), k = 1).count() == 1L)
+    // a single-system fusion preserves the input order
+    val solo = DocumentQueries.rrfFuse(Seq(lex), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(solo.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // schema gate: a rank list without rk is refused loudly
+    val bad = intercept[IllegalArgumentException] {
+      DocumentQueries.rrfFuse(Seq(lex.drop("rk")), k = 3)
+    }
+    assert(bad.getMessage.contains("query_id, doc_id, rk"), bad.getMessage)
+  }
+
   test("winnowing honors a non-default winnow.window: larger w selects " +
     "more sparsely (d53 knob liveness)") {
     import spark.implicits._
