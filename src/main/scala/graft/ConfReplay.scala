@@ -76,7 +76,9 @@ object ConfReplay {
         graft.queries.DedupQueries.d03OracleSqlAt(maxBucket),
       "d56_bm25_topk" -> DocumentQueries.d56OracleSqlAt(bm25K),
       "d59_hybrid_topk" -> DocumentQueries.d59OracleSqlAt(bm25K),
-      "s14_knn_graph" -> EmbeddingQueries.s14OracleSqlAt(cells, rounds, knnK))
+      "s14_knn_graph" -> EmbeddingQueries.s14OracleSqlAt(cells, rounds, knnK),
+      "s15_graph_density" -> EmbeddingQueries.s15OracleSqlAt(cells, rounds,
+        knnK, EmbeddingQueries.densityTau))
     targets.foreach { case (name, _) =>
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

@@ -365,6 +365,70 @@ object EmbeddingQueries {
     }
   }
 
+  /** s15's density bar: a mean in-graph neighbor cosine BELOW this marks
+    * the vector `sparse` (an isolated point — noise or genuinely unique,
+    * the keep-for-diversity candidates), at-or-above `dense` (a
+    * redundancy-region member, the prune candidates). Sits just above
+    * this corpus's ~0.33 pairwise-cosine center so the disposition is
+    * non-trivial on the test corpora (the semTau/semDecTau convention). */
+  private[graft] val densityTau = 0.35
+
+  /** s15 — graph density / outlier scoring: the first CONSUMER of the
+    * s14 k-NN graph artifact (SemDeDup-adjacent curation reads exactly
+    * these signals — Abbas et al. 2023 prune dense regions, coreset /
+    * diversity samplers keep the sparse periphery, and outlier mining
+    * reads the isolated tail). Per vector: `degree` (graph neighbors),
+    * `mean_sim` (mean neighbor cosine — the local-density estimate) and
+    * a `decision` — `isolated` (no in-cell neighbor at all: the extreme
+    * outliers the within-cell graph already singled out), `sparse`
+    * (mean below [[densityTau]]), `dense`.
+    *
+    * Reads the s14 OUTPUT SHAPE (vec_id, rk, nbr, cos_sim) — it never
+    * re-derives pairs, which is the point of a stored graph artifact:
+    * at 100 TB the graph is built once (s14) and every consumer pass is
+    * a bounded aggregate over its ≤k rows per vector. `emb` supplies
+    * the id universe so graph-absent vectors surface as `isolated`
+    * instead of vanishing (only its `vec_id` column is touched).
+    *
+    * Cross-engine exactness: neighbor sims arrive 4-decimal rounded
+    * (the s14 contract), so each converts EXACTLY to a micro-sim BIGINT
+    * and the per-vector sum is integer; `mean_sim` presents
+    * `floor(sum_micro / degree) / 1e4` (the d19/d51 floor-grid
+    * discipline — one IEEE division of exact integers, then floor, so
+    * no engine's rounding mode enters), and the tau comparison reads
+    * that exact grid value.
+    *
+    * Scale shape: one map-side-combinable groupBy over the graph
+    * (groups bounded by k — never a hot key) + one id equi-join to the
+    * universe; nothing corpus-quadratic, no windows, text/vectors never
+    * move — the only columns in flight are (vec_id, long, long). */
+  def graphDensity(emb: DataFrame, graph: DataFrame,
+      tau: Double = densityTau): DataFrame = {
+    val missing = Seq("vec_id", "rk", "nbr", "cos_sim")
+      .filterNot(graph.columns.contains)
+    require(missing.isEmpty,
+      s"graphDensity consumes the s14 knnGraph shape (vec_id, rk, nbr, " +
+        s"cos_sim) — ${missing.mkString("/")} absent; build the graph with " +
+        "knnGraph (or read a stored s14 artifact)")
+    val s = graph.sparkSession
+    import s.implicits._
+    val agg = graph.groupBy($"vec_id")
+      .agg(count(lit(1)).as("degree"),
+        sum(expr("CAST(round(cos_sim * 10000) AS BIGINT)")).as("sq"))
+    emb.select($"vec_id")
+      .join(agg, Seq("vec_id"), "left")
+      .withColumn("degree", coalesce($"degree", lit(0L)))
+      .withColumn("mean_sim",
+        when($"degree" === 0, lit(null).cast("double"))
+          .otherwise(floor($"sq".cast("double") / $"degree") / 10000.0))
+      .withColumn("decision",
+        when($"degree" === 0, "isolated")
+          .when($"mean_sim" < tau, "sparse")
+          .otherwise("dense"))
+      .select($"vec_id", $"degree", $"mean_sim", $"decision")
+      .orderBy($"vec_id")
+  }
+
   def semDedup(emb: DataFrame, tau: Double = semTau): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
@@ -944,6 +1008,15 @@ object EmbeddingQueries {
       knnGraph(vecs(s, dir), QueryConf.knnK(s))
     },
 
+    // ---- s15: graph density / outlier scoring off the s14 artifact
+    // (see [[graphDensity]]) — the gate pays the graph build inline
+    // (the d16/d24/d58 gate convention); a deployment scores the
+    // STORED graph ---------------------------------------------------
+    "s15_graph_density" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      graphDensity(e, knnGraph(e, QueryConf.knnK(s)))
+    },
+
     // ---- s10: semantic decontamination over the trained IVF cells --------
     // Gate split follows the d30/d39 convention (a deterministic id rule
     // standing in for the real eval-registry join): vec_id % 10 == 0 is
@@ -1275,8 +1348,12 @@ object EmbeddingQueries {
   /** s14 oracle generator: the shared IVF prelude's trained cells +
     * the symmetric within-cell pair scan + the per-vector rank — the
     * s01 rounded-sim + id-tie discipline. */
-  private[graft] def s14OracleSqlAt(cells: Int, rounds: Int, k: Int): String =
-    s"""WITH ${duckIvfPreludeAt(cells, rounds)},
+  /** The s14 CTE chain up to the ranked within-cell pairs (`r`, plus the
+    * full-universe `corpus`) — shared by the s14 oracle and s15's
+    * graph-consuming oracle so the two gates cannot drift on what a
+    * graph edge is. */
+  private def s14OracleCtes(cells: Int, rounds: Int): String =
+    s"""${duckIvfPreludeAt(cells, rounds)},
          corpus AS (
            SELECT vec_id, v, nrm, cell FROM cells$rounds WHERE rn = 1),
          p AS (
@@ -1289,14 +1366,46 @@ object EmbeddingQueries {
            SELECT src, nbr, cos_sim,
              CAST(row_number() OVER (PARTITION BY src
                ORDER BY cos_sim DESC, nbr) AS BIGINT) AS rk
-           FROM p)
+           FROM p)"""
+
+  private[graft] def s14OracleSqlAt(cells: Int, rounds: Int, k: Int): String =
+    s"""WITH ${s14OracleCtes(cells, rounds)}
          SELECT src AS vec_id, rk, nbr, cos_sim FROM r WHERE rk <= $k
          ORDER BY vec_id, rk"""
+
+  /** s15 oracle generator: the s14 graph CTEs + the bounded per-vector
+    * density aggregate — micro-sim BIGINT sums, floor-grid mean (the
+    * [[graphDensity]] fixed-point discipline), corpus left-joined so
+    * graph-absent vectors read `isolated`. */
+  private[graft] def s15OracleSqlAt(cells: Int, rounds: Int, k: Int,
+      tau: Double): String =
+    s"""WITH ${s14OracleCtes(cells, rounds)},
+         g AS (
+           SELECT src AS vec_id, cos_sim FROM r WHERE rk <= $k),
+         a AS (
+           SELECT vec_id, CAST(count(*) AS BIGINT) AS degree,
+             sum(CAST(round(cos_sim * 10000) AS BIGINT)) AS sq
+           FROM g GROUP BY 1),
+         d AS (
+           SELECT c.vec_id,
+             coalesce(a.degree, 0) AS degree,
+             CASE WHEN a.degree IS NULL THEN NULL
+               ELSE floor(CAST(a.sq AS DOUBLE) / a.degree) / 10000.0
+             END AS mean_sim
+           FROM corpus c LEFT JOIN a USING (vec_id))
+         SELECT vec_id, degree, mean_sim,
+           CASE WHEN degree = 0 THEN 'isolated'
+             WHEN mean_sim < CAST($tau AS DOUBLE) THEN 'sparse'
+             ELSE 'dense' END AS decision
+         FROM d ORDER BY vec_id"""
 
   val oracleSql: ListMap[String, String] = ListMap(
     // s14: gate entry = the generator at the spec-pinned defaults
     "s14_knn_graph" -> s14OracleSqlAt(ivfCells,
       QueryConf.DefaultLloydRounds, QueryConf.DefaultKnnK),
+    // s15: the s14 graph CTEs + the bounded density aggregate
+    "s15_graph_density" -> s15OracleSqlAt(ivfCells,
+      QueryConf.DefaultLloydRounds, QueryConf.DefaultKnnK, densityTau),
     // s11: the s04 prelude's trained cells + a per-cell periphery-first
     // row_number on the rounded centroid cosine
     "s11_coreset_sample" -> s11OracleSqlAt(ivfCells,

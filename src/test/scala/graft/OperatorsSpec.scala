@@ -3116,6 +3116,41 @@ class OperatorsSpec extends SparkSpec {
     assert(depth(None) > 2L, "the default depth must exceed the override")
   }
 
+  test("graph density consumes the s14 artifact shape: hand-computed " +
+    "degree/floor-grid means, isolated universe members, tau split, " +
+    "non-graph input refused (s15)") {
+    import spark.implicits._
+    // synthesized s14-shaped graph — the operator must read the
+    // ARTIFACT, so the fixture is the artifact, not vectors
+    val graph = Seq(
+      (1L, 1L, 2L, 0.9), (1L, 2L, 3L, 0.2), // mean floor(11000/2)=0.55
+      (2L, 1L, 1L, 0.9),                    // mean 0.9  -> dense
+      (3L, 1L, 1L, 0.2), (3L, 2L, 2L, 0.1)) // mean 0.15 -> sparse
+      .toDF("vec_id", "rk", "nbr", "cos_sim")
+    val emb = Seq(1L, 2L, 3L, 4L).toDF("vec_id") // 4 absent -> isolated
+    val out = EmbeddingQueries.graphDensity(emb, graph).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, Some(0.55), "dense"),
+      (2L, 1L, Some(0.9), "dense"),
+      (3L, 2L, Some(0.15), "sparse"),
+      (4L, 0L, None, "isolated")), out.mkString(","))
+    // gate integration: one row per corpus vector, decisions total
+    val gate = EmbeddingQueries.queries("s15_graph_density")(spark, sfSmoke)
+      .collect()
+    val nVec = Tables(spark, sfSmoke, "embeddings").count()
+    assert(gate.length == nVec,
+      s"one density row per vector: ${gate.length} vs $nVec")
+    assert(gate.forall(r =>
+      Set("isolated", "sparse", "dense")(r.getString(3))))
+    // a frame that is not the s14 shape is refused loudly
+    val bad = intercept[IllegalArgumentException] {
+      EmbeddingQueries.graphDensity(emb, graph.drop("rk"))
+    }
+    assert(bad.getMessage.contains("knnGraph"), bad.getMessage)
+  }
+
   test("RRF fusion: a doc mid-rank in BOTH halves fuses to top-1, " +
     "single-list docs still score, exact-integer contributions, ties " +
     "break doc_id-asc, malformed rankings refused (d59)") {
