@@ -11,6 +11,15 @@ final case class EtlConfig(
     staggingSeconds: Long = 900,          // S3LOGS_STAGGING_PARTITION_SECOND
     aggregateSeconds: Long = 900,         // S3LOGS_TRANSFORM_AGGREGATE_SECOND (≥ stagging)
     tzOffsetSeconds: Long = 0,            // T3: S3LOGS_STAGGING_PARTITION_TZIF (UTC+8 = 28800)
+    // T3 with DST RULES (r17): an IANA zone id ("America/New_York").
+    // When set it overrides tzOffsetSeconds — bucket boundaries and K3
+    // partition columns follow the zone's wall clock through DST
+    // transitions (the reference's tzif surface accepts rule-carrying
+    // POSIX TZ strings; its shipped default is UTC+0 and its examples
+    // fixed offsets, so the fixed path stays the fast default).
+    // Validated at config time via java.time.ZoneId — a typo fails
+    // loudly, never silently buckets at UTC.
+    tzZone: Option[String] = None,
     mergeOrigBuckets: Boolean = false,    // A3: collapse bucket key to ALLBUCKETS
     dedup: Boolean = true,                // D1: S3LOGS_TRANSFORM_LOG_DEDUPLICATION
     hourlyPartitions: Boolean = true,     // K3: year/.../hour (batch) vs dt=YYYYMMDD (stream)
@@ -115,17 +124,27 @@ object EtlConfig {
     def num(k: String, d: Long) = env.get(k).map(_.trim.toLong).getOrElse(d)
     def bool(k: String, d: Boolean) =
       env.get(k).map(_.trim.toBoolean).getOrElse(d)
-    val tz = env.get("S3LOGS_STAGGING_PARTITION_TZIF").map { s =>
+    // T3 vocabulary: UTC±HH[:MM] keeps the reference's fixed-offset
+    // fast path; anything else must be a VALID IANA zone id (r17 — the
+    // DST-rule surface: "America/New_York" buckets on zone rules). A
+    // typo fails loudly at config time, never silently buckets at UTC.
+    val (tzOff, tzZone) = env.get("S3LOGS_STAGGING_PARTITION_TZIF").map { s =>
       val m = "UTC([+-]\\d{1,2})(?::(\\d{2}))?".r
       s.trim match {
         case m(h, mm) =>
           val sign = if (h.startsWith("-")) -1 else 1
-          h.toLong * 3600 + sign * Option(mm).map(_.toLong * 60).getOrElse(0L)
-        case "UTC" | "UTC0" => 0L
-        case other => throw new IllegalArgumentException(
-          s"unsupported fixed-offset tz: $other")
+          (h.toLong * 3600 +
+            sign * Option(mm).map(_.toLong * 60).getOrElse(0L), None)
+        case "UTC" | "UTC0" => (0L, None)
+        case zone =>
+          try { java.time.ZoneId.of(zone); (0L, Some(zone)) }
+          catch { case _: java.time.DateTimeException =>
+            throw new IllegalArgumentException(
+              s"unsupported tz: '$zone' — use a fixed offset (UTC±HH[:MM]) " +
+                "or an IANA zone id (e.g. America/New_York) for DST rules")
+          }
       }
-    }.getOrElse(0L)
+    }.getOrElse((0L, None))
     // archive only kept when cleanup is disabled — the reference routes
     // processed logs to the archive root iff CLEANUP_PROCESSED_LOGS=false.
     val archive =
@@ -142,7 +161,8 @@ object EtlConfig {
     EtlConfig(
       staggingSeconds = num("S3LOGS_STAGGING_PARTITION_SECOND", 900),
       aggregateSeconds = num("S3LOGS_TRANSFORM_AGGREGATE_SECOND", 900),
-      tzOffsetSeconds = tz,
+      tzOffsetSeconds = tzOff,
+      tzZone = tzZone,
       mergeOrigBuckets =
         bool("S3LOGS_STAGGING_MERGE_ORIG_BUCKETS", d = false),
       dedup = bool("S3LOGS_TRANSFORM_LOG_DEDUPLICATION", d = true),
@@ -196,17 +216,38 @@ final case class TransformStats(
   */
 object Transform {
 
-  /** K3 partition-column derivation: event time shifted into the fixed
-    * tz offset (T3 — the reference computes boundaries in a DST-less
-    * POSIX tz, so this is pure offset arithmetic, never zone rules). */
-  private def tzShifted(cfg: EtlConfig) =
-    timestamp_seconds(unix_timestamp(col("ts")) + cfg.tzOffsetSeconds)
+  /** K3 partition-column derivation: event time shifted onto the
+    * configured local clock — zone RULES via `from_utc_timestamp` when
+    * `tzZone` is set (T3/r17: DST-correct wall time, codegen'd zone
+    * lookup), else the fixed-offset arithmetic (the reference's shipped
+    * default is a DST-less POSIX tz, so the pure-arithmetic path stays
+    * the fast default). */
+  private def tzShifted(cfg: EtlConfig) = cfg.tzZone match {
+    case Some(zone) => from_utc_timestamp(col("ts"), zone)
+    case None =>
+      timestamp_seconds(unix_timestamp(col("ts")) + cfg.tzOffsetSeconds)
+  }
 
-  /** T2: align-left tumbling bucket (`ts - ts % N`) on the tz-shifted
-    * clock, returned as epoch seconds (UTC). */
-  def bucketTs(cfg: EtlConfig, seconds: Long) = {
-    val shifted = unix_timestamp(col("ts")) + cfg.tzOffsetSeconds
-    (floor(shifted / seconds) * seconds) - cfg.tzOffsetSeconds
+  /** T2: align-left tumbling bucket (`ts - ts % N`) on the local wall
+    * clock, returned as epoch seconds (UTC) of the bucket start.
+    *
+    * Zone-rule path (T3/r17): floor on the wall-clock epoch, then map
+    * the local bucket start back to its UTC instant with
+    * `to_utc_timestamp`. Standard wall-clock bucketing semantics at DST
+    * transitions: a fall-back repeats a local hour, so the two UTC
+    * hours share local buckets keyed at the FIRST offset's instant
+    * (java.time's ambiguity resolution); spring-forward skips a local
+    * hour, so those buckets simply never materialize (from_utc_timestamp
+    * only ever produces valid local times). Both engines of the oracle
+    * compute this identically; EtlSpec pins a transition fixture. */
+  def bucketTs(cfg: EtlConfig, seconds: Long) = cfg.tzZone match {
+    case Some(zone) =>
+      val localEpoch = unix_timestamp(from_utc_timestamp(col("ts"), zone))
+      unix_timestamp(to_utc_timestamp(
+        timestamp_seconds(floor(localEpoch / seconds) * seconds), zone))
+    case None =>
+      val shifted = unix_timestamp(col("ts")) + cfg.tzOffsetSeconds
+      (floor(shifted / seconds) * seconds) - cfg.tzOffsetSeconds
   }
 
   /** Parse + bucket + dedup: the logical core, reusable by batch and

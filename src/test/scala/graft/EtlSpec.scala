@@ -109,6 +109,57 @@ class EtlSpec extends SparkSpec {
     assert(inWindow == 0)
   }
 
+  test("zone-rule bucketing follows DST transitions — the 25-hour " +
+    "fall-back day and the folded repeated hour (T3/r17)") {
+    import spark.implicits._
+    def epoch(iso: String) = java.time.Instant.parse(iso).getEpochSecond
+    // America/New_York 2024-11-03 fall-back: local Nov 3 runs 04:00Z
+    // (00:00 EDT) to 05:00Z next day (00:00 EST) — a 25-hour UTC day no
+    // fixed offset can produce
+    val cfg = EtlConfig(tzZone = Some("America/New_York"),
+      staggingSeconds = 86400, aggregateSeconds = 86400)
+    val days = Seq(
+      "2024-11-03T03:59:00Z" -> "2024-11-02T04:00:00Z", // 23:59 EDT Nov 2
+      "2024-11-03T04:00:00Z" -> "2024-11-03T04:00:00Z", // 00:00 EDT Nov 3
+      "2024-11-03T05:30:00Z" -> "2024-11-03T04:00:00Z", // 01:30 EDT (1st)
+      "2024-11-03T06:30:00Z" -> "2024-11-03T04:00:00Z", // 01:30 EST (2nd)
+      "2024-11-04T04:59:00Z" -> "2024-11-03T04:00:00Z", // 23:59 EST Nov 3
+      "2024-11-04T05:00:00Z" -> "2024-11-04T05:00:00Z") // 00:00 EST Nov 4
+    val got = days.map(_._1).toDF("iso")
+      .withColumn("ts", to_timestamp($"iso"))
+      .withColumn("b", Transform.bucketTs(cfg, 86400))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    days.foreach { case (iso, bucket) =>
+      assert(got(iso) == epoch(bucket),
+        s"$iso bucketed at ${got(iso)}, want ${epoch(bucket)} ($bucket)")
+    }
+    // hourly grain: the repeated local 01:xx hour folds into ONE bucket
+    // keyed at the FIRST offset's instant (01:00 EDT = 05:00Z) — the
+    // documented java.time ambiguity resolution
+    val hours = Seq("2024-11-03T05:30:00Z", "2024-11-03T06:30:00Z")
+      .toDF("iso").withColumn("ts", to_timestamp($"iso"))
+      .withColumn("b", Transform.bucketTs(cfg, 3600))
+      .select($"b").distinct().collect().map(_.getLong(0)).toSeq
+    assert(hours == Seq(epoch("2024-11-03T05:00:00Z")), hours)
+    // config surface: an IANA zone id parses from the reference's tz
+    // env var; a typo refuses loudly instead of bucketing at UTC
+    assert(EtlConfig.fromEnv(Map(
+      "S3LOGS_STAGGING_PARTITION_TZIF" -> "America/New_York"))
+      .tzZone.contains("America/New_York"))
+    val typo = intercept[IllegalArgumentException] {
+      EtlConfig.fromEnv(Map(
+        "S3LOGS_STAGGING_PARTITION_TZIF" -> "America/NewYork"))
+    }
+    assert(typo.getMessage.contains("IANA"), typo.getMessage)
+    // the zone path leaves the fixed-offset default untouched: same
+    // frame, no zone -> pure offset arithmetic
+    val fixed = Seq("2024-11-03T06:30:00Z").toDF("iso")
+      .withColumn("ts", to_timestamp($"iso"))
+      .withColumn("b", Transform.bucketTs(EtlConfig(), 86400))
+      .collect().head.getLong(2)
+    assert(fixed == epoch("2024-11-03T00:00:00Z"))
+  }
+
   // ---- D1 dedup ---------------------------------------------------------
 
   test("dedup drops redelivered RequestIDs within a window (D1)") {
