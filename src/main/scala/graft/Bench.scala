@@ -14,6 +14,19 @@ object Bench {
   private[graft] def stallRetryNeeded(times: Seq[Double]): Boolean =
     times.nonEmpty && times.min > 0 && times.max / times.min > 5.0
 
+  /** Calib-normalized total (round-17, VERDICT r16 #3): `total` scaled
+    * by (band midpoint / measured calib), so a record from a uniformly
+    * slowed (or unusually quick) session compares honestly across
+    * rounds WITHOUT a human reading the stderr tail — the r14/r16
+    * driver sessions both ran out-of-band and their raw totals read as
+    * regressions that were not there. Identity when calib sits exactly
+    * at the band midpoint; a calib <= 0 (failed anchor) falls back to
+    * the raw total rather than emitting a poisoned scale. Pure so
+    * BenchRetrySpec pins it without timing anything. */
+  private[graft] def calibNormalized(total: Double, calib: Double,
+      bandLo: Double, bandHi: Double): Double =
+    if (calib > 0) total * ((bandLo + bandHi) / 2) / calib else total
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(appName = "graft-bench")
@@ -248,8 +261,11 @@ object Bench {
     // "calib_warn" appears only on excursion — zero bytes in a healthy
     // session, and its absence is itself the all-clear
     val warnField = if (calibWarn) ""","calib_warn":true""" else ""
+    // value_normalized: the self-correcting cross-round number — raw
+    // total scaled to the calib band midpoint (see calibNormalized)
+    val normTotal = calibNormalized(total, calib, calibBandLo, calibBandHi)
     val line =
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","calib":${num3(calib)},"calib_io":${num3(calibIo)},"degraded":$degraded$warnField,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${num3(total)},"value_normalized":${num3(normTotal)},"unit":"sec","calib":${num3(calib)},"calib_io":${num3(calibIo)},"degraded":$degraded$warnField,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     // budget arithmetic: 2000-byte tail − ~75 B sbt [success] line −
     // 7 B "[info] " prefix ≈ 1918 usable. Short-id keys measured ~870 B
     // at 72 queries (the full-name line had hit 1916 — the boundary), so

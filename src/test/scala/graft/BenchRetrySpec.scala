@@ -31,4 +31,19 @@ class BenchRetrySpec extends AnyFunSuite {
     // a -1 failure sentinel must not divide into a bogus ratio
     assert(!Bench.stallRetryNeeded(Seq(-1.0, 3.0)))
   }
+
+  test("calib normalization scales to the band midpoint: identity at " +
+    "midpoint, deflates slow sessions, inflates quick ones, raw " +
+    "fallback on a failed anchor (r17)") {
+    // band [0.26, 0.36] -> midpoint 0.31
+    assert(Bench.calibNormalized(77.0, 0.31, 0.26, 0.36) == 77.0)
+    // the r16 driver session: calib 0.427 — a 100 s total reads ~72.6 s
+    val slow = Bench.calibNormalized(100.0, 0.427, 0.26, 0.36)
+    assert(math.abs(slow - 100.0 * 0.31 / 0.427) < 1e-12 && slow < 100.0)
+    // a quicker-than-band box inflates toward comparability
+    assert(Bench.calibNormalized(50.0, 0.20, 0.26, 0.36) > 50.0)
+    // failed anchor (calib <= 0): raw total, never a poisoned scale
+    assert(Bench.calibNormalized(42.0, -1.0, 0.26, 0.36) == 42.0)
+    assert(Bench.calibNormalized(42.0, 0.0, 0.26, 0.36) == 42.0)
+  }
 }
