@@ -133,11 +133,18 @@ object DedupQueries {
     * groupBy's partial aggregation counts it map-side, the join-back is
     * AQE skew-splittable, and the cap then filters a plain column. Rows
     * and hashes identical (bands are never null — length-4 arrays by
-    * TextSignatureExpr construction — so the equi-join drops nothing). */
-  private def cappedBands(reps: DataFrame, extra: Column*): DataFrame = {
-    val exploded = reps.select(
+    * TextSignatureExpr construction — so the equi-join drops nothing).
+    *
+    * `own` caches the exploded frame (scope-bound where a scope exists):
+    * the occupancy groupBy and the join-back both read it, and the
+    * band self-join downstream reads the RESULT twice — without the
+    * cache the `representatives` aggregate subtree re-plans per branch
+    * and the stage count (= wall at small SF) quadruples. */
+  private def cappedBands(reps: DataFrame, own: DataFrame => DataFrame,
+      extra: Column*): DataFrame = {
+    val exploded = own(reps.select(
       (col("doc_id") +: extra) :+
-        posexplode_outer(col("bands")).as(Seq("band_id", "band_key")): _*)
+        posexplode_outer(col("bands")).as(Seq("band_id", "band_key")): _*))
     val occupancy = exploded.groupBy(col("band_id"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= QueryConf.dedupMaxBucket(reps.sparkSession))
@@ -202,7 +209,7 @@ object DedupQueries {
     def pairs: DataFrame = {
       val s = sigs.sparkSession
       import s.implicits._
-      val exploded = cappedBands(representatives(sigs), col("mh"))
+      val exploded = cappedBands(representatives(sigs), owned, col("mh"))
       val a = exploded.select($"doc_id".as("doc_a"), $"mh".as("mh_a"),
         $"band_id", $"band_key")
       val b = exploded.select($"doc_id".as("doc_b"), $"mh".as("mh_b"),
@@ -270,7 +277,7 @@ object DedupQueries {
       //     per-stage latency floor is the cost of a deep plan on an
       //     idle scheduler; SCALE.md measures how it amortizes with
       //     data volume.
-      val exploded = owned(cappedBands(representatives(sigs)))
+      val exploded = owned(cappedBands(representatives(sigs), owned))
       val cand = exploded.as("x")
         .join(exploded.as("y"),
           $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&

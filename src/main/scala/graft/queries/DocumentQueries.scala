@@ -383,11 +383,12 @@ object DocumentQueries {
     * not the postings). The constant columns RLE away in parquet.
     *
     * Build shape: the census is one compiled map pass; df is a
-    * map-side-combinable term groupBy joined back term-keyed (NOT the
-    * d54 window fold — raw-term df has stopword-grade skew a single
-    * window partition would buffer whole, while AQE splits a skewed
-    * join); the scalars ride one broadcast scalar agg. Paid once per
-    * build, like every index. */
+    * map-side-combinable term groupBy joined back term-keyed (raw-term
+    * df has stopword-grade skew a single window partition would buffer
+    * whole, while AQE splits a skewed join — the discipline every fold
+    * on a skewed key in this repo follows since r17, SCALE.md "hot-key
+    * fold A/B"); the scalars ride one broadcast scalar agg. Paid once
+    * per build, like every index. */
   def bm25Index(corpus: DataFrame): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._

@@ -94,8 +94,9 @@ class QueriesSpec extends SparkSpec {
     val broadcastWhitelist = Set("s01_knn_bruteforce", "s02_ann_lsh",
       "s04_ann_ivf", "s08_ivfpq_rerank", "s09_semdedup", "s10_sem_decontam",
       "s12_pq_encode_incremental",
-      // s14: the same <=cells-row trained-centroid assignment scan
-      "s14_knn_graph",
+      // (s14 absent since r17: knnGraph returns an eagerly
+      // Materialize()d frame — truncated lineage, no joins to audit;
+      // its centroid broadcast is the source-audited assignTo one)
       "s06_quantized_rerank", "s07_truncated_rerank",
       // s13: the same fixed-query-set probe join at the binary axis
       "s13_hamming_rerank",
@@ -111,6 +112,10 @@ class QueriesSpec extends SparkSpec {
       "d56_bm25_topk",
       // d58: the same scalar cross-join, at index BUILD time
       "d58_bm25_probe",
+      // d59: inherits d56's scalar cross-join in its lexical half, plus
+      // the GlobalLimit-bounded probe-vector broadcast of the brute-
+      // force semantic half (the s01 shape at the fusion gate)
+      "d59_hybrid_topk",
       "d26_pack_sequences", "d40_epoch_shuffle", "d27_temperature_sample",
       "d31_curation_funnel", "d35_bigram_logprob",
       "d38_mix_epochs", "d42_budget_select")
@@ -170,8 +175,11 @@ class QueriesSpec extends SparkSpec {
         "<=16-row trained-centroid table (s04's quantizer, SemDeDup cells)",
       "s10_sem_decontam" ->
         "<=16-row trained-centroid table (s04's quantizer; decontam cells)",
-      "s14_knn_graph" ->
-        "<=16-row trained-centroid table (s04's quantizer; graph cells)",
+      // s14 is deliberately ABSENT since r17: knnGraph eagerly
+      // Materialize()s under the scoped ObjectHashAggregate-threshold
+      // raise, so its optimized plan is truncated lineage with no
+      // hinted join left (the s11 situation). Its one hinted join is
+      // assignTo's centroid broadcast — audited at the source below.
       "s12_pq_encode_incremental" ->
         ("<=cells-row persisted centroid/cunit artifact (s04's quantizer; " +
           "bounded by QueryConf.ivfCells configuration, not data)"),
