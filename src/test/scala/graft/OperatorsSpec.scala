@@ -3116,6 +3116,34 @@ class OperatorsSpec extends SparkSpec {
     assert(depth(None) > 2L, "the default depth must exceed the override")
   }
 
+  test("skewed-key folds plan no Window operator — rep collapse, band " +
+    "occupancy, winnow df are groupBy+join-back (r17 discipline pin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => WinNode}
+    // A window partition is one task that buffers its whole group; on a
+    // data-dependent skewed key (content fp, LSH band, winnow fp) that
+    // is the 100 TB funnel SCALE.md's hot-key fold A/B measures. The
+    // rank windows of the top-k operators (bounded probe sets) are NOT
+    // in scope here — this audits exactly the fold surfaces the r17
+    // rewrite moved to groupBy+join-back, so they cannot quietly move
+    // back.
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case w: WinNode => w }
+    val docs = Tables(spark, sfSmoke, "documents").select("doc_id", "text")
+    DedupQueries.withDedupScope(docs) { scope =>
+      assert(windows(scope.pairs).isEmpty,
+        "d03 pairs plans a window — the band-occupancy fold regressed")
+      assert(windows(scope.verifiedPairs).isEmpty,
+        "d06 verifiedPairs plans a window")
+    }
+    val sigs = DedupQueries.signatureTable(docs)
+    assert(windows(DedupQueries.repIndex(sigs)).isEmpty,
+      "repIndex plans a window — the stored-occupancy build regressed")
+    assert(windows(DocumentQueries.foldWinnowSignatures(
+      Seq((1L, 7L), (2L, 7L), (3L, 9L)).toDF("doc_id", "fp"))).isEmpty,
+      "foldWinnowSignatures plans a window — the df fold regressed")
+  }
+
   test("graph density consumes the s14 artifact shape: hand-computed " +
     "degree/floor-grid means, isolated universe members, tau split, " +
     "non-graph input refused (s15)") {
