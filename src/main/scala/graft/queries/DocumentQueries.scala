@@ -1274,11 +1274,16 @@ object DocumentQueries {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
         .withColumn("split", splitOfBucket(splitBucketCol))
-      val probes = docs.filter($"split" === "test")
+      // Materialize()d: the probe derivation is a TEST-SPLIT SCAN of
+      // the corpus (filter + TakeOrdered), and the lazy form re-plans
+      // that scan once per downstream consumer (query-term grain,
+      // term-set prune, d59's vector join) — at 100 TB each re-plan is
+      // a corpus pass. One pass, 50 pinned rows.
+      val probes = graft.Materialize(docs.filter($"split" === "test")
         .orderBy($"doc_id").limit(50)
         .select($"doc_id".as("query_id"), expr(
           "array_join(slice(filter(split(text, ' '), t -> t <> ''), 1, 5), ' ')")
-          .as("qtext"))
+          .as("qtext")))
       bm25TopK(docs.filter($"split" === "train").select($"doc_id", $"text"),
         probes, k = QueryConf.bm25TopK(s))
     },
@@ -1292,11 +1297,16 @@ object DocumentQueries {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
         .withColumn("split", splitOfBucket(splitBucketCol))
-      val probes = docs.filter($"split" === "test")
+      // Materialize()d: the probe derivation is a TEST-SPLIT SCAN of
+      // the corpus (filter + TakeOrdered), and the lazy form re-plans
+      // that scan once per downstream consumer (query-term grain,
+      // term-set prune, d59's vector join) — at 100 TB each re-plan is
+      // a corpus pass. One pass, 50 pinned rows.
+      val probes = graft.Materialize(docs.filter($"split" === "test")
         .orderBy($"doc_id").limit(50)
         .select($"doc_id".as("query_id"), expr(
           "array_join(slice(filter(split(text, ' '), t -> t <> ''), 1, 5), ' ')")
-          .as("qtext"))
+          .as("qtext")))
       bm25Probe(
         bm25Index(docs.filter($"split" === "train")
           .select($"doc_id", $"text")),
@@ -1316,11 +1326,16 @@ object DocumentQueries {
       val k = QueryConf.bm25TopK(s)
       val docs = Tables(s, dir, "documents")
         .withColumn("split", splitOfBucket(splitBucketCol))
-      val probes = docs.filter($"split" === "test")
+      // Materialize()d: the probe derivation is a TEST-SPLIT SCAN of
+      // the corpus (filter + TakeOrdered), and the lazy form re-plans
+      // that scan once per downstream consumer (query-term grain,
+      // term-set prune, d59's vector join) — at 100 TB each re-plan is
+      // a corpus pass. One pass, 50 pinned rows.
+      val probes = graft.Materialize(docs.filter($"split" === "test")
         .orderBy($"doc_id").limit(50)
         .select($"doc_id".as("query_id"), expr(
           "array_join(slice(filter(split(text, ' '), t -> t <> ''), 1, 5), ' ')")
-          .as("qtext"))
+          .as("qtext")))
       val lex = bm25TopK(docs.filter($"split" === "train")
         .select($"doc_id", $"text"), probes, k)
       val em = Tables(s, dir, "embeddings")

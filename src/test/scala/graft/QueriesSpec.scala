@@ -195,7 +195,15 @@ class QueriesSpec extends SparkSpec {
       // the planner sees a checkpointed LogicalRDD (the trained vocab);
       // the real bound is Heaps' law — the distinct-word table at
       // tokenizer-vocab scale, the same table every BPE tokenizer ships
-      "d29b_bpe_tokenize" -> "Heaps-law distinct-word lookup (trained BPE vocab)")
+      "d29b_bpe_tokenize" -> "Heaps-law distinct-word lookup (trained BPE vocab)",
+      // d56/d58/d59 (r17): the probe set is Materialize()d — ONE
+      // test-split scan instead of one per plan consumer — so the
+      // GlobalLimit(50) that bounds it is truncated out of the lineage
+      // the walk sees; the hinted sides (query-term grain, term-set
+      // prune, d59's probe vectors) all derive from those 50 pinned rows
+      "d56_bm25_topk" -> "Materialize()d GlobalLimit(50) probe set",
+      "d58_bm25_probe" -> "Materialize()d GlobalLimit(50) probe set",
+      "d59_hybrid_topk" -> "Materialize()d GlobalLimit(50) probe set")
     def structurallyBounded(side: LogicalPlan): Boolean =
       side.exists {
         case _: LocalRelation => true
