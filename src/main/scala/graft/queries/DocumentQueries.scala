@@ -341,7 +341,12 @@ object DocumentQueries {
       k: Int = QueryConf.DefaultBm25TopK): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qt = bm25QueryTerms(probes)
+    // the query-term grain is Materialize()d INSIDE the operator: it
+    // feeds both the term-set prune and the scorer's broadcast, and a
+    // lazy caller-supplied probe frame would re-plan its derivation
+    // (possibly a corpus-scale scan) once per consumer otherwise —
+    // operator robustness must not depend on caller discipline
+    val qt = graft.Materialize(bm25QueryTerms(probes))
     val termSet = qt.select($"term").distinct()
     // the corpus cut at the probe terms: the tf census folds IN-ROW
     // (native graft_term_counts — one compiled pass; the explode+
@@ -426,7 +431,8 @@ object DocumentQueries {
         "per probe batch; rebuild with bm25Index")
     val s = index.sparkSession
     import s.implicits._
-    val qt = bm25QueryTerms(probes)
+    // same one-pass qt contract as bm25TopK (see there)
+    val qt = graft.Materialize(bm25QueryTerms(probes))
     val termSet = qt.select($"term").distinct()
     bm25Rank(index.join(broadcast(termSet), "term"), qt, k)
   }
