@@ -121,6 +121,7 @@ object Main {
       |  graft.Main cluster <corpusDir> <outDir>
       |  graft.Main bm25index <corpusDir> <outDir>
       |  graft.Main bm25 <indexDir> <probesDir> <outDir> [--topk <k>]
+      |  graft.Main fuse <ranksDir> <ranksDir>... <outDir> [--topk <k>]
       |  graft.Main salvage <corpusDir> <outDir> [--quality-min <q>] [--sep <s>]
       |      (writes a MANIFEST (doc_id, n_paras, n_dropped, salvaged), not a
       |       corpus — join it back on doc_id like a spandedup manifest)""".stripMargin
@@ -1027,6 +1028,46 @@ object Main {
         val c1 = res.agg(count(lit(1)), count_distinct(col("query_id"))).head
         Seq(s"bm25 task ended, ${c1.getLong(0)} results over " +
           s"${c1.getLong(1)} queries (top-$topK)")
+      case "fuse" :: rest =>
+        // d59: reciprocal-rank fusion over STORED rank tables — the
+        // production hybrid-retrieval step: `bm25` writes the lexical
+        // ranks, any ANN top-k (s01/s04-shaped, renamed to the rank
+        // contract) the semantic ranks, and this fuses N of them. Rank
+        // tables are (query_id, doc_id, rk); rrfFuse refuses anything
+        // else loudly.
+        val opts = flags(rest)
+        if (opts.positional.size < 3)
+          fail(s"fuse needs <ranksDir> <ranksDir>... <outDir> — at least " +
+            s"two rank tables (fusing one list is the identity)\n$usage")
+        val rankDirs = opts.positional.init
+        val out = opts.positional.last
+        def q14(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        rankDirs.find(d => q14(d) == q14(out)).foreach { d =>
+          fail(s"fuse: the output dir must differ from rank dir '$d' — " +
+            "overwrite would destroy a rank table")
+        }
+        val topK2 = opts.named.get("--topk").map { v =>
+          val k = try v.toInt catch {
+            case _: NumberFormatException =>
+              fail(s"fuse: --topk must be an integer, got '$v'")
+          }
+          if (k < 1) fail(s"fuse: --topk must be >= 1, got $v")
+          k
+        }.getOrElse(graft.queries.QueryConf.bm25TopK(spark))
+        graft.queries.DocumentQueries.rrfFuse(
+            rankDirs.map(spark.read.parquet(_)), k = topK2)
+          .write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .parquet(out)
+        val fres = spark.read.parquet(out)
+        val c2 = fres.agg(count(lit(1)), count_distinct(col("query_id"))).head
+        Seq(s"fuse task ended, ${c2.getLong(0)} fused results over " +
+          s"${c2.getLong(1)} queries from ${rankDirs.size} rank tables " +
+          s"(top-$topK2)")
       case "stream" :: rest if {
           // the two modes take different positional arities; an arity
           // that matches NEITHER mode (e.g. --queue-dir plus a landing

@@ -1114,6 +1114,47 @@ class MainSpec extends SparkSpec {
       .getMessage.contains("bm25Index"))
   }
 
+  test("fuse: RRF over stored rank tables matches the library operator, " +
+    "topk honored, refusals loud (d59 CLI)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-fuse").toString
+    // the d59 spec fixture, as two persisted rank tables: doc 20 is
+    // top of NEITHER list but fuses to top-1
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    val sem = Seq((1L, 40L, 1L), (1L, 20L, 2L), (1L, 50L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    lex.write.parquet(s"$tmp/lex")
+    sem.write.parquet(s"$tmp/sem")
+    val out = Main.run(spark, Seq("fuse", s"$tmp/lex", s"$tmp/sem",
+      s"$tmp/fused"), Map.empty)
+    assert(out.head.startsWith("fuse task ended, 5 fused results over 1 " +
+      "queries from 2 rank tables"), out.mkString("\n"))
+    val fused = spark.read.parquet(s"$tmp/fused").orderBy($"query_id", $"rk")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(fused.toSeq == Seq((1L, 20L), (2L, 10L), (3L, 40L), (4L, 30L),
+      (5L, 50L)), fused.mkString(","))
+    // CLI path == the library operator
+    val inline = graft.queries.DocumentQueries.rrfFuse(Seq(lex, sem))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(fused.toSeq == inline.toSeq)
+    // --topk truncation
+    val top1 = Main.run(spark, Seq("fuse", s"$tmp/lex", s"$tmp/sem",
+      s"$tmp/fused1", "--topk", "1"), Map.empty)
+    assert(top1.head.contains("1 fused results"), top1.mkString("\n"))
+    // refusals: single rank table, output clash, non-rank-shaped input
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("fuse", s"$tmp/lex", s"$tmp/fused2"), Map.empty))
+      .getMessage.contains("at least two"))
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("fuse", s"$tmp/lex", s"$tmp/sem", s"$tmp/sem"), Map.empty))
+      .getMessage.contains("must differ"))
+    lex.drop("rk").write.parquet(s"$tmp/norank")
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("fuse", s"$tmp/norank", s"$tmp/sem", s"$tmp/fused3"), Map.empty))
+      .getMessage.contains("query_id, doc_id, rk"))
+  }
+
   test("cluster: assignment manifest written, census names dominant " +
     "sources, refusals loud") {
     import spark.implicits._
