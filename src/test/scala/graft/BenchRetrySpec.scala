@@ -32,6 +32,50 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(!Bench.stallRetryNeeded(Seq(-1.0, 3.0)))
   }
 
+  test("failed runs never enter the timings: okTimes drops them, an " +
+    "all-failed query is flagged but NOT timed (VERDICT r17 #1 — the " +
+    "pre-fix harness booked a dying d14 run's 30.7 s wall as a timing " +
+    "with degraded:false)") {
+    import Bench.{RunResult, okTimes, summarize}
+    val boom = Some("org.apache.spark.SparkException: raise_error")
+    assert(okTimes(Seq(RunResult(2.0, None), RunResult(30.7, boom))) == Seq(2.0))
+    val s = summarize(
+      Seq(
+        "d14" -> Seq(RunResult(30.7, boom), RunResult(2.5, None)),
+        "d99_raise_error" -> Seq(RunResult(0.4, boom), RunResult(0.4, boom)),
+        "q01" -> Seq(RunResult(0.3, None), RunResult(0.29, None))),
+      warm = Map("d14" -> 1.5, "q01" -> 0.2), ratio = 8.0)
+    // the partially-failed query is timed from its OK run and flagged
+    assert(s.mins("d14") == 2.5 && s.failed.contains("d14"))
+    // the all-failed query is flagged, not timed
+    assert(!s.mins.contains("d99_raise_error"))
+    assert(s.failed.contains("d99_raise_error"))
+    // the healthy query is neither
+    assert(s.mins("q01") == 0.29 && !s.failed.contains("q01"))
+    assert(s.suspects.isEmpty)
+  }
+
+  test("suspect flag: a timed min far above the query's same-session " +
+    "warm-up wall is contention the session-level trips cannot see " +
+    "(r17's d14: 30.7 s timed vs ~1.5 s warm in a calib-in-band session)") {
+    import Bench.{RunResult, isSuspect, summarize}
+    // the r17 driver-record shape: ALL runs uniformly inflated — no
+    // spread, calib in-band, but 12x the warm-up wall
+    assert(isSuspect(30.7, 1.5, 8.0))
+    // honest SF step (warm at sf0.001, timed at sf0.1): e01's ~6x data
+    // ratio stays under the flag via the floor
+    assert(!isSuspect(2.52, 0.4, 8.0))
+    // sub-second jitter never flags (floor)
+    assert(!isSuspect(1.5, 0.1, 8.0))
+    // no warm-up reference (failed/absent) -> no verdict
+    assert(!isSuspect(30.7, -1.0, 8.0))
+    assert(!isSuspect(30.7, 0.0, 8.0))
+    val s = summarize(
+      Seq("d14" -> Seq(RunResult(30.7, None), RunResult(29.9, None))),
+      warm = Map("d14" -> 1.5), ratio = 8.0)
+    assert(s.suspects == Seq("d14") && s.mins("d14") == 29.9)
+  }
+
   test("calib normalization scales to the band midpoint: identity at " +
     "midpoint, deflates slow sessions, inflates quick ones, raw " +
     "fallback on a failed anchor (r17)") {
