@@ -54,8 +54,9 @@ object GraftSession {
       // holding up to that many in-memory group buffers regardless of
       // per-group state size (ADVICE r16). The one operator that needs
       // it — s14's graft_topk, whose buffers are a bounded k·16 bytes —
-      // scopes it at execution via QueryConf.withSessionConf
-      // (EmbeddingQueries.knnGraph).
+      // materializes under a private cloned session carrying the raise
+      // (QueryConf.materializeWithConf, EmbeddingQueries.knnGraph) so
+      // the shared session conf is never touched.
       .config("spark.sql.session.timeZone", "UTC")
       // Parquet TIMESTAMP(NANOS) (the events table) is otherwise rejected
       // by Spark 4; read as long and convert in Tables().

@@ -356,13 +356,12 @@ object EmbeddingQueries {
     // per-partition candidate sort the bounded buffer exists to avoid.
     // graft_topk's buffers are k·16 bytes, so millions of keys are tiny;
     // but the raise must not leak to collect_list-style aggregates with
-    // unbounded per-group state, hence scoped set/restore around the one
-    // materializing action (ADVICE r16), not a session-global config.
-    QueryConf.withSessionConf(s,
+    // unbounded per-group state (ADVICE r16) NOR to queries planned
+    // concurrently on this shared session (ADVICE r17) — hence the
+    // clone-session materialization, never a set/restore on `s`.
+    QueryConf.materializeWithConf(graph,
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "10000000") {
-      graft.Materialize(graph)
-    }
+      "10000000")
   }
 
   /** s15's density bar: a mean in-graph neighbor cosine BELOW this marks

@@ -172,22 +172,33 @@ object QueryConf {
   def bpeMaxWords(s: SparkSession): Int =
     posInt(s, BpeMaxWordsKey, DefaultBpeMaxWords, max = Int.MaxValue)
 
-  /** Run `f` with `key` set to `value`, restoring the previous value (or
-    * unsetting) afterwards — the scoped-session-conf discipline for
-    * Spark confs a single operator needs at EXECUTION time (the caller
-    * must force execution inside `f`; a lazy frame returned out of the
-    * scope would plan under the restored conf). Scoping beats a
-    * session-global set because session confs leak to every other query
-    * on the session (ADVICE r16: the raised ObjectHashAggregate fallback
-    * threshold must not govern unrelated collect_list aggregates). */
-  def withSessionConf[A](s: SparkSession, key: String, value: String)(
-      f: => A): A = {
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, value)
-    try f
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
+  /** Eagerly materialize `df` with `key=value` in effect WITHOUT ever
+    * mutating the caller's session conf — the scoped-conf discipline for
+    * Spark confs a single operator needs at EXECUTION time (ADVICE r16:
+    * a raised ObjectHashAggregate fallback threshold must not govern
+    * unrelated collect_list aggregates).
+    *
+    * The r17 form set/restored the key on the SHARED session around the
+    * materializing action; the library is embeddable and sessions are
+    * thread-shared, so any query PLANNED concurrently on the same
+    * session captured the override — the exact leak the scoping exists
+    * to prevent — and nested scopes could restore a stale value (ADVICE
+    * r17). This form is leak-free by construction: the frame's plan is
+    * re-bound onto a private `cloneSession()` (same SparkContext, cached
+    * data, and function registry; an isolated conf copy) carrying the
+    * override, planned and EAGERLY materialized there, and the returned
+    * frame is lineage-truncated — no conf sensitivity survives the
+    * scope, concurrent queries on the parent session never see the key,
+    * and concurrent/nested scopes cannot interact at all (each call
+    * clones privately; nothing shared is written, so there is nothing to
+    * restore). Cloning (not `newSession()`) matters: the clone COPIES
+    * runtime conf — an embedding application's runtime-set knobs (e.g.
+    * [[graft.Materialize.DirKey]]) stay in force inside the scope. */
+  def materializeWithConf(df: org.apache.spark.sql.DataFrame,
+      key: String, value: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val clone = GraftSqlBridge.cloneSession(df.sparkSession)
+    clone.conf.set(key, value)
+    graft.Materialize(GraftSqlBridge.rebind(clone, df))
   }
 }

@@ -289,4 +289,33 @@ class QueryConfSpec extends SparkSpec {
       QueryConf.DefaultContainRareCap)
     assert(QueryConf.winnowWindow(spark) === QueryConf.DefaultWinnowWindow)
   }
+
+  test("materializeWithConf never touches the shared session conf and " +
+    "leaves no temp view behind (ADVICE r17: the set/restore form leaked " +
+    "the override to concurrently-planned queries on the same session)") {
+    import spark.implicits._
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val before = spark.conf.getOption(key)
+    val viewsBefore = spark.catalog.listTables().count()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "g")
+      .groupBy($"g").agg(count(lit(1)).as("n"))
+    val out = QueryConf.materializeWithConf(df, key, "12345")
+    // the result is correct and lineage-truncated (consumable anywhere,
+    // including joined back against parent-session frames)
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      .toSeq == Seq(("a", 2L), ("b", 1L)))
+    assert(out.join(Seq("a").toDF("g"), "g").count() == 1)
+    // the parent session's conf was NEVER set — not merely restored
+    assert(spark.conf.getOption(key) == before)
+    // nothing leaked into the parent's catalog
+    assert(spark.catalog.listTables().count() == viewsBefore)
+    // the failure path (materialization is eager, so the error fires
+    // inside the scope) leaves the parent equally untouched
+    intercept[Exception] {
+      QueryConf.materializeWithConf(
+        df.withColumn("boom", expr("raise_error('x')")), key, "12345")
+    }
+    assert(spark.catalog.listTables().count() == viewsBefore)
+    assert(spark.conf.getOption(key) == before)
+  }
 }
