@@ -1041,14 +1041,34 @@ object Main {
             s"two rank tables (fusing one list is the identity)\n$usage")
         val rankDirs = opts.positional.init
         val out = opts.positional.last
-        def q14(p: String) = {
+        // Output-clash guard over CANONICAL paths (ADVICE r17): exact
+        // qualified-path equality missed aliases the filesystem resolves
+        // but makeQualified does not (symlinks, dot segments) and missed
+        // nesting (out inside a rank dir corrupts it; a rank dir inside
+        // out is destroyed by overwrite's delete). Local paths go
+        // through File.getCanonicalPath (resolves symlinks); remote
+        // schemes through FileSystem.resolvePath where the path exists,
+        // falling back to the qualified form for a not-yet-created
+        // output.
+        def canon(p: String): String = {
           val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(spark.sessionState.newHadoopConf())
-            .makeQualified(hp)
+          val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+          val q = fs.makeQualified(hp)
+          val uri = q.toUri
+          if (uri.getScheme == "file")
+            try "file:" + new java.io.File(uri.getPath).getCanonicalPath
+            catch { case _: java.io.IOException => q.toString }
+          else
+            try fs.resolvePath(q).toString
+            catch { case _: java.io.IOException => q.toString }
         }
-        rankDirs.find(d => q14(d) == q14(out)).foreach { d =>
-          fail(s"fuse: the output dir must differ from rank dir '$d' — " +
-            "overwrite would destroy a rank table")
+        def overlaps(a: String, b: String): Boolean =
+          a == b || a.startsWith(b + "/") || b.startsWith(a + "/")
+        val outCanon = canon(out)
+        rankDirs.find(d => overlaps(canon(d), outCanon)).foreach { d =>
+          fail(s"fuse: the output dir must differ from (and not alias or " +
+            s"nest with) rank dir '$d' — overwrite would destroy a rank " +
+            "table")
         }
         val topK2 = opts.named.get("--topk").map { v =>
           val k = try v.toInt catch {

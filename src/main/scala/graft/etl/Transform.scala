@@ -139,9 +139,34 @@ object EtlConfig {
         case zone =>
           try { java.time.ZoneId.of(zone); (0L, Some(zone)) }
           catch { case _: java.time.DateTimeException =>
-            throw new IllegalArgumentException(
-              s"unsupported tz: '$zone' — use a fixed offset (UTC±HH[:MM]) " +
-                "or an IANA zone id (e.g. America/New_York) for DST rules")
+            // POSIX TZ strings (ADVICE r17): the reference's tzif parser
+            // accepts rule-carrying forms like "EST5EDT,M3.2.0/2,
+            // M11.1.0/2" and uses the STD offset, ignoring the DST
+            // rules — a config valid upstream must not refuse here.
+            // Same semantics, loudly: map to the fixed-offset path
+            // (POSIX sign is local→UTC, so UTC+H is its negation) and
+            // warn that rules are ignored; zone-RULE bucketing wants an
+            // IANA id instead. Anything else still refuses.
+            val posix =
+              "[A-Za-z]{3,}([+-]?\\d{1,2})(?::(\\d{2}))?(?::\\d{2})?(?:[A-Za-z]{3,}.*)?".r
+            zone match {
+              case posix(h, mm) =>
+                val mag = math.abs(h.toLong) * 3600 +
+                  Option(mm).map(_.toLong * 60).getOrElse(0L)
+                val off = if (h.startsWith("-")) mag else -mag
+                System.err.println(s"[etl] WARNING: POSIX tz '$zone' maps " +
+                  s"to its standard offset (UTC${off / 3600}) and its DST " +
+                  "rules are IGNORED (the reference's tzif behavior); use " +
+                  "an IANA zone id (e.g. America/New_York) for DST-correct " +
+                  "bucketing")
+                (off, None)
+              case _ =>
+                throw new IllegalArgumentException(
+                  s"unsupported tz: '$zone' — use a fixed offset " +
+                    "(UTC±HH[:MM]), a POSIX tz (EST5EDT[,rules] — std " +
+                    "offset only), or an IANA zone id (e.g. " +
+                    "America/New_York) for DST rules")
+            }
           }
       }
     }.getOrElse((0L, None))

@@ -463,15 +463,28 @@ object DedupQueries {
     // join-back splits under AQE (the cappedBands/bm25Index discipline).
     // Occupancy is stored RAW (uncapped) — the MaxBandBucket cap is a
     // probe-time knob reading this column.
+    //
+    // The exploded band frame feeds BOTH the occupancy groupBy and the
+    // join-back, so it is cached and the (narrow — fp + one int array)
+    // ns table materialized under that cache: one explode pass populates
+    // it, both consumers ride it, and the cache is released before
+    // return (ADVICE r17 — cappedBands' `own` discipline; previously the
+    // explode re-ran per branch off the checkpointed reps). The returned
+    // join stays LAZY: reps and ns are each materialized, and the
+    // callers checkpoint/write the assembled index themselves.
     val exploded = reps
       .filter(element_at($"mh", 1) =!= P)
       .select($"fp", posexplode_outer($"bands").as(Seq("band_id", "band_key")))
-    val occupancy = exploded.groupBy($"band_id", $"band_key")
-      .agg(count(lit(1)).as("bucket_n"))
-    val ns = exploded.join(occupancy, Seq("band_id", "band_key"))
-      .groupBy($"fp")
-      .agg(expr("transform(array_sort(collect_list(struct(band_id, bucket_n)))," +
-        " x -> x.bucket_n)").as("bucket_ns"))
+      .persist()
+    val ns = try {
+      val occupancy = exploded.groupBy($"band_id", $"band_key")
+        .agg(count(lit(1)).as("bucket_n"))
+      exploded.join(occupancy, Seq("band_id", "band_key"))
+        .groupBy($"fp")
+        .agg(expr("transform(array_sort(collect_list(struct(band_id, bucket_n)))," +
+          " x -> x.bucket_n)").as("bucket_ns"))
+        .materialize()
+    } finally { exploded.unpersist(blocking = false); () }
     reps.join(ns, Seq("fp"), "left")
   }
 

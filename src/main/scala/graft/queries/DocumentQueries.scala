@@ -478,8 +478,33 @@ object DocumentQueries {
         s"rrfFuse rankings need (query_id, doc_id, rk) — ${missing.mkString("/")} " +
           "absent; rank lists are the d56/d58/s01-shaped per-query top-k tables")
     }
-    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
-      expr(s"1000000000000L div (${rrfK}L + rk)").as("c")))
+    // Malformed-rank-table guards (ADVICE r17), riding the plan as
+    // raise_error branches (the splitGuarded loud-refusal discipline —
+    // column presence alone cannot catch these, and both corrupt the
+    // fusion SILENTLY otherwise):
+    //   - rk < 1 yields an outsized contribution (rk = 0 at the default
+    //     rrfK just inflates; at rrfK = 0 the integer div returns a
+    //     silent NULL) — refused per row on the existing projection;
+    //   - duplicate (query_id, doc_id) rows within ONE table double-count
+    //     that system's vote — refused via a per-table (query, doc)
+    //     count folded into the contribution aggregate (map-side
+    //     combinable, bounded by the rank table itself; rank tables are
+    //     top-k'd per query by contract, so this pre-aggregate is tiny).
+    val contribs = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("doc_id"),
+          when(col("rk") < 1, raise_error(lit(
+            s"rrfFuse: ranking #$i has rk < 1 — ranks are 1-based " +
+              "(row_number), and rk <= 0 would corrupt the fusion")))
+            .otherwise(col("rk")).as("rk"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_dup"), min(col("rk")).as("rk1"))
+        .select(col("query_id"), col("doc_id"),
+          when(col("n_dup") > 1, raise_error(lit(
+            s"rrfFuse: ranking #$i has duplicate (query_id, doc_id) rows " +
+              "— one system may vote once per doc; re-rank the table with " +
+              "row_number before fusing")))
+            .otherwise(expr(s"1000000000000L div (${rrfK}L + rk1)")).as("c"))
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_q").desc, col("doc_id"))
     contribs.reduce(_ unionByName _)

@@ -151,6 +151,30 @@ class EtlSpec extends SparkSpec {
         "S3LOGS_STAGGING_PARTITION_TZIF" -> "America/NewYork"))
     }
     assert(typo.getMessage.contains("IANA"), typo.getMessage)
+    // POSIX rule-carrying tz (ADVICE r17): the reference's tzif parser
+    // accepts these and uses the STD offset, ignoring the rules — so a
+    // reference deployment's value maps to the fixed-offset path here
+    // (EST5 = UTC-5, PST8 = UTC-8; zone RULES want the IANA form)
+    val posix = EtlConfig.fromEnv(Map(
+      "S3LOGS_STAGGING_PARTITION_TZIF" -> "EST5EDT,M3.2.0/2,M11.1.0/2"))
+    assert(posix.tzOffsetSeconds == -18000 && posix.tzZone.isEmpty, posix)
+    val posixHalf = EtlConfig.fromEnv(Map(
+      "S3LOGS_STAGGING_PARTITION_TZIF" -> "IST-5:30"))
+    assert(posixHalf.tzOffsetSeconds == 19800 && posixHalf.tzZone.isEmpty)
+    // a std-only POSIX form works too (JST-9 = UTC+9; note rule-LESS
+    // names that happen to be IANA ids, like bare "EST5EDT", stay on
+    // the zone-rules branch — strictly better than the reference);
+    // a rule suffix on garbage still refuses
+    assert(EtlConfig.fromEnv(Map(
+      "S3LOGS_STAGGING_PARTITION_TZIF" -> "JST-9"))
+      .tzOffsetSeconds == 32400)
+    assert(EtlConfig.fromEnv(Map(
+      "S3LOGS_STAGGING_PARTITION_TZIF" -> "EST5EDT"))
+      .tzZone.contains("EST5EDT"))
+    intercept[IllegalArgumentException] {
+      EtlConfig.fromEnv(Map(
+        "S3LOGS_STAGGING_PARTITION_TZIF" -> "12345,M3.2.0"))
+    }
     // the zone path leaves the fixed-offset default untouched: same
     // frame, no zone -> pure offset arithmetic
     val fixed = Seq("2024-11-03T06:30:00Z").toDF("iso")

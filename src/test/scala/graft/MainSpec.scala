@@ -1149,6 +1149,22 @@ class MainSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](Main.run(spark,
       Seq("fuse", s"$tmp/lex", s"$tmp/sem", s"$tmp/sem"), Map.empty))
       .getMessage.contains("must differ"))
+    // alias and nesting clashes refuse too (ADVICE r17): a symlink to a
+    // rank dir, an output nested inside one, and a rank dir nested
+    // inside the output are all the same destroy-a-rank-table mistake
+    // the exact-path guard used to miss
+    val semLink = java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$tmp/semlink"),
+      java.nio.file.Paths.get(s"$tmp/sem")).toString
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("fuse", s"$tmp/lex", s"$tmp/sem", semLink), Map.empty))
+      .getMessage.contains("must differ"))
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("fuse", s"$tmp/lex", s"$tmp/sem", s"$tmp/sem/nested"), Map.empty))
+      .getMessage.contains("must differ"))
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("fuse", s"$tmp/lex", s"$tmp/sem", tmp), Map.empty))
+      .getMessage.contains("must differ"))
     lex.drop("rk").write.parquet(s"$tmp/norank")
     assert(intercept[IllegalArgumentException](Main.run(spark,
       Seq("fuse", s"$tmp/norank", s"$tmp/sem", s"$tmp/fused3"), Map.empty))
