@@ -17,7 +17,8 @@ package graft
   * }}}
   *
   * Accepted args (any order, all optional): `cells=N probes=N rounds=N
-  * percell=N rarecap=N winnow=N maxdf=N maxbucket=N` — defaults are the
+  * percell=N rarecap=N winnow=N maxdf=N maxbucket=N bm25k=N knnk=N
+  * knnnprobe=N` — defaults are the
   * gate defaults, so a bare run reproduces the driver's own
   * s04/s11/d52/d53/d54/d03 rows.
   */
@@ -33,7 +34,7 @@ object ConfReplay {
     }.toMap
     val unknown = kv.keySet --
       Set("cells", "probes", "rounds", "percell", "rarecap", "winnow",
-        "maxdf", "maxbucket", "bm25k", "knnk")
+        "maxdf", "maxbucket", "bm25k", "knnk", "knnnprobe")
     require(unknown.isEmpty, s"unknown knobs: $unknown")
     import graft.queries.{DocumentQueries, EmbeddingQueries, QueryConf}
     val cells = kv.getOrElse("cells", QueryConf.DefaultIvfCells)
@@ -46,6 +47,7 @@ object ConfReplay {
     val maxBucket = kv.getOrElse("maxbucket", QueryConf.DefaultDedupMaxBucket)
     val bm25K = kv.getOrElse("bm25k", QueryConf.DefaultBm25TopK)
     val knnK = kv.getOrElse("knnk", QueryConf.DefaultKnnK)
+    val knnNprobe = kv.getOrElse("knnnprobe", QueryConf.DefaultKnnNprobe)
     val spark = GraftSession.local(appName = "graft-conf-replay")
     spark.conf.set(QueryConf.IvfCellsKey, cells.toString)
     spark.conf.set(QueryConf.IvfProbesKey, probes.toString)
@@ -57,6 +59,7 @@ object ConfReplay {
     spark.conf.set(QueryConf.DedupMaxBucketKey, maxBucket.toString)
     spark.conf.set(QueryConf.Bm25TopKKey, bm25K.toString)
     spark.conf.set(QueryConf.KnnKKey, knnK.toString)
+    spark.conf.set(QueryConf.KnnNprobeKey, knnNprobe.toString)
     new java.io.File(outDir).mkdirs()
     val targets = Seq(
       "s04_ann_ivf" -> EmbeddingQueries.s04OracleSqlAt(cells, probes, rounds),
@@ -76,16 +79,18 @@ object ConfReplay {
         graft.queries.DedupQueries.d03OracleSqlAt(maxBucket),
       "d56_bm25_topk" -> DocumentQueries.d56OracleSqlAt(bm25K),
       "d59_hybrid_topk" -> DocumentQueries.d59OracleSqlAt(bm25K),
-      "s14_knn_graph" -> EmbeddingQueries.s14OracleSqlAt(cells, rounds, knnK),
+      "s14_knn_graph" ->
+        EmbeddingQueries.s14OracleSqlAt(cells, rounds, knnK, knnNprobe),
       "s15_graph_density" -> EmbeddingQueries.s15OracleSqlAt(cells, rounds,
-        knnK, EmbeddingQueries.densityTau))
+        knnK, EmbeddingQueries.densityTau, knnNprobe))
     targets.foreach { case (name, _) =>
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[conf-replay] dumped $name " +
         s"(cells=$cells probes=$probes rounds=$rounds percell=$perCell " +
         s"rarecap=$rareCap winnow=$winnowW maxdf=$maxDf " +
-        s"maxbucket=$maxBucket bm25k=$bm25K knnk=$knnK)")
+        s"maxbucket=$maxBucket bm25k=$bm25K knnk=$knnK " +
+        s"knnnprobe=$knnNprobe)")
     }
     Verify.writeOracleJson(outDir, targets)
     spark.stop()

@@ -313,6 +313,14 @@ object EmbeddingQueries {
     * cells — for speed, fewer for recall; spec pins measured recall vs
     * the exact s01 baseline), singleton-cell vectors emit no row (no
     * in-cell neighbor exists; SemDeDup already treats them as unique).
+    * `spark.graft.knn.nprobe` (r18) is the recall lever past the
+    * quantizer bound: each vector scans its nprobe nearest cells for
+    * neighbors (candidates stay home-cell vectors) at ~nprobe× pair-scan
+    * cost — measured at the 16-cell smoke point, nprobe 1→2 lifts
+    * true-NN recall 0.20→0.35 and top-5 recall 0.16→0.25 (SCALE.md
+    * "s14 multi-probe"); the default 1 keeps the spec-pinned gate
+    * graph, and every operating point stays DuckDB-replayable
+    * (ConfReplay knnnprobe=..).
     *
     * Determinism (→ full SQL oracle): the s04 trained quantizer is
     * decimal-exact; ranking is on ROUNDED sims + nbr-id ties (the
@@ -329,10 +337,19 @@ object EmbeddingQueries {
     val e = emb.select($"vec_id", $"v")
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     val c1 = trainCentroids(e, QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
-    val corpus = assignTo(e, c1).filter($"rn" === 1)
+    val assigned = assignTo(e, c1)
+    val corpus = assigned.filter($"rn" === 1)
       .select($"vec_id", $"v", $"nrm", $"cell")
-    val a = corpus.select($"vec_id".as("src"), $"v".as("av"),
-      $"nrm".as("an"), $"cell")
+    // multi-probe (r18, `spark.graft.knn.nprobe`): the SCAN side probes
+    // each vector's nprobe nearest cells while candidates stay home-cell
+    // vectors — s04's query-side nprobe applied to graph construction.
+    // A (src, nbr) pair cannot repeat (nbr has ONE home cell and src's
+    // probe cells are distinct), so no dedup enters the plan; nprobe=1
+    // (the spec-pinned gate default) is exactly the single-probe graph.
+    val nprobe = QueryConf.knnNprobe(s)
+    val a = assigned.filter($"rn" <= nprobe)
+      .select($"vec_id".as("src"), $"v".as("av"),
+        $"nrm".as("an"), $"cell")
     val b = corpus.select($"vec_id".as("nbr"), $"v".as("bv"),
       $"nrm".as("bn"), $"cell".as("b_cell"))
     // top-k via the native bounded-buffer AGGREGATE, not a rank window:
@@ -1351,15 +1368,18 @@ object EmbeddingQueries {
     * full-universe `corpus`) — shared by the s14 oracle and s15's
     * graph-consuming oracle so the two gates cannot drift on what a
     * graph edge is. */
-  private def s14OracleCtes(cells: Int, rounds: Int): String =
+  private def s14OracleCtes(cells: Int, rounds: Int,
+      nprobe: Int = QueryConf.DefaultKnnNprobe): String =
     s"""${duckIvfPreludeAt(cells, rounds)},
          corpus AS (
            SELECT vec_id, v, nrm, cell FROM cells$rounds WHERE rn = 1),
+         probes AS (
+           SELECT vec_id, v, nrm, cell FROM cells$rounds WHERE rn <= $nprobe),
          p AS (
            SELECT a.vec_id AS src, b.vec_id AS nbr,
              round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
                AS cos_sim
-           FROM corpus a JOIN corpus b
+           FROM probes a JOIN corpus b
              ON a.cell = b.cell AND a.vec_id <> b.vec_id),
          r AS (
            SELECT src, nbr, cos_sim,
@@ -1367,8 +1387,9 @@ object EmbeddingQueries {
                ORDER BY cos_sim DESC, nbr) AS BIGINT) AS rk
            FROM p)"""
 
-  private[graft] def s14OracleSqlAt(cells: Int, rounds: Int, k: Int): String =
-    s"""WITH ${s14OracleCtes(cells, rounds)}
+  private[graft] def s14OracleSqlAt(cells: Int, rounds: Int, k: Int,
+      nprobe: Int = QueryConf.DefaultKnnNprobe): String =
+    s"""WITH ${s14OracleCtes(cells, rounds, nprobe)}
          SELECT src AS vec_id, rk, nbr, cos_sim FROM r WHERE rk <= $k
          ORDER BY vec_id, rk"""
 
@@ -1377,8 +1398,8 @@ object EmbeddingQueries {
     * [[graphDensity]] fixed-point discipline), corpus left-joined so
     * graph-absent vectors read `isolated`. */
   private[graft] def s15OracleSqlAt(cells: Int, rounds: Int, k: Int,
-      tau: Double): String =
-    s"""WITH ${s14OracleCtes(cells, rounds)},
+      tau: Double, nprobe: Int = QueryConf.DefaultKnnNprobe): String =
+    s"""WITH ${s14OracleCtes(cells, rounds, nprobe)},
          g AS (
            SELECT src AS vec_id, cos_sim FROM r WHERE rk <= $k),
          a AS (

@@ -113,6 +113,15 @@ object QueryConf {
   val KnnKKey = "spark.graft.knn.k"
   val DefaultKnnK = 3
 
+  /** s14 multi-probe width (r18): how many nearest cells each vector
+    * SCANS for neighbors (its candidates stay vectors whose HOME cell is
+    * probed — the s04 query-side nprobe applied to graph construction).
+    * The recall lever the single-probe graph lacks: default 1 keeps the
+    * spec-pinned gate graph; n raises recall at ~n× pair-scan cost,
+    * hash-stable and oracle-replayable at any value. */
+  val KnnNprobeKey = "spark.graft.knn.nprobe"
+  val DefaultKnnNprobe = 1
+
   /** Read a positive-int knob from the session conf; loud refusal on a
     * malformed or out-of-range value (a silently-defaulted typo would
     * run the whole job at the wrong scale). */
@@ -158,6 +167,8 @@ object QueryConf {
     posInt(s, Bm25TopKKey, DefaultBm25TopK)
   def knnK(s: SparkSession): Int =
     posInt(s, KnnKKey, DefaultKnnK)
+  def knnNprobe(s: SparkSession): Int =
+    posInt(s, KnnNprobeKey, DefaultKnnNprobe, max = 65536)
 
   /** d29 driver-trainer collect ceiling: the most distinct words
     * [[DocumentQueries.bpeMergesDriver]] will collect to the driver.

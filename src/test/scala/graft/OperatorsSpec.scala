@@ -152,6 +152,30 @@ class OperatorsSpec extends SparkSpec {
         .collect().head.getLong(0)
       assert(capped == 1L, s"knn.k=1 must cap every vector at rank 1")
     } finally spark.conf.unset(graft.queries.QueryConf.KnnKKey)
+    // multi-probe knob (r18): nprobe=2 scans each vector's two nearest
+    // cells — candidate edges strictly grow (every nprobe=1 edge source
+    // set survives: the home cell is always probed), and recall against
+    // the exact baseline must not drop. The knob is the documented
+    // recall lever past the single-probe quantizer bound.
+    spark.conf.set(graft.queries.QueryConf.KnnNprobeKey, "2")
+    try {
+      val g2 = EmbeddingQueries.queries("s14_knn_graph")(spark, sfSmoke)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val cand2 = g2.map(r => (r._1, r._3)).toSet
+      val nnRecall2 = nn.count(cand2).toDouble / nn.length
+      val recall52 = (cand2 & exact).size.toDouble / exact.size
+      info(f"s14 recall nprobe 1->2: true-NN $nnRecall%.3f -> $nnRecall2%.3f, " +
+        f"top-5 $recall5%.3f -> $recall52%.3f")
+      assert(nnRecall2 >= nnRecall,
+        s"nprobe=2 true-NN recall regressed: $nnRecall2 < $nnRecall")
+      assert(recall52 >= recall5,
+        s"nprobe=2 top-5 recall regressed: $recall52 < $recall5")
+      // (the kept EDGES are not a superset — a closer out-of-home-cell
+      // neighbor legitimately displaces a weaker home edge from top-k —
+      // but per-src the intersection with the exact top-5 cannot shrink:
+      // a displacing candidate has the higher cosine, so it sits in the
+      // global top-5 whenever the displaced edge did)
+    } finally spark.conf.unset(graft.queries.QueryConf.KnnNprobeKey)
   }
 
   test("LSH band joins stay bounded under pathological skew (hot-band guards)") {
@@ -3210,6 +3234,22 @@ class OperatorsSpec extends SparkSpec {
       DocumentQueries.rrfFuse(Seq(lex.drop("rk")), k = 3)
     }
     assert(bad.getMessage.contains("query_id, doc_id, rk"), bad.getMessage)
+    // content gates (ADVICE r17) — both corruptions previously fused
+    // SILENTLY: a duplicate (query_id, doc_id) row within one table
+    // double-counts that system's vote; rk < 1 inflates (or, at rrfK=0,
+    // nulls out) a contribution. Loud refusal, naming the offence.
+    val dup = Seq((1L, 10L, 1L), (1L, 10L, 2L), (1L, 20L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    val eDup = intercept[Exception] {
+      DocumentQueries.rrfFuse(Seq(lex, dup), k = 3).collect()
+    }
+    assert(eDup.getMessage.contains("duplicate (query_id, doc_id)"),
+      eDup.getMessage)
+    val zeroRk = Seq((1L, 10L, 0L)).toDF("query_id", "doc_id", "rk")
+    val eRk = intercept[Exception] {
+      DocumentQueries.rrfFuse(Seq(zeroRk), k = 3).collect()
+    }
+    assert(eRk.getMessage.contains("rk < 1"), eRk.getMessage)
   }
 
   test("winnowing honors a non-default winnow.window: larger w selects " +

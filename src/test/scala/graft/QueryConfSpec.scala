@@ -281,6 +281,10 @@ class QueryConfSpec extends SparkSpec {
         val e = intercept[IllegalArgumentException](QueryConf.knnK(spark))
         assert(e.getMessage.contains(QueryConf.KnnKKey))
       }
+      withConf(QueryConf.KnnNprobeKey -> bad) {
+        val e = intercept[IllegalArgumentException](QueryConf.knnNprobe(spark))
+        assert(e.getMessage.contains(QueryConf.KnnNprobeKey))
+      }
     }
     withConf(QueryConf.ContainRareCapKey -> " 12 ") {
       assert(QueryConf.containRareCap(spark) === 12)
