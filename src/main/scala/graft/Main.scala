@@ -121,6 +121,7 @@ object Main {
       |  graft.Main cluster <corpusDir> <outDir>
       |  graft.Main bm25index <corpusDir> <outDir>
       |  graft.Main bm25 <indexDir> <probesDir> <outDir> [--topk <k>]
+      |  graft.Main ann <embeddingsDir> <outDir> [--topk <k>] [--queries <dir> | --nqueries <n>]
       |  graft.Main fuse <ranksDir> <ranksDir>... <outDir> [--topk <k>]
       |  graft.Main salvage <corpusDir> <outDir> [--quality-min <q>] [--sep <s>]
       |      (writes a MANIFEST (doc_id, n_paras, n_dropped, salvaged), not a
@@ -1028,6 +1029,51 @@ object Main {
         val c1 = res.agg(count(lit(1)), count_distinct(col("query_id"))).head
         Seq(s"bm25 task ended, ${c1.getLong(0)} results over " +
           s"${c1.getLong(1)} queries (top-$topK)")
+      case "ann" :: rest =>
+        // the semantic half of the hybrid stack (r18): rank query
+        // vectors against an embeddings lake artifact through the s04
+        // trained-IVF scan, writing the (query_id, rk, doc_id, cos_sim)
+        // rank table `fuse` consumes — the production counterpart of
+        // `bm25`'s lexical table. Queries come from --queries <dir>
+        // (their own parquet of vectors — the real deployment shape) or
+        // default to the corpus's first --nqueries vectors (the s04
+        // gate convention, handy for smoke runs).
+        val opts = flags(rest)
+        val (embDir, out) = opts.positional match {
+          case Seq(e, o) => (e, o)
+          case _ => fail(s"ann needs <embeddingsDir> <outDir>\n$usage")
+        }
+        def q15(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        val qDir = opts.named.get("--queries")
+        if ((qDir.toSeq :+ embDir).exists(d => q15(out) == q15(d)))
+          fail("ann: the output dir must differ from the embeddings and " +
+            "queries dirs — overwrite would destroy a table")
+        def posIntFlag(flag: String, dflt: Int): Int =
+          opts.named.get(flag).map { v =>
+            val k = try v.toInt catch {
+              case _: NumberFormatException =>
+                fail(s"ann: $flag must be an integer, got '$v'")
+            }
+            if (k < 1) fail(s"ann: $flag must be >= 1, got $v")
+            k
+          }.getOrElse(dflt)
+        val topK = posIntFlag("--topk", graft.queries.QueryConf.bm25TopK(spark))
+        val nq = posIntFlag("--nqueries", 20)
+        val corpus = spark.read.parquet(embDir)
+        val queries = qDir.map(spark.read.parquet(_))
+          .getOrElse(corpus.filter(col("vec_id") < nq))
+        graft.queries.EmbeddingQueries.annRankTable(corpus, queries, k = topK)
+          .write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .parquet(out)
+        val annRes = spark.read.parquet(out)
+        val cA = annRes.agg(count(lit(1)), count_distinct(col("query_id"))).head
+        Seq(s"ann task ended, ${cA.getLong(0)} results over " +
+          s"${cA.getLong(1)} queries (top-$topK)")
       case "fuse" :: rest =>
         // d59: reciprocal-rank fusion over STORED rank tables — the
         // production hybrid-retrieval step: `bm25` writes the lexical

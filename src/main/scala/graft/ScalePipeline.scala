@@ -30,11 +30,27 @@ import org.apache.spark.sql.functions._
   * --winnowsigs --repsigs --decontam` — the d16/d36/d53-d54/d24/d39
   * producers), so the ingest-stage wall then measures the full
   * artifact-maintenance overhead a real lake pays per ingested batch.
+  *
+  * `--hybrid` (r18) swaps the curation chain for the HYBRID-RETRIEVAL
+  * stack — the d59 production shape the gate can only pay inline:
+  *
+  *   ingest          drop → corpus (as above)
+  *   bm25index       corpus → stored inverted-index artifact (d58)
+  *   lexrank         20 probe queries (the corpus's own first docs)
+  *                   against the STORED index → lexical rank table
+  *   semrank         the `ann` CLI verb (s04 trained-IVF scan) over the
+  *                   ScaleGen embeddings → semantic rank table (same id
+  *                   universe, same query ids)
+  *   fuse            the CLI verb over the two STORED rank tables →
+  *                   fused ranking (bounded by |queries|·k·|systems| —
+  *                   it must never touch the corpus; the measured wall
+  *                   IS that claim)
   */
 object ScalePipeline {
   def main(args: Array[String]): Unit = {
     val sidecars = args.contains("--sidecars")
-    val pos = args.filterNot(_ == "--sidecars")
+    val hybrid = args.contains("--hybrid")
+    val pos = args.filterNot(a => a == "--sidecars" || a == "--hybrid")
     val src = pos(0)
     val work = pos(1)
     val seqLen = if (pos.length > 2) pos(2) else "1024"
@@ -93,7 +109,7 @@ object ScalePipeline {
         .write.mode("overwrite").json(s"$work/drop")
     }
     val nIn = spark.read.parquet(s"$src/documents.parquet").count()
-    val stages = Seq(
+    val ingestStage =
       timed(if (sidecars) "ingest+art" else "ingest") {
         val artifactFlags =
           if (sidecars) Seq("--sigs", s"$work/sigs",
@@ -105,7 +121,41 @@ object ScalePipeline {
         Main.run(spark, Seq("ingest", "--once") ++ artifactFlags ++
           Seq(s"$work/drop", s"$work/corpus", s"$work/ckpt"), env)
         ()
+      }
+    val hybridStages = if (!hybrid) Nil else Seq(
+      timed("bm25index") {
+        Main.run(spark, Seq("bm25index", s"$work/corpus", s"$work/bm25idx"),
+          env)
+        ()
       },
+      timed("lexrank") {
+        // probe queries = the corpus's own first 20 docs (the s04/d56
+        // gate convention: query ids 0..19, shared with the semantic
+        // half so the fusion has two votes per query). The probe table
+        // is |queries| rows — writing it is part of this stage's wall.
+        spark.read.parquet(s"$work/corpus")
+          .filter($"doc_id" < 20)
+          .select($"doc_id".as("query_id"), $"text".as("qtext"))
+          .write.mode("overwrite").parquet(s"$work/probes")
+        Main.run(spark, Seq("bm25", s"$work/bm25idx", s"$work/probes",
+          s"$work/lexranks"), env)
+        ()
+      },
+      timed("semrank") {
+        // the `ann` CLI verb over the ScaleGen embeddings (vec_id shares
+        // the doc id space; queries default to vec_id < 20 — the s04
+        // gate convention) → the semantic rank table in the d59
+        // (query_id, rk, doc_id) contract
+        Main.run(spark, Seq("ann", s"$src/embeddings.parquet",
+          s"$work/semranks"), env)
+        ()
+      },
+      timed("fuse") {
+        Main.run(spark, Seq("fuse", s"$work/lexranks", s"$work/semranks",
+          s"$work/fused"), env)
+        ()
+      })
+    val curationStages = if (hybrid) Nil else Seq(
       timed("spandedup") {
         // default separator (blank line): ScaleGen docs carry no
         // paragraph breaks, so each doc is ONE span and the stage
@@ -143,8 +193,12 @@ object ScalePipeline {
           "--seq-len", seqLen), env)
         ()
       })
-    val nKept = spark.read.parquet(s"$work/cur/corpus").count()
-    val nSeqs = spark.read.parquet(s"$work/packed").count()
+    val stages = ingestStage +: (hybridStages ++ curationStages)
+    val nKept =
+      if (hybrid) spark.read.parquet(s"$work/fused").count()
+      else spark.read.parquet(s"$work/cur/corpus").count()
+    val nSeqs =
+      if (hybrid) 0L else spark.read.parquet(s"$work/packed").count()
     // pipeline_total/jobs cover the SIX pipeline stages only: prep is
     // input generation (its wall rides in its own field) and the
     // nIn/nKept/nSeqs bookkeeping counts are measurement overhead, not
@@ -155,10 +209,12 @@ object ScalePipeline {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val stageJson = (prep +: stages)
       .map { case (l, s, _) => s""""$l":${num(s)}""" }.mkString(",")
+    val outcome =
+      if (hybrid) s""""fused_rows":$nKept"""
+      else s""""docs_kept":$nKept,"sequences":$nSeqs"""
     println(s"""{"metric":"pipeline_total","value":${num(total)},""" +
-      s""""unit":"sec","docs_in":$nIn,"docs_kept":$nKept,""" +
-      s""""sequences":$nSeqs,"jobs":$pipelineJobs,""" +
-      s""""sidecars":$sidecars,$stageJson}""")
+      s""""unit":"sec","docs_in":$nIn,$outcome,"jobs":$pipelineJobs,""" +
+      s""""sidecars":$sidecars,"hybrid":$hybrid,$stageJson}""")
     spark.stop()
   }
 }

@@ -222,6 +222,62 @@ object EmbeddingQueries {
       .orderBy($"vec_id", $"sidx")
   }
 
+  /** The semantic half of the d59 hybrid-retrieval contract as a
+    * standalone operator (r18): rank a bounded QUERY batch against an
+    * embedding corpus through the s04 trained-IVF scan, output directly
+    * in the stored-rank-table shape rrfFuse consumes —
+    * (query_id, rk, doc_id, cos_sim), rk 1-based per query. CLI verb
+    * `ann` writes it next to the d56/d58 `bm25` lexical table so `fuse`
+    * reads two stored artifacts (the 100 TB path; the d59 gate pays both
+    * halves inline only because the oracle must replay them).
+    *
+    * Accepts the lake artifact shape (vec_id, embedding float array) or
+    * the pre-derived (vec_id, v double array) on either side; anything
+    * else refuses loudly. A query sharing the corpus id space never
+    * matches ITSELF (the s01/s04 self-exclusion — retrieval ranks other
+    * docs); distinct id spaces should not collide, documented.
+    *
+    * Scale shape: s04's — quantizer trains on the corpus (cells/rounds
+    * from session conf), candidates shuffle once onto home cells, the
+    * BOUNDED query batch (the d58 probe convention) broadcasts with its
+    * nprobe probe cells, and the per-query top-k is a
+    * WindowGroupLimit-bounded rank over the probed-cell candidates. */
+  def annRankTable(corpusEmb: DataFrame, queryEmb: DataFrame,
+      k: Int = QueryConf.DefaultBm25TopK): DataFrame = {
+    val s = corpusEmb.sparkSession
+    import s.implicits._
+    require(k >= 1, s"annRankTable: k must be >= 1 (got $k)")
+    def prep(df: DataFrame, side: String): DataFrame = {
+      require(df.columns.contains("vec_id") &&
+        (df.columns.contains("v") || df.columns.contains("embedding")),
+        s"annRankTable $side needs (vec_id, embedding) — the embeddings " +
+          "lake artifact shape (float array; a double-array 'v' column " +
+          "is accepted pre-derived)")
+      val withV =
+        if (df.columns.contains("v")) df
+        else df.withColumn("v",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      withV.select($"vec_id", $"v")
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    }
+    val e = prep(corpusEmb, "corpus")
+    val q = prep(queryEmb, "queries")
+    val c1 = trainCentroids(e, QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
+    val cand = assignTo(e, c1).filter($"rn" === 1)
+      .select($"vec_id".as("doc_id"), $"v".as("cv"), $"nrm".as("cn"), $"cell")
+    val probes = assignTo(q, c1).filter($"rn" <= QueryConf.ivfProbes(s))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"cell".as("q_cell"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"doc_id")
+    cand.join(broadcast(probes),
+        $"q_cell" === $"cell" && $"query_id" =!= $"doc_id")
+      .withColumn("cos_sim", round(dot("qv", "cv") / ($"qn" * $"cn"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"query_id", $"rk", $"doc_id", $"cos_sim")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** embeddings with double vector + L2 norm. Norms and every dot product
     * below run through the codegen [[graft.functions.DotProductExpr]] —
     * bit-equal to the HOF `aggregate(zip_with(...))` reference formula

@@ -1114,6 +1114,63 @@ class MainSpec extends SparkSpec {
       .getMessage.contains("bm25Index"))
   }
 
+  test("ann: semantic rank table from a stored embeddings artifact " +
+    "matches the library operator, query modes + refusals (r18 CLI)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cli-ann").toString
+    // a small embeddings artifact in the lake shape (float array)
+    def vec(seed: Int): Seq[Float] = (1 to 64)
+      .map(i => (math.sin(seed * 64 + i).abs + 0.1).toFloat)
+    val emb = (0L until 30L).map(i => (i, vec((i % 7).toInt)))
+      .toDF("vec_id", "embedding")
+    emb.write.parquet(s"$tmp/emb")
+    val out = Main.run(spark, Seq("ann", s"$tmp/emb", s"$tmp/ranks",
+      "--nqueries", "5", "--topk", "3"), Map.empty)
+    assert(out.head.startsWith("ann task ended, 15 results over 5 queries " +
+      "(top-3)"), out.mkString("\n"))
+    val ranks = spark.read.parquet(s"$tmp/ranks")
+    assert(ranks.columns.toSeq ==
+      Seq("query_id", "rk", "doc_id", "cos_sim"))
+    // CLI path == the library operator, and the output IS fuse-ready:
+    // a planted twin (same seed class) ranks first at cosine 1.0
+    val inline = graft.queries.EmbeddingQueries.annRankTable(
+      spark.read.parquet(s"$tmp/emb"),
+      spark.read.parquet(s"$tmp/emb").filter($"vec_id" < 5), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ranks.orderBy($"query_id", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      inline.toSeq)
+    val top1 = ranks.filter($"query_id" === 0L && $"rk" === 1L)
+      .collect().head
+    assert(top1.getDouble(3) == 1.0 && top1.getLong(2) % 7 == 0,
+      s"query 0's top hit must be a same-class twin at 1.0: $top1")
+    // --queries dir mode: an external query table ranks against the
+    // corpus (self-exclusion only applies to identical ids)
+    emb.filter($"vec_id" >= 28).write.parquet(s"$tmp/q")
+    val ext = Main.run(spark, Seq("ann", s"$tmp/emb", s"$tmp/ranks2",
+      "--queries", s"$tmp/q", "--topk", "2"), Map.empty)
+    assert(ext.head.contains("over 2 queries"), ext.mkString("\n"))
+    // fuse consumes the ann output together with a lexical table
+    spark.read.parquet(s"$tmp/ranks")
+      .select($"query_id", $"doc_id", $"rk")
+      .write.parquet(s"$tmp/lexlike")
+    val fused = Main.run(spark, Seq("fuse", s"$tmp/ranks", s"$tmp/lexlike",
+      s"$tmp/fusedann"), Map.empty)
+    assert(fused.head.startsWith("fuse task ended"), fused.mkString("\n"))
+    // refusals: clash with either input, malformed shape, bad flags
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("ann", s"$tmp/emb", s"$tmp/emb"), Map.empty))
+      .getMessage.contains("must differ"))
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("ann", s"$tmp/emb", s"$tmp/ranks3", "--queries", s"$tmp/q",
+        "--topk", "0"), Map.empty))
+      .getMessage.contains("--topk"))
+    emb.drop("embedding").write.parquet(s"$tmp/noemb")
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("ann", s"$tmp/noemb", s"$tmp/ranks4"), Map.empty))
+      .getMessage.contains("vec_id, embedding"))
+  }
+
   test("fuse: RRF over stored rank tables matches the library operator, " +
     "topk honored, refusals loud (d59 CLI)") {
     import spark.implicits._
