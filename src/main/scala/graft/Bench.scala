@@ -391,8 +391,9 @@ object Bench {
     val total = if (summary.mins.nonEmpty) summary.mins.values.sum else 0.0
     val failed = summary.failed.map(jname)
     val suspects = summary.suspects.map(jname)
-    suspects.foreach { k => System.err.println(
-      s"[bench] SUSPECT $k: timed min >> same-session warm-up wall " +
+    summary.suspects.foreach { k => System.err.println(
+      f"[bench] SUSPECT ${jname(k)}: timed min ${summary.mins(k)}%.2f s > " +
+        f"$suspectRatio%.0fx same-session warm-up wall ${warmWalls(k)}%.2f s " +
         "(non-uniform contention; do not trust this row at face value)") }
     def strArr(xs: Seq[String]): String =
       xs.map(x => s""""$x"""").mkString("[", ",", "]")
