@@ -322,4 +322,55 @@ class QueryConfSpec extends SparkSpec {
     assert(spark.catalog.listTables().count() == viewsBefore)
     assert(spark.conf.getOption(key) == before)
   }
+
+  test("materializeWithConf under real concurrency: a thread planning " +
+    "on the shared session NEVER observes the override, and concurrent " +
+    "scopes do not interact (the ADVICE r17 leak, pinned)") {
+    import spark.implicits._
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    // getOption surfaces the REGISTERED DEFAULT ("128") for SQL confs, so
+    // "untouched" means "still reads the baseline", not "absent"
+    val baseline = spark.conf.getOption(key)
+    assert(!baseline.exists(_.startsWith("1000")),
+      s"precondition: baseline must not collide with the sentinels: $baseline")
+    val df = (1L to 200L).map(i => (i, (i % 7).toString)).toDF("id", "g")
+      .groupBy($"g").agg(count(lit(1)).as("n"))
+    val leaked = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the observer: plan + run queries on the PARENT session in a loop,
+    // recording any sighting of a non-baseline value (the r17 set/restore
+    // form fails this within a few iterations)
+    val observer = new Thread(() => {
+      while (!stop.get()) {
+        val v = spark.conf.getOption(key)
+        if (v != baseline) leaked.compareAndSet(null, v.orNull)
+        // planning reads SQLConf; run a real plan-build too
+        df.queryExecution.optimizedPlan
+        val v2 = spark.conf.getOption(key)
+        if (v2 != baseline) leaked.compareAndSet(null, v2.orNull)
+      }
+    })
+    observer.start()
+    try {
+      // several scoped materializations, two of them racing each other
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val futs = (1 to 4).map { i =>
+        Future(QueryConf.materializeWithConf(df, key, s"1000$i")
+          .agg(sum($"n")).collect().head.getLong(0))
+      }
+      val sums = futs.map(f => Await.result(f, 120.seconds))
+      pool.shutdown()
+      assert(sums.forall(_ == 200L), sums)
+    } finally {
+      stop.set(true)
+      observer.join(10000)
+    }
+    assert(leaked.get() == null,
+      s"parent session observed the scoped override: ${leaked.get()}")
+    assert(spark.conf.getOption(key) == baseline)
+  }
 }
