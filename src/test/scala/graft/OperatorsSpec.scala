@@ -219,6 +219,49 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall vs exact top-5 too low: $recall")
   }
 
+  test("ann rank table: s04-equivalent ranks in the fuse contract, " +
+    "bounded-query plan shape audited (r18)") {
+    import spark.implicits._
+    // content equivalence with the s04 gate query (same corpus, same
+    // vec_id < 20 queries, k=5): the rank-table operator must be the
+    // SAME retrieval, only re-shaped to the (query_id, rk, doc_id)
+    // contract — a drift here would silently change what `fuse` fuses
+    val emb = Tables(spark, sfSmoke, "embeddings")
+    val ranks = EmbeddingQueries.annRankTable(
+      emb, emb.filter($"vec_id" < 20), k = 5)
+    val got = ranks.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val s04 = EmbeddingQueries.queries("s04_ann_ivf")(spark, sfSmoke)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == s04.toSeq,
+      s"annRankTable must equal the s04 gate retrieval row-for-row")
+    // the scale claim, pinned: the BOUNDED query batch rides broadcast
+    // exchanges (never a corpus-wide shuffle), and the plan's shuffles
+    // are the corpus argmax window, the per-query rank window, and the
+    // presentation sort — nothing pairwise, nothing query-proportional
+    // on the corpus side
+    val plan = ranks.queryExecution.executedPlan
+    val shuffles = SparkSpec.shuffleNodes(plan)
+    assert(shuffles.size <= 4,
+      s"annRankTable must shuffle at most 4 times (corpus argmax window; " +
+        s"the BOUNDED query batch's own argmax window; the per-query rank " +
+        s"window over probed-cell candidates; presentation sort), " +
+        s"got ${shuffles.size}:\n$plan")
+    val hasBroadcast = plan.toString.contains("BroadcastExchange") ||
+      plan.toString.contains("BroadcastQueryStage")
+    assert(hasBroadcast,
+      s"the bounded query/centroid sides must broadcast, got:\n$plan")
+    // refusals: a shape that isn't an embeddings artifact
+    val bad = intercept[IllegalArgumentException] {
+      EmbeddingQueries.annRankTable(emb.drop("embedding"), emb, k = 5)
+    }
+    assert(bad.getMessage.contains("vec_id, embedding"), bad.getMessage)
+    intercept[IllegalArgumentException] {
+      EmbeddingQueries.annRankTable(emb, emb, k = 0)
+    }
+  }
+
   test("quantized rerank recovers >=0.9 of the exact top-5 (s06 vs s01)") {
     val exact = EmbeddingQueries.queries("s01_knn_bruteforce")(spark, sfSmoke)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
