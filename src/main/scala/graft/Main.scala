@@ -407,7 +407,7 @@ object Main {
           .agg(count(lit(1)), coalesce(sum("n_paras"), lit(0L)),
             coalesce(sum("n_dropped"), lit(0L)),
             coalesce(sum("chars_dropped"), lit(0L)))
-          .head
+          .head()
         Seq(s"spandedup task ended, ${st.getLong(0)} docs, " +
           s"${st.getLong(2)} of ${st.getLong(1)} paragraphs dropped " +
           s"(${st.getLong(3)} chars)")
@@ -452,7 +452,7 @@ object Main {
         val sst = spark.read.parquet(out)
           .agg(count(lit(1)), coalesce(sum("n_paras"), lit(0L)),
             coalesce(sum("n_dropped"), lit(0L)))
-          .head
+          .head()
         Seq(s"salvage task ended, ${sst.getLong(0)} docs, " +
           s"${sst.getLong(2)} of ${sst.getLong(1)} paragraphs dropped " +
           s"at quality ${qmin}")
@@ -910,7 +910,7 @@ object Main {
           .parquet(out)
         val census = spark.read.parquet(out)
           .agg(count(lit(1)), avg(col("log_ratio")), max(col("log_ratio")))
-          .head
+          .head()
         // avg/max are NULL over an empty manifest (raw dir empty or every
         // doc token-free) — the zero-row summary must not NPE on them
         if (census.getLong(0) == 0L) Seq("dsir task ended, 0 raw docs scored")
