@@ -121,7 +121,8 @@ object Main {
       |  graft.Main cluster <corpusDir> <outDir>
       |  graft.Main bm25index <corpusDir> <outDir>
       |  graft.Main bm25 <indexDir> <probesDir> <outDir> [--topk <k>]
-      |  graft.Main ann <embeddingsDir> <outDir> [--topk <k>] [--queries <dir> | --nqueries <n>]
+      |  graft.Main ivftrain <embeddingsDir> <outDir>
+      |  graft.Main ann <embeddingsDir> <outDir> [--topk <k>] [--queries <dir> | --nqueries <n>] [--centroids <dir>]
       |  graft.Main fuse <ranksDir> <ranksDir>... <outDir> [--topk <k>]
       |  graft.Main salvage <corpusDir> <outDir> [--quality-min <q>] [--sep <s>]
       |      (writes a MANIFEST (doc_id, n_paras, n_dropped, salvaged), not a
@@ -1029,6 +1030,35 @@ object Main {
         val c1 = res.agg(count(lit(1)), count_distinct(col("query_id"))).head
         Seq(s"bm25 task ended, ${c1.getLong(0)} results over " +
           s"${c1.getLong(1)} queries (top-$topK)")
+      case "ivftrain" :: rest =>
+        // the stored coarse-quantizer artifact (r18): train the s04
+        // quantizer on an embeddings lake artifact ONCE (cells/rounds
+        // from the session conf) and write the (cell, cv_sum, cnorm)
+        // table — `ann --centroids` then probes against the STORED
+        // artifact, the d58/s12 build-once convention on the ANN axis.
+        val opts = flags(rest)
+        val (embDir, out) = opts.positional match {
+          case Seq(e, o) => (e, o)
+          case _ => fail(s"ivftrain needs <embeddingsDir> <outDir>\n$usage")
+        }
+        def q16(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (q16(out) == q16(embDir))
+          fail("ivftrain: the output dir must differ from the embeddings " +
+            "dir — overwrite would destroy the vectors")
+        graft.queries.EmbeddingQueries
+          .trainQuantizer(spark.read.parquet(embDir))
+          .write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .parquet(out)
+        val ct = spark.read.parquet(out)
+        Seq(s"ivftrain task ended, ${ct.count()} centroids " +
+          s"(cells=${graft.queries.QueryConf.ivfCells(spark)}, " +
+          s"rounds=${graft.queries.QueryConf.lloydRounds(spark)}; the " +
+          "artifact is only comparable under these knobs)")
       case "ann" :: rest =>
         // the semantic half of the hybrid stack (r18): rank query
         // vectors against an embeddings lake artifact through the s04
@@ -1037,7 +1067,9 @@ object Main {
         // `bm25`'s lexical table. Queries come from --queries <dir>
         // (their own parquet of vectors — the real deployment shape) or
         // default to the corpus's first --nqueries vectors (the s04
-        // gate convention, handy for smoke runs).
+        // gate convention, handy for smoke runs). --centroids <dir>
+        // assigns against a STORED `ivftrain` artifact instead of
+        // retraining per call (train once, probe many).
         val opts = flags(rest)
         val (embDir, out) = opts.positional match {
           case Seq(e, o) => (e, o)
@@ -1049,9 +1081,11 @@ object Main {
             .makeQualified(hp)
         }
         val qDir = opts.named.get("--queries")
-        if ((qDir.toSeq :+ embDir).exists(d => q15(out) == q15(d)))
-          fail("ann: the output dir must differ from the embeddings and " +
-            "queries dirs — overwrite would destroy a table")
+        val cDir = opts.named.get("--centroids")
+        if ((qDir.toSeq ++ cDir.toSeq :+ embDir)
+            .exists(d => q15(out) == q15(d)))
+          fail("ann: the output dir must differ from the embeddings, " +
+            "queries, and centroids dirs — overwrite would destroy a table")
         def posIntFlag(flag: String, dflt: Int): Int =
           opts.named.get(flag).map { v =>
             val k = try v.toInt catch {
@@ -1066,7 +1100,8 @@ object Main {
         val corpus = spark.read.parquet(embDir)
         val queries = qDir.map(spark.read.parquet(_))
           .getOrElse(corpus.filter(col("vec_id") < nq))
-        graft.queries.EmbeddingQueries.annRankTable(corpus, queries, k = topK)
+        graft.queries.EmbeddingQueries.annRankTable(corpus, queries,
+            k = topK, centroids = cDir.map(spark.read.parquet(_)))
           .write.mode("overwrite")
           .option("compression", cfg.compression)
           .parquet(out)

@@ -242,27 +242,62 @@ object EmbeddingQueries {
     * BOUNDED query batch (the d58 probe convention) broadcasts with its
     * nprobe probe cells, and the per-query top-k is a
     * WindowGroupLimit-bounded rank over the probed-cell candidates. */
+  /** The stored coarse-quantizer artifact for the ANN axis (r18): the
+    * s04 [[trainCentroids]] table (cell, cv_sum, cnorm) built from an
+    * embeddings artifact under the session's cells/rounds knobs — write
+    * it once per corpus generation (CLI `ivftrain`) and every probe
+    * batch assigns against the STORED table ([[annRankTable]]
+    * `--centroids`, [[pqEncode]]), the d58/s12 build-once convention.
+    * The artifact is only comparable under the (cells, rounds) it was
+    * trained with — the d24 artifact rule. */
+  def trainQuantizer(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    val e = prepVecs(emb, "ivftrain corpus")
+    trainCentroids(e, QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
+  }
+
+  /** (vec_id, v double array, nrm) from the lake artifact shape —
+    * shared by [[annRankTable]] / [[trainQuantizer]]. */
+  private def prepVecs(df: DataFrame, side: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    require(df.columns.contains("vec_id") &&
+      (df.columns.contains("v") || df.columns.contains("embedding")),
+      s"$side needs (vec_id, embedding) — the embeddings " +
+        "lake artifact shape (float array; a double-array 'v' column " +
+        "is accepted pre-derived)")
+    val withV =
+      if (df.columns.contains("v")) df
+      else df.withColumn("v",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    withV.select($"vec_id", $"v")
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
+
   def annRankTable(corpusEmb: DataFrame, queryEmb: DataFrame,
-      k: Int = QueryConf.DefaultBm25TopK): DataFrame = {
+      k: Int = QueryConf.DefaultBm25TopK,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val s = corpusEmb.sparkSession
     import s.implicits._
     require(k >= 1, s"annRankTable: k must be >= 1 (got $k)")
-    def prep(df: DataFrame, side: String): DataFrame = {
-      require(df.columns.contains("vec_id") &&
-        (df.columns.contains("v") || df.columns.contains("embedding")),
-        s"annRankTable $side needs (vec_id, embedding) — the embeddings " +
-          "lake artifact shape (float array; a double-array 'v' column " +
-          "is accepted pre-derived)")
-      val withV =
-        if (df.columns.contains("v")) df
-        else df.withColumn("v",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      withV.select($"vec_id", $"v")
-        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-    }
+    def prep(df: DataFrame, side: String): DataFrame =
+      prepVecs(df, s"annRankTable $side")
     val e = prep(corpusEmb, "corpus")
     val q = prep(queryEmb, "queries")
-    val c1 = trainCentroids(e, QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
+    // a stored quantizer artifact (the CLI's --centroids / `ivftrain`
+    // output) skips the training scan entirely — the production "train
+    // once, probe many" path; its shape is gated loudly (a non-artifact
+    // dir would otherwise surface as an unresolved-column error deep in
+    // the assign plan)
+    centroids.foreach { c =>
+      val missing = Seq("cell", "cv_sum", "cnorm")
+        .filterNot(c.columns.contains)
+      require(missing.isEmpty,
+        s"annRankTable centroids must be a trainQuantizer/ivftrain " +
+          s"artifact (cell, cv_sum, cnorm) — ${missing.mkString("/")} absent")
+    }
+    val c1 = centroids.getOrElse(
+      trainCentroids(e, QueryConf.ivfCells(s), QueryConf.lloydRounds(s)))
     val cand = assignTo(e, c1).filter($"rn" === 1)
       .select($"vec_id".as("doc_id"), $"v".as("cv"), $"nrm".as("cn"), $"cell")
     val probes = assignTo(q, c1).filter($"rn" <= QueryConf.ivfProbes(s))

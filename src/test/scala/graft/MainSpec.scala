@@ -1157,6 +1157,28 @@ class MainSpec extends SparkSpec {
     val fused = Main.run(spark, Seq("fuse", s"$tmp/ranks", s"$tmp/lexlike",
       s"$tmp/fusedann"), Map.empty)
     assert(fused.head.startsWith("fuse task ended"), fused.mkString("\n"))
+    // ivftrain writes the stored quantizer artifact, and ann --centroids
+    // probes against it WITHOUT retraining — row-for-row equal to the
+    // retraining path under the same knobs (the artifact rule: only
+    // comparable under the cells/rounds it was trained with)
+    val trained = Main.run(spark, Seq("ivftrain", s"$tmp/emb",
+      s"$tmp/cent"), Map.empty)
+    assert(trained.head.startsWith("ivftrain task ended"),
+      trained.mkString("\n"))
+    val cent = spark.read.parquet(s"$tmp/cent")
+    assert(cent.columns.toSeq.sorted == Seq("cell", "cnorm", "cv_sum"))
+    Main.run(spark, Seq("ann", s"$tmp/emb", s"$tmp/ranksC",
+      "--nqueries", "5", "--topk", "3", "--centroids", s"$tmp/cent"),
+      Map.empty)
+    val viaArtifact = spark.read.parquet(s"$tmp/ranksC")
+      .orderBy($"query_id", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaArtifact.toSeq == inline.toSeq,
+      "ann --centroids must equal the retraining path under equal knobs")
+    // a non-artifact centroids dir refuses loudly
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("ann", s"$tmp/emb", s"$tmp/ranksD", "--centroids", s"$tmp/q"),
+      Map.empty)).getMessage.contains("cell, cv_sum, cnorm"))
     // refusals: clash with either input, malformed shape, bad flags
     assert(intercept[IllegalArgumentException](Main.run(spark,
       Seq("ann", s"$tmp/emb", s"$tmp/emb"), Map.empty))
@@ -1165,6 +1187,9 @@ class MainSpec extends SparkSpec {
       Seq("ann", s"$tmp/emb", s"$tmp/ranks3", "--queries", s"$tmp/q",
         "--topk", "0"), Map.empty))
       .getMessage.contains("--topk"))
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("ivftrain", s"$tmp/emb", s"$tmp/emb"), Map.empty))
+      .getMessage.contains("must differ"))
     emb.drop("embedding").write.parquet(s"$tmp/noemb")
     assert(intercept[IllegalArgumentException](Main.run(spark,
       Seq("ann", s"$tmp/noemb", s"$tmp/ranks4"), Map.empty))
