@@ -122,7 +122,8 @@ object Main {
       |  graft.Main bm25index <corpusDir> <outDir>
       |  graft.Main bm25 <indexDir> <probesDir> <outDir> [--topk <k>]
       |  graft.Main ivftrain <embeddingsDir> <outDir>
-      |  graft.Main ann <embeddingsDir> <outDir> [--topk <k>] [--queries <dir> | --nqueries <n>] [--centroids <dir>]
+      |  graft.Main ivfindex <embeddingsDir> <centroidsDir> <outDir>
+      |  graft.Main ann <embeddingsDir> <outDir> [--topk <k>] [--queries <dir> | --nqueries <n>] [--centroids <dir> [--index <dir>]]
       |  graft.Main fuse <ranksDir> <ranksDir>... <outDir> [--topk <k>]
       |  graft.Main salvage <corpusDir> <outDir> [--quality-min <q>] [--sep <s>]
       |      (writes a MANIFEST (doc_id, n_paras, n_dropped, salvaged), not a
@@ -1059,6 +1060,37 @@ object Main {
           s"(cells=${graft.queries.QueryConf.ivfCells(spark)}, " +
           s"rounds=${graft.queries.QueryConf.lloydRounds(spark)}; the " +
           "artifact is only comparable under these knobs)")
+      case "ivfindex" :: rest =>
+        // the corpus-side assignment artifact (r18): assign every
+        // vector to its home cell under a STORED `ivftrain` quantizer
+        // and write Hive-partitioned BY CELL — `ann --index` probes
+        // then read only their probed cells' partitions. The ANN
+        // mirror of `bm25index`'s postings artifact.
+        val opts = flags(rest)
+        val (embDir, centDir, out) = opts.positional match {
+          case Seq(e, c, o) => (e, c, o)
+          case _ =>
+            fail(s"ivfindex needs <embeddingsDir> <centroidsDir> <outDir>\n$usage")
+        }
+        def q17(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(hp)
+        }
+        if (Seq(embDir, centDir).exists(d => q17(out) == q17(d)))
+          fail("ivfindex: the output dir must differ from the embeddings " +
+            "and centroids dirs — overwrite would destroy a table")
+        graft.queries.EmbeddingQueries
+          .ivfIndex(spark.read.parquet(embDir), spark.read.parquet(centDir))
+          .write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .partitionBy("cell")
+          .parquet(out)
+        val ix = spark.read.parquet(out)
+        val cx = ix.agg(count(lit(1)), count_distinct(col("cell"))).head()
+        Seq(s"ivfindex task ended, ${cx.getLong(0)} vectors over " +
+          s"${cx.getLong(1)} cells (partitioned by cell; probe-able only " +
+          "under the centroids it was assigned with)")
       case "ann" :: rest =>
         // the semantic half of the hybrid stack (r18): rank query
         // vectors against an embeddings lake artifact through the s04
@@ -1069,7 +1101,10 @@ object Main {
         // default to the corpus's first --nqueries vectors (the s04
         // gate convention, handy for smoke runs). --centroids <dir>
         // assigns against a STORED `ivftrain` artifact instead of
-        // retraining per call (train once, probe many).
+        // retraining per call (train once, probe many); --index <dir>
+        // (with --centroids) probes a STORED `ivfindex` assignment —
+        // the corpus is neither trained on nor re-assigned, and the
+        // cell-partitioned layout prunes the scan to probed cells.
         val opts = flags(rest)
         val (embDir, out) = opts.positional match {
           case Seq(e, o) => (e, o)
@@ -1082,10 +1117,15 @@ object Main {
         }
         val qDir = opts.named.get("--queries")
         val cDir = opts.named.get("--centroids")
-        if ((qDir.toSeq ++ cDir.toSeq :+ embDir)
+        val iDir = opts.named.get("--index")
+        if (iDir.isDefined && cDir.isEmpty)
+          fail("ann: --index needs --centroids — the probe batch assigns " +
+            "against the same stored quantizer the index was built with")
+        if ((qDir.toSeq ++ cDir.toSeq ++ iDir.toSeq :+ embDir)
             .exists(d => q15(out) == q15(d)))
           fail("ann: the output dir must differ from the embeddings, " +
-            "queries, and centroids dirs — overwrite would destroy a table")
+            "queries, centroids, and index dirs — overwrite would destroy " +
+            "a table")
         def posIntFlag(flag: String, dflt: Int): Int =
           opts.named.get(flag).map { v =>
             val k = try v.toInt catch {
@@ -1100,8 +1140,16 @@ object Main {
         val corpus = spark.read.parquet(embDir)
         val queries = qDir.map(spark.read.parquet(_))
           .getOrElse(corpus.filter(col("vec_id") < nq))
-        graft.queries.EmbeddingQueries.annRankTable(corpus, queries,
-            k = topK, centroids = cDir.map(spark.read.parquet(_)))
+        val ranksOut = iDir match {
+          case Some(ix) =>
+            graft.queries.EmbeddingQueries.annRankTableIndexed(
+              spark.read.parquet(ix), queries,
+              spark.read.parquet(cDir.get), k = topK)
+          case None =>
+            graft.queries.EmbeddingQueries.annRankTable(corpus, queries,
+              k = topK, centroids = cDir.map(spark.read.parquet(_)))
+        }
+        ranksOut
           .write.mode("overwrite")
           .option("compression", cfg.compression)
           .parquet(out)

@@ -38,9 +38,11 @@ import org.apache.spark.sql.functions._
   *   bm25index       corpus → stored inverted-index artifact (d58)
   *   lexrank         20 probe queries (the corpus's own first docs)
   *                   against the STORED index → lexical rank table
-  *   semrank         the `ann` CLI verb (s04 trained-IVF scan) over the
-  *                   ScaleGen embeddings → semantic rank table (same id
-  *                   universe, same query ids)
+  *   ivftrain        quantizer trained once → stored centroid artifact
+  *   ivfindex        corpus assignment written cell-partitioned once
+  *   semrank         `ann --index --centroids` — the artifact-driven
+  *                   probe (corpus neither trained on nor re-assigned)
+  *                   → semantic rank table (same id universe/query ids)
   *   fuse            the CLI verb over the two STORED rank tables →
   *                   fused ranking (bounded by |queries|·k·|systems| —
   *                   it must never touch the corpus; the measured wall
@@ -141,13 +143,27 @@ object ScalePipeline {
           s"$work/lexranks"), env)
         ()
       },
+      timed("ivftrain") {
+        // the semantic build half, mirroring bm25index: quantizer
+        // trained ONCE on the ScaleGen embeddings...
+        Main.run(spark, Seq("ivftrain", s"$src/embeddings.parquet",
+          s"$work/centroids"), env)
+        ()
+      },
+      timed("ivfindex") {
+        // ...and the corpus assignment written cell-partitioned once
+        Main.run(spark, Seq("ivfindex", s"$src/embeddings.parquet",
+          s"$work/centroids", s"$work/ivfidx"), env)
+        ()
+      },
       timed("semrank") {
-        // the `ann` CLI verb over the ScaleGen embeddings (vec_id shares
-        // the doc id space; queries default to vec_id < 20 — the s04
-        // gate convention) → the semantic rank table in the d59
-        // (query_id, rk, doc_id) contract
+        // the PROBE half: `ann --index --centroids` over the stored
+        // artifacts (corpus neither trained on nor re-assigned; queries
+        // default to vec_id < 20 — the s04 gate convention) → the
+        // semantic rank table in the d59 (query_id, rk, doc_id) contract
         Main.run(spark, Seq("ann", s"$src/embeddings.parquet",
-          s"$work/semranks"), env)
+          s"$work/semranks", "--centroids", s"$work/centroids",
+          "--index", s"$work/ivfidx"), env)
         ()
       },
       timed("fuse") {

@@ -274,6 +274,68 @@ object EmbeddingQueries {
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
   }
 
+  /** The corpus-side IVF assignment as a STORED artifact (r18): every
+    * vector with its home cell — (vec_id, v double array, nrm, cell) —
+    * written Hive-partitioned BY CELL (CLI `ivfindex`), so a probe
+    * batch's scan reads only its probed cells' partitions (partition
+    * pruning / DPP through the cell equi-join). The ANN mirror of the
+    * d58 split: `ivftrain` (quantizer) + `ivfindex` (assignment) are
+    * the build-once halves; [[annRankTableIndexed]] / `ann --index`
+    * is the probe that never re-trains and never re-assigns the
+    * corpus. The d24 artifact rule applies: the index is only
+    * probe-able under the centroids it was assigned with. */
+  def ivfIndex(corpusEmb: DataFrame, centroids: DataFrame): DataFrame = {
+    val s = corpusEmb.sparkSession
+    import s.implicits._
+    requireQuantizer(centroids)
+    assignTo(prepVecs(corpusEmb, "ivfIndex corpus"), centroids)
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+  }
+
+  private def requireQuantizer(c: DataFrame): Unit = {
+    val missing = Seq("cell", "cv_sum", "cnorm").filterNot(c.columns.contains)
+    require(missing.isEmpty,
+      s"expected a trainQuantizer/ivftrain artifact (cell, cv_sum, " +
+        s"cnorm) — ${missing.mkString("/")} absent")
+  }
+
+  /** [[annRankTable]] over the STORED artifacts: the probe batch assigns
+    * against the `centroids` artifact (≤cells rows, broadcast) and joins
+    * the `index` (the [[ivfIndex]] assignment) on the cell key — the
+    * corpus is never trained on or re-assigned, and with the index
+    * written cell-partitioned the scan touches only probed cells. Same
+    * output contract and same values as the inline path under the
+    * artifacts' knobs (spec-pinned). */
+  def annRankTableIndexed(index: DataFrame, queryEmb: DataFrame,
+      centroids: DataFrame,
+      k: Int = QueryConf.DefaultBm25TopK): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    require(k >= 1, s"annRankTableIndexed: k must be >= 1 (got $k)")
+    requireQuantizer(centroids)
+    val missing = Seq("vec_id", "v", "nrm", "cell")
+      .filterNot(index.columns.contains)
+    require(missing.isEmpty,
+      s"annRankTableIndexed probes the ivfIndex artifact shape (vec_id, " +
+        s"v, nrm, cell) — ${missing.mkString("/")} absent; build the " +
+        "standing index with ivfIndex over the ivftrain centroids")
+    val q = prepVecs(queryEmb, "annRankTableIndexed queries")
+    val cand = index
+      .select($"vec_id".as("doc_id"), $"v".as("cv"), $"nrm".as("cn"), $"cell")
+    val probes = assignTo(q, centroids).filter($"rn" <= QueryConf.ivfProbes(s))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"cell".as("q_cell"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"doc_id")
+    cand.join(broadcast(probes),
+        $"q_cell" === $"cell" && $"query_id" =!= $"doc_id")
+      .withColumn("cos_sim", round(dot("qv", "cv") / ($"qn" * $"cn"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"query_id", $"rk", $"doc_id", $"cos_sim")
+      .orderBy($"query_id", $"rk")
+  }
+
   def annRankTable(corpusEmb: DataFrame, queryEmb: DataFrame,
       k: Int = QueryConf.DefaultBm25TopK,
       centroids: Option[DataFrame] = None): DataFrame = {

@@ -1179,6 +1179,35 @@ class MainSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](Main.run(spark,
       Seq("ann", s"$tmp/emb", s"$tmp/ranksD", "--centroids", s"$tmp/q"),
       Map.empty)).getMessage.contains("cell, cv_sum, cnorm"))
+    // ivfindex writes the cell-partitioned assignment, and the fully
+    // artifact-driven probe (ann --index --centroids: corpus neither
+    // trained on nor re-assigned) equals the inline path row-for-row
+    val idxOut = Main.run(spark, Seq("ivfindex", s"$tmp/emb", s"$tmp/cent",
+      s"$tmp/ivfidx"), Map.empty)
+    assert(idxOut.head.startsWith("ivfindex task ended, 30 vectors"),
+      idxOut.mkString("\n"))
+    // the layout IS cell-partitioned (partition dirs on disk)
+    assert(new java.io.File(s"$tmp/ivfidx").listFiles()
+      .exists(_.getName.startsWith("cell=")),
+      "ivfindex must write Hive cell= partitions")
+    Main.run(spark, Seq("ann", s"$tmp/emb", s"$tmp/ranksI",
+      "--nqueries", "5", "--topk", "3", "--centroids", s"$tmp/cent",
+      "--index", s"$tmp/ivfidx"), Map.empty)
+    val viaIndex = spark.read.parquet(s"$tmp/ranksI")
+      .orderBy($"query_id", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaIndex.toSeq == inline.toSeq,
+      "ann --index must equal the inline path under the same artifacts")
+    // --index without --centroids refuses (the probe batch must assign
+    // against the SAME stored quantizer the index was built with)
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("ann", s"$tmp/emb", s"$tmp/ranksJ", "--index", s"$tmp/ivfidx"),
+      Map.empty)).getMessage.contains("--centroids"))
+    // a non-index dir refuses loudly
+    assert(intercept[IllegalArgumentException](Main.run(spark,
+      Seq("ann", s"$tmp/emb", s"$tmp/ranksK", "--centroids", s"$tmp/cent",
+        "--index", s"$tmp/q"), Map.empty))
+      .getMessage.contains("ivfIndex artifact"))
     // refusals: clash with either input, malformed shape, bad flags
     assert(intercept[IllegalArgumentException](Main.run(spark,
       Seq("ann", s"$tmp/emb", s"$tmp/emb"), Map.empty))
