@@ -399,8 +399,21 @@ object Bench {
       xs.map(x => s""""$x"""").mkString("[", ",", "]")
     val failedField =
       if (failed.nonEmpty) s""","failed":${strArr(failed)}""" else ""
+    // when suspects exist, ALSO emit the total without them: flagged
+    // rows annotate, but the headline total/value_normalized would still
+    // carry their inflation into cross-round comparison (self-review
+    // r18) — value_excl_suspect is the trustable denominator (compare
+    // against the other round's total minus the SAME query ids)
+    val exclSuspect =
+      if (summary.suspects.isEmpty) ""
+      else {
+        val t = total - summary.suspects.flatMap(summary.mins.get).sum
+        s""","value_excl_suspect":${String.format(java.util.Locale.ROOT,
+          "%.3f", Double.box(t))}"""
+      }
     val suspectField =
-      if (suspects.nonEmpty) s""","suspect":${strArr(suspects)}""" else ""
+      (if (suspects.nonEmpty) s""","suspect":${strArr(suspects)}""" else "") +
+        exclSuspect
     def num3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // "calib_warn" appears only on excursion — zero bytes in a healthy

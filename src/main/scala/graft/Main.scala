@@ -1042,14 +1042,8 @@ object Main {
           case Seq(e, o) => (e, o)
           case _ => fail(s"ivftrain needs <embeddingsDir> <outDir>\n$usage")
         }
-        def q16(p: String) = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(spark.sessionState.newHadoopConf())
-            .makeQualified(hp)
-        }
-        if (q16(out) == q16(embDir))
-          fail("ivftrain: the output dir must differ from the embeddings " +
-            "dir — overwrite would destroy the vectors")
+        rejectUnknownFlags("ivftrain", opts, Set.empty)
+        guardOutputClash(spark, "ivftrain", out, Seq("embeddings" -> embDir))
         graft.queries.EmbeddingQueries
           .trainQuantizer(spark.read.parquet(embDir))
           .write.mode("overwrite")
@@ -1072,14 +1066,9 @@ object Main {
           case _ =>
             fail(s"ivfindex needs <embeddingsDir> <centroidsDir> <outDir>\n$usage")
         }
-        def q17(p: String) = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(spark.sessionState.newHadoopConf())
-            .makeQualified(hp)
-        }
-        if (Seq(embDir, centDir).exists(d => q17(out) == q17(d)))
-          fail("ivfindex: the output dir must differ from the embeddings " +
-            "and centroids dirs — overwrite would destroy a table")
+        rejectUnknownFlags("ivfindex", opts, Set.empty)
+        guardOutputClash(spark, "ivfindex", out,
+          Seq("embeddings" -> embDir, "centroids" -> centDir))
         graft.queries.EmbeddingQueries
           .ivfIndex(spark.read.parquet(embDir), spark.read.parquet(centDir))
           .write.mode("overwrite")
@@ -1110,22 +1099,22 @@ object Main {
           case Seq(e, o) => (e, o)
           case _ => fail(s"ann needs <embeddingsDir> <outDir>\n$usage")
         }
-        def q15(p: String) = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(spark.sessionState.newHadoopConf())
-            .makeQualified(hp)
-        }
+        rejectUnknownFlags("ann", opts,
+          Set("--topk", "--queries", "--nqueries", "--centroids", "--index"))
         val qDir = opts.named.get("--queries")
         val cDir = opts.named.get("--centroids")
         val iDir = opts.named.get("--index")
         if (iDir.isDefined && cDir.isEmpty)
           fail("ann: --index needs --centroids — the probe batch assigns " +
             "against the same stored quantizer the index was built with")
-        if ((qDir.toSeq ++ cDir.toSeq ++ iDir.toSeq :+ embDir)
-            .exists(d => q15(out) == q15(d)))
-          fail("ann: the output dir must differ from the embeddings, " +
-            "queries, centroids, and index dirs — overwrite would destroy " +
-            "a table")
+        // --queries and --nqueries are the SAME choice made two ways: a
+        // silent precedence would rank the wrong query set (self-review)
+        if (qDir.isDefined && opts.named.contains("--nqueries"))
+          fail("ann: --queries and --nqueries are mutually exclusive — " +
+            "an external query table carries its own row set")
+        guardOutputClash(spark, "ann", out,
+          Seq("embeddings" -> embDir) ++ qDir.map("queries" -> _) ++
+            cDir.map("centroids" -> _) ++ iDir.map("index" -> _))
         def posIntFlag(flag: String, dflt: Int): Int =
           opts.named.get(flag).map { v =>
             val k = try v.toInt catch {
@@ -1170,35 +1159,9 @@ object Main {
             s"two rank tables (fusing one list is the identity)\n$usage")
         val rankDirs = opts.positional.init
         val out = opts.positional.last
-        // Output-clash guard over CANONICAL paths (ADVICE r17): exact
-        // qualified-path equality missed aliases the filesystem resolves
-        // but makeQualified does not (symlinks, dot segments) and missed
-        // nesting (out inside a rank dir corrupts it; a rank dir inside
-        // out is destroyed by overwrite's delete). Local paths go
-        // through File.getCanonicalPath (resolves symlinks); remote
-        // schemes through FileSystem.resolvePath where the path exists,
-        // falling back to the qualified form for a not-yet-created
-        // output.
-        def canon(p: String): String = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-          val q = fs.makeQualified(hp)
-          val uri = q.toUri
-          if (uri.getScheme == "file")
-            try "file:" + new java.io.File(uri.getPath).getCanonicalPath
-            catch { case _: java.io.IOException => q.toString }
-          else
-            try fs.resolvePath(q).toString
-            catch { case _: java.io.IOException => q.toString }
-        }
-        def overlaps(a: String, b: String): Boolean =
-          a == b || a.startsWith(b + "/") || b.startsWith(a + "/")
-        val outCanon = canon(out)
-        rankDirs.find(d => overlaps(canon(d), outCanon)).foreach { d =>
-          fail(s"fuse: the output dir must differ from (and not alias or " +
-            s"nest with) rank dir '$d' — overwrite would destroy a rank " +
-            "table")
-        }
+        // output-clash guard over CANONICAL paths (ADVICE r17; shared
+        // helper since the r18 self-review — see guardOutputClash)
+        guardOutputClash(spark, "fuse", out, rankDirs.map("rank" -> _))
         val topK2 = opts.named.get("--topk").map { v =>
           val k = try v.toInt catch {
             case _: NumberFormatException =>
@@ -1419,6 +1382,57 @@ object Main {
 
   private def req(opts: Opts, k: String): String =
     opts.named.getOrElse(k, fail(s"missing required flag $k\n$usage"))
+
+  /** Loud refusal of unknown named flags (self-review r18): a typo'd
+    * flag (`--queris`) silently dropped by the generic splitter produces
+    * a plausible-but-wrong artifact — the worst failure mode a CLI has.
+    * Scoped per verb so each validates its own vocabulary. */
+  private def rejectUnknownFlags(verb: String, opts: Opts,
+      allowed: Set[String]): Unit = {
+    val unknown = opts.named.keySet -- allowed
+    if (unknown.nonEmpty)
+      fail(s"$verb: unknown flag(s) ${unknown.toSeq.sorted.mkString(", ")}" +
+        (if (allowed.nonEmpty)
+           s" — accepted: ${allowed.toSeq.sorted.mkString(", ")}"
+         else " — this verb takes no flags") + s"\n$usage")
+  }
+
+  /** CANONICAL path for the output-clash guards (ADVICE r17, extended to
+    * every artifact-writing retrieval verb by the r18 self-review):
+    * exact qualified-path equality misses aliases the filesystem
+    * resolves but makeQualified does not (symlinks, dot segments) and
+    * misses nesting — an output that is a PARENT of an input destroys
+    * the input through overwrite's delete, an output INSIDE an input
+    * corrupts it. Local paths go through File.getCanonicalPath (resolves
+    * symlinks); remote schemes through FileSystem.resolvePath where the
+    * path exists, falling back to the qualified form for a
+    * not-yet-created output. */
+  private def canonPath(spark: SparkSession, p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val q = fs.makeQualified(hp)
+    val uri = q.toUri
+    if (uri.getScheme == "file")
+      try "file:" + new java.io.File(uri.getPath).getCanonicalPath
+      catch { case _: java.io.IOException => q.toString }
+    else
+      try fs.resolvePath(q).toString
+      catch { case _: java.io.IOException => q.toString }
+  }
+
+  private def pathsOverlap(a: String, b: String): Boolean =
+    a == b || a.startsWith(b + "/") || b.startsWith(a + "/")
+
+  /** Refuse an output that equals, aliases, or nests with any input. */
+  private def guardOutputClash(spark: SparkSession, verb: String,
+      out: String, inputs: Seq[(String, String)]): Unit = {
+    val outCanon = canonPath(spark, out)
+    inputs.find { case (_, d) => pathsOverlap(canonPath(spark, d), outCanon) }
+      .foreach { case (what, d) =>
+        fail(s"$verb: the output dir must differ from (and not alias or " +
+          s"nest with) the $what dir '$d' — overwrite would destroy a table")
+      }
+  }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(msg)

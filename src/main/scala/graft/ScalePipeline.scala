@@ -215,10 +215,10 @@ object ScalePipeline {
       else spark.read.parquet(s"$work/cur/corpus").count()
     val nSeqs =
       if (hybrid) 0L else spark.read.parquet(s"$work/packed").count()
-    // pipeline_total/jobs cover the SIX pipeline stages only: prep is
-    // input generation (its wall rides in its own field) and the
-    // nIn/nKept/nSeqs bookkeeping counts are measurement overhead, not
-    // pipeline work
+    // pipeline_total/jobs cover the pipeline stages only (six in the
+    // curation chain, seven under --hybrid): prep is input generation
+    // (its wall rides in its own field) and the nIn/nKept/nSeqs
+    // bookkeeping counts are measurement overhead, not pipeline work
     val total = stages.map(_._2).sum
     val pipelineJobs = stages.map(_._3).sum
     def num(v: Double): String =

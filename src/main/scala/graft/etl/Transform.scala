@@ -150,12 +150,17 @@ object EtlConfig {
             val posix =
               "[A-Za-z]{3,}([+-]?\\d{1,2})(?::(\\d{2}))?(?::\\d{2})?(?:[A-Za-z]{3,}.*)?".r
             zone match {
-              case posix(h, mm) =>
+              // POSIX bounds hh to [0, 24] — "UTC25"-style garbage that
+              // happens to match the shape must keep refusing, not map
+              // to a nonsense offset with only a warning (self-review)
+              case posix(h, mm) if math.abs(h.toLong) <= 24 =>
                 val mag = math.abs(h.toLong) * 3600 +
                   Option(mm).map(_.toLong * 60).getOrElse(0L)
                 val off = if (h.startsWith("-")) mag else -mag
+                val hhmm = f"${if (off < 0) "-" else "+"}${math.abs(off) / 3600}%02d:${
+                  math.abs(off) % 3600 / 60}%02d"
                 System.err.println(s"[etl] WARNING: POSIX tz '$zone' maps " +
-                  s"to its standard offset (UTC${off / 3600}) and its DST " +
+                  s"to its standard offset (UTC$hhmm) and its DST " +
                   "rules are IGNORED (the reference's tzif behavior); use " +
                   "an IANA zone id (e.g. America/New_York) for DST-correct " +
                   "bucketing")
@@ -164,7 +169,7 @@ object EtlConfig {
                 throw new IllegalArgumentException(
                   s"unsupported tz: '$zone' — use a fixed offset " +
                     "(UTC±HH[:MM]), a POSIX tz (EST5EDT[,rules] — std " +
-                    "offset only), or an IANA zone id (e.g. " +
+                    "offset only, hours <= 24), or an IANA zone id (e.g. " +
                     "America/New_York) for DST rules")
             }
           }

@@ -492,9 +492,14 @@ object DocumentQueries {
     //     top-k'd per query by contract, so this pre-aggregate is tiny).
     val contribs = rankings.zipWithIndex.map { case (r, i) =>
       r.select(col("query_id"), col("doc_id"),
-          when(col("rk") < 1, raise_error(lit(
-            s"rrfFuse: ranking #$i has rk < 1 — ranks are 1-based " +
-              "(row_number), and rk <= 0 would corrupt the fusion")))
+          // NULL rk needs its own branch: `rk < 1` is NULL for NULL
+          // input, which would fall through to otherwise and the vote
+          // would be silently DROPPED downstream (NULL div, sum skips)
+          // — the same silent-corruption class (self-review r18)
+          when(col("rk").isNull || col("rk") < 1, raise_error(lit(
+            s"rrfFuse: ranking #$i has a NULL or < 1 rk — ranks are " +
+              "1-based (row_number), and a NULL/zero rank would corrupt " +
+              "the fusion silently")))
             .otherwise(col("rk")).as("rk"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(count(lit(1)).as("n_dup"), min(col("rk")).as("rk1"))

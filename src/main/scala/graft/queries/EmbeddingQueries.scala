@@ -222,26 +222,6 @@ object EmbeddingQueries {
       .orderBy($"vec_id", $"sidx")
   }
 
-  /** The semantic half of the d59 hybrid-retrieval contract as a
-    * standalone operator (r18): rank a bounded QUERY batch against an
-    * embedding corpus through the s04 trained-IVF scan, output directly
-    * in the stored-rank-table shape rrfFuse consumes —
-    * (query_id, rk, doc_id, cos_sim), rk 1-based per query. CLI verb
-    * `ann` writes it next to the d56/d58 `bm25` lexical table so `fuse`
-    * reads two stored artifacts (the 100 TB path; the d59 gate pays both
-    * halves inline only because the oracle must replay them).
-    *
-    * Accepts the lake artifact shape (vec_id, embedding float array) or
-    * the pre-derived (vec_id, v double array) on either side; anything
-    * else refuses loudly. A query sharing the corpus id space never
-    * matches ITSELF (the s01/s04 self-exclusion — retrieval ranks other
-    * docs); distinct id spaces should not collide, documented.
-    *
-    * Scale shape: s04's — quantizer trains on the corpus (cells/rounds
-    * from session conf), candidates shuffle once onto home cells, the
-    * BOUNDED query batch (the d58 probe convention) broadcasts with its
-    * nprobe probe cells, and the per-query top-k is a
-    * WindowGroupLimit-bounded rank over the probed-cell candidates. */
   /** The stored coarse-quantizer artifact for the ANN axis (r18): the
     * s04 [[trainCentroids]] table (cell, cv_sum, cnorm) built from an
     * embeddings artifact under the session's cells/rounds knobs — write
@@ -336,6 +316,26 @@ object EmbeddingQueries {
       .orderBy($"query_id", $"rk")
   }
 
+  /** The semantic half of the d59 hybrid-retrieval contract as a
+    * standalone operator (r18): rank a bounded QUERY batch against an
+    * embedding corpus through the s04 trained-IVF scan, output directly
+    * in the stored-rank-table shape rrfFuse consumes —
+    * (query_id, rk, doc_id, cos_sim), rk 1-based per query. CLI verb
+    * `ann` writes it next to the d56/d58 `bm25` lexical table so `fuse`
+    * reads two stored artifacts (the 100 TB path; the d59 gate pays both
+    * halves inline only because the oracle must replay them).
+    *
+    * Accepts the lake artifact shape (vec_id, embedding float array) or
+    * the pre-derived (vec_id, v double array) on either side; anything
+    * else refuses loudly. A query sharing the corpus id space never
+    * matches ITSELF (the s01/s04 self-exclusion — retrieval ranks other
+    * docs); distinct id spaces should not collide, documented.
+    *
+    * Scale shape: s04's — quantizer trains on the corpus (cells/rounds
+    * from session conf), candidates shuffle once onto home cells, the
+    * BOUNDED query batch (the d58 probe convention) broadcasts with its
+    * nprobe probe cells, and the per-query top-k is a
+    * WindowGroupLimit-bounded rank over the probed-cell candidates. */
   def annRankTable(corpusEmb: DataFrame, queryEmb: DataFrame,
       k: Int = QueryConf.DefaultBm25TopK,
       centroids: Option[DataFrame] = None): DataFrame = {

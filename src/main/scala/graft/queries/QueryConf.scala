@@ -208,8 +208,15 @@ object QueryConf {
   def materializeWithConf(df: org.apache.spark.sql.DataFrame,
       key: String, value: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
-    val clone = GraftSqlBridge.cloneSession(df.sparkSession)
+    val parent = df.sparkSession
+    val clone = GraftSqlBridge.cloneSession(parent)
     clone.conf.set(key, value)
-    graft.Materialize(GraftSqlBridge.rebind(clone, df))
+    val materialized = graft.Materialize(GraftSqlBridge.rebind(clone, df))
+    // re-bind the (lineage-truncated) result BACK onto the parent: a
+    // Dataset stays bound to the session it was created on, so returning
+    // the clone-bound frame would plan every query CHAINED off it under
+    // the override — the leak, one hop later (self-review r18). The
+    // result is a LogicalRDD, so the rebind is a re-analysis of a leaf.
+    GraftSqlBridge.rebind(parent, materialized)
   }
 }

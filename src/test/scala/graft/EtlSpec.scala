@@ -175,6 +175,11 @@ class EtlSpec extends SparkSpec {
       EtlConfig.fromEnv(Map(
         "S3LOGS_STAGGING_PARTITION_TZIF" -> "12345,M3.2.0"))
     }
+    // POSIX hh is bounded to 24: shape-matching garbage keeps refusing
+    intercept[IllegalArgumentException] {
+      EtlConfig.fromEnv(Map(
+        "S3LOGS_STAGGING_PARTITION_TZIF" -> "UTC25"))
+    }
     // the zone path leaves the fixed-offset default untouched: same
     // frame, no zone -> pure offset arithmetic
     val fixed = Seq("2024-11-03T06:30:00Z").toDF("iso")

@@ -3292,7 +3292,15 @@ class OperatorsSpec extends SparkSpec {
     val eRk = intercept[Exception] {
       DocumentQueries.rrfFuse(Seq(zeroRk), k = 3).collect()
     }
-    assert(eRk.getMessage.contains("rk < 1"), eRk.getMessage)
+    assert(eRk.getMessage.contains("NULL or < 1"), eRk.getMessage)
+    // NULL rk is its own silent-drop path (rk < 1 is NULL for NULL, the
+    // vote would vanish in the div/sum) — refused just as loudly
+    val nullRk = Seq((1L, Some(10L), None: Option[Long]),
+      (1L, Some(20L), Some(1L))).toDF("query_id", "doc_id", "rk")
+    val eNull = intercept[Exception] {
+      DocumentQueries.rrfFuse(Seq(nullRk), k = 3).collect()
+    }
+    assert(eNull.getMessage.contains("NULL or < 1"), eNull.getMessage)
   }
 
   test("winnowing honors a non-default winnow.window: larger w selects " +

@@ -309,6 +309,12 @@ class QueryConfSpec extends SparkSpec {
     assert(out.collect().map(r => (r.getString(0), r.getLong(1))).sorted
       .toSeq == Seq(("a", 2L), ("b", 1L)))
     assert(out.join(Seq("a").toDF("g"), "g").count() == 1)
+    // the RETURNED frame is re-bound to the parent session (self-review
+    // r18): a clone-bound result would plan every chained query under
+    // the override — the leak, one hop later
+    assert(out.sparkSession eq spark,
+      "materializeWithConf must return a parent-session-bound frame")
+    assert(out.sparkSession.conf.getOption(key) == before)
     // the parent session's conf was NEVER set — not merely restored
     assert(spark.conf.getOption(key) == before)
     // nothing leaked into the parent's catalog
