@@ -1129,6 +1129,15 @@ object Main {
         val corpus = spark.read.parquet(embDir)
         val queries = qDir.map(spark.read.parquet(_))
           .getOrElse(corpus.filter(col("vec_id") < nq))
+        // pre-r19 artifacts carry no self-description: the library-level
+        // knob/digest checks are vacuous there, so say so instead of
+        // probing silently (the refusal path needs the stamp to exist)
+        cDir.foreach { d =>
+          if (!spark.read.parquet(d).columns.contains("meta_ver"))
+            System.err.println("[ann] WARNING: centroids artifact at " +
+              s"$d carries no self-description (pre-r19 ivftrain) — a " +
+              "knob mismatch cannot be detected; retrain with ivftrain")
+        }
         val ranksOut = iDir match {
           case Some(ix) =>
             graft.queries.EmbeddingQueries.annRankTableIndexed(

@@ -197,6 +197,10 @@ object EmbeddingQueries {
   def pqEncode(centroids: DataFrame, batch: DataFrame): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
+    // a self-described (ivftrain) quantizer enforces the d24 rule loudly
+    // (r19); an inline trainCentroids table passes through unchecked —
+    // the caller picked its knobs explicitly
+    checkQuantizerMeta(centroids, "pqEncode")
     val cu = centroids.select($"cell",
       expr("transform(cv_sum, x -> x / cnorm)").as("cunit"))
     assignTo(batch, centroids).filter($"rn" === 1)
@@ -234,6 +238,61 @@ object EmbeddingQueries {
     val s = emb.sparkSession
     val e = prepVecs(emb, "ivftrain corpus")
     trainCentroids(e, QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
+      .withColumn("meta_cells", lit(QueryConf.ivfCells(s)))
+      .withColumn("meta_rounds", lit(QueryConf.lloydRounds(s)))
+      .withColumn("meta_ver", lit(ArtifactVer))
+  }
+
+  /** ANN artifact format version (r19): stamped into every `ivftrain` /
+    * `ivfindex` artifact so a reader can refuse one written under a
+    * different contract instead of mis-probing it silently. Bump on any
+    * change to the artifact column semantics. */
+  private[graft] val ArtifactVer = 1
+
+  private val QuantizerMetaCols = Seq("meta_cells", "meta_rounds", "meta_ver")
+
+  /** Deterministic digest of a quantizer's learned surface — XOR of
+    * xxhash64 over each centroid's (cell, cnorm). The centroids are
+    * decimal-exact functions of the training data (see [[recenter]]),
+    * so the digest is stable across runs/engines for the same corpus +
+    * knobs, and any change to the cell set or any learned norm flips it
+    * with overwhelming probability. ≤cells rows — the one-row aggregate
+    * is driver-cheap by construction. */
+  private[graft] def quantizerDigest(c: DataFrame): Long =
+    c.select(col("cell"), col("cnorm"))
+      .agg(expr("bit_xor(xxhash64(cell, cnorm))")).head().getLong(0)
+
+  /** The d24 artifact rule made LOUD (r19, VERDICT r18 #2): an ivftrain
+    * artifact is only comparable under the (cells, rounds) it was
+    * trained with — when the table carries the r19 self-description,
+    * refuse a session whose knobs differ (and refuse an artifact
+    * version this engine does not speak) instead of silently producing
+    * ranks that no oracle or sibling run can reproduce. An UNSTAMPED
+    * table (an inline [[trainCentroids]] frame, or a pre-r19 artifact)
+    * passes through with `false`: the caller owns its knob discipline —
+    * the CLI warns on that path. */
+  private[graft] def checkQuantizerMeta(c: DataFrame, op: String): Boolean = {
+    val s = c.sparkSession
+    val present = QuantizerMetaCols.filter(c.columns.contains)
+    if (present.isEmpty) return false
+    require(present.size == QuantizerMetaCols.size,
+      s"$op: centroids carry a PARTIAL self-description " +
+        s"(${present.mkString(", ")} of ${QuantizerMetaCols.mkString(", ")})" +
+        " — not a valid ivftrain artifact; rebuild with ivftrain")
+    val r = c.select(col("meta_cells"), col("meta_rounds"),
+      col("meta_ver")).head()
+    val (mc, mr, mv) = (r.getInt(0), r.getInt(1), r.getInt(2))
+    require(mv == ArtifactVer,
+      s"$op: quantizer artifact format version $mv, this engine speaks " +
+        s"$ArtifactVer — rebuild with ivftrain")
+    val (sc, sr) = (QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
+    require(mc == sc && mr == sr,
+      s"$op: the quantizer artifact was trained at cells=$mc rounds=$mr " +
+        s"but the session asks cells=$sc rounds=$sr — probe results are " +
+        "only comparable under the build-time knobs (the d24 artifact " +
+        s"rule); set ${QueryConf.IvfCellsKey}=$mc and " +
+        s"${QueryConf.LloydRoundsKey}=$mr, or retrain with ivftrain")
+    true
   }
 
   /** (vec_id, v double array, nrm) from the lake artifact shape —
@@ -268,9 +327,22 @@ object EmbeddingQueries {
     val s = corpusEmb.sparkSession
     import s.implicits._
     requireQuantizer(centroids)
+    // the d24 rule at BUILD time: assigning under session knobs that
+    // differ from the quantizer's training knobs would bake the mismatch
+    // into the stored artifact
+    checkQuantizerMeta(centroids, "ivfIndex")
+    // self-description (r19): the index remembers WHICH quantizer
+    // assigned it — a probe under different centroids passes every shape
+    // check yet ranks garbage, so [[annRankTableIndexed]] verifies this
+    // digest against its supplied centroids and refuses a mismatch.
+    // Constant per row: dictionary/RLE-encoded to ~zero bytes in
+    // parquet, readable via a one-row limit scan at any index size.
+    val fp = quantizerDigest(centroids)
     assignTo(prepVecs(corpusEmb, "ivfIndex corpus"), centroids)
       .filter($"rn" === 1)
       .select($"vec_id", $"v", $"nrm", $"cell")
+      .withColumn("meta_qfp", lit(fp))
+      .withColumn("meta_ver", lit(ArtifactVer))
   }
 
   private def requireQuantizer(c: DataFrame): Unit = {
@@ -300,6 +372,32 @@ object EmbeddingQueries {
       s"annRankTableIndexed probes the ivfIndex artifact shape (vec_id, " +
         s"v, nrm, cell) — ${missing.mkString("/")} absent; build the " +
         "standing index with ivfIndex over the ivftrain centroids")
+    // self-description checks (r19, VERDICT r18 #2): a mismatched
+    // --index/--centroids pair passes every SHAPE check and silently
+    // ranks garbage — the digest stamped at build time is the only
+    // witness, so its absence or disagreement refuses loudly (the
+    // d54/d58 artifact discipline on the ANN axis).
+    val metaMissing = Seq("meta_qfp", "meta_ver")
+      .filterNot(index.columns.contains)
+    require(metaMissing.isEmpty,
+      s"annRankTableIndexed: the index carries no self-description " +
+        s"(${metaMissing.mkString("/")} absent) — a pre-r19 artifact or " +
+        "not an ivfIndex output; rebuild with ivfindex")
+    val metaRow = index.select($"meta_qfp", $"meta_ver").take(1)
+    require(metaRow.nonEmpty,
+      "annRankTableIndexed: the index is empty — nothing to probe")
+    require(metaRow.head.getInt(1) == ArtifactVer,
+      s"annRankTableIndexed: index artifact format version " +
+        s"${metaRow.head.getInt(1)}, this engine speaks $ArtifactVer — " +
+        "rebuild with ivfindex")
+    val fp = quantizerDigest(centroids)
+    require(metaRow.head.getLong(0) == fp,
+      "annRankTableIndexed: the index was assigned under a DIFFERENT " +
+        s"quantizer than the supplied centroids (digest " +
+        s"${metaRow.head.getLong(0)} vs $fp) — probing it would return " +
+        "plausible-but-wrong ranks; supply the centroids the index was " +
+        "built with, or rebuild with ivfindex")
+    checkQuantizerMeta(centroids, "annRankTableIndexed")
     val q = prepVecs(queryEmb, "annRankTableIndexed queries")
     val cand = index
       .select($"vec_id".as("doc_id"), $"v".as("cv"), $"nrm".as("cn"), $"cell")
@@ -357,6 +455,9 @@ object EmbeddingQueries {
       require(missing.isEmpty,
         s"annRankTable centroids must be a trainQuantizer/ivftrain " +
           s"artifact (cell, cv_sum, cnorm) — ${missing.mkString("/")} absent")
+      // d24 made loud (r19): a self-described artifact refuses a session
+      // whose knobs differ from its training knobs (see checkQuantizerMeta)
+      checkQuantizerMeta(c, "annRankTable")
     }
     val c1 = centroids.getOrElse(
       trainCentroids(e, QueryConf.ivfCells(s), QueryConf.lloydRounds(s)))

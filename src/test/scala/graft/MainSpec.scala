@@ -1166,7 +1166,10 @@ class MainSpec extends SparkSpec {
     assert(trained.head.startsWith("ivftrain task ended"),
       trained.mkString("\n"))
     val cent = spark.read.parquet(s"$tmp/cent")
-    assert(cent.columns.toSeq.sorted == Seq("cell", "cnorm", "cv_sum"))
+    // r19: the artifact is self-describing — build knobs + format
+    // version ride along so readers can refuse a mismatch loudly
+    assert(cent.columns.toSeq.sorted == Seq("cell", "cnorm", "cv_sum",
+      "meta_cells", "meta_rounds", "meta_ver"))
     Main.run(spark, Seq("ann", s"$tmp/emb", s"$tmp/ranksC",
       "--nqueries", "5", "--topk", "3", "--centroids", s"$tmp/cent"),
       Map.empty)
@@ -1223,6 +1226,85 @@ class MainSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](Main.run(spark,
       Seq("ann", s"$tmp/noemb", s"$tmp/ranks4"), Map.empty))
       .getMessage.contains("vec_id, embedding"))
+  }
+
+  test("ANN artifacts are self-describing: knob, digest, version and " +
+    "meta-less mismatches each refuse loudly (r19, VERDICT r18 #2)") {
+    import spark.implicits._
+    import graft.queries.{EmbeddingQueries, QueryConf}
+    import org.apache.spark.sql.functions.lit
+    val tmp = Files.createTempDirectory("graft-ann-meta").toString
+    def vec(seed: Int): Seq[Float] = (1 to 64)
+      .map(i => (math.sin(seed * 64 + i).abs + 0.1).toFloat)
+    val emb = (0L until 24L).map(i => (i, vec((i % 5).toInt)))
+      .toDF("vec_id", "embedding")
+    emb.write.parquet(s"$tmp/emb")
+    // a second corpus: same shape, different vectors → a quantizer with
+    // a different learned surface (digest differs, knobs equal)
+    (0L until 24L).map(i => (i, vec((i % 5).toInt + 7)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/embB")
+    Main.run(spark, Seq("ivftrain", s"$tmp/emb", s"$tmp/cent"), Map.empty)
+    Main.run(spark, Seq("ivftrain", s"$tmp/embB", s"$tmp/centB"), Map.empty)
+    Main.run(spark, Seq("ivfindex", s"$tmp/emb", s"$tmp/cent",
+      s"$tmp/idx"), Map.empty)
+    // the index remembers its quantizer: digest column present, constant
+    val idx = spark.read.parquet(s"$tmp/idx")
+    assert(idx.columns.contains("meta_qfp") && idx.columns.contains("meta_ver"))
+    assert(idx.select($"meta_qfp").distinct().count() == 1)
+    // axis 1 — session-knob mismatch: probing a cells=16-trained
+    // artifact in a cells=24 session refuses (the d24 rule, loud)
+    spark.conf.set(QueryConf.IvfCellsKey, "24")
+    try {
+      val e = intercept[IllegalArgumentException](Main.run(spark,
+        Seq("ann", s"$tmp/emb", s"$tmp/r1", "--centroids", s"$tmp/cent"),
+        Map.empty))
+      assert(e.getMessage.contains("d24") &&
+        e.getMessage.contains("cells=16") &&
+        e.getMessage.contains("cells=24"), e.getMessage)
+      // build-time enforcement too: ivfindex under mismatched knobs
+      assert(intercept[IllegalArgumentException](Main.run(spark,
+        Seq("ivfindex", s"$tmp/emb", s"$tmp/cent", s"$tmp/idx2"),
+        Map.empty)).getMessage.contains("d24"))
+    } finally spark.conf.unset(QueryConf.IvfCellsKey)
+    // axis 2 — digest mismatch: an index assigned under cent probed
+    // with centB (knobs equal, learned surface different) refuses
+    val dig = intercept[IllegalArgumentException](Main.run(spark,
+      Seq("ann", s"$tmp/emb", s"$tmp/r2", "--centroids", s"$tmp/centB",
+        "--index", s"$tmp/idx"), Map.empty))
+    assert(dig.getMessage.contains("DIFFERENT quantizer"), dig.getMessage)
+    // axis 3 — a meta-less (pre-r19-shaped) index refuses
+    idx.select($"vec_id", $"v", $"nrm", $"cell")
+      .write.parquet(s"$tmp/idxOld")
+    val old = intercept[IllegalArgumentException](Main.run(spark,
+      Seq("ann", s"$tmp/emb", s"$tmp/r3", "--centroids", s"$tmp/cent",
+        "--index", s"$tmp/idxOld"), Map.empty))
+    assert(old.getMessage.contains("no self-description"), old.getMessage)
+    // axis 4 — format-version mismatch on either artifact refuses
+    spark.read.parquet(s"$tmp/cent").withColumn("meta_ver", lit(99))
+      .write.parquet(s"$tmp/centV99")
+    val v99 = intercept[IllegalArgumentException](Main.run(spark,
+      Seq("ann", s"$tmp/emb", s"$tmp/r4", "--centroids", s"$tmp/centV99"),
+      Map.empty))
+    assert(v99.getMessage.contains("version 99"), v99.getMessage)
+    val idxV = intercept[IllegalArgumentException](
+      EmbeddingQueries.annRankTableIndexed(
+        idx.withColumn("meta_ver", lit(99)),
+        spark.read.parquet(s"$tmp/emb").filter($"vec_id" < 3),
+        spark.read.parquet(s"$tmp/cent")))
+    assert(idxV.getMessage.contains("version 99"), idxV.getMessage)
+    // a PARTIAL stamp is not a valid artifact either
+    val part = intercept[IllegalArgumentException](
+      EmbeddingQueries.annRankTable(spark.read.parquet(s"$tmp/emb"),
+        spark.read.parquet(s"$tmp/emb").filter($"vec_id" < 3), k = 3,
+        centroids = Some(spark.read.parquet(s"$tmp/cent")
+          .drop("meta_rounds"))))
+    assert(part.getMessage.contains("PARTIAL"), part.getMessage)
+    // and the happy path under matching artifacts still ranks: the
+    // checks add refusals, never rows
+    Main.run(spark, Seq("ann", s"$tmp/emb", s"$tmp/rOk", "--nqueries",
+      "3", "--topk", "2", "--centroids", s"$tmp/cent", "--index",
+      s"$tmp/idx"), Map.empty)
+    assert(spark.read.parquet(s"$tmp/rOk").count() == 6)
   }
 
   test("fuse: RRF over stored rank tables matches the library operator, " +
