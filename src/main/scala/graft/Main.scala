@@ -1069,8 +1069,18 @@ object Main {
         rejectUnknownFlags("ivfindex", opts, Set.empty)
         guardOutputClash(spark, "ivfindex", out,
           Seq("embeddings" -> embDir, "centroids" -> centDir))
+        // repartition ON the partition key before the partitioned write:
+        // without it every shuffle partition writes a sliver into every
+        // cell= dir (32 tasks x cells files of a few KB each — measured
+        // 2.2x SLOWER to probe than a flat layout at 100k vectors, the
+        // tiny-file open cost swamping the pruning win); with it each
+        // cell's rows land in one task -> one well-sized file per cell,
+        // and the probed-cell scan reads exactly nprobe-ish files
+        // (SCALE.md "ann --index cell pruning"). At lake scale
+        // spark.sql.files.maxRecordsPerFile splits oversized cells.
         graft.queries.EmbeddingQueries
           .ivfIndex(spark.read.parquet(embDir), spark.read.parquet(centDir))
+          .repartition(col("cell"))
           .write.mode("overwrite")
           .option("compression", cfg.compression)
           .partitionBy("cell")

@@ -345,6 +345,21 @@ object EmbeddingQueries {
       .withColumn("meta_ver", lit(ArtifactVer))
   }
 
+  /** The distinct cells a bounded query batch probes under `centroids`
+    * at the session's nprobe — i.e. the partition set an `ann --index`
+    * scan actually reads once dynamic partition pruning fires.
+    * Diagnostic surface for the pruning measurement (ScaleAnn); the
+    * query side is bounded by the d58 probe convention, so the collect
+    * is driver-cheap by construction. */
+  private[graft] def ivfIndexProbeCells(queryEmb: DataFrame,
+      centroids: DataFrame): Set[Int] = {
+    val s = queryEmb.sparkSession
+    import s.implicits._
+    assignTo(prepVecs(queryEmb, "ivfIndexProbeCells queries"), centroids)
+      .filter($"rn" <= QueryConf.ivfProbes(s))
+      .select($"cell").distinct().collect().map(_.getInt(0)).toSet
+  }
+
   private def requireQuantizer(c: DataFrame): Unit = {
     val missing = Seq("cell", "cv_sum", "cnorm").filterNot(c.columns.contains)
     require(missing.isEmpty,

@@ -1305,6 +1305,28 @@ class MainSpec extends SparkSpec {
       "3", "--topk", "2", "--centroids", s"$tmp/cent", "--index",
       s"$tmp/idx"), Map.empty)
     assert(spark.read.parquet(s"$tmp/rOk").count() == 6)
+    // the cell-partition pruning CLAIM, pinned (r19, VERDICT r18 #3):
+    // the indexed probe's scan must carry a dynamic partition-pruning
+    // filter on cell= (fed by the broadcast probe side), so a probed
+    // scan reads only probed cells' partitions instead of the corpus
+    val pr = EmbeddingQueries.annRankTableIndexed(
+      spark.read.parquet(s"$tmp/idx"),
+      spark.read.parquet(s"$tmp/emb").filter($"vec_id" < 3),
+      spark.read.parquet(s"$tmp/cent"))
+    val planStr = pr.queryExecution.executedPlan.toString
+    val scanLine = planStr.linesIterator.find(l =>
+      l.contains(s"$tmp/idx") && l.contains("PartitionFilters"))
+    assert(scanLine.exists(_.contains("dynamicpruningexpression(cell")),
+      s"the ivfindex scan must dynamic-prune on cell=, got:\n$planStr")
+    // and the write layout that makes pruning pay: ONE file per cell
+    // (an unrepartitioned partitionBy writes shuffle-partitions-many
+    // sliver files into every cell dir — measured 2.2x slower to probe
+    // than flat at 100k vectors; SCALE.md "ann --index cell pruning")
+    val cellDirs = new java.io.File(s"$tmp/idx").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.forall(d =>
+      d.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "ivfindex must write exactly one parquet file per cell partition")
   }
 
   test("fuse: RRF over stored rank tables matches the library operator, " +
