@@ -92,7 +92,36 @@ object ConfReplay {
         s"maxbucket=$maxBucket bm25k=$bm25K knnk=$knnK " +
         s"knnnprobe=$knnNprobe)")
     }
-    Verify.writeOracleJson(outDir, targets)
+    // The STORED-ARTIFACT ann path at the same knobs (r19, VERDICT r18
+    // #5): ivftrain → ivfindex → annRankTableIndexed through real
+    // parquet round-trips, replayed against the s04 oracle — the
+    // retrieval is definitionally the same (annRankTableIndexed is
+    // spec-pinned row-equal to the inline path), so one DuckDB pass
+    // closes the artifact family's cross-engine loop at non-default
+    // (cells, probes, rounds) the way d54/d58/d39 already have. Output
+    // renamed to the oracle's (q_id, rnk, c_id) because the driver-style
+    // compare matches columns BY NAME.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val art = s"$outDir/_artifacts"
+      Main.run(spark, Seq("ivftrain", s"$sfDir/embeddings.parquet",
+        s"$art/cent"), Map.empty)
+      Main.run(spark, Seq("ivfindex", s"$sfDir/embeddings.parquet",
+        s"$art/cent", s"$art/idx"), Map.empty)
+      val name = "s04_ann_ivf_artifact"
+      EmbeddingQueries.annRankTableIndexed(
+          spark.read.parquet(s"$art/idx"),
+          spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .filter(col("vec_id") < 20),
+          spark.read.parquet(s"$art/cent"), k = 5)
+        .select(col("query_id").as("q_id"), col("rk").as("rnk"),
+          col("doc_id").as("c_id"), col("cos_sim"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[conf-replay] dumped $name via stored artifacts " +
+        s"(cells=$cells probes=$probes rounds=$rounds)")
+      Verify.writeOracleJson(outDir, targets :+
+        (name -> EmbeddingQueries.s04OracleSqlAt(cells, probes, rounds)))
+    }
     spark.stop()
   }
 }
