@@ -69,18 +69,66 @@ object Bench {
     * a healthy d14 run. Silencing it at the cleanup site means a driver
     * record's tail can never again present routine cleanup as an engine
     * error — a REAL failure surfaces through the per-run error capture,
-    * attributed and flagged in the JSON. */
+    * attributed and flagged in the JSON.
+    *
+    * Suppression is MESSAGE-scoped, not level-scoped (r19, ADVICE r18):
+    * a DENY RegexFilter matching only this message is attached to the
+    * LoggerConfig(s) that actually handle the target RDD loggers, then
+    * removed. The previous level set/restore pinned an explicit level
+    * onto loggers that had only inherited one (decoupling them from
+    * later root-level changes), and blanked EVERY message from those
+    * classes during the window — a genuine same-class WARN now passes
+    * through, and no logger ends the call with config it didn't start
+    * with. */
   private def quietRelease(spark: SparkSession, keep: scala.collection.Set[Int],
       blocking: Boolean): Unit = {
-    import org.apache.logging.log4j.{Level, LogManager}
-    import org.apache.logging.log4j.core.config.Configurator
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.Filter.Result
+    import org.apache.logging.log4j.core.filter.RegexFilter
     val targets = spark.sparkContext.getPersistentRDDs.filter {
       case (id, _) => !keep(id) }.values
-    val loggers = targets.map(_.getClass.getName).toSet
-    val prev = loggers.map(l => l -> LogManager.getLogger(l).getLevel).toMap
-    loggers.foreach(Configurator.setLevel(_, Level.ERROR))
+    if (targets.isEmpty) return
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val conf = ctx.getConfiguration
+    // getLoggerConfig resolves to the config that will HANDLE the event
+    // (the logger's own if explicitly configured, else its nearest
+    // configured ancestor — root under Spark's defaults)
+    val cfgs = targets.map(t => conf.getLoggerConfig(t.getClass.getName)).toSet
+    val filter = RegexFilter.createFilter(
+      ".*locally checkpointed.*", null, java.lang.Boolean.FALSE,
+      Result.DENY, Result.NEUTRAL)
+    cfgs.foreach(_.addFilter(filter))
+    ctx.updateLoggers()
     try targets.foreach(_.unpersist(blocking))
-    finally prev.foreach { case (l, lv) => Configurator.setLevel(l, lv) }
+    finally {
+      cfgs.foreach(_.removeFilter(filter))
+      ctx.updateLoggers()
+    }
+  }
+
+  /** The timed sweep's run schedule (r19, VERDICT r18 #1), pure so the
+    * decorrelation property is spec-pinnable. With all of a query's runs
+    * consecutive, ONE box-contention window covers every sample — the
+    * r18 driver booked d24 at 12.01 s (same-HEAD local: 2.01 s) with the
+    * min-of-3 runs all inside the window and the suspect flag blind to
+    * it. The schedule now takes TWO time-separated full passes: pass A
+    * runs every query once in sweep order; pass B runs the full list
+    * again, each query taking its remaining (total-1) runs consecutively
+    * there (the dedup-scope queries' steady-state 3rd run included, so
+    * their reported min still reflects a warmed scope cache). A query's
+    * pass-A and pass-B samples are separated by a full sweep of OTHER
+    * queries, so a window would have to span essentially the whole
+    * session to inflate the cross-pass min — and a session-wide slowdown
+    * is exactly what the calib band and the 8x warm-wall suspect flag
+    * (kept as backstop) do see. */
+  private[graft] def passPlan(names: Seq[String], scoped: String => Boolean,
+      runs: Int): Seq[Seq[String]] = {
+    val passB = names.flatMap { n =>
+      val total = if (scoped(n)) math.max(runs, 3) else runs
+      Seq.fill(math.max(total - 1, 0))(n)
+    }
+    Seq(names, passB).filter(_.nonEmpty)
   }
 
   /** Stall-retry trigger (round-15 driver lesson): a contended session
@@ -254,48 +302,61 @@ object Bench {
     // them at least 3 runs so the reported min is steady-state-comparable
     // with every other query's warm number (see SURVEY "Reading BENCH
     // files").
-    val results = SparkEntry.queries.filter(kv => selected(kv._1)).map { case (name, fn) =>
-      // full-name membership, not id-prefix: QueriesSpec pins the set
-      // to exact query keys, and a prefix match would silently widen to
-      // any future query sharing a scoped id prefix
-      val nRuns =
-        if (graft.queries.DedupQueries.scopedQueryNames(name)) math.max(runs, 3)
-        else runs
-      def timedRun(): RunResult = {
-        // Snapshot the persistent-RDD ids BEFORE the run so the post-run
-        // cleanup releases ONLY blocks this run created (round 18,
-        // VERDICT r17 #1b): the old blanket getPersistentRDDs sweep was
-        // correct under serial runs but could, by construction, touch
-        // blocks a frame outside the run still references — scoping makes
-        // that impossible rather than merely unexercised.
-        val before = spark.sparkContext.getPersistentRDDs.keySet
-        val t0 = System.nanoTime()
-        val err =
-          try { BenchExec.run(fn(spark, sfDir)); None }
-          catch { case e: Throwable =>
-            Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Release the run's own RDD blocks now (outside the timed
-        // window): the dropped result frame's localCheckpoint blocks are
-        // otherwise reclaimed only when the ContextCleaner notices the
-        // GC'd frame, and the next run would start under its
-        // predecessor's storage. quietRelease silences RDD.unpersist's
-        // benign locally-checkpointed WARN (see its doc — the r17
-        // misread) for just this call.
-        quietRelease(spark, keep = before, blocking = false)
-        RunResult(dt, err)
-      }
-      val base = (1 to nRuns).map(_ => timedRun())
-      // one bounded extra run on either trigger, never more: a transient
-      // scheduler freeze (stall retry) or a failed run (so a single
-      // transient failure doesn't halve the sample count) must not ride
-      // into the artifact as the reported min
-      val needExtra =
-        stallRetryNeeded(okTimes(base)) || base.exists(_.error.isDefined)
-      if (needExtra) System.err.println(f"[bench] $name%-28s " +
+    // full-name membership, not id-prefix: QueriesSpec pins the set
+    // to exact query keys, and a prefix match would silently widen to
+    // any future query sharing a scoped id prefix
+    val queryList = SparkEntry.queries.filter(kv => selected(kv._1)).toSeq
+    val fns = queryList.toMap
+    def timedRun(name: String): RunResult = {
+      // Snapshot the persistent-RDD ids BEFORE the run so the post-run
+      // cleanup releases ONLY blocks this run created (round 18,
+      // VERDICT r17 #1b): the old blanket getPersistentRDDs sweep was
+      // correct under serial runs but could, by construction, touch
+      // blocks a frame outside the run still references — scoping makes
+      // that impossible rather than merely unexercised.
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      val err =
+        try { BenchExec.run(fns(name)(spark, sfDir)); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Release the run's own RDD blocks now (outside the timed
+      // window): the dropped result frame's localCheckpoint blocks are
+      // otherwise reclaimed only when the ContextCleaner notices the
+      // GC'd frame, and the next run would start under its
+      // predecessor's storage. quietRelease silences RDD.unpersist's
+      // benign locally-checkpointed WARN (see its doc — the r17
+      // misread) for just this call.
+      quietRelease(spark, keep = before, blocking = false)
+      RunResult(dt, err)
+    }
+    // The sweep itself: two time-separated full passes (see passPlan's
+    // doc — the r18 driver's uncaught 3-6x contention rows are why),
+    // then one bounded pass-C retry per query on a stall artifact or a
+    // failed run — a transient scheduler freeze or transient failure
+    // must not ride into the artifact as the reported min / halve the
+    // sample count, and the retry being in its OWN pass keeps it
+    // time-decorrelated too.
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Vector[RunResult]]
+    queryList.foreach { case (n, _) => acc(n) = Vector.empty }
+    val passes = passPlan(queryList.map(_._1),
+      graft.queries.DedupQueries.scopedQueryNames, runs)
+    for ((pass, pi) <- passes.zipWithIndex; name <- pass) {
+      val r = timedRun(name)
+      acc(name) = acc(name) :+ r
+      System.err.println(f"[bench] pass ${('A' + pi).toChar} $name%-28s " +
+        f"${r.secs}%8.2f s${r.error.map(e => s"  FAILED: $e").getOrElse("")}")
+    }
+    for (name <- acc.collect { case (n, rs)
+        if stallRetryNeeded(okTimes(rs)) || rs.exists(_.error.isDefined) => n }) {
+      System.err.println(f"[bench] $name%-28s " +
         "stall/failure artifact — one retry run")
-      val rs = if (needExtra) base :+ timedRun() else base
+      acc(name) = acc(name) :+ timedRun(name)
+    }
+    val results = acc.toSeq
+    results.foreach { case (name, rs) =>
       rs.flatMap(_.error).distinct.foreach(m =>
         System.err.println(s"[bench] $name FAILED run: $m"))
       val ok = okTimes(rs)
@@ -305,7 +366,6 @@ object Bench {
         System.err.println(f"[bench] $name%-28s ${ok.min}%8.2f s  (runs: $runsStr)")
       else
         System.err.println(f"[bench] $name%-28s   FAILED    (runs: $runsStr)")
-      name -> rs
     }
     // Contention self-diagnosis (round-11 lesson — see SURVEY "Reading
     // BENCH files"). Two independent trips, either marks the artifact
@@ -326,7 +386,7 @@ object Bench {
     val healthyIoOverCpu = 0.32
     val anchorDegraded =
       calibIo > 0 && calib > 0 && (calibIo / calib) > 2.0 * healthyIoOverCpu
-    val spreads = results.values.map(okTimes).collect {
+    val spreads = results.map(kv => okTimes(kv._2)).collect {
       case ts if ts.nonEmpty && ts.min > 0 => ts.max / ts.min }
     val wideFrac =
       if (spreads.isEmpty) 0.0
@@ -376,7 +436,7 @@ object Bench {
       if (s.endsWith(".")) s.dropRight(1) else s
     }
     def shortId(name: String): String = name.takeWhile(_ != '_')
-    val unique = results.keys.groupBy(shortId).forall(_._2.size == 1)
+    val unique = results.map(_._1).groupBy(shortId).forall(_._2.size == 1)
     def jname(k: String): String = if (unique) shortId(k) else k
     // Per-query mins over SUCCESSFUL runs only — a query whose every run
     // failed has no timing: excluded from the map and the total, listed
@@ -385,7 +445,7 @@ object Bench {
     // the session-level trips cannot see (r17's d14 ran 12x inflated in
     // a session whose calib sat in-band). Both fields appear only when
     // non-empty: zero bytes in a healthy session.
-    val summary = summarize(results.toSeq, warmWalls, suspectRatio)
+    val summary = summarize(results, warmWalls.toMap, suspectRatio)
     val qs = summary.mins.map { case (k, m) => s""""${jname(k)}":${num(m)}""" }
       .mkString("{", ",", "}")
     val total = if (summary.mins.nonEmpty) summary.mins.values.sum else 0.0
@@ -397,8 +457,17 @@ object Bench {
         "(non-uniform contention; do not trust this row at face value)") }
     def strArr(xs: Seq[String]): String =
       xs.map(x => s""""$x"""").mkString("[", ",", "]")
+    // a failed query is EXCLUDED from the queries map and the total, so
+    // a failing round's headline reads SMALLER — which cross-round
+    // tooling would misread as a speedup (ADVICE r18). The note states
+    // the comparison convention in the artifact itself, mirroring
+    // value_excl_suspect's role for suspects; zero bytes when healthy.
     val failedField =
-      if (failed.nonEmpty) s""","failed":${strArr(failed)}""" else ""
+      if (failed.nonEmpty)
+        s""","failed":${strArr(failed)},"failed_note":"total omits """ +
+          """failed ids; compare against the peer round's total minus """ +
+          """the same ids""""
+      else ""
     // when suspects exist, ALSO emit the total without them: flagged
     // rows annotate, but the headline total/value_normalized would still
     // carry their inflation into cross-round comparison (self-review
@@ -425,6 +494,35 @@ object Bench {
     val normTotal = calibNormalized(total, calib, calibBandLo, calibBandHi)
     val line =
       s"""{"metric":"total","value":${num3(total)},"value_normalized":${num3(normTotal)},"unit":"sec","calib":${num3(calib)},"calib_io":${num3(calibIo)},"degraded":$degraded$warnField,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    // Per-query walls SIDECAR (r19, VERDICT r18 #6): warm-up wall +
+    // every per-run timing + failed-run indices, as a FILE — the stdout
+    // record lives under a ~1.9 KB tail-capture budget, but recomputing
+    // flags after the fact (suspect ratios, cross-pass mins, r18-style
+    // contention audits) needs the raw walls, and stderr-only made that
+    // transcript archaeology. Best-effort: a sidecar write failure must
+    // not kill the record.
+    val wallsOut = sys.env.getOrElse("SPARK_GRAFT_WALLS_OUT",
+      "BENCH_walls.json")
+    try {
+      val per = results.map { case (k, rs) =>
+        val errIdx = rs.zipWithIndex.collect {
+          case (r, i) if r.error.isDefined => i }
+        s""""${jname(k)}":{"warm":${num(warmWalls.getOrElse(k, -1.0))},""" +
+          s""""runs":[${rs.map(r => num(r.secs)).mkString(",")}]""" +
+          (if (errIdx.nonEmpty) s""","failed_runs":[${errIdx.mkString(",")}]"""
+           else "") + "}"
+      }.mkString(",")
+      val wallsJson =
+        s"""{"calib":${num3(calib)},"calib_io":${num3(calibIo)},""" +
+          s""""passes":${passes.size},"suspect_ratio":${num(suspectRatio)},""" +
+          s""""walls":{$per}}""" + "\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(wallsOut),
+        wallsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] walls sidecar -> $wallsOut")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: walls sidecar write failed: " +
+        s"${e.getClass.getName}: ${e.getMessage}")
+    }
     // budget arithmetic: 2000-byte tail − ~75 B sbt [success] line −
     // 7 B "[info] " prefix ≈ 1918 usable. Short-id keys measured ~870 B
     // at 72 queries (the full-name line had hit 1916 — the boundary), so

@@ -76,6 +76,67 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(s.suspects == Seq("d14") && s.mins("d14") == 29.9)
   }
 
+  test("passPlan: two full passes in sweep order, dedup-scope queries " +
+    "take their remaining runs consecutively in pass B (r19)") {
+    val names = Seq("q01", "d06", "s04")
+    val plan = Bench.passPlan(names, Set("d06"), runs = 2)
+    assert(plan == Seq(
+      Seq("q01", "d06", "s04"),          // pass A: one run each
+      Seq("q01", "d06", "d06", "s04")))  // pass B: remainder; d06 gets 2
+    // runs=3 widens pass B uniformly; the scope minimum (3) still holds
+    assert(Bench.passPlan(names, Set("d06"), runs = 3)(1) ==
+      Seq("q01", "q01", "d06", "d06", "s04", "s04"))
+    // runs=1 leaves only the scoped queries in pass B; an empty pass is
+    // dropped rather than scheduled
+    assert(Bench.passPlan(names, Set("d06"), runs = 1) ==
+      Seq(names, Seq("d06", "d06")))
+    assert(Bench.passPlan(Seq("q01"), Set.empty, runs = 1) ==
+      Seq(Seq("q01")))
+  }
+
+  test("pass decorrelation: a contention window shorter than a full " +
+    "pass can no longer inflate a booked min — the r18 driver's d24 " +
+    "12.01-vs-2.01 shape reproduced under a synthetic stall and caught") {
+    import Bench.{RunResult, summarize}
+    // 125-query sweep, the r18 shape: min-of-3 for the dedup scope
+    val names = (1 to 125).map(i => f"q$i%03d")
+    val scoped = Set("q024", "q016", "q046") // stand-ins for d24/d16/d46
+    val plan = Bench.passPlan(names, scoped, runs = 2)
+    val schedule = plan.flatten
+    // the OLD layout ran all of a query's runs consecutively: any
+    // 3-slot contention window covered every sample of some query. In
+    // the pass layout, a query's pass-A and pass-B slots are separated
+    // by a full sweep of other queries — assert the minimum gap.
+    val gaps = names.map { n =>
+      val idx = schedule.zipWithIndex.collect { case (`n`, i) => i }
+      idx.max - idx.min
+    }
+    assert(gaps.min >= names.size - 1,
+      s"some query's samples sit ${gaps.min} slots apart — a short " +
+        "contention window could cover all of them")
+    // synthetic stall: a 40-slot window (a third of a pass) inflates
+    // every run inside it 6x — the exact non-uniform hit the r18 driver
+    // took on d24. Under the old consecutive layout this booked 12 s
+    // against a 2 s truth; under the pass layout every query keeps at
+    // least one clean sample, so the booked min is clean for ALL queries.
+    val window = 200 until 240 // sits inside pass B
+    val truth = 2.0
+    val walls = schedule.zipWithIndex.map { case (n, i) =>
+      (n, RunResult(if (window.contains(i)) truth * 6 else truth, None))
+    }
+    val byQuery = names.map(n =>
+      n -> walls.collect { case (`n`, r) => r }).toSeq
+    val s = summarize(byQuery, warm = Map.empty, ratio = 8.0)
+    assert(s.mins.values.forall(_ == truth),
+      "a sub-pass contention window inflated a booked min")
+    // and the backstop still exists for a window that DOES span the
+    // session: all-samples-inflated trips the warm-wall suspect flag
+    val uniform = summarize(
+      Seq("q024" -> Seq(RunResult(12.01, None), RunResult(12.3, None))),
+      warm = Map("q024" -> 1.2), ratio = 8.0)
+    assert(uniform.suspects == Seq("q024"))
+  }
+
   test("calib normalization scales to the band midpoint: identity at " +
     "midpoint, deflates slow sessions, inflates quick ones, raw " +
     "fallback on a failed anchor (r17)") {
