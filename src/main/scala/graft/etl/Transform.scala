@@ -143,34 +143,49 @@ object EtlConfig {
             // accepts rule-carrying forms like "EST5EDT,M3.2.0/2,
             // M11.1.0/2" and uses the STD offset, ignoring the DST
             // rules — a config valid upstream must not refuse here.
-            // Same semantics, loudly: map to the fixed-offset path
-            // (POSIX sign is local→UTC, so UTC+H is its negation) and
-            // warn that rules are ignored; zone-RULE bucketing wants an
-            // IANA id instead. Anything else still refuses.
+            // graft maps the named form with TRUE POSIX sign semantics:
+            // unsigned/'+' hours lie WEST of Greenwich (EST5 → UTC-5,
+            // JST-9 → UTC+9), hh:mm:ss all honored and bounded
+            // (hh ≤ 24, mm/ss ≤ 59 — out-of-range refuses like UTC25,
+            // never a nonsense offset behind a warning; ADVICE r18).
+            // SIGN CAVEAT, documented rather than claimed away: the
+            // reference feeds tzif 0.2.0's std_info.offset straight into
+            // chrono FixedOffset::east_opt (s3logs/src/utils.rs:479-494)
+            // — whether that crate stores the raw west-positive POSIX
+            // value or normalizes to seconds-east could not be pinned in
+            // this sandbox (no network, no vendored crate source). If it
+            // stores the raw value, the reference's named forms are
+            // sign-FLIPPED relative to POSIX ("EST5" behaving as UTC+5)
+            // and graft deliberately diverges on the side of the
+            // standard; see README "POSIX tz sign".
             val posix =
-              "[A-Za-z]{3,}([+-]?\\d{1,2})(?::(\\d{2}))?(?::\\d{2})?(?:[A-Za-z]{3,}.*)?".r
+              "[A-Za-z]{3,}([+-]?\\d{1,2})(?::(\\d{1,2}))?(?::(\\d{1,2}))?(?:[A-Za-z]{3,}.*)?".r
             zone match {
-              // POSIX bounds hh to [0, 24] — "UTC25"-style garbage that
-              // happens to match the shape must keep refusing, not map
-              // to a nonsense offset with only a warning (self-review)
-              case posix(h, mm) if math.abs(h.toLong) <= 24 =>
+              // POSIX bounds: hh in [0, 24], mm/ss in [0, 59] —
+              // "UTC25"/"EST5:99"-style garbage that happens to match
+              // the shape must keep refusing (self-review + ADVICE r18)
+              case posix(h, mm, ss) if math.abs(h.toLong) <= 24 &&
+                  Option(mm).forall(_.toLong <= 59) &&
+                  Option(ss).forall(_.toLong <= 59) =>
                 val mag = math.abs(h.toLong) * 3600 +
-                  Option(mm).map(_.toLong * 60).getOrElse(0L)
+                  Option(mm).map(_.toLong * 60).getOrElse(0L) +
+                  Option(ss).map(_.toLong).getOrElse(0L)
                 val off = if (h.startsWith("-")) mag else -mag
                 val hhmm = f"${if (off < 0) "-" else "+"}${math.abs(off) / 3600}%02d:${
                   math.abs(off) % 3600 / 60}%02d"
                 System.err.println(s"[etl] WARNING: POSIX tz '$zone' maps " +
-                  s"to its standard offset (UTC$hhmm) and its DST " +
-                  "rules are IGNORED (the reference's tzif behavior); use " +
-                  "an IANA zone id (e.g. America/New_York) for DST-correct " +
-                  "bucketing")
+                  s"to its standard offset (UTC$hhmm; POSIX sign — " +
+                  "unsigned/positive hours lie WEST of Greenwich) and " +
+                  "its DST rules are IGNORED; use an IANA zone id (e.g. " +
+                  "America/New_York) for DST-correct bucketing")
                 (off, None)
               case _ =>
                 throw new IllegalArgumentException(
                   s"unsupported tz: '$zone' — use a fixed offset " +
                     "(UTC±HH[:MM]), a POSIX tz (EST5EDT[,rules] — std " +
-                    "offset only, hours <= 24), or an IANA zone id (e.g. " +
-                    "America/New_York) for DST rules")
+                    "offset only; hours <= 24, minutes/seconds <= 59), " +
+                    "or an IANA zone id (e.g. America/New_York) for DST " +
+                    "rules")
             }
           }
       }

@@ -180,6 +180,21 @@ class EtlSpec extends SparkSpec {
       EtlConfig.fromEnv(Map(
         "S3LOGS_STAGGING_PARTITION_TZIF" -> "UTC25"))
     }
+    // minutes and seconds are bounded to 59 the same way (ADVICE r18:
+    // 'EST5:99' previously mapped to a nonsense offset behind a warning)
+    intercept[IllegalArgumentException] {
+      EtlConfig.fromEnv(Map(
+        "S3LOGS_STAGGING_PARTITION_TZIF" -> "EST5:99"))
+    }
+    intercept[IllegalArgumentException] {
+      EtlConfig.fromEnv(Map(
+        "S3LOGS_STAGGING_PARTITION_TZIF" -> "EST5:00:99"))
+    }
+    // the :ss field is honored, not silently dropped (ADVICE r18):
+    // EST5:30:30 = 5h30m30s west of Greenwich
+    assert(EtlConfig.fromEnv(Map(
+      "S3LOGS_STAGGING_PARTITION_TZIF" -> "EST5:30:30"))
+      .tzOffsetSeconds == -(5 * 3600 + 30 * 60 + 30))
     // the zone path leaves the fixed-offset default untouched: same
     // frame, no zone -> pure offset arithmetic
     val fixed = Seq("2024-11-03T06:30:00Z").toDF("iso")
