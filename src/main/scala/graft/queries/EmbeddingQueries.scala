@@ -258,9 +258,14 @@ object EmbeddingQueries {
     * knobs, and any change to the cell set or any learned norm flips it
     * with overwhelming probability. ≤cells rows — the one-row aggregate
     * is driver-cheap by construction. */
-  private[graft] def quantizerDigest(c: DataFrame): Long =
-    c.select(col("cell"), col("cnorm"))
-      .agg(expr("bit_xor(xxhash64(cell, cnorm))")).head().getLong(0)
+  private[graft] def quantizerDigest(c: DataFrame): Long = {
+    val r = c.select(col("cell"), col("cnorm"))
+      .agg(expr("bit_xor(xxhash64(cell, cnorm))")).head()
+    require(!r.isNullAt(0),
+      "quantizerDigest: the centroids table is empty — not a trained " +
+        "quantizer artifact")
+    r.getLong(0)
+  }
 
   /** The d24 artifact rule made LOUD (r19, VERDICT r18 #2): an ivftrain
     * artifact is only comparable under the (cells, rounds) it was
