@@ -112,21 +112,30 @@ object Bench {
     * consecutive, ONE box-contention window covers every sample — the
     * r18 driver booked d24 at 12.01 s (same-HEAD local: 2.01 s) with the
     * min-of-3 runs all inside the window and the suspect flag blind to
-    * it. The schedule now takes TWO time-separated full passes: pass A
-    * runs every query once in sweep order; pass B runs the full list
-    * again, each query taking its remaining (total-1) runs consecutively
-    * there (the dedup-scope queries' steady-state 3rd run included, so
-    * their reported min still reflects a warmed scope cache). A query's
-    * pass-A and pass-B samples are separated by a full sweep of OTHER
-    * queries, so a window would have to span essentially the whole
-    * session to inflate the cross-pass min — and a session-wide slowdown
-    * is exactly what the calib band and the 8x warm-wall suspect flag
-    * (kept as backstop) do see. */
+    * it. The schedule now takes TWO time-separated full passes:
+    *
+    *  - pass A runs every query ONCE in sweep order — the decorrelated
+    *    guard sample;
+    *  - pass B runs the full list again, each query taking its `runs`
+    *    consecutive executions there (the dedup scope's floor of 2 —
+    *    their per-invocation cache reaches steady state by run 2-3).
+    *
+    * Pass B's consecutive pair preserves the record's DOCUMENTED
+    * steady-state-min semantics (a first run over the 250-run sweep
+    * horizon pays file-listing/footer/JIT re-warm that back-to-back
+    * runs don't — measured 2-3x on sub-second queries when an early
+    * r19 layout took only ONE pass-B run, which would have broken
+    * cross-round comparability); pass A's sample, a full sweep of other
+    * queries away, bounds the min whenever a contention window lands on
+    * the pass-B pair. A window must now span essentially the whole
+    * session — the uniform case the calib band and the 8x warm-wall
+    * suspect flag (kept as backstop) do see — before a booked min can
+    * be inflated. */
   private[graft] def passPlan(names: Seq[String], scoped: String => Boolean,
       runs: Int): Seq[Seq[String]] = {
     val passB = names.flatMap { n =>
-      val total = if (scoped(n)) math.max(runs, 3) else runs
-      Seq.fill(math.max(total - 1, 0))(n)
+      val inB = if (scoped(n)) math.max(runs, 2) else runs
+      Seq.fill(math.max(inB, 0))(n)
     }
     Seq(names, passB).filter(_.nonEmpty)
   }

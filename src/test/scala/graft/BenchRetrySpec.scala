@@ -76,22 +76,23 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(s.suspects == Seq("d14") && s.mins("d14") == 29.9)
   }
 
-  test("passPlan: two full passes in sweep order, dedup-scope queries " +
-    "take their remaining runs consecutively in pass B (r19)") {
+  test("passPlan: pass A = one decorrelated guard run each, pass B = " +
+    "the `runs` consecutive steady-state executions (r19)") {
     val names = Seq("q01", "d06", "s04")
     val plan = Bench.passPlan(names, Set("d06"), runs = 2)
     assert(plan == Seq(
-      Seq("q01", "d06", "s04"),          // pass A: one run each
-      Seq("q01", "d06", "d06", "s04")))  // pass B: remainder; d06 gets 2
-    // runs=3 widens pass B uniformly; the scope minimum (3) still holds
+      Seq("q01", "d06", "s04"),                          // pass A
+      Seq("q01", "q01", "d06", "d06", "s04", "s04")))    // pass B
+    // runs=3 widens pass B uniformly
     assert(Bench.passPlan(names, Set("d06"), runs = 3)(1) ==
-      Seq("q01", "q01", "d06", "d06", "s04", "s04"))
-    // runs=1 leaves only the scoped queries in pass B; an empty pass is
-    // dropped rather than scheduled
+      Seq("q01", "q01", "q01", "d06", "d06", "d06", "s04", "s04", "s04"))
+    // runs=1 (the dev fast path) keeps one run per pass — EXCEPT the
+    // dedup scope, whose per-invocation caches need a consecutive pair
+    // in pass B to reach their documented steady state
     assert(Bench.passPlan(names, Set("d06"), runs = 1) ==
-      Seq(names, Seq("d06", "d06")))
+      Seq(names, Seq("q01", "d06", "d06", "s04")))
     assert(Bench.passPlan(Seq("q01"), Set.empty, runs = 1) ==
-      Seq(Seq("q01")))
+      Seq(Seq("q01"), Seq("q01")))
   }
 
   test("pass decorrelation: a contention window shorter than a full " +
