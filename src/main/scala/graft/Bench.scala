@@ -166,6 +166,42 @@ object Bench {
       bandLo: Double, bandHi: Double): Double =
     if (calib > 0) total * ((bandLo + bandHi) / 2) / calib else total
 
+  /** Locale-safe compact number formats shared by the record line and
+    * the walls sidecar (Scala's f"" formats under the JVM default
+    * locale, and a comma decimal separator is invalid JSON — ADVICE
+    * r10). fmt2 strips trailing zeros (10 ms precision, below this
+    * box's jitter); fmt3 keeps the headline's 3 decimals. */
+  private[graft] def fmt2(v: Double): String = {
+    var s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    while (s.endsWith("0")) s = s.dropRight(1)
+    if (s.endsWith(".")) s.dropRight(1) else s
+  }
+  private[graft] def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The walls-sidecar body (r19, VERDICT r18 #6), pure so its shape is
+    * spec-pinned as parseable JSON carrying what flag recomputation
+    * needs: per query the warm-up wall (-1 = warm-up failed), every
+    * per-run wall in schedule order (pass A first, then the pass-B
+    * runs, then any pass-C retry), and — only when present — the
+    * failed-run indices; top-level the two calib anchors, the pass
+    * count, and the suspect ratio the session ran under. */
+  private[graft] def wallsJson(entries: Seq[(String, Double, Seq[RunResult])],
+      calib: Double, calibIo: Double, nPasses: Int, suspectRatio: Double,
+      rename: String => String): String = {
+    val per = entries.map { case (k, warm, rs) =>
+      val errIdx = rs.zipWithIndex.collect {
+        case (r, i) if r.error.isDefined => i }
+      s""""${rename(k)}":{"warm":${fmt2(warm)},""" +
+        s""""runs":[${rs.map(r => fmt2(r.secs)).mkString(",")}]""" +
+        (if (errIdx.nonEmpty) s""","failed_runs":[${errIdx.mkString(",")}]"""
+         else "") + "}"
+    }.mkString(",")
+    s"""{"calib":${fmt3(calib)},"calib_io":${fmt3(calibIo)},""" +
+      s""""passes":$nPasses,"suspect_ratio":${fmt2(suspectRatio)},""" +
+      s""""walls":{$per}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(appName = "graft-bench")
@@ -439,11 +475,7 @@ object Bench {
     // Locale.ROOT everywhere a number reaches the JSON line: Scala's f""
     // interpolator formats under the JVM default locale, and a comma
     // decimal separator ("0,20") is invalid JSON (ADVICE r10).
-    def num(v: Double): String = {
-      var s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      while (s.endsWith("0")) s = s.dropRight(1)
-      if (s.endsWith(".")) s.dropRight(1) else s
-    }
+    def num(v: Double): String = fmt2(v)
     def shortId(name: String): String = name.takeWhile(_ != '_')
     val unique = results.map(_._1).groupBy(shortId).forall(_._2.size == 1)
     def jname(k: String): String = if (unique) shortId(k) else k
@@ -492,8 +524,7 @@ object Bench {
     val suspectField =
       (if (suspects.nonEmpty) s""","suspect":${strArr(suspects)}""" else "") +
         exclSuspect
-    def num3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def num3(v: Double): String = fmt3(v)
     // "calib_warn" appears only on excursion — zero bytes in a healthy
     // session, and its absence is itself the all-clear
     val warnField =
@@ -513,20 +544,12 @@ object Bench {
     val wallsOut = sys.env.getOrElse("SPARK_GRAFT_WALLS_OUT",
       "BENCH_walls.json")
     try {
-      val per = results.map { case (k, rs) =>
-        val errIdx = rs.zipWithIndex.collect {
-          case (r, i) if r.error.isDefined => i }
-        s""""${jname(k)}":{"warm":${num(warmWalls.getOrElse(k, -1.0))},""" +
-          s""""runs":[${rs.map(r => num(r.secs)).mkString(",")}]""" +
-          (if (errIdx.nonEmpty) s""","failed_runs":[${errIdx.mkString(",")}]"""
-           else "") + "}"
-      }.mkString(",")
-      val wallsJson =
-        s"""{"calib":${num3(calib)},"calib_io":${num3(calibIo)},""" +
-          s""""passes":${passes.size},"suspect_ratio":${num(suspectRatio)},""" +
-          s""""walls":{$per}}""" + "\n"
+      val entries = results.map { case (k, rs) =>
+        (k, warmWalls.getOrElse(k, -1.0), rs) }
+      val body = wallsJson(entries, calib, calibIo, passes.size,
+        suspectRatio, jname) + "\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(wallsOut),
-        wallsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] walls sidecar -> $wallsOut")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] WARNING: walls sidecar write failed: " +

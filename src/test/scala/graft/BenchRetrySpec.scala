@@ -138,6 +138,34 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(uniform.suspects == Seq("q024"))
   }
 
+  test("walls sidecar: parseable JSON with warm + per-run walls and " +
+    "failed-run indices only where runs failed (r19)") {
+    import Bench.{RunResult, wallsJson}
+    val json = wallsJson(
+      Seq(
+        ("q01_pricing_summary", 0.5,
+          Seq(RunResult(0.35, None), RunResult(0.82, None),
+            RunResult(0.29, None))),
+        ("d99_boom", -1.0,
+          Seq(RunResult(0.4, Some("x")), RunResult(0.3, None)))),
+      calib = 0.293, calibIo = 0.128, nPasses = 2, suspectRatio = 8.0,
+      rename = _.takeWhile(_ != '_'))
+    // parsed with a real JSON parser: the sidecar is a machine-read
+    // artifact (flag recomputation), so "looks like JSON" is not enough
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(m.get("calib").asDouble == 0.293 && m.get("passes").asInt == 2)
+    assert(m.get("suspect_ratio").asDouble == 8.0)
+    val q = m.get("walls").get("q01")
+    assert(q.get("warm").asDouble == 0.5)
+    assert(q.get("runs").size == 3 && q.get("runs").get(1).asDouble == 0.82)
+    assert(q.get("failed_runs") == null,
+      "a clean query must carry no failed_runs field")
+    val d = m.get("walls").get("d99")
+    assert(d.get("warm").asDouble == -1.0)
+    assert(d.get("failed_runs").size == 1 &&
+      d.get("failed_runs").get(0).asInt == 0)
+  }
+
   test("calib normalization scales to the band midpoint: identity at " +
     "midpoint, deflates slow sessions, inflates quick ones, raw " +
     "fallback on a failed anchor (r17)") {
