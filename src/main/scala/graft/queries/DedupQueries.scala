@@ -177,7 +177,8 @@ object DedupQueries {
     * closing, so a long-lived session processing many corpora holds at
     * most one corpus's signatures at a time — and zero between calls. */
   final class DedupScope private[DedupQueries] (
-      docs: DataFrame, withSplit: Boolean = false)
+      docs: DataFrame, withSplit: Boolean = false,
+      withQuality: Boolean = false)
       extends AutoCloseable {
 
     /** Caches acquired by stages inside this scope (beyond `sigs`),
@@ -198,9 +199,14 @@ object DedupQueries {
       * the struct's field extractions share a single evaluation via
       * whole-stage-codegen subexpression elimination). `withSplit` folds
       * the d13 split hash into the same pass: the contamination check
-      * then never rescans the corpus for its split side. */
+      * then never rescans the corpus for its split side. `withQuality`
+      * does the same for the d09 quality columns (d34's selection
+      * input): quality is per-doc column math over the text the
+      * signature pass is already scanning, so folding it here saves the
+      * consumer a SECOND full corpus text scan plus the corpus-size
+      * doc_id join to attach it (r19). */
     private[queries] val sigs: DataFrame =
-      signatureTable(docs, withSplit).persist()
+      signatureTable(docs, withSplit, withQuality).persist()
 
     /** d03: LSH candidate pairs with signature-estimated similarity
       * ≥ 0.5, between exact-dup representatives. Lazy — reads the shared
@@ -327,9 +333,10 @@ object DedupQueries {
     * several dedup stages over ONE signature materialization — at 100 TB
     * the candidate → verify → cluster pipeline is one job, and the corpus
     * must be signature-scanned once, not once per stage. */
-  def withDedupScope[A](docs: DataFrame, withSplit: Boolean = false)(
+  def withDedupScope[A](docs: DataFrame, withSplit: Boolean = false,
+      withQuality: Boolean = false)(
       f: DedupScope => A): A = {
-    val scope = new DedupScope(docs, withSplit)
+    val scope = new DedupScope(docs, withSplit, withQuality)
     try f(scope) finally scope.close()
   }
 
@@ -362,13 +369,18 @@ object DedupQueries {
     * pass (the signature struct already carries the split bucket), which
     * is what [[incrementalContamination]] consumes — the split gate then
     * never needs the text either. */
-  def signatureTable(docs: DataFrame, withSplit: Boolean = false): DataFrame = {
+  def signatureTable(docs: DataFrame, withSplit: Boolean = false,
+      withQuality: Boolean = false): DataFrame = {
     val cols = Seq(col("doc_id"), md5(col("text")).as("fp"),
       col("_sig.mh").as("mh"), col("_sig.bands").as("bands")) ++
       (if (withSplit)
          Seq(DocumentQueries.splitOfBucket(col("_sig.split_bucket")).as("split"))
-       else Nil)
-    docs
+       else Nil) ++
+      (if (withQuality) Seq(col("quality")) else Nil)
+    // quality (d09's codegen column math — [[DocumentQueries.withQuality]],
+    // the ONE definition) rides the same projection as the signature
+    // struct, so the pass stays one compiled scan over the text
+    (if (withQuality) DocumentQueries.withQuality(docs) else docs)
       .withColumn("_sig",
         expr(s"${graft.functions.TextSignatureExpr.functionName}(text)"))
       .select(cols: _*)
@@ -927,15 +939,17 @@ object DedupQueries {
     val s = docs.sparkSession
     import s.implicits._
     val guarded = dispositionGuarded(docs, "dedupBest")
-    withDedupScope(guarded) { scope =>
-      val members = memberReps(scope.sigs)
+    // quality rides the scope's ONE signature pass and the memberReps
+    // carry (r19) — the previous shape ran a SECOND full text scan
+    // (withQuality over the corpus) and a corpus-size doc_id join to
+    // attach it; same d09 expression, same rows, one scan and one join
+    // fewer.
+    withDedupScope(guarded, withQuality = true) { scope =>
+      val members = memberReps(scope.sigs, "quality")
       val clusters = scope.clusters.select($"doc_id".as("rep"), $"cluster_id")
-      val grouped = members.join(clusters, Seq("rep"), "left")
+      val scored = members.join(clusters, Seq("rep"), "left")
         .withColumn("group_id", coalesce($"cluster_id", $"rep"))
-        .select($"doc_id", $"group_id")
-      val quality = DocumentQueries.withQuality(guarded)
-        .select($"doc_id", $"quality")
-      val scored = grouped.join(quality, Seq("doc_id"))
+        .select($"doc_id", $"quality", $"group_id")
       val best = scored.groupBy($"group_id")
         .agg(max(struct($"quality", (-$"doc_id").as("neg"),
           $"doc_id".as("id"))).as("m"))

@@ -1848,12 +1848,16 @@ object DocumentQueries {
     // pre-tabulated 2048-row literal (an inline-relation equi-join)
     val signs = domSignRows(dsirBucketsOf(QueryConf.dsirHexChars(s)),
       QueryConf.domainCells(s)).toDF("fb", "cell", "w")
-    val arg0W = Window.partitionBy($"doc_id").orderBy($"dot0".desc, $"cell")
+    // argmax as a max(struct(dot0, -cell)) aggregate, not a row_number
+    // window (r19): same (dot0 DESC, cell ASC) order, but the per-doc
+    // fold is map-side combinable where the window re-sorted every
+    // (doc, cell) row under a doc_id exchange just to keep one of them
     val assign0 = f
       .join(signs, Seq("fb"))
       .groupBy($"doc_id", $"cell").agg(sum($"c" * $"w").as("dot0"))
-      .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
-      .select($"doc_id", $"cell".as("cell0"))
+      .groupBy($"doc_id")
+      .agg(max(struct($"dot0", (-$"cell").as("negc"))).as("m"))
+      .select($"doc_id", (-$"m.negc").as("cell0"))
     // one Lloyd round at 1e-9 fixed-point grain (exact, order-free)
     // ≤ 2048 rows; materialized so the centroid chain (feature pass +
     // seed window + DECIMAL sums) runs once for its two consumers
@@ -1875,12 +1879,14 @@ object DocumentQueries {
     val dots = f.join(cent.select($"cell0".as("cell"), $"fb", $"sxq"), Seq("fb"))
       .groupBy($"doc_id", $"cell")
       .agg(sum(expr("CAST(c AS DECIMAL(10,0)) * sxq")).as("dotq"))
-    val argW = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cell")
+    // same aggregate-argmax shape as assign0 (r19; was a second
+    // row_number window over the same per-doc cell fan-out)
     dots.join(cnorm.withColumnRenamed("cell0", "cell"), Seq("cell"))
       .withColumn("score", $"dotq".cast("double") / $"cnorm")
-      .withColumn("rn", row_number().over(argW)).filter($"rn" === 1)
+      .groupBy($"doc_id")
+      .agg(max(struct($"score", (-$"cell").as("negc"))).as("m"))
       .join(nrm.select($"doc_id", $"n_feats"), Seq("doc_id"))
-      .select($"doc_id", $"cell".cast("long").as("cluster"), $"n_feats")
+      .select($"doc_id", (-$"m.negc").cast("long").as("cluster"), $"n_feats")
       .orderBy($"doc_id")
   }
 

@@ -99,10 +99,18 @@ object EmbeddingQueries {
   private[graft] def recenter(assign: DataFrame): DataFrame = {
     val s = assign.sparkSession
     import s.implicits._
+    // spherical k-means: members are normalized to unit length before
+    // averaging (the cosine objective's centroid — a raw mean would let
+    // large-norm members dominate the direction).
+    //
+    // Shape note (r19 A/B): a window-free "64 parallel decimal sums"
+    // variant (one wide groupBy(cell) aggregate, no explode) was built
+    // and PerfAB'd against this form — the explode form won consistently
+    // (s04 0.84 vs 0.89 med, s12 0.53 vs 0.68, s09 0.48 vs 0.58; 3
+    // interleaved same-JVM rounds), and its shuffle is ALREADY bounded:
+    // the (cell, i) groupBy partial-aggregates map-side, so ≤ cells×64
+    // rows per map task move regardless of member count. Kept as is.
     assign
-      // spherical k-means: members are normalized to unit length before
-      // averaging (the cosine objective's centroid — a raw mean would let
-      // large-norm members dominate the direction)
       .select($"cell",
         posexplode(expr("transform(v, x -> x / nrm)")).as(Seq("i", "x")))
       .groupBy($"cell", $"i")
@@ -125,6 +133,35 @@ object EmbeddingQueries {
     e.join(broadcast(centroids))
       .withColumn("dot", dot("v", "cv_sum") / $"cnorm")
       .withColumn("rn", row_number().over(argW))
+  }
+
+  /** [[assignTo]] restricted to the home cell (rn = 1) — the corpus-wide
+    * assignment every IVF consumer runs — computed IN-ROW against the
+    * centroid table collected to a single broadcast array (r19). The
+    * window form shuffled AND sorted k×n rows each carrying the full
+    * 64-double vector just to keep one of them; this form plans ZERO
+    * exchanges over the corpus (one BroadcastNestedLoopJoin against a
+    * 1-row frame) and — unlike a max(struct)/first(v) aggregate, whose
+    * non-mutable buffers drop to ObjectHashAggregate and sort-fall-back
+    * past 128 keys per partition at real corpus sizes — it has no
+    * per-key state at all. The argmax over the array is
+    * order-independent (lexicographic max over (dot, -cell) = assignTo's
+    * (dot DESC, cell ASC)), and the dot expression is assignTo's
+    * verbatim, so the result is spec-pinned row-equal to
+    * assignTo.filter(rn = 1) (OperatorsSpec). The m-null filter keeps
+    * the empty-centroids case at assignTo's semantics (no rows). */
+  private[graft] def assignHome(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cents = centroids.agg(
+      collect_list(struct($"cell", $"cv_sum", $"cnorm")).as("cents"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("m", expr(
+        "array_max(transform(cents, c -> " +
+          "struct(graft_dot(v, c.cv_sum) / c.cnorm AS dot, -c.cell AS negc)))"))
+      .filter($"m".isNotNull)
+      .select($"vec_id", $"v", $"nrm", (-$"m.negc").as("cell"),
+        $"m.dot".as("dot"))
   }
 
   /** Above this cell count the fixed sign-seed matrix stops being a plan
@@ -157,26 +194,27 @@ object EmbeddingQueries {
     require(rounds >= 1, s"trainCentroids: rounds must be >= 1 (got $rounds)")
     val assign0 =
       if (cells <= seedTableBar) {
-        val dotsArr = expr(sparkIvfDots("v", cells))
-        // posexplode_outer (never-empty array): non-outer Generate would
-        // inline the dot-array expression into a pushed-down size() filter
-        val arg0W = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"cell")
+        // in-row argmax over the literal dot array (r19): array_max over
+        // (dot, -cell) structs realizes the same (dot DESC, cell ASC)
+        // order as the old posexplode + row_number window — which
+        // multiplied every row cells× through a vec_id-sort exchange
+        // just to keep one of them; this form plans ZERO exchanges.
         e.select($"vec_id", $"v", $"nrm",
-          posexplode_outer(dotsArr).as(Seq("cell", "dot")))
-          .withColumn("rn", row_number().over(arg0W)).filter($"rn" === 1)
-          .select($"vec_id", $"v", $"nrm", $"cell")
+          expr(s"array_max(zip_with(${sparkIvfDots("v", cells)}, " +
+            s"sequence(0, ${cells - 1}), " +
+            "(d, i) -> struct(d AS dot, -i AS negc)))").as("m"))
+          .select($"vec_id", $"v", $"nrm", (-$"m.negc").as("cell"))
       } else {
         val seeds = s.createDataFrame((0 until cells).map { j =>
           (j, (0 until 64).map(i => cw(j, i)), 8.0)
         }).toDF("cell", "cv_sum", "cnorm")
-        assignTo(e, seeds).filter($"rn" === 1)
+        assignHome(e, seeds)
           .select($"vec_id", $"v", $"nrm", $"cell")
       }
     var c = recenter(assign0).materialize()
     var r = 1
     while (r < rounds) {
-      c = recenter(assignTo(e, c).filter($"rn" === 1)
-        .select($"vec_id", $"v", $"nrm", $"cell")).materialize()
+      c = recenter(assignHome(e, c)).materialize()
       r += 1
     }
     c
@@ -203,7 +241,7 @@ object EmbeddingQueries {
     checkQuantizerMeta(centroids, "pqEncode")
     val cu = centroids.select($"cell",
       expr("transform(cv_sum, x -> x / cnorm)").as("cunit"))
-    assignTo(batch, centroids).filter($"rn" === 1)
+    assignHome(batch, centroids)
       .select($"vec_id", $"v", $"nrm", $"cell")
       .join(broadcast(cu), "cell")
       .withColumn("r", expr(
@@ -343,8 +381,7 @@ object EmbeddingQueries {
     // Constant per row: dictionary/RLE-encoded to ~zero bytes in
     // parquet, readable via a one-row limit scan at any index size.
     val fp = quantizerDigest(centroids)
-    assignTo(prepVecs(corpusEmb, "ivfIndex corpus"), centroids)
-      .filter($"rn" === 1)
+    assignHome(prepVecs(corpusEmb, "ivfIndex corpus"), centroids)
       .select($"vec_id", $"v", $"nrm", $"cell")
       .withColumn("meta_qfp", lit(fp))
       .withColumn("meta_ver", lit(ArtifactVer))
@@ -481,7 +518,7 @@ object EmbeddingQueries {
     }
     val c1 = centroids.getOrElse(
       trainCentroids(e, QueryConf.ivfCells(s), QueryConf.lloydRounds(s)))
-    val cand = assignTo(e, c1).filter($"rn" === 1)
+    val cand = assignHome(e, c1)
       .select($"vec_id".as("doc_id"), $"v".as("cv"), $"nrm".as("cn"), $"cell")
     val probes = assignTo(q, c1).filter($"rn" <= QueryConf.ivfProbes(s))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
@@ -611,8 +648,7 @@ object EmbeddingQueries {
     val e = emb.select($"vec_id", $"v")
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     val c1 = trainCentroids(e, QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
-    val assigned = assignTo(e, c1)
-    val corpus = assigned.filter($"rn" === 1)
+    val corpus = assignHome(e, c1)
       .select($"vec_id", $"v", $"nrm", $"cell")
     // multi-probe (r18, `spark.graft.knn.nprobe`): the SCAN side probes
     // each vector's nprobe nearest cells while candidates stay home-cell
@@ -620,8 +656,14 @@ object EmbeddingQueries {
     // A (src, nbr) pair cannot repeat (nbr has ONE home cell and src's
     // probe cells are distinct), so no dedup enters the plan; nprobe=1
     // (the spec-pinned gate default) is exactly the single-probe graph.
+    // nprobe = 1 (the gate default) IS the home-cell assignment, so the
+    // scan side rides the same window-free assignHome shape as the
+    // corpus; only a multi-probe session ranks cells through assignTo.
     val nprobe = QueryConf.knnNprobe(s)
-    val a = assigned.filter($"rn" <= nprobe)
+    val probeAssign =
+      if (nprobe == 1) corpus
+      else assignTo(e, c1).filter($"rn" <= nprobe)
+    val a = probeAssign
       .select($"vec_id".as("src"), $"v".as("av"),
         $"nrm".as("an"), $"cell")
     val b = corpus.select($"vec_id".as("nbr"), $"v".as("bv"),
@@ -732,7 +774,7 @@ object EmbeddingQueries {
     // policy (the raw doubles are bit-equal cross-engine, so comparing
     // them is deterministic; rounding first could flip a near-tie
     // differently than the oracle), rounded only on output.
-    val corpus = assignTo(e, c1).filter($"rn" === 1)
+    val corpus = assignHome(e, c1)
       .withColumn("craw", $"dot" / $"nrm")
       .select($"vec_id", $"v", $"nrm", $"cell", $"craw")
     val a = corpus.select($"vec_id".as("a_id"), $"v".as("av"),
@@ -804,7 +846,7 @@ object EmbeddingQueries {
     // --- s04's coarse quantizer, trained on the TRAIN side only;
     // k / rounds / nprobe from session conf (gate defaults 16/1/8) ---
     val c1 = trainCentroids(t, QueryConf.ivfCells(s), QueryConf.lloydRounds(s))
-    val corpus = assignTo(t, c1).filter($"rn" === 1)
+    val corpus = assignHome(t, c1)
       .select($"vec_id", $"v", $"nrm", $"cell")
     val probes = assignTo(ev, c1).filter($"rn" <= QueryConf.ivfProbes(s))
       .select($"vec_id".as("e_id"), $"v".as("ev"), $"nrm".as("en"),
@@ -866,7 +908,7 @@ object EmbeddingQueries {
     // read it, and without the barrier each re-runs the broadcast
     // assign scan.
     val nB = 16
-    val assigned = graft.Materialize(assignTo(e, c1).filter($"rn" === 1)
+    val assigned = graft.Materialize(assignHome(e, c1)
       .withColumn("csim", round($"dot" / $"nrm", 4))
       .select($"vec_id", $"cell", $"csim"))
     // NaN guard: a zero-norm vector yields csim = 0/0 = NaN, which
@@ -998,7 +1040,7 @@ object EmbeddingQueries {
       // operating points"). [[QueryConf]] scales both per-session.
       val c1 = trainCentroids(e, QueryConf.ivfCells(s),
         QueryConf.lloydRounds(s))
-      val corpus = assignTo(e, c1).filter($"rn" === 1)
+      val corpus = assignHome(e, c1)
         .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"), $"cell")
       // per-vector assignment is independent, so the probe side assigns
       // just the 20 query vectors instead of re-windowing the corpus
@@ -1225,7 +1267,7 @@ object EmbeddingQueries {
         QueryConf.lloydRounds(s))
       val cu = c1.select($"cell",
         expr("transform(cv_sum, x -> x / cnorm)").as("cunit"))
-      val corpus = assignTo(e, c1).filter($"rn" === 1)
+      val corpus = assignHome(e, c1)
         .select($"vec_id".as("c_id"), $"v", $"nrm", $"cell")
       // --- PQ encode: normalized residual, int8 per 8-dim subvector ---
       val sub = corpus.join(broadcast(cu), "cell")

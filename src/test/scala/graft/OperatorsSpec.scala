@@ -2903,6 +2903,33 @@ class OperatorsSpec extends SparkSpec {
     finally spark.conf.unset(graft.queries.QueryConf.WinnowMaxDfKey)
   }
 
+  test("assignHome (in-row argmax, r19) is row-equal to " +
+    "assignTo.filter(rn = 1) — cell AND winning dot — on the smoke corpus") {
+    import spark.implicits._
+    val e = Tables(spark, sfSmoke, "embeddings")
+      .withColumn("v", org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", org.apache.spark.sql.functions.expr(
+        "sqrt(graft_dot(v, v))"))
+      .select($"vec_id", $"v", $"nrm")
+    val c1 = EmbeddingQueries.trainCentroids(e, 16, 1)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell", $"dot").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val home = keyed(EmbeddingQueries.assignHome(e, c1))
+    val window = keyed(EmbeddingQueries.assignTo(e, c1)
+      .filter($"rn" === 1))
+    assert(home.nonEmpty && home == window,
+      "assignHome must reproduce the window argmax exactly " +
+        "(dot DESC, cell ASC tie-break)")
+    // empty-centroids edge: assignTo's empty-broadcast join yields no
+    // rows; the in-row form must too (the m-null filter), not n rows of
+    // null cells
+    assert(EmbeddingQueries.assignHome(e, c1.limit(0)).isEmpty,
+      "empty centroid table must assign nothing")
+  }
+
   test("incremental PQ encode: the parquet-round-tripped centroid " +
     "artifact encodes bit-identically to the in-memory trainer, and the " +
     "batch never includes train-side vectors (s12)") {
