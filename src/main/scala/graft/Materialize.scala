@@ -83,9 +83,27 @@ object Materialize {
     }
   }
 
+  /** Presentation sort over an eagerly materialized result — for queries
+    * whose final global `orderBy` sits directly on a heavy projection
+    * with NO exchange underneath (one-pass codegen kernels: the parse
+    * round-trip, signature/quality passes, media decoders). Spark's
+    * range-partitioned sort SAMPLES its child to pick partition bounds
+    * and then executes it AGAIN for the real shuffle — with no
+    * intermediate shuffle stage to resume from, the whole scan + compute
+    * runs twice per action (measured on e01: two back-to-back ~1 s jobs
+    * for one 100k-row parse). Materializing first runs the projection
+    * once; the sampler and the sort then read the narrow materialized
+    * blocks. The sort itself — the declared presentation order — is
+    * unchanged, so results are byte-identical. */
+  def sortedOnce(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame =
+    Materialize(df).orderBy(keys: _*)
+
   /** Postfix form (`df.materialize()`) so operator pipelines read the
     * same as the `.localCheckpoint(true)` chains they replace. */
   implicit final class Ops(private val df: DataFrame) extends AnyVal {
     def materialize(): DataFrame = Materialize(df)
+    def sortedOnce(keys: org.apache.spark.sql.Column*): DataFrame =
+      Materialize.sortedOnce(df, keys: _*)
   }
 }

@@ -1123,7 +1123,8 @@ object DedupQueries {
           element_at($"_sig.bands", 2).as("band1"),
           element_at($"_sig.bands", 3).as("band2"),
           element_at($"_sig.bands", 4).as("band3"))
-        .orderBy($"doc_id")
+        // sortedOnce (r19): the sort sampler would re-run the signature pass
+        .sortedOnce($"doc_id")
     },
 
     // ---- d03: LSH candidate pairs + signature-estimated similarity -------
@@ -1141,7 +1142,7 @@ object DedupQueries {
       Tables(s, dir, "documents")
         .withColumn("_sig", sigExpr)
         .select($"doc_id", $"_sig.simhash".as("simhash"))
-        .orderBy($"doc_id")
+        .sortedOnce($"doc_id")
     },
 
     // ---- d06: exact n-gram Jaccard over LSH candidates (verify stage) ----
@@ -1230,7 +1231,7 @@ object DedupQueries {
               (lit(1.0) - $"n_distinct".cast("double") / $"n_shingles")
                 * 1000000) / 1000000.0))
         .select($"doc_id", $"n_shingles", $"n_distinct", $"rep_ratio")
-        .orderBy($"doc_id")
+        .sortedOnce($"doc_id")
     })
 
   val oracleSql: ListMap[String, String] = ListMap(

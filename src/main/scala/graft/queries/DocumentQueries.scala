@@ -214,7 +214,8 @@ object DocumentQueries {
             / 1000000.0))
       .select($"doc_id", $"n_tok", $"top_tok_frac", $"top_2gram_frac",
         $"max_run_len")
-      .orderBy($"doc_id")
+      // sortedOnce (r19): the sort sampler would re-run the codegen kernel
+      .sortedOnce($"doc_id")
   }
 
   /** d57 — character-distribution census, the code-point-grain
@@ -253,7 +254,7 @@ object DocumentQueries {
       .withColumn("entropy", $"sig.ent_q" / 1000000.0)
       .select($"doc_id", $"n_chars", $"n_distinct", $"top_char_frac",
         $"entropy")
-      .orderBy($"doc_id")
+      .sortedOnce($"doc_id")
   }
 
   /** d56 — BM25 top-k retrieval (Robertson/Sparck Jones Okapi BM25, the

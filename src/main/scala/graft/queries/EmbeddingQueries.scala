@@ -1088,7 +1088,8 @@ object EmbeddingQueries {
           (floor($"lo" * 10000) / 10000.0).as("lo"),
           (floor($"hi" * 10000) / 10000.0).as("hi"),
           $"max_err")
-        .orderBy($"vec_id")
+        // sortedOnce (r19): the sort sampler would re-run the quantize pass
+        .sortedOnce($"vec_id")
     },
 
     // ---- s06: quantized coarse scan + exact rerank (two-stage retrieval) --

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Materialize.Ops
 import graft.etl.{AccessLogParser, EtlConfig, Transform}
 
 /** Oracle-checked coverage for the ETL operators (SURVEY §2.1 P1/P2/P4,
@@ -59,7 +60,9 @@ object EtlQueries {
         $"UserAgent".as("agent"),
         nullif($"BytesSent", lit("-")).cast("long").as("bytes"),
         nullif($"ObjectSize", lit("-")).cast("long").as("osize"))
-        .orderBy($"event_id")
+        // sortedOnce (r19): the presentation sort's range sampler would
+        // otherwise re-run the whole synth+parse subtree a second time
+        .sortedOnce($"event_id")
     },
 
     // ---- e02: pipeline = bucket + windowed dedup (T2/D1) -----------------

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Materialize.Ops
 import graft.operators.Multimodal
 
 /** Driver-gate coverage for the multimodal plumbing: binary payload →
@@ -28,21 +29,22 @@ object MultimodalQueries {
         // boundary (e.g. 9/160) where engine round modes diverge
         .withColumn("aspect",
           floor($"width" / $"height".cast("double") * 10000) / 10000)
-        .orderBy($"doc_id")
+        // sortedOnce (r19): the sort sampler would re-decode every object
+        .sortedOnce($"doc_id")
     },
 
     // ---- m02: video-style frame sampling (every other 64B frame) ---------
     "m02_frame_sample" -> { (s, dir) =>
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"))
-      Multimodal.sampleFrames(media).toDF().orderBy($"doc_id", $"frame_idx")
+      Multimodal.sampleFrames(media).toDF().sortedOnce($"doc_id", $"frame_idx")
     },
 
     // ---- m03: resize/downsample plumbing ---------------------------------
     "m03_media_resize" -> { (s, dir) =>
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"))
-      Multimodal.resize(media).toDF().orderBy($"doc_id")
+      Multimodal.resize(media).toDF().sortedOnce($"doc_id")
     },
 
     // ---- m04: media dedup — exact at content grain, near at perceptual
@@ -99,7 +101,7 @@ object MultimodalQueries {
       import s.implicits._
       Multimodal.audioFeatures(
         Multimodal.wavFromDocuments(s, Tables(s, dir, "documents")))
-        .toDF().orderBy($"doc_id")
+        .toDF().sortedOnce($"doc_id")
     },
 
     // ---- m07: windowed frame-energy census — the VAD/silence-trim
@@ -111,7 +113,7 @@ object MultimodalQueries {
       import s.implicits._
       Multimodal.audioFrameEnergy(
         Multimodal.wavFromDocuments(s, Tables(s, dir, "documents")))
-        .toDF().orderBy($"doc_id")
+        .toDF().sortedOnce($"doc_id")
     })
 
   /** m04 as a reusable operator over a (doc_id, text) frame — the
