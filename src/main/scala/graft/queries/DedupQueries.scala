@@ -208,6 +208,34 @@ object DedupQueries {
     private[queries] val sigs: DataFrame =
       signatureTable(docs, withSplit, withQuality).persist()
 
+    /** (fp, doc_id = the fp group's exact-dup representative, mh, bands)
+      * — ONE fp-grain aggregate over the signature cache, shared by the
+      * banding side ([[reps]]) and the member expansion ([[members]]).
+      * Before r19 a disposition/contamination query aggregated the
+      * corpus signature table by fp TWICE (sentinel-filtered for
+      * banding via [[representatives]], unfiltered for memberReps' rep
+      * table) — the same map-side-combinable corpus-wide exchange paid
+      * twice per query. Cached scope-owned, lazily. */
+    private[queries] lazy val fpReps: DataFrame = owned(
+      sigs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"),
+        first(col("mh")).as("mh"), first(col("bands")).as("bands")))
+
+    /** [[representatives]] off the shared [[fpReps]] cache. Sentinel
+      * filtering happens on the GROUPED rows — mh is identical within an
+      * fp group (byte-identical text), so group-then-filter is
+      * row-identical to representatives' filter-then-group. */
+    private[queries] def reps: DataFrame =
+      fpReps.filter(element_at(col("mh"), 1) =!= P)
+        .select(col("doc_id"), col("mh"), col("bands"))
+
+    /** [[memberReps]] off the shared [[fpReps]] cache: doc → its
+      * exact-dup representative with `carry` member-level columns
+      * riding along. Row-identical to memberReps(sigs, carry). */
+    private[queries] def members(carry: String*): DataFrame =
+      sigs.select((Seq("doc_id", "fp") ++ carry).map(col): _*)
+        .join(fpReps.select(col("fp"), col("doc_id").as("rep")), Seq("fp"))
+        .select((Seq("doc_id") ++ carry :+ "rep").map(col): _*)
+
     /** d03: LSH candidate pairs with signature-estimated similarity
       * ≥ 0.5, between exact-dup representatives. Lazy — reads the shared
       * signature cache; materialize (or localCheckpoint) before close()
@@ -215,7 +243,7 @@ object DedupQueries {
     def pairs: DataFrame = {
       val s = sigs.sparkSession
       import s.implicits._
-      val exploded = cappedBands(representatives(sigs), owned, col("mh"))
+      val exploded = cappedBands(reps, owned, col("mh"))
       val a = exploded.select($"doc_id".as("doc_a"), $"mh".as("mh_a"),
         $"band_id", $"band_key")
       val b = exploded.select($"doc_id".as("doc_b"), $"mh".as("mh_b"),
@@ -283,7 +311,7 @@ object DedupQueries {
       //     per-stage latency floor is the cost of a deep plan on an
       //     idle scheduler; SCALE.md measures how it amortizes with
       //     data volume.
-      val exploded = owned(cappedBands(representatives(sigs), owned))
+      val exploded = owned(cappedBands(reps, owned))
       val cand = exploded.as("x")
         .join(exploded.as("y"),
           $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
@@ -782,12 +810,12 @@ object DedupQueries {
       // below references them twice, and the exact-Jaccard verify join is
       // the stage's dominant cost — computing it once halves the query
       val nd = scope.owned(scope.verifiedPairs)
-      // doc → its exact-dup representative: the shared memberReps window
-      // over the already-materialized sigs, which also carry the split
-      // label — no second pass over the corpus at all. Cached
+      // doc → its exact-dup representative off the scope's shared fpReps
+      // cache (r19 — the rep aggregate is computed once for banding AND
+      // expansion), split label riding the member side. Cached
       // (scope-owned): the test and train sides below would otherwise
-      // each run the window shuffle.
-      val members = scope.owned(memberReps(scope.sigs, "split"))
+      // each run the join-back.
+      val members = scope.owned(scope.members("split"))
       val test = members.filter($"split" === "test")
         .select($"doc_id".as("test_id"), $"rep".as("rep_t"))
       val train = members.filter($"split" === "train")
@@ -899,7 +927,7 @@ object DedupQueries {
     import s.implicits._
     val guarded = dispositionGuarded(docs, "dedupApply")
     withDedupScope(guarded) { scope =>
-      val members = memberReps(scope.sigs)
+      val members = scope.members()
       val clusters = scope.clusters.select($"doc_id".as("rep"), $"cluster_id")
       val canonical = coalesce($"cluster_id", $"rep")
       members.join(clusters, Seq("rep"), "left")
@@ -945,7 +973,7 @@ object DedupQueries {
     // attach it; same d09 expression, same rows, one scan and one join
     // fewer.
     withDedupScope(guarded, withQuality = true) { scope =>
-      val members = memberReps(scope.sigs, "quality")
+      val members = scope.members("quality")
       val clusters = scope.clusters.select($"doc_id".as("rep"), $"cluster_id")
       val scored = members.join(clusters, Seq("rep"), "left")
         .withColumn("group_id", coalesce($"cluster_id", $"rep"))
