@@ -83,6 +83,28 @@ object Materialize {
     }
   }
 
+  /** A lineage cut whose MATERIALIZATION rides the caller's own next
+    * action instead of a dedicated eager job (r19). The logical plan is
+    * truncated immediately either way — `Dataset.localCheckpoint`
+    * returns a LogicalRDD-backed frame even when lazy, so iterative
+    * loops still cannot grow their plans — but with the local backend
+    * the RDD computes (and its blocks cache) under the FIRST action the
+    * caller runs over the returned frame, halving the job count of
+    * checkpoint-then-aggregate loops (connectedComponents' rounds: the
+    * convergence aggregate is that action). Contract: the caller's
+    * first action must compute EVERY partition (a global aggregate
+    * does) before forking consumers. Reliable-checkpoint mode stays
+    * eager: RDD.checkpoint's write job re-executes lineage unless the
+    * data is already cached (see [[apply]]), so laziness buys nothing
+    * there and the deployment semantics stay identical. */
+  def lazyCut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
+      case Some(_) => apply(df)
+      case None => df.localCheckpoint(eager = false)
+    }
+  }
+
   /** Presentation sort over an eagerly materialized result — for queries
     * whose final global `orderBy` sits directly on a heavy projection
     * with NO exchange underneath (one-pass codegen kernels: the parse

@@ -568,7 +568,14 @@ object DedupQueries {
       .select($"doc_id", $"mh", $"band_id",
         $"bz.bands".as("band_key"), $"bz.bucket_ns".as("bucket_n"))
       .filter($"bucket_n" <= QueryConf.dedupMaxBucket(s))
-    val bBands = representatives(batch)
+    // ONE batch-side fp aggregate shared by banding and member expansion
+    // (r19 — the d24 probe's bReps discipline applied here): the old
+    // shape aggregated the batch by fp twice (representatives +
+    // memberReps' rep table). Sentinel-group members drop out of the
+    // rep-filtered join-back, which is row-identical: their rep is
+    // band-excluded and could never match a nearRep b_id.
+    val bReps = representatives(batch, keepFp = true)
+    val bBands = bReps
       .select($"doc_id".as("b_id"), $"mh".as("b_mh"),
         posexplode_outer($"bands").as(Seq("b_band_id", "b_band_key")))
     val nearRep = bBands
@@ -579,7 +586,9 @@ object DedupQueries {
           .as("sim"))
       .distinct()
       .filter($"sim" >= 0.5)
-    val batchRepOf = memberReps(batch)
+    val batchRepOf = batch.select($"doc_id", $"fp")
+      .join(bReps.select($"fp", $"doc_id".as("rep")), Seq("fp"))
+      .select($"doc_id", $"rep")
     val near = batchRepOf
       .join(nearRep, $"rep" === $"b_id")
       .select($"doc_id", $"c_id".as("match_id"), $"sim")
@@ -1017,10 +1026,13 @@ object DedupQueries {
     // would grow ~4× per round and OOM the planner around round 8 even
     // though execution reads the cache — checkpointing truncates lineage
     // to the materialized partitions every round.
-    var labels = edges
+    // lazyCut, not materialize (r19): the labelSum convergence aggregate
+    // right below is the action that computes (and caches) each round's
+    // labels — an eager checkpoint here paid a SECOND job per round for
+    // the same partitions. Lineage truncation is identical (LogicalRDD).
+    var labels = graft.Materialize.lazyCut(edges
       .groupBy($"src").agg(min($"dst").as("nbr"))
-      .select($"src".as("doc_id"), least($"src", $"nbr").as("label"))
-      .materialize()
+      .select($"src".as("doc_id"), least($"src", $"nbr").as("label")))
     // convergence metric: labels only ever DECREASE, so the label sum is
     // strictly monotone until fixpoint — comparing sums is exact and
     // costs one single-stage aggregate over the just-materialized round
@@ -1055,9 +1067,9 @@ object DedupQueries {
       // superseded rounds' checkpoint blocks are reclaimed by the
       // ContextCleaner once the old frame is unreferenced — peak live
       // storage is O(log diameter) narrow (doc_id,label) tables
-      val merged = doubling.foldLeft(labels.union(nbrMin))(_ union _)
-        .groupBy($"doc_id").agg(min($"label").as("label"))
-        .materialize()
+      val merged = graft.Materialize.lazyCut(
+        doubling.foldLeft(labels.union(nbrMin))(_ union _)
+          .groupBy($"doc_id").agg(min($"label").as("label")))
       val mergedSum = labelSum(merged)
       labels = merged
       converged = mergedSum.compareTo(prevSum) == 0

@@ -1,6 +1,7 @@
 package graft.queries
 
 import scala.collection.immutable.ListMap
+import scala.util.chaining._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1867,7 +1868,9 @@ object DocumentQueries {
       .groupBy($"cell0", $"fb")
       .agg(sum(floor($"c" / $"nrm" * lit(1e9)).cast("decimal(38,0)"))
         .cast("decimal(20,0)").as("sxq"))
-      .materialize()
+      // lazyCut (r19): the ≤2048-row centroid table computes under its
+      // first consumer's action; the eager job bought nothing
+      .pipe(graft.Materialize.lazyCut)
     val cnorm = cent
       .withColumn("sx", $"sxq".cast("double") / lit(1e9))
       .groupBy($"cell0")
@@ -2042,7 +2045,11 @@ object DocumentQueries {
         array_join(expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"), C + O),
         lit(C)))
       .select($"term", $"c", $"seq")
-      .materialize()
+      // lazyCut (r19): each round's vocab blocks compute under the NEXT
+      // round's broadcast(best) build (a pairs aggregate over this very
+      // frame) — the eager checkpoint paid a second job per round for
+      // the same partitions; lineage truncation is identical.
+      .pipe(graft.Materialize.lazyCut)
     val merges = (1 to k).map { rank =>
       val pairs = vocab
         .select($"c", split(expr("substring(seq, 2, length(seq) - 2)"), C + O).as("sa"))
@@ -2058,7 +2065,7 @@ object DocumentQueries {
           concat(lit(O), $"lhs", lit(C + O), $"rhs", lit(C)))
         .withColumn("rep", concat(lit(O), $"lhs", $"rhs", lit(C)))
         .select($"term", $"c", expr("replace(seq, pat, rep)").as("seq"))
-        .materialize()
+        .pipe(graft.Materialize.lazyCut)
       best.select(lit(rank.toLong).as("merge_rank"), $"lhs", $"rhs",
         concat($"lhs", $"rhs").as("merged"), $"pair_count")
     }

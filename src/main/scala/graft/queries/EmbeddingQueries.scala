@@ -211,10 +211,14 @@ object EmbeddingQueries {
         assignHome(e, seeds)
           .select($"vec_id", $"v", $"nrm", $"cell")
       }
-    var c = recenter(assign0).materialize()
+    // lazyCut (r19): each round's ≤cells-row centroid table computes
+    // under its first consumer's own action (the next round's — or the
+    // caller's — broadcast build reads it); the eager checkpoint paid a
+    // dedicated job per round. Lineage truncation is identical.
+    var c = graft.Materialize.lazyCut(recenter(assign0))
     var r = 1
     while (r < rounds) {
-      c = recenter(assignHome(e, c)).materialize()
+      c = graft.Materialize.lazyCut(recenter(assignHome(e, c)))
       r += 1
     }
     c
