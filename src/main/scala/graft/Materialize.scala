@@ -119,7 +119,11 @@ object Materialize {
     * unchanged, so results are byte-identical. */
   def sortedOnce(df: DataFrame,
       keys: org.apache.spark.sql.Column*): DataFrame =
-    Materialize(df).orderBy(keys: _*)
+    // lazyCut, not an eager cut (r19): the range sampler itself reads
+    // every row of every partition (RangePartitioner.sketch), so it IS
+    // the action that computes and caches the kernel's blocks — an
+    // eager checkpoint here paid a third job for the same partitions.
+    lazyCut(df).orderBy(keys: _*)
 
   /** Postfix form (`df.materialize()`) so operator pipelines read the
     * same as the `.localCheckpoint(true)` chains they replace. */

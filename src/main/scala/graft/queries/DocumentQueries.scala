@@ -2800,7 +2800,12 @@ object DocumentQueries {
     // ONCE (the d41 lesson: unbarriered multi-consumer fp passes
     // re-run the whole corpus scan per consumer). The materialized
     // frame is the narrow (doc_id, fp) grain, text already dropped.
-    val grams = ngramFps(docs, n).materialize()
+    // lazyCut (r19): both consumers run inside the query's one action —
+    // the df aggregate's scan computes and caches the fp blocks, the
+    // join-back reads them; the eager checkpoint paid a dedicated job
+    // for the same partitions (block-level locks serialize any race on
+    // a partition's first compute, so the sharing still holds).
+    val grams = graft.Materialize.lazyCut(ngramFps(docs, n))
     val dfreq = grams.groupBy($"fp").agg(count(lit(1)).as("df"))
     grams.join(dfreq, Seq("fp"))
       .groupBy($"doc_id")
@@ -2859,7 +2864,9 @@ object DocumentQueries {
     val rareCap = QueryConf.containRareCap(s)
     // the fp pass feeds THREE consumers (sizes, df census, the verify
     // joins) — materialize it once (the d41/d47 lesson)
-    val grams = ngramFps(docs, n).materialize()
+    // lazyCut (r19): the d47 argument — all consumers live inside the
+    // query's one action and share the cached blocks either way
+    val grams = graft.Materialize.lazyCut(ngramFps(docs, n))
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_fps"))
     val rare = grams.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= rareCap)
@@ -2870,7 +2877,7 @@ object DocumentQueries {
     // the d41/d47 multi-consumer lesson, confirmed in this plan's
     // probe: two identical fp-grain aggregate subtrees before this
     // barrier, one after)
-    val rg = grams.join(rare, Seq("fp")).materialize()
+    val rg = graft.Materialize.lazyCut(grams.join(rare, Seq("fp")))
     val pairs = rg.select($"fp", $"doc_id".as("doc_a"))
       .join(rg.select($"fp".as("fp_b"), $"doc_id".as("doc_b")),
         $"fp" === $"fp_b" && $"doc_a" < $"doc_b")
