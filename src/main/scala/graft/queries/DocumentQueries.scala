@@ -348,7 +348,7 @@ object DocumentQueries {
     // lazy caller-supplied probe frame would re-plan its derivation
     // (possibly a corpus-scale scan) once per consumer otherwise —
     // operator robustness must not depend on caller discipline
-    val qt = graft.Materialize(bm25QueryTerms(probes))
+    val qt = graft.Materialize.lazyCut(bm25QueryTerms(probes))
     val termSet = qt.select($"term").distinct()
     // the corpus cut at the probe terms: the tf census folds IN-ROW
     // (native graft_term_counts — one compiled pass; the explode+
@@ -361,7 +361,7 @@ object DocumentQueries {
     // split-SEGMENT count: '' → 1, double spaces inflate it — the
     // wrong denominator here). Materialized once, read by the df
     // census + the scoring join.
-    val hits = graft.Materialize(corpus
+    val hits = graft.Materialize.lazyCut(corpus
       .withColumn("sig", expr("graft_term_counts(text)"))
       .select($"doc_id", $"sig.n_tok".as("dl"),
         explode($"sig.terms").as("tc"))
@@ -399,7 +399,7 @@ object DocumentQueries {
   def bm25Index(corpus: DataFrame): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    val postings = graft.Materialize(corpus
+    val postings = graft.Materialize.lazyCut(corpus
       .withColumn("sig", expr("graft_term_counts(text)"))
       .select($"doc_id", $"sig.n_tok".as("dl"),
         explode($"sig.terms").as("tc"))
@@ -434,7 +434,7 @@ object DocumentQueries {
     val s = index.sparkSession
     import s.implicits._
     // same one-pass qt contract as bm25TopK (see there)
-    val qt = graft.Materialize(bm25QueryTerms(probes))
+    val qt = graft.Materialize.lazyCut(bm25QueryTerms(probes))
     val termSet = qt.select($"term").distinct()
     bm25Rank(index.join(broadcast(termSet), "term"), qt, k)
   }
@@ -1754,8 +1754,8 @@ object DocumentQueries {
     // consumer (the sweep measured the pass as the operator's dominant
     // cost). The narrow (doc_id, fb, c) form is exactly what the d16
     // signature discipline caches: fixed-width ints, no text.
-    val rawF = hashedFeats(raw).materialize()
-    val tgtF = hashedFeats(target).materialize()
+    val rawF = graft.Materialize.lazyCut(hashedFeats(raw))
+    val tgtF = graft.Materialize.lazyCut(hashedFeats(target))
     val qc = rawF.groupBy($"fb").agg(sum($"c").as("qc"))
     val pc = tgtF.groupBy($"fb").agg(sum($"c").as("pc"))
     val tq = rawF.agg(coalesce(sum($"c"), lit(0L)).as("tq"))
@@ -2997,7 +2997,7 @@ object DocumentQueries {
     // read-side fold (compact over stored generations) deliberately
     // does NOT materialize: a double parquet scan beats caching a
     // standing artifact.
-    foldWinnowSignatures(graft.Materialize(winnowFpTable(docs, n)))
+    foldWinnowSignatures(graft.Materialize.lazyCut(winnowFpTable(docs, n)))
 
   /** The winnow artifact's generation fold (the d36/d39 convention):
     * rows are distinct (doc_id, fp) under the unique-doc_id ingest
@@ -3134,8 +3134,8 @@ object DocumentQueries {
     // in-row censuses (graft_term_counts, round 16) — the materialize
     // barrier still pays for the multi-consumer reads, but the frames
     // behind it are now shuffle-free projections
-    val trainPd = termCounts(train.select($"doc_id", $"text")).materialize()
-    val evalPd = termCounts(eval.select($"doc_id", $"text")).materialize()
+    val trainPd = graft.Materialize.lazyCut(termCounts(train.select($"doc_id", $"text")))
+    val evalPd = graft.Materialize.lazyCut(termCounts(eval.select($"doc_id", $"text")))
     val tfTrain = trainPd.groupBy($"term").agg(sum($"c").as("tf_train"))
     val nTrain = trainPd.agg(coalesce(sum($"c"), lit(0L)).as("n_train"))
     val vocab = trainPd.select($"term").union(evalPd.select($"term"))

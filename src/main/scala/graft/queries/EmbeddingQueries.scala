@@ -912,7 +912,7 @@ object EmbeddingQueries {
     // read it, and without the barrier each re-runs the broadcast
     // assign scan.
     val nB = 16
-    val assigned = graft.Materialize(assignHome(e, c1)
+    val assigned = graft.Materialize.lazyCut(assignHome(e, c1)
       .withColumn("csim", round($"dot" / $"nrm", 4))
       .select($"vec_id", $"cell", $"csim"))
     // NaN guard: a zero-norm vector yields csim = 0/0 = NaN, which
