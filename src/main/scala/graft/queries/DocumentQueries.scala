@@ -1842,6 +1842,10 @@ object DocumentQueries {
     // Lloyd sums, the final dots) — materialize it once (same argument
     // as d46's)
     val f = hashedFeats(docs).materialize()
+    // (eager deliberately — r19 A/B: a lazy cut here let the FOUR
+    // consumer stages race block-by-block on the uncomputed corpus
+    // frame under AQE's concurrent stage materialization, measured
+    // SLOWER than one eager pass: 1.17 -> 1.53 s)
     val nrm = f.groupBy($"doc_id")
       .agg(sqrt(sum($"c" * $"c").cast("double")).as("nrm"),
         sum($"c").as("n_feats"))
