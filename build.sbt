@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output passes through RAW (r20, VERDICT r19 #1):
+// sbt's default LoggedOutput prefixes every forked stdout line with
+// "[info] ", so the bench's one-line JSON record has never reached the
+// driver's parser as a bare JSON line (parsed: null since r01). Scoped
+// to run/runMain only — test output keeps the logger (the driver's
+// test-result capture reads it).
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -166,6 +166,26 @@ class BenchRetrySpec extends AnyFunSuite {
       d.get("failed_runs").get(0).asInt == 0)
   }
 
+  test("record line: the driver contract shape {metric,value,unit," +
+    "queries,sf} is a strict prefix; extensions follow sf (r20)") {
+    val line = Bench.recordLine(total = 67.968,
+      queriesJson = """{"q01":0.21,"d14":2.37}""", sf = "sf0.1",
+      normTotal = 53.074, calib = 0.397, calibIo = 0.111,
+      degraded = false, extra = ""","calib_warn":true""")
+    // the documented contract fields, contiguous, in order, FIRST — a
+    // fixed-shape reader that greps exactly this prefix must match
+    assert(line.startsWith("""{"metric":"total","value":67.968,""" +
+      """"unit":"sec","queries":{"q01":0.21,"d14":2.37},"sf":"sf0.1""""),
+      s"contract prefix broken: $line")
+    // and the whole line stays real JSON a lenient reader parses
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(m.get("value").asDouble == 67.968 &&
+      m.get("value_normalized").asDouble == 53.074 &&
+      m.get("calib").asDouble == 0.397 && m.get("calib_warn").asBoolean &&
+      m.get("queries").get("d14").asDouble == 2.37 &&
+      m.get("sf").asText == "sf0.1" && !m.get("degraded").asBoolean)
+  }
+
   test("calib normalization scales to the band midpoint: identity at " +
     "midpoint, deflates slow sessions, inflates quick ones, raw " +
     "fallback on a failed anchor (r17)") {
