@@ -83,20 +83,32 @@ object Materialize {
     }
   }
 
-  /** A lineage cut whose MATERIALIZATION rides the caller's own next
-    * action instead of a dedicated eager job (r19). The logical plan is
-    * truncated immediately either way — `Dataset.localCheckpoint`
-    * returns a LogicalRDD-backed frame even when lazy, so iterative
-    * loops still cannot grow their plans — but with the local backend
-    * the RDD computes (and its blocks cache) under the FIRST action the
-    * caller runs over the returned frame, halving the job count of
-    * checkpoint-then-aggregate loops (connectedComponents' rounds: the
-    * convergence aggregate is that action). Contract: the caller's
-    * first action must compute EVERY partition (a global aggregate
-    * does) before forking consumers. Reliable-checkpoint mode stays
-    * eager: RDD.checkpoint's write job re-executes lineage unless the
-    * data is already cached (see [[apply]]), so laziness buys nothing
-    * there and the deployment semantics stay identical. */
+  /** CONTRACT (first line on purpose — call-site reviews read this):
+    * lazyCut is for frames whose FIRST consumer is ONE action that
+    * computes every partition; frames fanned out to SEVERAL independent
+    * AQE stages take eager [[apply]] instead. The r19 A/B that fixed
+    * the boundary: lazy-cutting d48's multi-consumer feature table made
+    * concurrent stages race block-by-block on uncomputed partitions and
+    * measured 1.17 → 1.53 s (reverted; same revert on the
+    * quality-quantile frames, the retrieval probe set, d41's fp table),
+    * while single-first-action sites (connectedComponents rounds, BPE
+    * rounds, sortedOnce kernels, d52's fp pass 1.33 → 1.08) all won or
+    * tied. Do not flip a cut across this boundary without re-measuring
+    * (same-JVM PerfAB + Probe job counts).
+    *
+    * Mechanics: a lineage cut whose MATERIALIZATION rides the caller's
+    * own next action instead of a dedicated eager job (r19). The
+    * logical plan is truncated immediately either way —
+    * `Dataset.localCheckpoint` returns a LogicalRDD-backed frame even
+    * when lazy, so iterative loops still cannot grow their plans — but
+    * with the local backend the RDD computes (and its blocks cache)
+    * under the FIRST action the caller runs over the returned frame,
+    * halving the job count of checkpoint-then-aggregate loops
+    * (connectedComponents' rounds: the convergence aggregate is that
+    * action). Reliable-checkpoint mode stays eager: RDD.checkpoint's
+    * write job re-executes lineage unless the data is already cached
+    * (see [[apply]]), so laziness buys nothing there and the deployment
+    * semantics stay identical. */
   def lazyCut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
@@ -123,7 +135,21 @@ object Materialize {
     // every row of every partition (RangePartitioner.sketch), so it IS
     // the action that computes and caches the kernel's blocks — an
     // eager checkpoint here paid a third job for the same partitions.
-    lazyCut(df).orderBy(keys: _*)
+    //
+    // DirKey (reliable-checkpoint) mode: plain orderBy, NO cut (r20,
+    // ADVICE r19). This cut is a presentation-sort optimization, not a
+    // lineage or fault-tolerance requirement — routing it through the
+    // reliable backend made ~12 gate queries each WRITE their full
+    // result set to the checkpoint directory per run (an extra
+    // write+read round-trip, and unbounded dir growth unless
+    // spark.cleaner.referenceTracking.cleanCheckpoints is on). In that
+    // deployment the kernel computes twice under the sampler+sort —
+    // the pre-r19 behavior, strictly cheaper than a full result-set
+    // FS round-trip, and executor-loss-safe either way.
+    df.sparkSession.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
+      case Some(_) => df.orderBy(keys: _*)
+      case None => lazyCut(df).orderBy(keys: _*)
+    }
 
   /** Postfix form (`df.materialize()`) so operator pipelines read the
     * same as the `.localCheckpoint(true)` chains they replace. */

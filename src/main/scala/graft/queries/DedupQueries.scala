@@ -215,7 +215,14 @@ object DedupQueries {
       * corpus signature table by fp TWICE (sentinel-filtered for
       * banding via [[representatives]], unfiltered for memberReps' rep
       * table) — the same map-side-combinable corpus-wide exchange paid
-      * twice per query. Cached scope-owned, lazily. */
+      * twice per query. Cached scope-owned, lazily.
+      *
+      * first(mh)/first(bands) — and [[reps]]' group-then-filter
+      * sentinel check — are row-identical to filter-then-group ONLY
+      * under the standing assumption that equal md5 fingerprints imply
+      * byte-identical text (no collisions; the same assumption every
+      * fp-grain operator here makes). A change to the fp definition
+      * (weaker hash, truncation) must revisit this site (ADVICE r19). */
     private[queries] lazy val fpReps: DataFrame = owned(
       sigs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"),
         first(col("mh")).as("mh"), first(col("bands")).as("bands")))

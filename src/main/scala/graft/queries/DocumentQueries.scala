@@ -3001,6 +3001,17 @@ object DocumentQueries {
     // read-side fold (compact over stored generations) deliberately
     // does NOT materialize: a double parquet scan beats caching a
     // standing artifact.
+    //
+    // lazyCut KEPT after the r20 re-measure (VERDICT r19 flagged the
+    // driver's d54 0.84→1.09 as a possible lazy-cut regression): 4-round
+    // same-JVM PerfAB lazy-vs-eager is a wash (med 0.89 vs 0.97 s),
+    // steady-state Probe shows lazy = 8 jobs vs eager = 9 (the dedicated
+    // checkpoint job) at identical shuffle (1.54 MB / 44,779 records) —
+    // the driver row was contention, not the cut. The fold is nominally
+    // two-consumer, but its fan-out (df groupBy + join-back probe) reads
+    // the winnowed rows under ONE final action whose stages measured no
+    // block-race penalty here, unlike the d48 feature table's
+    // independent-stage fan-out (see Materialize.lazyCut's contract).
     foldWinnowSignatures(graft.Materialize.lazyCut(winnowFpTable(docs, n)))
 
   /** The winnow artifact's generation fold (the d36/d39 convention):

@@ -149,7 +149,13 @@ object EmbeddingQueries {
     * (dot DESC, cell ASC)), and the dot expression is assignTo's
     * verbatim, so the result is spec-pinned row-equal to
     * assignTo.filter(rn = 1) (OperatorsSpec). The m-null filter keeps
-    * the empty-centroids case at assignTo's semantics (no rows). */
+    * the empty-centroids case at assignTo's semantics (no rows).
+    *
+    * Input contract (ADVICE r19): `e` is the (vec_id, v, nrm) embedding
+    * grain and the OUTPUT projection is fixed to
+    * (vec_id, v, nrm, cell, dot) — unlike [[assignTo]], extra input
+    * columns do NOT ride through. Callers needing pass-through columns
+    * use assignTo (or join back on vec_id). */
   private[graft] def assignHome(e: DataFrame, centroids: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._

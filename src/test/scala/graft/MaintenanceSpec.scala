@@ -316,4 +316,26 @@ class MaintenanceSpec extends SparkSpec {
         Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
     } finally spark.conf.unset(graft.Materialize.DirKey)
   }
+
+  test("sortedOnce under DirKey: identical rows, no checkpoint writes (r20)") {
+    import spark.implicits._
+    // ADVICE r19: the sortedOnce cut is a presentation-sort optimization,
+    // not a lineage requirement — in reliable-checkpoint mode it must NOT
+    // write every query's full result set to the checkpoint dir. DirKey
+    // mode takes a plain orderBy instead (double kernel compute under the
+    // sampler+sort, strictly cheaper than a result-set FS round-trip).
+    val dir = Files.createTempDirectory("graft-ckpt-so").toString
+    val df = Tables(spark, sfSmoke, "documents").limit(100)
+      .select($"doc_id", length($"text").cast("long").as("n"))
+    val expected = df.orderBy($"doc_id").collect().toSeq
+    spark.conf.set(graft.Materialize.DirKey, dir)
+    try {
+      val got = graft.Materialize.sortedOnce(df, $"doc_id").collect().toSeq
+      assert(got == expected)
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        Iterator(f) ++ Option(f.listFiles).iterator.flatten.flatMap(walk)
+      assert(!walk(new java.io.File(dir)).exists(_.isFile),
+        "sortedOnce wrote a reliable checkpoint in DirKey mode")
+    } finally spark.conf.unset(graft.Materialize.DirKey)
+  }
 }
