@@ -46,6 +46,7 @@ object GraftSession {
       .withExtensions(graft.functions.CharEntropyExpr.register)
       .withExtensions(graft.functions.TermCountsExpr.register)
       .withExtensions(graft.functions.TopKAgg.register)
+      .withExtensions(graft.functions.BucketAgg.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       // NOTE: the ObjectHashAggregate sort-based fallback threshold is

@@ -3,7 +3,6 @@ package graft.queries
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -110,47 +109,74 @@ object DedupQueries {
       .select((Seq("doc_id") ++ carry :+ "rep").map(col): _*)
   }
 
-  /** band-exploded representatives with degenerate buckets dropped
-    * (guard 3). posexplode_outer, NOT posexplode: the non-outer Generate
-    * makes InferFiltersFromGenerate push a `size(bands)>0` filter to the
-    * scan with the WHOLE signature expression inlined — a ~600 KB
-    * interpreted tree re-evaluating the minhashes ~256× per row (200s at
-    * sf0.01). bands is always length-4, so outer is semantically
-    * identical and keeps the plan linear.
+  /** Band buckets with degenerate keys dropped (guard 3), ONE bounded
+    * map-side-combinable aggregate per bucket (r20): `(band_id,
+    * band_key, bucket_n, members)` with members = the bucket's docs
+    * ascending by id, each carrying its minhash. Replaces the r17
+    * [explode → occupancy groupBy → join-back] chain plus the band
+    * SELF-JOIN its pair consumers ran on top — four shuffle boundaries
+    * (occupancy exchange, join-back of every exploded row, two
+    * self-join exchanges) collapse into this one aggregate exchange,
+    * and pairs fall out of the member arrays in-row
+    * ([[bucketPairs]]).
     *
-    * `bucket_n` (the bucket's member count) is RETAINED in the output:
-    * buckets are dropped whole by the cap, so the count computed here is
-    * exact for every surviving row, and downstream consumers
-    * ([[DedupScope.verifiedPairs]]'s candidate-doc filter) read it as a
-    * plain column instead of re-deriving the occupancy on the same
-    * frame.
+    * Skew (the 100× story, unchanged in kind, improved in degree): the
+    * r17 groupBy+join-back existed so a template-spam band key never
+    * buffers its whole bucket in one task before the cap applies. The
+    * bounded aggregate keeps that property and moves FEWER bytes: a
+    * viral key partial-aggregates into a ≤cap-member buffer on every
+    * map task ([[graft.functions.BucketAgg]] — exact count, capped
+    * storage), so the reduce side receives at most cap+ε members per
+    * bucket per map task, where the join-back shipped every exploded
+    * row. Past 128 in-memory buckets per partition ObjectHashAggregate
+    * falls back to sort-based aggregation over the band keys — exactly
+    * the sort the replaced sort-merge join-back paid, so the fallback
+    * is never worse (the threshold is deliberately not raised: buffers
+    * here are up to cap×~140 B, not graft_topk's k×16 B).
     *
-    * Occupancy shape (r17): a map-side-combinable (band_id, band_key)
-    * groupBy count joined back on the band key — NOT a `count().over(
-    * partitionBy(band_id, band_key))` window. The cap DROPS a hot band,
-    * but the window form buffers the whole bucket in one task BEFORE the
-    * cap can apply — a template-spam band funnels there first; the
-    * groupBy's partial aggregation counts it map-side, the join-back is
-    * AQE skew-splittable, and the cap then filters a plain column. Rows
-    * and hashes identical (bands are never null — length-4 arrays by
-    * TextSignatureExpr construction — so the equi-join drops nothing).
+    * posexplode_outer, NOT posexplode (r17, unchanged): the non-outer
+    * Generate makes InferFiltersFromGenerate push a `size(bands)>0`
+    * filter to the scan with the WHOLE signature expression inlined — a
+    * ~600 KB interpreted tree re-evaluating the minhashes ~256× per row
+    * (200s at sf0.01). bands is always length-4, so outer is
+    * semantically identical; the explicit band_id null-filter preserves
+    * the old equi-join's null-key drop without touching `bands`.
     *
-    * `own` caches the exploded frame (scope-bound where a scope exists):
-    * the occupancy groupBy and the join-back both read it, and the
-    * band self-join downstream reads the RESULT twice — without the
-    * cache the `representatives` aggregate subtree re-plans per branch
-    * and the stage count (= wall at small SF) quadruples. */
-  private def cappedBands(reps: DataFrame, own: DataFrame => DataFrame,
-      extra: Column*): DataFrame = {
-    val exploded = own(reps.select(
-      (col("doc_id") +: extra) :+
-        posexplode_outer(col("bands")).as(Seq("band_id", "band_key")): _*))
-    val occupancy = exploded.groupBy(col("band_id"), col("band_key"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= QueryConf.dedupMaxBucket(reps.sparkSession))
-    exploded.join(occupancy, Seq("band_id", "band_key"))
-      .select(exploded.columns.map(col) :+ col("bucket_n"): _*)
+    * `bucket_n` is exact for every surviving bucket (buckets are
+    * dropped whole), so [[DedupScope.verifiedPairs]]'s candidate-doc
+    * filter reads it as a plain column. `own` caches the bucket frame
+    * (scope-bound where a scope exists): the pair explode and the
+    * candidate-id derivation both read it. */
+  private def cappedBuckets(reps: DataFrame,
+      own: DataFrame => DataFrame): DataFrame = {
+    val cap = QueryConf.dedupMaxBucket(reps.sparkSession)
+    own(reps
+      .select(col("doc_id"), col("mh"),
+        posexplode_outer(col("bands")).as(Seq("band_id", "band_key")))
+      .filter(col("band_id").isNotNull)
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(expr(
+        s"${graft.functions.BucketAgg.functionName}(doc_id, mh, $cap)").as("b"))
+      .select(col("band_id"), col("band_key"),
+        col("b.bucket_n").as("bucket_n"), col("b.members").as("members"))
+      .filter(col("bucket_n") <= cap))
   }
+
+  /** All intra-bucket pairs (doc_a < doc_b, both minhashes) from a
+    * [[cappedBuckets]] frame, generated IN-ROW: members are stored
+    * ascending by id, so two nested codegen explodes (each member
+    * against the slice after it) emit exactly the a.doc_id < b.doc_id
+    * pair set the old band self-join produced — no join, no exchange.
+    * Pair volume is unchanged (Σ n·(n−1)/2 over capped buckets); only
+    * the machinery producing it is. */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(col("members").as("ms"),
+        posexplode(col("members")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(expr("slice(ms, i + 2, size(ms) - i - 1)")).as("bb"))
+      .select(col("a.doc_id").as("doc_a"), col("a.mh").as("mh_a"),
+        col("bb.doc_id").as("doc_b"), col("bb.mh").as("mh_b"))
 
   /** A cache-scope handle owning ONE materialized signature table shared
     * by every dedup stage run inside it.
@@ -250,17 +276,12 @@ object DedupQueries {
     def pairs: DataFrame = {
       val s = sigs.sparkSession
       import s.implicits._
-      val exploded = cappedBands(reps, owned, col("mh"))
-      val a = exploded.select($"doc_id".as("doc_a"), $"mh".as("mh_a"),
-        $"band_id", $"band_key")
-      val b = exploded.select($"doc_id".as("doc_b"), $"mh".as("mh_b"),
-        $"band_id".as("band_id_b"), $"band_key".as("band_key_b"))
-      a.join(b,
-          $"band_id" === $"band_id_b" && $"band_key" === $"band_key_b" &&
-            $"doc_a" < $"doc_b")
-        // equal-component count via the codegen graft_eq_count (the HOF
-        // zip_with∘filter chain is interpreted and runs per PRE-distinct
-        // join row); integer count → /K → round is arithmetic-identical
+      // in-bucket pairs straight off the bounded bucket aggregate (r20
+      // — no band self-join; see cappedBuckets/bucketPairs). The
+      // equal-component count stays the codegen graft_eq_count (the HOF
+      // zip_with∘filter chain is interpreted and runs per PRE-distinct
+      // pair row); integer count → /K → round is arithmetic-identical
+      bucketPairs(cappedBuckets(reps, owned))
         .select($"doc_a", $"doc_b",
           round(expr("graft_eq_count(mh_a, mh_b)") / lit(K.toDouble), 4)
             .as("sim_est"))
@@ -318,21 +339,18 @@ object DedupQueries {
       //     per-stage latency floor is the cost of a deep plan on an
       //     idle scheduler; SCALE.md measures how it amortizes with
       //     data volume.
-      val exploded = owned(cappedBands(reps, owned))
-      val cand = exploded.as("x")
-        .join(exploded.as("y"),
-          $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
-            $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      val buckets = cappedBuckets(reps, owned)
+      val cand = bucketPairs(buckets)
+        .select($"doc_a", $"doc_b")
         .distinct()
       // pair-participating docs, straight from the bucket structure (no
-      // dependency on the self-join): any doc sharing a surviving bucket
-      // with at least one other doc. bucket_n rides the cached exploded
-      // frame (computed once in cappedBands) — this is a filter, not a
-      // second window shuffle over the same frame.
-      val candIds = exploded
+      // dependency on the pair explode): any doc sharing a surviving
+      // bucket with at least one other doc. bucket_n rides the cached
+      // bucket frame (computed once in cappedBuckets) — this is a
+      // filter, not a second aggregate over the same frame.
+      val candIds = buckets
         .filter($"bucket_n" >= 2)
-        .select($"doc_id").distinct()
+        .select(explode($"members.doc_id").as("doc_id")).distinct()
       // shingle sets for the candidate docs ONLY — one codegen pass over
       // the few docs surviving the broadcast semi-join, cached so both
       // join sides below share one computed (bounded) table
@@ -599,11 +617,15 @@ object DedupQueries {
     val near = batchRepOf
       .join(nearRep, $"rep" === $"b_id")
       .select($"doc_id", $"c_id".as("match_id"), $"sim")
-    val w = Window.partitionBy($"doc_id").orderBy($"sim".desc, $"match_id")
+    // best partner per batch doc as a map-side-combinable max(struct)
+    // aggregate (r20) — the d14/d34 argmax shape; (sim DESC, match_id
+    // ASC), corpus ids non-negative so -match_id cannot overflow
     exact.union(near)
-      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-      .select($"doc_id", $"match_id".as("match_doc_id"),
-        $"sim".as("similarity"))
+      .groupBy($"doc_id")
+      .agg(max(struct($"sim", (-$"match_id").as("neg"),
+        $"match_id".as("id"))).as("m"))
+      .select($"doc_id", $"m.id".as("match_doc_id"),
+        $"m.sim".as("similarity"))
   }
 
   /** d24: INCREMENTAL train/test contamination — the per-ingest form of
@@ -654,8 +676,13 @@ object DedupQueries {
     try {
       // inline index build (the persisted-artifact path is
       // incrementalContaminationIndexed): the guarded corpus feeds the
-      // build, so a mixed pre-/post-split sigDir trips loudly here too
-      val idx = repIndex(corpus).materialize()
+      // build, so a mixed pre-/post-split sigDir trips loudly here too.
+      // lazyCut, not eager (r20): the assembled reps⋈ns join has ONE
+      // consumer (the probe's cBands explode) — its blocks compute under
+      // the probe's own materialize action; reps and ns are each already
+      // eagerly materialized inside withBucketNs (multi-consumer build
+      // barriers), so nothing upstream re-executes.
+      val idx = graft.Materialize.lazyCut(repIndex(corpus))
       indexedContamProbe(idx, corpus, batch,
         { df => val p = df.persist(); ownedPairs = Some(p); p })
         .materialize()
@@ -792,11 +819,14 @@ object DedupQueries {
         when($"b_split" === "test", $"c_member").otherwise($"b_member")
           .as("train_id"),
         $"sim")
-    val w = Window.partitionBy($"test_id").orderBy($"sim".desc, $"train_id")
-    memberPairs
-      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-      .select($"test_id".as("doc_id"), $"train_id".as("train_doc_id"),
-        $"sim".as("similarity"))
+    // best partner per test doc as a map-side-combinable max(struct)
+    // aggregate (r20) — the d14/d34 argmax shape; see contamination for
+    // the equivalence argument (sim DESC, train_id ASC; non-negative ids)
+    memberPairs.groupBy($"test_id")
+      .agg(max(struct($"sim", (-$"train_id").as("neg"),
+        $"train_id".as("id"))).as("m"))
+      .select($"test_id".as("doc_id"), $"m.id".as("train_doc_id"),
+        $"m.sim".as("similarity"))
   }
 
   /** d14: train/test contamination — the question a training pipeline
@@ -843,10 +873,19 @@ object DedupQueries {
       val hits = test.join(sym, $"rep_t" === $"rep_x")
         .join(train, $"rep_y" === $"rep_r")
         .select($"test_id", $"train_id", $"jaccard".as("sim"))
-      val w = Window.partitionBy($"test_id").orderBy($"sim".desc, $"train_id")
-      hits.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-        .select($"test_id".as("doc_id"), $"train_id".as("train_doc_id"),
-          $"sim".as("similarity"))
+      // best partner per test doc as ONE map-side-combinable aggregate
+      // (r20; was a row_number window): max(struct(sim, -train_id,
+      // train_id)) realizes (sim DESC, train_id ASC) in a single struct
+      // comparison — the d34/d48 argmax shape. Same exchange on test_id,
+      // but partial aggregation collapses per-key rows map-side and no
+      // per-partition sort buffer exists; train ids are non-negative
+      // (dispositionGuarded-grade corpus ids), so the negation cannot
+      // overflow. Row-identical to the window form (oracle-pinned).
+      hits.groupBy($"test_id")
+        .agg(max(struct($"sim", (-$"train_id").as("neg"),
+          $"train_id".as("id"))).as("m"))
+        .select($"test_id".as("doc_id"), $"m.id".as("train_doc_id"),
+          $"m.sim".as("similarity"))
         .materialize()
     }
   }

@@ -1915,10 +1915,11 @@ object DocumentQueries {
     * back as a 1-row crossJoin (GlobalLimit-bounded — the audited
     * form), then one codegen replace() projection. The word table is
     * localCheckpoint'd each round (the d11 iterative discipline) so
-    * round i+1's plan doesn't re-derive rounds 1..i; the argmax frames
-    * stay UN-checkpointed so their GlobalLimit bound remains visible to
-    * the plan audit and the final union re-derives each from its
-    * round's checkpointed vocab (one cheap extra job per round).
+    * round i+1's plan doesn't re-derive rounds 1..i; the argmax row is
+    * collected at loop time and re-injected as a LocalRelation (r20),
+    * so the final union is a literal merge table — no per-round
+    * re-derivation at action time — and the crossJoin side stays
+    * provably bounded for the broadcast audit.
     *
     * Symbol sequences ride as delimiter-wrapped strings
     * ( sym  per symbol, no separator between symbols):
@@ -2062,8 +2063,18 @@ object DocumentQueries {
              (a, b) -> struct(a AS lhs, b AS rhs))""")).as("p"))
         .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
         .agg(sum($"c").as("pair_count"))
-      val best = pairs
-        .orderBy($"pair_count".desc, $"lhs", $"rhs").limit(1)
+      // the 1-row argmax is COLLECTED at loop time (r20) and re-injected
+      // as a literal table: the per-round broadcast build executed this
+      // pair aggregate anyway, so the collect costs the same one job —
+      // but the final merge-table union then reads k LocalRelations
+      // instead of RE-DERIVING each round's pair aggregate at action
+      // time (one extra job per round, the r19 "not yet optimized" #2).
+      // A 1-row bounded collect, not a driver data loop; the
+      // LocalRelation is also the broadcast-audit's structural bound.
+      val bestRows = pairs
+        .orderBy($"pair_count".desc, $"lhs", $"rhs").limit(1).collect()
+      val best = s.createDataFrame(
+        java.util.Arrays.asList(bestRows: _*), pairs.schema)
       vocab = vocab.crossJoin(broadcast(best))
         .withColumn("pat",
           concat(lit(O), $"lhs", lit(C + O), $"rhs", lit(C)))
@@ -3072,10 +3083,16 @@ object DocumentQueries {
     val shared = winnowFpTable(batch, n)
       .join(live.select($"fp", $"doc_id".as("match_doc_id")), Seq("fp"))
       .groupBy($"doc_id", $"match_doc_id").agg(count(lit(1)).as("n_shared"))
-    val wBest = Window.partitionBy($"doc_id")
-      .orderBy($"n_shared".desc, $"match_doc_id")
-    shared.withColumn("rn", row_number().over(wBest)).filter($"rn" === 1)
-      .select($"doc_id", $"match_doc_id", $"n_shared")
+    // best match per batch doc as a map-side-combinable max(struct)
+    // aggregate (r20) — the d14/d34 argmax shape: (n_shared DESC,
+    // match_doc_id ASC) in one struct comparison, partial-aggregated
+    // map-side on the (doc_id, match_doc_id)-partitioned pair counts;
+    // corpus ids non-negative so the negation cannot overflow
+    shared.groupBy($"doc_id")
+      .agg(max(struct($"n_shared", (-$"match_doc_id").as("neg"),
+        $"match_doc_id".as("id"))).as("m"))
+      .select($"doc_id", $"m.id".as("match_doc_id"),
+        $"m.n_shared".as("n_shared"))
       .orderBy($"doc_id")
   }
 

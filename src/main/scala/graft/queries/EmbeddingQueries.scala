@@ -652,7 +652,25 @@ object EmbeddingQueries {
     * join; the per-vector top-k is a WindowGroupLimit-bounded rank
     * over narrow (src, nbr, sim) rows. Cell count is the documented
     * n²/k lever (SemDeDup's paper runs ~50k cells at LAION scale). */
-  def knnGraph(emb: DataFrame, k: Int = QueryConf.DefaultKnnK): DataFrame = {
+  def knnGraph(emb: DataFrame, k: Int = QueryConf.DefaultKnnK): DataFrame =
+    // EAGER under a scoped fallback-threshold raise: ObjectHashAggregate
+    // (graft_topk's exec) falls back to sort-based aggregation after 128
+    // distinct in-memory keys by default — re-introducing exactly the
+    // per-partition candidate sort the bounded buffer exists to avoid.
+    // graft_topk's buffers are k·16 bytes, so millions of keys are tiny;
+    // but the raise must not leak to collect_list-style aggregates with
+    // unbounded per-group state (ADVICE r16) NOR to queries planned
+    // concurrently on this shared session (ADVICE r17) — hence the
+    // clone-session materialization, never a set/restore on the session.
+    QueryConf.materializeWithConf(knnGraphPlan(emb, k),
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "10000000")
+
+  /** The LAZY s14 graph plan — split out (r20) so PlanDump can dump the
+    * candidate-scan + top-k stage that [[knnGraph]]'s eager
+    * materialization truncates to a `Scan ExistingRDD` tail. */
+  private[graft] def knnGraphPlan(emb: DataFrame,
+      k: Int = QueryConf.DefaultKnnK): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val e = emb.select($"vec_id", $"v")
@@ -670,14 +688,41 @@ object EmbeddingQueries {
     // scan side rides the same window-free assignHome shape as the
     // corpus; only a multi-probe session ranks cells through assignTo.
     val nprobe = QueryConf.knnNprobe(s)
-    val probeAssign =
-      if (nprobe == 1) corpus
-      else assignTo(e, c1).filter($"rn" <= nprobe)
-    val a = probeAssign
-      .select($"vec_id".as("src"), $"v".as("av"),
-        $"nrm".as("an"), $"cell")
-    val b = corpus.select($"vec_id".as("nbr"), $"v".as("bv"),
-      $"nrm".as("bn"), $"cell".as("b_cell"))
+    // candidate (src, nbr, cos_sim) rows. nprobe = 1 (the gate default):
+    // the scan side IS the corpus, so the pair relation is SYMMETRIC —
+    // each unordered pair's dot product is computed ONCE (src < nbr) and
+    // both orientations are emitted by a 2-element explode (r20, guide
+    // §1.2: the n²/k dot-product constant is the operator's dominant
+    // cost at scale — 85 s at the 100k-vector point — and this halves
+    // it). Bit-identical: graft_dot's per-element products and their
+    // summation order are unchanged under argument swap (IEEE multiply
+    // is commutative), an*bn likewise, so round(·, 4) matches the
+    // two-sided scan exactly (spec-pinned). A multi-probe session's scan
+    // side differs from the corpus — no symmetry — and keeps the full
+    // two-sided join.
+    val cand =
+      if (nprobe == 1) {
+        val a = corpus.select($"vec_id".as("src"), $"v".as("av"),
+          $"nrm".as("an"), $"cell")
+        val b = corpus.select($"vec_id".as("nbr"), $"v".as("bv"),
+          $"nrm".as("bn"), $"cell".as("b_cell"))
+        a.join(b, $"cell" === $"b_cell" && $"src" < $"nbr")
+          .withColumn("cos_sim", round(dot("av", "bv") / ($"an" * $"bn"), 4))
+          .select(explode(array(
+            struct($"src", $"nbr", $"cos_sim"),
+            struct($"nbr".as("src"), $"src".as("nbr"), $"cos_sim"))).as("p"))
+          .select($"p.src".as("src"), $"p.nbr".as("nbr"),
+            $"p.cos_sim".as("cos_sim"))
+      } else {
+        val a = assignTo(e, c1).filter($"rn" <= nprobe)
+          .select($"vec_id".as("src"), $"v".as("av"),
+            $"nrm".as("an"), $"cell")
+        val b = corpus.select($"vec_id".as("nbr"), $"v".as("bv"),
+          $"nrm".as("bn"), $"cell".as("b_cell"))
+        a.join(b, $"cell" === $"b_cell" && $"src" =!= $"nbr")
+          .withColumn("cos_sim", round(dot("av", "bv") / ($"an" * $"bn"), 4))
+          .select($"src", $"nbr", $"cos_sim")
+      }
     // top-k via the native bounded-buffer AGGREGATE, not a rank window:
     // the window form sorts every candidate pair map-side (156M rows at
     // the 500k sweep — 133 s with spill, vs s09's ~1 s for the same
@@ -685,26 +730,13 @@ object EmbeddingQueries {
     // per-vector buffers, combines map-side on the cell-partitioned
     // pairs, and shuffles only k-row buffers. Same (score desc, id asc)
     // order, spec-pinned equal to the window formulation.
-    val graph = a.join(b, $"cell" === $"b_cell" && $"src" =!= $"nbr")
-      .withColumn("cos_sim", round(dot("av", "bv") / ($"an" * $"bn"), 4))
+    cand
       .groupBy($"src")
       .agg(expr(s"graft_topk(cos_sim, nbr, $k)").as("top"))
       .select($"src".as("vec_id"), posexplode($"top").as(Seq("pos", "t")))
       .select($"vec_id", ($"pos" + 1).cast("long").as("rk"),
         $"t.id".as("nbr"), $"t.score".as("cos_sim"))
       .orderBy($"vec_id", $"rk")
-    // EAGER under a scoped fallback-threshold raise: ObjectHashAggregate
-    // (graft_topk's exec) falls back to sort-based aggregation after 128
-    // distinct in-memory keys by default — re-introducing exactly the
-    // per-partition candidate sort the bounded buffer exists to avoid.
-    // graft_topk's buffers are k·16 bytes, so millions of keys are tiny;
-    // but the raise must not leak to collect_list-style aggregates with
-    // unbounded per-group state (ADVICE r16) NOR to queries planned
-    // concurrently on this shared session (ADVICE r17) — hence the
-    // clone-session materialization, never a set/restore on `s`.
-    QueryConf.materializeWithConf(graph,
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "10000000")
   }
 
   /** s15's density bar: a mean in-graph neighbor cosine BELOW this marks

@@ -2867,17 +2867,22 @@ class OperatorsSpec extends SparkSpec {
     val idx = spark.read.parquet(idxDir)
     val probeFrame = DocumentQueries.winnowMatches(idx, batch)
     // 100x plan audit: df comes from the artifact's STORED column, so
-    // the probe plans exactly ONE aggregate (the n_shared groupBy) —
-    // a corpus-wide df census here would be a full standing-index pass
-    // per ingest batch at 100 TB
+    // the probe plans exactly TWO aggregates — the (doc_id,
+    // match_doc_id) n_shared groupBy and the per-doc best-match argmax
+    // over ITS output (r20's max(struct) form of the old rank window) —
+    // and a corpus-wide df census (a full standing-index pass per
+    // ingest batch at 100 TB) would surface as an aggregate whose
+    // grouping is the bare fp: assert the grains, not just the count
     val aggs = probeFrame.queryExecution.optimizedPlan.collect {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }
-    assert(aggs.size == 1,
-      s"d54 probe must not re-aggregate the corpus artifact " +
-        s"(expected 1 Aggregate — the n_shared groupBy — got ${aggs.size})")
-    assert(aggs.head.groupingExpressions.size == 2,
-      "the probe's one aggregate is the (doc_id, match_doc_id) groupBy")
+    assert(aggs.size == 2,
+      s"d54 probe must plan only the n_shared groupBy + the best-match " +
+        s"argmax (got ${aggs.size} Aggregates)")
+    assert(aggs.map(_.groupingExpressions.size).sorted == Seq(1, 2),
+      "the probe's aggregates are the (doc_id, match_doc_id) n_shared " +
+        "groupBy and the (doc_id) best-match argmax — an fp-grain df " +
+        "census would re-aggregate the corpus artifact")
     // a df-less index is refused loudly, not silently re-censused
     val dfLess = intercept[IllegalArgumentException] {
       DocumentQueries.winnowMatches(idx.drop("df"), batch)
