@@ -51,7 +51,7 @@ import org.apache.spark.sql.SparkSessionExtensions
   * foldable positive literal: a per-row cap would make partial buffers
   * unmergeable. */
 case class BucketAgg(
-    idExpr: Expression, mhExpr: Expression, capExpr: Expression,
+    idExpr: Expression, mhExpr: Option[Expression], capExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[BucketAgg.Buf] {
@@ -62,10 +62,10 @@ case class BucketAgg(
     if (idExpr.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName id must be BIGINT, got ${idExpr.dataType.sql}")
-    else if (!mhExpr.dataType.isInstanceOf[ArrayType] ||
-      mhExpr.dataType.asInstanceOf[ArrayType].elementType != LongType)
+    else if (mhExpr.exists(e => !e.dataType.isInstanceOf[ArrayType] ||
+      e.dataType.asInstanceOf[ArrayType].elementType != LongType))
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName mh must be ARRAY<BIGINT>, got ${mhExpr.dataType.sql}")
+        s"$prettyName mh must be ARRAY<BIGINT>, got ${mhExpr.get.dataType.sql}")
     else if (!capExpr.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName cap must be a literal (per-row cap would make " +
@@ -75,19 +75,27 @@ case class BucketAgg(
       TypeCheckResult.TypeCheckFailure(s"$prettyName cap must be >= 1")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def dataType: DataType = BucketAgg.resultType
+  override def dataType: DataType =
+    if (mhExpr.isDefined) BucketAgg.resultType else BucketAgg.resultTypeIdOnly
   override def nullable: Boolean = false
-  override def children: Seq[Expression] = Seq(idExpr, mhExpr, capExpr)
+  override def children: Seq[Expression] =
+    Seq(idExpr) ++ mhExpr ++ Seq(capExpr)
   override def prettyName: String = BucketAgg.functionName
 
   override def createAggregationBuffer(): BucketAgg.Buf = new BucketAgg.Buf(cap)
 
   override def update(b: BucketAgg.Buf, input: InternalRow): BucketAgg.Buf = {
     val id = idExpr.eval(input)
-    val mh = mhExpr.eval(input)
-    if (id != null && mh != null)
-      // copy out of the (reused) input row before buffering
-      b.offer(id.asInstanceOf[Long], mh.asInstanceOf[ArrayData].toLongArray())
+    mhExpr match {
+      case Some(me) =>
+        val mh = me.eval(input)
+        if (id != null && mh != null)
+          // copy out of the (reused) input row before buffering
+          b.offer(id.asInstanceOf[Long],
+            mh.asInstanceOf[ArrayData].toLongArray())
+      case None =>
+        if (id != null) b.offer(id.asInstanceOf[Long], null)
+    }
     b
   }
 
@@ -99,35 +107,46 @@ case class BucketAgg(
   }
 
   override def eval(b: BucketAgg.Buf): Any = {
-    val out = new Array[Any](b.n)
-    var i = 0
-    while (i < b.n) {
-      out(i) = new GenericInternalRow(
-        Array[Any](b.ids(i), new GenericArrayData(b.mhs(i))))
-      i += 1
-    }
-    new GenericInternalRow(Array[Any](b.total, new GenericArrayData(out)))
+    val members =
+      if (mhExpr.isDefined) {
+        val out = new Array[Any](b.n)
+        var i = 0
+        while (i < b.n) {
+          out(i) = new GenericInternalRow(
+            Array[Any](b.ids(i), new GenericArrayData(b.mhs(i))))
+          i += 1
+        }
+        new GenericArrayData(out)
+      } else
+        new GenericArrayData(java.util.Arrays.copyOf(b.ids, b.n))
+    new GenericInternalRow(Array[Any](b.total, members))
   }
 
   override def serialize(b: BucketAgg.Buf): Array[Byte] = {
+    val withMh = mhExpr.isDefined
     var bytes = 8 + 4
     var i = 0
-    while (i < b.n) { bytes += 8 + 4 + b.mhs(i).length * 8; i += 1 }
+    while (i < b.n) {
+      bytes += 8 + (if (withMh) 4 + b.mhs(i).length * 8 else 0); i += 1
+    }
     val bb = java.nio.ByteBuffer.allocate(bytes)
     bb.putLong(b.total)
     bb.putInt(b.n)
     i = 0
     while (i < b.n) {
       bb.putLong(b.ids(i))
-      bb.putInt(b.mhs(i).length)
-      var j = 0
-      while (j < b.mhs(i).length) { bb.putLong(b.mhs(i)(j)); j += 1 }
+      if (withMh) {
+        bb.putInt(b.mhs(i).length)
+        var j = 0
+        while (j < b.mhs(i).length) { bb.putLong(b.mhs(i)(j)); j += 1 }
+      }
       i += 1
     }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): BucketAgg.Buf = {
+    val withMh = mhExpr.isDefined
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val b = new BucketAgg.Buf(cap)
     val total = bb.getLong
@@ -136,10 +155,14 @@ case class BucketAgg(
     // serialized entries are already ordered; insert replays them
     while (i < n) {
       val id = bb.getLong
-      val len = bb.getInt
-      val mh = new Array[Long](len)
-      var j = 0
-      while (j < len) { mh(j) = bb.getLong; j += 1 }
+      val mh =
+        if (withMh) {
+          val len = bb.getInt
+          val a = new Array[Long](len)
+          var j = 0
+          while (j < len) { a(j) = bb.getLong; j += 1 }
+          a
+        } else null
       b.insert(id, mh)
       i += 1
     }
@@ -153,8 +176,11 @@ case class BucketAgg(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): BucketAgg =
-    copy(idExpr = newChildren(0), mhExpr = newChildren(1),
-      capExpr = newChildren(2))
+    if (newChildren.length == 3)
+      copy(idExpr = newChildren(0), mhExpr = Some(newChildren(1)),
+        capExpr = newChildren(2))
+    else copy(idExpr = newChildren(0), mhExpr = None,
+      capExpr = newChildren(1))
 }
 
 object BucketAgg {
@@ -167,6 +193,14 @@ object BucketAgg {
   val resultType: StructType = StructType(Seq(
     StructField("bucket_n", LongType, nullable = false),
     StructField("members", ArrayType(memberType, containsNull = false),
+      nullable = false)))
+
+  /** The 2-arg `graft_bucket(id, cap)` form: members are bare ids
+    * (ascending) — the d52 rare-fp blocking grain, where no signature
+    * rides the pair. */
+  val resultTypeIdOnly: StructType = StructType(Seq(
+    StructField("bucket_n", LongType, nullable = false),
+    StructField("members", ArrayType(LongType, containsNull = false),
       nullable = false)))
 
   /** Exact count + the cap smallest member ids ascending. Storage grows
@@ -207,9 +241,10 @@ object BucketAgg {
     ext.injectFunction((
       FunctionIdentifier(functionName),
       new ExpressionInfo(classOf[BucketAgg].getName, functionName),
-      (children: Seq[Expression]) => {
-        require(children.length == 3,
-          s"$functionName expects (id, mh, cap), got ${children.length} args")
-        BucketAgg(children(0), children(1), children(2))
+      (children: Seq[Expression]) => children.length match {
+        case 3 => BucketAgg(children(0), Some(children(1)), children(2))
+        case 2 => BucketAgg(children(0), None, children(1))
+        case n => throw new IllegalArgumentException(
+          s"$functionName expects (id, mh, cap) or (id, cap), got $n args")
       }))
 }

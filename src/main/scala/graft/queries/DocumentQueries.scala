@@ -2883,20 +2883,27 @@ object DocumentQueries {
     // query's one action and share the cached blocks either way
     val grams = graft.Materialize.lazyCut(ngramFps(docs, n))
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_fps"))
-    val rare = grams.groupBy($"fp").agg(count(lit(1)).as("df"))
-      .filter($"df" >= 2 && $"df" <= rareCap)
-      .select($"fp")
-    // the rare-gram frame feeds BOTH sides of the nominating self-join
-    // — materialized so the df census + rare join run once, not once
-    // per side (Catalyst shares no common subplans across join inputs;
-    // the d41/d47 multi-consumer lesson, confirmed in this plan's
-    // probe: two identical fp-grain aggregate subtrees before this
-    // barrier, one after)
-    val rg = graft.Materialize.lazyCut(grams.join(rare, Seq("fp")))
-    val pairs = rg.select($"fp", $"doc_id".as("doc_a"))
-      .join(rg.select($"fp".as("fp_b"), $"doc_id".as("doc_b")),
-        $"fp" === $"fp_b" && $"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
+    // nomination via ONE bounded bucket aggregate (r20 — the
+    // cappedBuckets/bucketPairs shape at the rare-fp grain): the old
+    // chain [df census → rare join-back (lazyCut) → fp self-join] paid
+    // three more shuffle boundaries to produce pairs whose fp group is
+    // bounded by rareCap ANYWAY. graft_bucket(doc_id, rareCap) keeps the
+    // exact df plus the rareCap smallest member ids ascending — a
+    // boilerplate fp (df ≫ rareCap, the very key the cap drops)
+    // partial-aggregates into a ≤rareCap buffer on every map task
+    // instead of fanning its full group through the join-back — and the
+    // (doc_a < doc_b) pairs fall out of the sorted member arrays in-row
+    // via two codegen explodes. Pair set identical: same [2, rareCap]
+    // df filter, same i<j member combinations.
+    val buckets = grams.groupBy($"fp")
+      .agg(expr(
+        s"${graft.functions.BucketAgg.functionName}(doc_id, $rareCap)").as("b"))
+      .filter($"b.bucket_n" >= 2 && $"b.bucket_n" <= rareCap)
+    val pairs = buckets
+      .select($"b.members".as("ms"), posexplode($"b.members").as(Seq("i", "a")))
+      .select($"a".as("doc_a"),
+        explode(expr("slice(ms, i + 2, size(ms) - i - 1)")).as("doc_b"))
+      .distinct()
     // exact intersection counts: fp-keyed equi-joins between fp tables
     // (inner join per (pair, fp) is an exact count — fps are distinct
     // within a doc by the ngramFps grain). The doc_a-first keying was
