@@ -139,21 +139,35 @@ object MultimodalQueries {
     val exact = feats.join(reps, "cfp").filter($"doc_id" =!= $"rep")
       .select($"rep".as("doc_a"), $"doc_id".as("doc_b"),
         lit(0L).as("hamming"), lit("exact").as("kind"))
-    val bands = reps.select($"rep", $"ahash", explode(expr(
+    // banded candidates via ONE bounded bucket aggregate (r20 — the
+    // dedup cappedBuckets/bucketPairs shape at the ahash-band grain):
+    // the old [occupancy groupBy → join-back → band self-join] chain
+    // paid three more shuffle boundaries for pairs whose bucket the
+    // cap bounds anyway; graft_bucket keeps the exact count plus the
+    // cap smallest reps ascending (ahash riding as a 1-element array —
+    // identical content ⇒ one hash per rep), and the ra < rb pairs
+    // fall out of the sorted member arrays in-row. A viral band key
+    // ships ≤ cap members per map task instead of its whole bucket
+    // through the join-back.
+    val buckets = reps.select($"rep", $"ahash", explode(expr(
       """transform(sequence(0, 3), b -> named_struct(
            'band', CAST(b AS BIGINT),
            'key', shiftright(ahash, 16 * b) & 65535))""")).as("bk"))
-      .select($"rep", $"ahash", $"bk.band".as("band"), $"bk.key".as("key"))
-    val ok = bands.groupBy($"band", $"key").agg(count(lit(1)).as("n"))
-      .filter($"n" <= maxBucket).select($"band", $"key")
-    val okBands = bands.join(ok, Seq("band", "key"))
-    val l = okBands
-      .select($"rep".as("ra"), $"ahash".as("aa"), $"band", $"key")
-    val r = okBands.select($"rep".as("rb"), $"ahash".as("ab"),
-      $"band".as("band_b"), $"key".as("key_b"))
-    val near = l
-      .join(r, $"band" === $"band_b" && $"key" === $"key_b" && $"ra" < $"rb")
-      .select($"ra", $"aa", $"rb", $"ab").distinct()
+      .select($"rep", array($"ahash").as("ah"),
+        $"bk.band".as("band"), $"bk.key".as("key"))
+      .groupBy($"band", $"key")
+      .agg(expr(
+        s"${graft.functions.BucketAgg.functionName}(rep, ah, $maxBucket)")
+        .as("b"))
+      .filter($"b.bucket_n" <= maxBucket)
+    val near = buckets
+      .select($"b.members".as("ms"),
+        posexplode($"b.members").as(Seq("i", "a")))
+      .select($"a",
+        explode(expr("slice(ms, i + 2, size(ms) - i - 1)")).as("bb"))
+      .select($"a.doc_id".as("ra"), element_at($"a.mh", 1).as("aa"),
+        $"bb.doc_id".as("rb"), element_at($"bb.mh", 1).as("ab"))
+      .distinct()
       .withColumn("hamming", expr("CAST(bit_count(aa ^ ab) AS BIGINT)"))
       .filter($"hamming" <= HammingBar)
       .select($"ra".as("doc_a"), $"rb".as("doc_b"), $"hamming",
